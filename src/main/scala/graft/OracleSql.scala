@@ -1,0 +1,191 @@
+package graft
+
+/** DuckDB-runnable oracle SQL for every SQL-expressible query in
+  * [[Queries.all]]. Column names/types and the rounding of every float
+  * column match the Spark implementations exactly (the driver sorts
+  * columns by name and hash-compares values). Queries omitted here
+  * (knn_lsh, ann_ivf, dedup_minhash, dedup_simhash) use engine-internal
+  * hashing/bucketing that plain SQL can't reproduce → rows-only check.
+  */
+object OracleSql {
+
+  /** cosine-vs-vec-0 scores CTE, parameterized by an extra predicate. */
+  private def knnScores(where: String): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |pairs AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS x, unnest(q.qe) AS y
+       |          FROM embeddings e, q $where),
+       |scores AS (SELECT vec_id, label,
+       |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+       |  FROM pairs GROUP BY vec_id, label)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "knn_brute" ->
+      s"""${knnScores("")}
+         |SELECT vec_id, ROUND(s, 4) AS score FROM scores ORDER BY s DESC, vec_id LIMIT 5""".stripMargin,
+
+    "knn_brute_filtered" ->
+      s"""${knnScores("WHERE e.label = 3")}
+         |SELECT vec_id, ROUND(s, 4) AS score FROM scores ORDER BY s DESC, vec_id LIMIT 5""".stripMargin,
+
+    "knn_topk_per_label" ->
+      s"""${knnScores("")},
+         |ranked AS (SELECT vec_id, label, s,
+         |  row_number() OVER (PARTITION BY label ORDER BY s DESC, vec_id) AS rn FROM scores)
+         |SELECT label, rn, vec_id, ROUND(s, 4) AS score FROM ranked WHERE rn <= 3
+         |ORDER BY label, rn""".stripMargin,
+
+    "neardup_embedding" ->
+      """WITH pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |  unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |scores AS (SELECT ia, ib,
+        |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+        |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+        |  FROM pairs GROUP BY ia, ib)
+        |SELECT ia AS id_a, ib AS id_b, ROUND(s, 4) AS cos FROM scores
+        |WHERE s >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "agg_count_by_label" ->
+      "SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label ORDER BY label",
+
+    "catalog_meta_samples" ->
+      """SELECT source, count(*) AS n_docs,
+        |  array_to_string(list_sort(list(DISTINCT lang))[:20], ',') AS langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_segment_revenue" ->
+      """SELECT c_mktsegment, count(DISTINCT o_orderkey) AS n_orders,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "region_customers" ->
+      """SELECT r_name, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "top_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey LIMIT 100""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "events_json_k" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_bucket,
+        |  count(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH flags AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT user_id,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dupes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_token_stats" ->
+      """WITH t AS (SELECT lang, len(string_split_regex(trim(text), ' +')) AS n FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  ROUND(AVG(n), 4) AS avg_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), ' +') AS w FROM documents),
+        |m AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |  CASE WHEN len(w) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(tt, ' +', '', 'g')) AS DOUBLE) / len(w) END AS avg_len,
+        |  CASE WHEN len(w) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(w, t -> t IN ('the','is','and','of','to','a','in'))) AS DOUBLE) / len(w) END AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, ROUND(avg_len, 4) AS avg_token_len,
+        |  ROUND(stop_ratio, 4) AS stopword_ratio,
+        |  ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) + 0.5 * (1.0 - stop_ratio), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS w FROM documents),
+        |hits AS (SELECT doc_id, lang,
+        |  len(list_filter(w, t -> t IN ('the','is','and','of','to'))) AS en,
+        |  len(list_filter(w, t -> t IN ('der','und','ist','die','das'))) AS de,
+        |  len(list_filter(w, t -> t IN ('el','la','que','de','y'))) AS es,
+        |  len(list_filter(w, t -> t IN ('le','la','et','les','des'))) AS fr,
+        |  len(list_filter(w, t -> t IN ('的','是','了','在','和'))) AS zh
+        |  FROM toks),
+        |pred AS (SELECT doc_id, lang, CASE
+        |  WHEN greatest(en, de, es, fr, zh) <= 0 THEN 'und'
+        |  WHEN en >= greatest(de, es, fr, zh) THEN 'en'
+        |  WHEN de >= greatest(es, fr, zh) THEN 'de'
+        |  WHEN es >= greatest(fr, zh) THEN 'es'
+        |  WHEN fr >= zh THEN 'fr'
+        |  ELSE 'zh' END AS predicted FROM hits)
+        |SELECT lang, predicted, count(*) AS n_docs FROM pred
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_trigram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), ' +') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |  ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+        |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(64 + (strlen(text) % 57) * 16 AS BIGINT) AS width,
+        |  CAST(64 + (strlen(text) % 37) * 16 AS BIGINT) AS height,
+        |  CASE CAST(strlen(text) % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "crud_lifecycle" ->
+      """SELECT source AS library_id, doc_id,
+        |  CASE WHEN doc_id % 100 = 0 THEN 'updated-' || doc_id ELSE 'doc-' || doc_id END AS title
+        |FROM documents WHERE source <> 'src0' ORDER BY doc_id""".stripMargin,
+
+    "crud_versions" ->
+      """SELECT source AS library_id,
+        |  CAST(count(*) + SUM(CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) AS INT) AS version
+        |FROM documents WHERE source <> 'src0' GROUP BY source ORDER BY library_id""".stripMargin,
+  )
+}

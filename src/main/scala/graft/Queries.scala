@@ -1,0 +1,297 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.index.{BruteForceKnn, IvfKnn, RandomHyperplaneLsh}
+import graft.multimodal.Multimodal
+import graft.state.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Every operator from SURVEY §2 plus the training-data-pipeline
+  * extensions, each as a deterministic, oracle-checkable query over the
+  * driver-generated parquet tables. Shared by SparkEntry.queries
+  * (correctness gate) and Bench (sf0.1 timing).
+  *
+  * Determinism rules: every output ends in a total ORDER BY; every
+  * floating-point column is rounded (scores to 4 dp, money sums to
+  * 2 dp) AFTER selection/ordering decisions are made on the raw value,
+  * mirroring the oracle SQL exactly.
+  */
+object Queries {
+
+  /** The canonical query vector: embedding of vec_id 0 (a corpus
+    * member, so brute top-1 is itself at score 1.0 — a built-in sanity
+    * anchor). */
+  def queryVec(spark: SparkSession, sfDir: String): Array[Float] =
+    Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") === 0)
+      .select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+
+  // ---- vector search (O1-O13) ----
+
+  def knnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    BruteForceKnn.search(emb, col("embedding"), col("vec_id"), queryVec(spark, sfDir), 5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+  }
+
+  def knnBruteFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).where(col("label") === 3)
+    BruteForceKnn.search(emb, col("embedding"), col("vec_id"), queryVec(spark, sfDir), 5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+  }
+
+  def knnTopkPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val scored = BruteForceKnn.scored(emb, col("embedding"), queryVec(spark, sfDir))
+    val w = Window.partitionBy(col("label")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("label"), col("rn"), col("vec_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("label"), col("rn"))
+  }
+
+  def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (hits, used) = RandomHyperplaneLsh(8, 12, 42L)
+      .search(emb, col("embedding"), col("vec_id"), queryVec(spark, sfDir), 5)
+    hits.select(col("vec_id"), round(col("score"), 4).as("score"), lit(used).as("index_used"))
+  }
+
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    IvfKnn.search(spark, emb, col("embedding"), col("vec_id"), queryVec(spark, sfDir),
+        k = 5, stride = 53L, nprobe = 2)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+  }
+
+  def neardupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- aggregations (O23, O24) ----
+
+  def aggCountByLabel(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"))
+
+  def catalogMetaSamples(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(slice(array_sort(collect_set(col("lang"))), 1, 20), ",").as("langs"))
+      .orderBy(col("source"))
+
+  // ---- relational (north-star: joins/aggs/windows at scale) ----
+
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  def q3SegmentRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    // customer is the small side → broadcast; orders⋈lineitem shuffles
+    // on the join key once.
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def regionCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name")).agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("r_name"))
+
+  def topOrderPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+      .limit(100)
+  }
+
+  // ---- events: time windows, json, sessionization ----
+
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  def eventsJsonK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k_bucket", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int") % 10)
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("k_bucket"))
+
+  /** Gap-based sessionization (30-min inactivity), the batch shape of
+    * the streaming session-window operator: two windows over
+    * (user, time) — a lag to flag session starts, a running sum to
+    * number sessions — then one aggregate. One shuffle on user_id.
+    */
+  def eventsSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          (col("ts").cast("double") - col("prev_ts").cast("double")) > 1800.0, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(max(col("sid")).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- text analysis / dedup (training-data pipeline) ----
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactStats(Tables.documents(spark, sfDir), col("source"), col("text"))
+      .orderBy(col("source"))
+
+  def textTokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("n", TextFunctions.tokenCount(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        round(avg(col("n")), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        round(TextFunctions.avgTokenLength(col("text")), 4).as("avg_token_len"),
+        round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        round(TextFunctions.qualityScore(col("text")), 4).as("quality"))
+      .orderBy(col("doc_id"))
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("predicted", TextFunctions.langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  def dedupTrigramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.blockedJaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text", "source", 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(spark, sfDir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- multimodal ----
+
+  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.fromDocuments(spark, Tables.documents(spark, sfDir))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  // ---- CRUD engine lifecycle (O16-O22 re-expressed as queries) ----
+
+  /** Builds an Engine from the documents table (one library per source,
+    * one document per row), applies deterministic mutations (update
+    * every 100th doc's title; cascade-delete library src0), and returns
+    * the surviving documents — final state is oracle-reconstructable in
+    * pure SQL.
+    */
+  private def lifecycleEngine(spark: SparkSession, sfDir: String): Engine = {
+    val engine = new Engine()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    docs.map(_._2).distinct.sorted.foreach { src =>
+      engine.createLibrary(name = src, id = Some(src))
+    }
+    docs.foreach { case (docId, src) =>
+      engine.addDocument(src, title = s"doc-$docId", id = Some(docId.toString))
+    }
+    docs.filter(_._1 % 100 == 0).foreach { case (docId, src) =>
+      engine.updateDocument(src, docId.toString, title = Some(s"updated-$docId"), category = None)
+    }
+    engine.deleteLibrary("src0")
+    engine
+  }
+
+  def crudLifecycle(spark: SparkSession, sfDir: String): DataFrame =
+    lifecycleEngine(spark, sfDir).documentsDF(spark)
+      .select(col("library_id"), col("id").cast("long").as("doc_id"), col("title"))
+      .orderBy(col("doc_id"))
+
+  def crudVersions(spark: SparkSession, sfDir: String): DataFrame =
+    lifecycleEngine(spark, sfDir).librariesDF(spark)
+      .select(col("id").as("library_id"), col("version"))
+      .orderBy(col("library_id"))
+
+  /** name → implementation, consumed by SparkEntry/Bench/Verify. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_brute" -> (knnBrute _),
+    "knn_brute_filtered" -> (knnBruteFiltered _),
+    "knn_topk_per_label" -> (knnTopkPerLabel _),
+    "knn_lsh" -> (knnLsh _),
+    "ann_ivf" -> (annIvf _),
+    "neardup_embedding" -> (neardupEmbedding _),
+    "agg_count_by_label" -> (aggCountByLabel _),
+    "catalog_meta_samples" -> (catalogMetaSamples _),
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_segment_revenue" -> (q3SegmentRevenue _),
+    "region_customers" -> (regionCustomers _),
+    "top_order_per_customer" -> (topOrderPerCustomer _),
+    "events_hourly" -> (eventsHourly _),
+    "events_json_k" -> (eventsJsonK _),
+    "events_sessionize" -> (eventsSessionize _),
+    "dedup_exact" -> (dedupExact _),
+    "text_token_stats" -> (textTokenStats _),
+    "text_quality" -> (textQuality _),
+    "lang_id" -> (langId _),
+    "fingerprint" -> (fingerprint _),
+    "dedup_trigram_jaccard" -> (dedupTrigramJaccard _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "multimodal_meta" -> (multimodalMeta _),
+    "crud_lifecycle" -> (crudLifecycle _),
+    "crud_versions" -> (crudVersions _),
+  )
+}

@@ -1,0 +1,205 @@
+package graft.dedup
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline. Each has the
+  * shuffle shape that survives 100 TB:
+  *
+  *  - exact:      one hash-aggregate on a 128-bit digest (never on the
+  *                raw text — the shuffle carries 16 bytes/row, not KBs);
+  *  - MinHash:    signature = 64 mins over shingle hashes (one explode +
+  *                one aggregate), LSH banding = equi-join on
+  *                (band, band-hash) buckets so candidate pairs are found
+  *                WITHOUT a cartesian product, then exact-Jaccard verify;
+  *  - SimHash:    64-bit sketch, 4×16-bit band blocking (any pair within
+  *                Hamming distance 3 shares ≥1 exact band — standard
+  *                pigeonhole), verify via bit_count(xor);
+  *  - n-gram Jaccard: exact pairwise within a blocking key;
+  *  - embedding near-dup: cosine over pairs within a blocking key
+  *                (brute) or within LSH buckets (scale path).
+  */
+object Dedup {
+
+  /** Exact duplicate stats per group: n_docs, n_distinct (by md5 of raw
+    * text), n_dupes. */
+  def exactStats(docs: DataFrame, groupCol: Column, textCol: Column): DataFrame =
+    docs.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(textCol)).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5(textCol))).as("n_dupes"))
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic universal-hash family h_i(x) = (a_i*x + b_i) mod p. */
+  private def hashFamily(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(numHashes) {
+      (1L + math.abs(rng.nextLong()) % (MersennePrime - 1),
+        math.abs(rng.nextLong()) % MersennePrime)
+    }
+  }
+
+  /** MinHash signatures: (idCol, m0..m{numHashes-1}).
+    * One explode + one groupBy(id) aggregate of 64 mins — partial
+    * (map-side) aggregation applies, so the shuffle carries one
+    * signature row per document, not one row per shingle.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 64,
+                        seed: Long = 42L): DataFrame = {
+    val fam = hashFamily(numHashes, seed)
+    val shingled = docs
+      .select(col(idCol), explode(TextFunctions.wordNgrams(col(textCol), shingleSize)).as("shingle"))
+      .distinct()
+      .withColumn("x", pmod(xxhash64(col("shingle")), lit(MersennePrime)))
+    val minExprs = fam.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(MersennePrime))).as(s"m$i")
+    }
+    shingled.groupBy(col(idCol)).agg(minExprs.head, minExprs.tail: _*)
+  }
+
+  /** Candidate near-dup pairs via LSH banding of MinHash signatures:
+    * `bands` bands of numHashes/bands rows each; docs sharing any
+    * band's full sub-signature become a candidate pair. The heavy work
+    * is an equi-join on (band_id, band_hash) — shuffle-partitioned,
+    * no cartesian.
+    * Output: (id_a, id_b) with id_a < id_b, distinct.
+    */
+  def minhashCandidatePairs(signatures: DataFrame, idCol: String,
+                            numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*).as("band_hash"))
+    }
+    val banded = signatures
+      .select(col(idCol), explode(array(bandStructs: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+    val a = banded.toDF(s"id_a", "band_id", "band_hash")
+    val b = banded.toDF(s"id_b", "band_id", "band_hash")
+    a.join(b, Seq("band_id", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact word-n-gram Jaccard for candidate pairs (id_a, id_b).
+    * Shingle sets are joined back per side; |A∩B| via an inner join on
+    * (pair, shingle), |A∪B| = |A|+|B|-|A∩B|.
+    */
+  def verifyJaccard(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.wordNgrams(col(textCol), shingleSize)).as("shingle")).distinct()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shA = sh.toDF("id_a", "shingle")
+    val shB = sh.toDF("id_b", "shingle")
+    val interCounts = pairs.join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(interCounts, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    * exact-Jaccard verify → threshold. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5, shingleSize: Int = 3,
+                      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes, seed)
+    val cands = minhashCandidatePairs(sigs, idCol, numHashes, bands)
+    verifyJaccard(docs, cands, idCol, textCol, shingleSize)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact pairwise n-gram Jaccard within a blocking key (e.g. source).
+    * The blocking key bounds the pair count; the join is an equi-join on
+    * (block, shingle) so only docs sharing a shingle ever meet.
+    */
+  def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+                          threshold: Double, shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+      explode(TextFunctions.wordNgrams(col(textCol), shingleSize)).as("shingle")).distinct()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val interCounts = sh.toDF("block", "id_a", "shingle")
+      .join(sh.toDF("block", "id_b", "shingle"), Seq("block", "shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    interCounts
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dups: 64-bit sketch, band into 4×16-bit chunks for
+    * blocking (pigeonhole: Hamming ≤ 3 ⇒ some 16-bit band identical),
+    * verify with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sh = TextFunctions.simhash64(docs, idCol, textCol)
+    val banded = sh.select(col(idCol).as("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("band_val"))): _*)).as("band"))
+      .select(col("id"), col("simhash"), col("band.band_id"), col("band.band_val"))
+    val a = banded.toDF("id_a", "sim_a", "band_id", "band_val")
+    val b = banded.toDF("id_b", "sim_b", "band_id", "band_val")
+    a.join(b, Seq("band_id", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs, exact within-corpus pairwise.
+    * The `id_a < id_b` non-equi join broadcasts the smaller side when it
+    * fits; for 100 TB use [[embeddingNearDupsLsh]] instead.
+    */
+  def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
+                        threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Scale path: hyperplane-LSH bucket blocking, pairs only within
+    * buckets, exact cosine verify. Same output contract as
+    * [[embeddingNearDups]] minus bucket-missed pairs (tunable recall via
+    * numTables/numPlanes).
+    */
+  def embeddingNearDupsLsh(emb: DataFrame, idCol: String, embCol: String,
+                           threshold: Double, dim: Int,
+                           numTables: Int = 8, numPlanes: Int = 8,
+                           seed: Long = 42L): DataFrame = {
+    val lsh = graft.index.RandomHyperplaneLsh(numTables, numPlanes, seed)
+    val bucketed = lsh.withBuckets(emb.where(col(embCol).isNotNull), col(embCol), dim)
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
+        explode(array((0 until numTables).map(t =>
+          struct(lit(t).as("t"), col("buckets").getItem(t).as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("emb"), col("tb.t"), col("tb.bucket"))
+    val a = bucketed.toDF("id_a", "emb_a", "t", "bucket")
+    val b = bucketed.toDF("id_b", "emb_b", "t", "bucket")
+    a.join(b, Seq("t", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+      .distinct()
+      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline, built as pure
+  * Column combinators (whole-stage codegen; no UDFs, no driver work) so
+  * they run unchanged over a 100 TB `documents` corpus.
+  *
+  * Language-ID dictionaries and the quality formula are deliberately
+  * simple/deterministic — the point is the distributed shape (tokenize
+  * once, derive everything from the token array) and oracle-checkable
+  * semantics.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization: split on runs of whitespace after trim. */
+  def tokens(text: Column): Column = split(trim(text), " +")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Sliding word n-grams (shingles). Empty array when the document has
+    * fewer than n tokens. 1-based element_at.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of tokens that appear in a fixed dictionary. */
+  def dictHits(text: Column, dict: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(dict)))
+
+  private val langDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "is", "and", "of", "to"),
+    "de" -> Seq("der", "und", "ist", "die", "das"),
+    "es" -> Seq("el", "la", "que", "de", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Heuristic language ID: argmax of per-language stopword hits, ties
+    * broken by dictionary order above; "und" (undetermined) when no
+    * dictionary matches at all.
+    */
+  def langId(text: Column): Column = {
+    val hits = langDicts.map { case (lang, dict) => lang -> dictHits(text, dict) }
+    val maxHits = greatest(hits.map(_._2): _*)
+    val firstArgmax = hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === maxHits, lit(lang)).otherwise(acc)
+    }
+    when(maxHits <= 0, lit("und")).otherwise(firstArgmax)
+  }
+
+  /** Ratio of English-stopword tokens to all tokens (0 when empty). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = Seq("the", "is", "and", "of", "to", "a", "in")): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0).otherwise(dictHits(text, stopwords).cast("double") / n.cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLength(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0)
+      .otherwise(length(regexp_replace(trim(text), " +", "")).cast("double") / n.cast("double"))
+  }
+
+  /** Composite quality score in [0, 1]: length saturation minus
+    * stopword-spam penalty. Deterministic and oracle-expressible.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val stopPenalty = stopwordRatio(text)
+    lit(0.5) * lenScore + lit(0.5) * (lit(1.0) - stopPenalty)
+  }
+
+  /** Canonical-form document fingerprint: lowercase, strip
+    * non-alphanumerics (keeping spaces), collapse whitespace, md5.
+    * Exact-dedup key robust to casing/punctuation noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
+  /** 64-bit SimHash over whitespace tokens: per token take xxhash64,
+    * each of the 64 bit positions votes +1/-1, final bit = sign of the
+    * vote sum. Computed as an explode + 64 conditional-sum aggregates —
+    * fully codegen'd, one shuffle on the group key.
+    * Input: df with (idCol, textCol); output: (idCol, simhash LONG).
+    */
+  def simhash64(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val simhash = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col(idCol), simhash.as("simhash"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over ARRAY<FLOAT> embedding columns.
+  *
+  * Mirrors the reference's vector kernel (cosine scoring over
+  * pre-normalizable vectors): `_unit` at reference
+  * app/indexing/brute_force.py:8-11 (zero vector returned unchanged, so
+  * its cosine against anything is 0 — no NaN) and `_dot` at
+  * app/indexing/brute_force.py:14-16.
+  *
+  * All math is done in Double (the reference casts to float64 at
+  * app/services/search_service.py:47). The hot-path scorer is a Scala
+  * UDF with a tight while-loop over the array — measured faster than the
+  * higher-order-function formulation (`aggregate(zip_with(..))`) on
+  * 64-d vectors, and identical numerically. A codegen'd Catalyst
+  * Expression variant lives in [[graft.expressions]] for the scale
+  * path.
+  */
+object VectorFunctions {
+
+  @inline private def dotD(a: collection.Seq[Float], b: collection.Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  @inline private def normD(a: collection.Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** cosine(a, b) in double precision; 0.0 when either side is the zero
+    * vector (reference semantics: zero vectors are never normalized).
+    */
+  val cosineUdf = udf { (a: collection.Seq[Float], b: collection.Seq[Float]) =>
+    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+    else {
+      val na = normD(a); val nb = normD(b)
+      if (na == 0.0 || nb == 0.0) java.lang.Double.valueOf(0.0)
+      else java.lang.Double.valueOf(dotD(a, b) / (na * nb))
+    }
+  }
+
+  /** dot(a, b) in double precision (cosine when both sides are already
+    * unit-normalized — the reference normalizes at index build,
+    * app/indexing/brute_force.py:29-30, so query-time cost is one dot).
+    */
+  val dotUdf = udf { (a: collection.Seq[Float], b: collection.Seq[Float]) =>
+    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+    else java.lang.Double.valueOf(dotD(a, b))
+  }
+
+  /** L2-normalize; the zero vector is returned unchanged
+    * (app/indexing/brute_force.py:10-11). Normalize-on-write is the
+    * scale-path optimization the reference misses: it re-normalizes the
+    * whole corpus on every query because it rebuilds the index per query.
+    */
+  val l2NormalizeUdf = udf { (a: collection.Seq[Float]) =>
+    if (a == null) null
+    else {
+      val n = normD(a)
+      if (n == 0.0) a.toArray
+      else {
+        val out = new Array[Float](a.length)
+        var i = 0
+        while (i < a.length) { out(i) = (a(i).toDouble / n).toFloat; i += 1 }
+        out
+      }
+    }
+  }
+
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  def l2Normalize(a: Column): Column = l2NormalizeUdf(a)
+
+  /** Pure-Catalyst (whole-stage-codegen-friendly) cosine built from
+    * higher-order functions — no UDF, usable where serialization of the
+    * UDF closure is undesirable. Numerically identical (double math).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
+    val dotP = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dotP / (na * nb))
+  }
+}

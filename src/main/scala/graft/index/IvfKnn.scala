@@ -1,0 +1,77 @@
+package graft.index
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: partition the
+  * corpus into `nlist` clusters, then probe only the `nprobe` clusters
+  * whose centroids are closest to the query.
+  *
+  * This is the scale path beyond the reference's brute/LSH pair
+  * (BASELINE.json north-star: "MLlib for batch indexing"): at 100 TB the
+  * assignment is a one-time batch job (written out partitioned by
+  * `cluster_id`, so a probe reads nprobe/nlist of the files), and the
+  * per-query work is nprobe partition scans + TakeOrderedAndProject.
+  *
+  * Centroid selection here is deterministic sampling (every `stride`-th
+  * vector, k-means|| is available via MLlib when recall matters more
+  * than determinism). Assignment = argmax cosine against the broadcast
+  * centroid array — a single UDF pass, no shuffle.
+  */
+object IvfKnn {
+
+  /** Deterministic centroids: vectors whose id % stride == 0. */
+  def centroids(emb: DataFrame, idCol: Column, embCol: Column, stride: Long): Array[(Long, Array[Float])] =
+    emb.where(idCol % stride === 0 && embCol.isNotNull)
+      .select(idCol.cast("long"), embCol)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  private def cosineRaw(a: collection.Seq[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Assign each row to its nearest centroid (by cosine). */
+  def assign(emb: DataFrame, embCol: Column, cents: Array[(Long, Array[Float])]): DataFrame = {
+    val centVecs = cents.map(_._2)
+    val centIds = cents.map(_._1)
+    val assignUdf = udf { (v: collection.Seq[Float]) =>
+      if (v == null) null.asInstanceOf[java.lang.Long]
+      else {
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < centVecs.length) {
+          val s = cosineRaw(v, centVecs(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        java.lang.Long.valueOf(centIds(best))
+      }
+    }
+    emb.withColumn("cluster_id", assignUdf(embCol))
+  }
+
+  /** Probe the `nprobe` closest clusters, exact-rerank inside them. */
+  def search(spark: SparkSession, emb: DataFrame, embCol: Column, idCol: Column,
+             query: Array[Float], k: Int, stride: Long = 53L, nprobe: Int = 2): DataFrame = {
+    val cents = centroids(emb, idCol, embCol, stride)
+    val probeIds = cents
+      .map { case (cid, v) => (cid, cosineRaw(query.toSeq, v)) }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nprobe)
+      .map(_._1)
+    val assigned = assign(emb.where(embCol.isNotNull), embCol, cents)
+    BruteForceKnn.search(
+      assigned.where(col("cluster_id").isin(probeIds.map(Long.box): _*)),
+      embCol, idCol, query, k)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.index
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane (sign-bit) LSH for cosine similarity — the
+  * reference's `LSHIndex` (app/indexing/lsh.py:19-95) re-expressed for
+  * Spark.
+  *
+  * Parity-relevant semantics:
+  *  - T tables × P Gaussian hyperplanes, seeded, plane vectors
+  *    unit-normalized (lsh.py:44-52). Planes are generated ON THE
+  *    DRIVER with a seeded RNG and shipped to executors as a literal /
+  *    closure constant — never `rand()` in executors, so every
+  *    partition sees identical planes and the bucketing is
+  *    deterministic across runs and cluster sizes.
+  *  - hash = P-bit integer, bit i set iff dot(v, plane_i) >= 0
+  *    (lsh.py:58-64);
+  *  - probe = union of the query's bucket across the T tables
+  *    (set-union, lsh.py:80-83), then EXACT cosine rerank of the
+  *    candidates and top-k (lsh.py:88-95);
+  *  - adaptive fallback: if LSH yields 0 hits and the corpus has
+  *    <= 10,000 rows, rerun brute force and report
+  *    `index_used = "brute"` (search_service.py:127-131).
+  *
+  * Scale shape: the candidate probe is a conjunction-free OR filter
+  * over precomputed per-table bucket columns — a filtered scan, no
+  * shuffle, no explode (row count never multiplies by T). At 100 TB the
+  * bucketed table would be written partitioned by (table-0 bucket) so
+  * the probe prunes files; the rerank is TakeOrderedAndProject over
+  * C << N candidates.
+  *
+  * We deliberately do NOT reproduce Python's Mersenne-Twister Gaussian
+  * stream; we keep our own seeded stream (java.util.Random) and assert
+  * the reference's *properties* (determinism, LSH hits ⊆ brute hits
+  * with equal scores, fallback) — see SURVEY §7.4.
+  */
+final case class RandomHyperplaneLsh(
+    numTables: Int = 8,
+    numPlanes: Int = 12,
+    seed: Long = 42L) {
+
+  /** planes(t)(p) is a unit-normalized hyperplane in R^dim. */
+  def planes(dim: Int): Array[Array[Array[Float]]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(numTables) {
+      Array.fill(numPlanes) {
+        val v = Array.fill(dim)(rng.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val u = if (n == 0.0) v else v.map(_ / n)
+        u.map(_.toFloat)
+      }
+    }
+  }
+
+  /** Sign-bit hash of one vector against one table's planes. */
+  def hash(v: collection.Seq[Float], tablePlanes: Array[Array[Float]]): Int = {
+    var bits = 0
+    var p = 0
+    while (p < tablePlanes.length) {
+      val plane = tablePlanes(p)
+      var acc = 0.0
+      var i = 0
+      val n = math.min(v.length, plane.length)
+      while (i < n) { acc += v(i).toDouble * plane(i).toDouble; i += 1 }
+      if (acc >= 0.0) bits |= (1 << p)
+      p += 1
+    }
+    bits
+  }
+
+  /** Add `buckets ARRAY<INT>` (one bucket id per table). The planes
+    * array rides inside the UDF closure — broadcast once per task set.
+    */
+  def withBuckets(df: DataFrame, embCol: Column, dim: Int): DataFrame = {
+    val ps = planes(dim)
+    val bucketUdf = udf { (v: collection.Seq[Float]) =>
+      if (v == null) null else ps.map(tp => hash(v, tp))
+    }
+    df.withColumn("buckets", bucketUdf(embCol))
+  }
+
+  /** Candidate filter: any table's bucket matches the query's bucket in
+    * that table — the set-union across tables of lsh.py:80-83, expressed
+    * as an OR predicate (each row appears at most once; no dedup
+    * needed).
+    */
+  def candidateFilter(queryBuckets: Array[Int]): Column =
+    queryBuckets.zipWithIndex
+      .map { case (qb, t) => col("buckets").getItem(t) === lit(qb) }
+      .reduce(_ || _)
+
+  /** LSH probe + exact rerank. Returns (hits, indexUsed). Fallback to
+    * brute force when 0 candidates and the corpus is small
+    * (search_service.py:127-131).
+    */
+  def search(chunks: DataFrame, embCol: Column, idCol: Column,
+             query: Array[Float], k: Int,
+             fallbackThreshold: Long = 10000L): (DataFrame, String) = {
+    val withEmb = chunks.where(embCol.isNotNull)
+    if (k <= 0) return (withEmb.limit(0), "lsh")
+    val dim = query.length
+    val ps = planes(dim)
+    val qNorm = {
+      val n = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+      if (n == 0.0) query else query.map(x => (x / n).toFloat)
+    }
+    val qBuckets = ps.map(tp => hash(qNorm.toSeq, tp))
+    // NB: the reference hashes *normalized* vectors (lsh.py:54-55); sign
+    // bits are scale-invariant so hashing raw vectors is equivalent for
+    // non-zero vectors, but we normalize the query for exactness.
+    val bucketed = withBuckets(withEmb, VectorFunctions.l2Normalize(embCol), dim)
+    val candidates = bucketed.where(candidateFilter(qBuckets)).drop("buckets")
+    val hits = candidates
+      .withColumn("score", VectorFunctions.cosine(embCol, typedlit(query.toSeq)))
+      .orderBy(col("score").desc, idCol.asc)
+      .limit(k)
+    if (hits.isEmpty && withEmb.limit((fallbackThreshold + 1).toInt).count() <= fallbackThreshold)
+      (BruteForceKnn.search(withEmb, embCol, idCol, query, k), "brute")
+    else (hits, "lsh")
+  }
+}

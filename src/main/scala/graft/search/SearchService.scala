@@ -1,0 +1,89 @@
+package graft.search
+
+import graft.embed.Embedder
+import graft.functions.VectorFunctions
+import graft.index.{BruteForceKnn, RandomHyperplaneLsh}
+import graft.state.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One search hit (reference result packing O13,
+  * app/services/search_service.py:136-148). */
+final case class Hit(chunk_id: String, document_id: String, library_id: String,
+                     text: String, metadata: Map[String, String], score: Double)
+
+/** Search envelope (search_service.py:150-156). `indexUsed` is absent
+  * (None) on the two early-exit paths (k<=0 and empty-after-filter),
+  * exactly like the reference omits the `index_used` key there.
+  */
+final case class SearchResult(hits: Seq[Hit], index: String,
+                              indexUsed: Option[String], libraryVersion: Int)
+
+/** The search orchestrator (O12, search_service.py:83-156):
+  * scan+flatten → metadata filter → query-vector derivation → index
+  * dispatch (brute | lsh with adaptive fallback) → pack.
+  *
+  * The DataFrame plan per query is: filtered scan (library + non-null
+  * embedding + metadata conjunction — all pushable predicates) → score
+  * → TakeOrderedAndProject(k). On a partitioned 100 TB chunk corpus the
+  * library filter prunes partitions and only k rows per partition reach
+  * the driver.
+  */
+final class SearchService(spark: SparkSession, engine: Engine,
+                          embedder: Option[Embedder] = None) {
+
+  def search(libraryId: String,
+             queryText: Option[String] = None,
+             queryEmbedding: Option[Array[Float]] = None,
+             k: Int = 5,
+             index: String = "brute",
+             lshTables: Int = 8,
+             lshPlanes: Int = 12,
+             filters: Map[String, String] = Map.empty): SearchResult = {
+    val version = engine.getLibrary(libraryId).version
+
+    if (k <= 0) return SearchResult(Nil, index, None, version)
+
+    // O1 scan+flatten: chunks of this library with a non-null embedding
+    // (search_service.py:43-46), then O2 conjunctive exact-match
+    // metadata filter (missing key never matches, search_service.py:75).
+    val base = engine.chunksDF(spark)
+      .where(col("library_id") === libraryId && col("embedding").isNotNull)
+    val filtered = filters.foldLeft(base) { case (df, (key, value)) =>
+      df.where(col("metadata").getItem(key) === lit(value))
+    }
+
+    if (filtered.isEmpty) return SearchResult(Nil, index, None, version)
+
+    // Query vector: given embedding, else embed text, else error
+    // (search_service.py:110-116).
+    val qvec: Array[Float] = queryEmbedding.getOrElse {
+      val text = queryText.getOrElse(
+        throw new IllegalArgumentException("query_text or query_embedding required"))
+      embedder.getOrElse(
+        throw new IllegalArgumentException("no embedder configured")).embed(text)
+    }
+
+    val (hitsDF, used) = index match {
+      case "brute" =>
+        val dim = filtered.select(col("embedding")).head().getSeq[Float](0).length
+        BruteForceKnn.requireDim(qvec, dim) // brute_force.py:36-37
+        (BruteForceKnn.search(filtered, col("embedding"), col("id"), qvec, k), "brute")
+      case "lsh" =>
+        RandomHyperplaneLsh(lshTables, lshPlanes).search(
+          filtered, col("embedding"), col("id"), qvec, k)
+      case other =>
+        throw new IllegalArgumentException(s"unknown index: $other")
+    }
+
+    val hits = hitsDF
+      .select(col("id"), col("document_id"), col("library_id"), col("text"),
+        col("metadata"), col("score"))
+      .collect()
+      .map(r => Hit(r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getMap[String, String](4).toMap, r.getDouble(5)))
+      .toSeq
+
+    SearchResult(hits, index, Some(used), version)
+  }
+}

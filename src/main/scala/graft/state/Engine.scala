@@ -1,0 +1,269 @@
+package graft.state
+
+import java.time.Instant
+import java.util.UUID
+import java.util.concurrent.atomic.AtomicReference
+
+import graft.embed.Embedder
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed errors mirroring the reference's HTTP 404/400 split
+  * (the app/api/routers modules). */
+final case class NotFoundError(kind: String, id: String)
+  extends RuntimeException(s"$kind $id not found")
+final case class BadRequestError(msg: String) extends RuntimeException(msg)
+
+/** Entity rows (SURVEY §1.4 schema mapping). */
+final case class LibraryRow(id: String, name: String, description: Option[String],
+                            tags: Option[String], version: Int,
+                            created_at: Instant, updated_at: Instant)
+final case class DocumentRow(library_id: String, id: String, title: String,
+                             category: Option[String],
+                             created_at: Instant, updated_at: Instant)
+final case class ChunkRow(library_id: String, document_id: String, id: String,
+                          text: String, embedding: Option[Array[Float]],
+                          metadata: Map[String, String],
+                          created_at: Instant, updated_at: Instant)
+
+/** One immutable snapshot of the whole store. Replaces the reference's
+  * readers-writer locks + deepcopy-on-read
+  * (app/concurrency/read_write_lock.py:5-45, library_repo.py:45):
+  * readers grab the current snapshot (always consistent), the single
+  * writer CAS-swaps a new one. Entity metadata is tiny by construction
+  * (the 100 TB axis is the chunk *corpus*, which the query operators
+  * consume as parquet-backed DataFrames — see [[graft.index]]); keeping
+  * dimensions on the driver and exposing them as DataFrames is the
+  * SURVEY §7.4 "rebuild from collected driver state" design.
+  */
+final case class EngineState(libraries: Vector[LibraryRow],
+                             documents: Vector[DocumentRow],
+                             chunks: Vector[ChunkRow])
+
+object EngineState {
+  val empty: EngineState = EngineState(Vector.empty, Vector.empty, Vector.empty)
+}
+
+/** CRUD engine with the reference's exact mutation semantics
+  * (O16–O22 in SURVEY §2.1):
+  *  - `Library.version` is a monotonic write counter bumped by EVERY
+  *    mutation inside the library (doc add/update/delete, chunk
+  *    add/update/delete, library update) — library_repo.py:74,
+  *    document_repo.py:38,61,85, chunk_repo.py:43,60,96;
+  *  - updates whitelist fields (doc: title + category; chunk: text +
+  *    embedding + metadata.type) — document_repo.py:65-87,
+  *    chunk_repo.py:64-98;
+  *  - chunk writes bump the parent document's updated_at too
+  *    (chunk_repo.py:41-43);
+  *  - deletes cascade through containment (library_repo.py:77-83);
+  *  - updating chunk text without a new embedding re-embeds, and ANY
+  *    embedder failure leaves the old embedding in place
+  *    (chunk_service.py:38-45);
+  *  - empty update bodies are BadRequest (routers 400s), unknown ids
+  *    NotFound (404s).
+  */
+final class Engine(clock: () => Instant = () => Instant.now(),
+                   newId: () => String = () => UUID.randomUUID().toString) {
+
+  private val ref = new AtomicReference[EngineState](EngineState.empty)
+
+  def state: EngineState = ref.get()
+
+  private def mutate[A](f: EngineState => (EngineState, A)): A = {
+    var out: A = null.asInstanceOf[A]
+    ref.updateAndGet { s => val (s2, a) = f(s); out = a; s2 }
+    out
+  }
+
+  private def requireLibrary(s: EngineState, libId: String): LibraryRow =
+    s.libraries.find(_.id == libId).getOrElse(throw NotFoundError("library", libId))
+
+  private def bumpLibrary(s: EngineState, libId: String, now: Instant): Vector[LibraryRow] =
+    s.libraries.map(l => if (l.id == libId) l.copy(version = l.version + 1, updated_at = now) else l)
+
+  private def touchDocument(docs: Vector[DocumentRow], docId: String, now: Instant): Vector[DocumentRow] =
+    docs.map(d => if (d.id == docId) d.copy(updated_at = now) else d)
+
+  // ---- libraries (O16-O19) ----
+
+  def createLibrary(name: String, description: Option[String] = None,
+                    tags: Option[String] = None, id: Option[String] = None): LibraryRow = mutate { s =>
+    val now = clock()
+    val row = LibraryRow(id.getOrElse(newId()), name, description, tags, 0, now, now)
+    (s.copy(libraries = s.libraries :+ row), row)
+  }
+
+  def getLibrary(libId: String): LibraryRow = requireLibrary(state, libId)
+  def listLibraries(): Vector[LibraryRow] = state.libraries
+
+  /** name is required (routers/libraries.py:31-40 → 400 without it);
+    * metadata merge only touches the whitelisted `tags` key (the
+    * reference's open-dict merge 500s on unknown keys via
+    * extra="forbid" — we reject instead of crashing).
+    */
+  def updateLibrary(libId: String, name: String, description: Option[String],
+                    tags: Option[String]): LibraryRow = mutate { s =>
+    if (name == null || name.isEmpty) throw BadRequestError("name is required")
+    requireLibrary(s, libId)
+    val now = clock()
+    var updated: LibraryRow = null
+    val libs = s.libraries.map { l =>
+      if (l.id == libId) {
+        updated = l.copy(name = name, description = description.orElse(l.description),
+          tags = tags.orElse(l.tags), version = l.version + 1, updated_at = now)
+        updated
+      } else l
+    }
+    (s.copy(libraries = libs), updated)
+  }
+
+  def deleteLibrary(libId: String): Boolean = mutate { s =>
+    if (!s.libraries.exists(_.id == libId)) (s, false)
+    else (EngineState(
+      s.libraries.filterNot(_.id == libId),
+      s.documents.filterNot(_.library_id == libId),
+      s.chunks.filterNot(_.library_id == libId)), true)
+  }
+
+  // ---- documents (O20) ----
+
+  def addDocument(libId: String, title: String, category: Option[String] = None,
+                  id: Option[String] = None): DocumentRow = mutate { s =>
+    requireLibrary(s, libId)
+    val now = clock()
+    val row = DocumentRow(libId, id.getOrElse(newId()), title, category, now, now)
+    (s.copy(documents = s.documents :+ row, libraries = bumpLibrary(s, libId, now)), row)
+  }
+
+  def getDocument(libId: String, docId: String): DocumentRow = {
+    val s = state
+    requireLibrary(s, libId)
+    s.documents.find(d => d.library_id == libId && d.id == docId)
+      .getOrElse(throw NotFoundError("document", docId))
+  }
+
+  def listDocuments(libId: String): Vector[DocumentRow] = {
+    val s = state
+    requireLibrary(s, libId)
+    s.documents.filter(_.library_id == libId)
+  }
+
+  def updateDocument(libId: String, docId: String, title: Option[String],
+                     category: Option[String]): DocumentRow = mutate { s =>
+    if (title.isEmpty && category.isEmpty)
+      throw BadRequestError("update requires title or metadata")
+    requireLibrary(s, libId)
+    if (!s.documents.exists(d => d.library_id == libId && d.id == docId))
+      throw NotFoundError("document", docId)
+    val now = clock()
+    var updated: DocumentRow = null
+    val docs = s.documents.map { d =>
+      if (d.library_id == libId && d.id == docId) {
+        updated = d.copy(title = title.getOrElse(d.title),
+          category = category.orElse(d.category), updated_at = now)
+        updated
+      } else d
+    }
+    (s.copy(documents = docs, libraries = bumpLibrary(s, libId, now)), updated)
+  }
+
+  def deleteDocument(libId: String, docId: String): Boolean = mutate { s =>
+    if (!s.libraries.exists(_.id == libId)) throw NotFoundError("library", libId)
+    if (!s.documents.exists(d => d.library_id == libId && d.id == docId)) (s, false)
+    else {
+      val now = clock()
+      (s.copy(
+        documents = s.documents.filterNot(d => d.library_id == libId && d.id == docId),
+        chunks = s.chunks.filterNot(c => c.library_id == libId && c.document_id == docId),
+        libraries = bumpLibrary(s, libId, now)), true)
+    }
+  }
+
+  // ---- chunks (O21-O22) ----
+
+  def addChunk(libId: String, docId: String, text: String,
+               embedding: Option[Array[Float]] = None,
+               metadata: Map[String, String] = Map.empty,
+               id: Option[String] = None): ChunkRow = mutate { s =>
+    requireLibrary(s, libId)
+    if (!s.documents.exists(d => d.library_id == libId && d.id == docId))
+      throw NotFoundError("document", docId)
+    val now = clock()
+    val row = ChunkRow(libId, docId, id.getOrElse(newId()), text, embedding, metadata, now, now)
+    (s.copy(chunks = s.chunks :+ row,
+      documents = touchDocument(s.documents, docId, now),
+      libraries = bumpLibrary(s, libId, now)), row)
+  }
+
+  def listChunks(libId: String, docId: String): Vector[ChunkRow] = {
+    val s = state
+    requireLibrary(s, libId)
+    if (!s.documents.exists(d => d.library_id == libId && d.id == docId))
+      throw NotFoundError("document", docId)
+    s.chunks.filter(c => c.library_id == libId && c.document_id == docId)
+  }
+
+  /** Whitelist update (text / embedding / metadata.type). When text
+    * changes and no embedding is supplied, re-embed; embedder failures
+    * leave the embedding unchanged (chunk_service.py:38-45).
+    */
+  def updateChunk(libId: String, docId: String, chunkId: String,
+                  text: Option[String] = None,
+                  embedding: Option[Array[Float]] = None,
+                  metaType: Option[String] = None,
+                  embedder: Option[Embedder] = None): ChunkRow = mutate { s =>
+    if (text.isEmpty && embedding.isEmpty && metaType.isEmpty)
+      throw BadRequestError("update requires text, embedding or metadata")
+    requireLibrary(s, libId)
+    if (!s.documents.exists(d => d.library_id == libId && d.id == docId))
+      throw NotFoundError("document", docId)
+    val existing = s.chunks.find(c => c.library_id == libId && c.document_id == docId && c.id == chunkId)
+      .getOrElse(throw NotFoundError("chunk", chunkId))
+    val now = clock()
+    val textChanged = text.exists(_ != existing.text)
+    val newEmbedding: Option[Array[Float]] =
+      if (embedding.isDefined) embedding
+      else if (textChanged) embedder.flatMap { e =>
+        try Some(e.embed(text.get)) catch { case _: Throwable => None }
+      }.orElse(existing.embedding)
+      else existing.embedding
+    var updated: ChunkRow = null
+    val chunks = s.chunks.map { c =>
+      if (c.library_id == libId && c.document_id == docId && c.id == chunkId) {
+        updated = c.copy(text = text.getOrElse(c.text), embedding = newEmbedding,
+          metadata = metaType.map(t => c.metadata + ("type" -> t)).getOrElse(c.metadata),
+          updated_at = now)
+        updated
+      } else c
+    }
+    (s.copy(chunks = chunks,
+      documents = touchDocument(s.documents, docId, now),
+      libraries = bumpLibrary(s, libId, now)), updated)
+  }
+
+  def deleteChunk(libId: String, docId: String, chunkId: String): Boolean = mutate { s =>
+    if (!s.libraries.exists(_.id == libId)) throw NotFoundError("library", libId)
+    if (!s.chunks.exists(c => c.library_id == libId && c.document_id == docId && c.id == chunkId)) (s, false)
+    else {
+      val now = clock()
+      (s.copy(
+        chunks = s.chunks.filterNot(c => c.library_id == libId && c.document_id == docId && c.id == chunkId),
+        documents = touchDocument(s.documents, docId, now),
+        libraries = bumpLibrary(s, libId, now)), true)
+    }
+  }
+
+  // ---- DataFrame views ----
+
+  def librariesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(state.libraries).toDF()
+  }
+  def documentsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(state.documents).toDF()
+  }
+  def chunksDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(state.chunks).toDF()
+  }
+}
