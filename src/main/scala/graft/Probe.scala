@@ -1,0 +1,36 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch instrumentation main for stage-level timing. */
+object Probe {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"PROBE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s -> $r")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, sfDir)
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3).cache()
+    time("shingles")(sh.count())
+    val sigs = Dedup.minhashSignatures(sh).cache()
+    time("signatures")(sigs.count())
+    val cands = Dedup.minhashCandidatePairs(sigs).cache()
+    time("candidates")(cands.count())
+    val verified = Dedup.verifyJaccard(sh, cands)
+    time("verify")(verified.where(col("jaccard") >= 0.5).count())
+    spark.stop()
+  }
+}

@@ -41,23 +41,18 @@ object Dedup {
     }
   }
 
-  /** MinHash signatures: (idCol, m0..m{numHashes-1}).
-    * One explode + one groupBy(id) aggregate of 64 mins — partial
-    * (map-side) aggregation applies, so the shuffle carries one
-    * signature row per document, not one row per shingle.
+  /** MinHash signatures over a [[shingleTable]]: (id, m0..m{numHashes-1}).
+    * One aggregate of 64 mins — partial (map-side) aggregation applies,
+    * so the shuffle carries one signature row per document, not one row
+    * per shingle.
     */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, numHashes: Int = 64,
-                        seed: Long = 42L): DataFrame = {
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
     val fam = hashFamily(numHashes, seed)
-    val shingled = docs
-      .select(col(idCol), explode(TextFunctions.wordNgrams(col(textCol), shingleSize)).as("shingle"))
-      .distinct()
-      .withColumn("x", pmod(xxhash64(col("shingle")), lit(MersennePrime)))
+    val hashed = sh.withColumn("x", pmod(xxhash64(col("shingle")), lit(MersennePrime)))
     val minExprs = fam.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("x") + lit(b), lit(MersennePrime))).as(s"m$i")
     }
-    shingled.groupBy(col(idCol)).agg(minExprs.head, minExprs.tail: _*)
+    hashed.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
   }
 
   /** Candidate near-dup pairs via LSH banding of MinHash signatures:
@@ -67,7 +62,7 @@ object Dedup {
     * no cartesian.
     * Output: (id_a, id_b) with id_a < id_b, distinct.
     */
-  def minhashCandidatePairs(signatures: DataFrame, idCol: String,
+  def minhashCandidatePairs(signatures: DataFrame, idCol: String = "id",
                             numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
@@ -85,14 +80,17 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact word-n-gram Jaccard for candidate pairs (id_a, id_b).
-    * Shingle sets are joined back per side; |A∩B| via an inner join on
-    * (pair, shingle), |A∪B| = |A|+|B|-|A∩B|.
+  /** Distinct (id, shingle) postings for a corpus. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shingle")).distinct()
+
+  /** Exact word-n-gram Jaccard for candidate pairs (id_a, id_b), given
+    * a precomputed [[shingleTable]] (cache it when the caller also used
+    * it to build signatures — one shuffle instead of three).
+    * |A∩B| via an inner join on (pair, shingle); |A∪B| = |A|+|B|-|A∩B|.
     */
-  def verifyJaccard(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
-                    shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(TextFunctions.wordNgrams(col(textCol), shingleSize)).as("shingle")).distinct()
+  def verifyJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val shA = sh.toDF("id_a", "shingle")
     val shB = sh.toDF("id_b", "shingle")
@@ -109,28 +107,49 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pipeline: signatures → banded candidates →
-    * exact-Jaccard verify → threshold. */
+    * exact-Jaccard verify → threshold. The shingle table is built and
+    * cached once and feeds both the signatures and the verify step.
+    */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, shingleSize: Int = 3,
                       numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes, seed)
-    val cands = minhashCandidatePairs(sigs, idCol, numHashes, bands)
-    verifyJaccard(docs, cands, idCol, textCol, shingleSize)
+    val sh = shingleTable(docs, idCol, textCol, shingleSize).cache()
+    val sigs = minhashSignatures(sh, numHashes, seed)
+    val cands = minhashCandidatePairs(sigs, "id", numHashes, bands)
+    verifyJaccard(sh, cands)
       .where(col("jaccard") >= threshold)
   }
 
   /** Exact pairwise n-gram Jaccard within a blocking key (e.g. source).
-    * The blocking key bounds the pair count; the join is an equi-join on
-    * (block, shingle) so only docs sharing a shingle ever meet.
+    * The blocking key bounds the pair count. Shape: one shuffle to group
+    * postings by (block, shingle), pair expansion inside each posting
+    * list (no self-join — the shingle table is computed and shuffled
+    * once, not three times), then a pair-count aggregate. Posting lists
+    * of hot shingles bound the blow-up; at 100 TB add a
+    * document-frequency cap before expansion (drop shingles appearing
+    * in > F docs — standard near-dup practice).
     */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
                           threshold: Double, shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
-      explode(TextFunctions.wordNgrams(col(textCol), shingleSize)).as("shingle")).distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
+      explode(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shingle"))
+      .distinct()
+      .cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val interCounts = sh.toDF("block", "id_a", "shingle")
-      .join(sh.toDF("block", "id_b", "shingle"), Seq("block", "shingle"))
-      .where(col("id_a") < col("id_b"))
+    val interCounts = sh.groupBy(col("block"), col("shingle"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(col("ids"))
+      .as[Seq[Long]]
+      .flatMap { ids =>
+        val sorted = ids.sorted
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("id_a", "id_b")
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
     interCounts
       .join(sizes.toDF("id_a", "n_a"), "id_a")
@@ -163,18 +182,51 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs, exact within-corpus pairwise.
-    * The `id_a < id_b` non-equi join broadcasts the smaller side when it
-    * fits; for 100 TB use [[embeddingNearDupsLsh]] instead.
+  /** Embedding-cosine near-dup pairs, exact all-pairs.
+    *
+    * Shape: broadcast the (id, vector, norm) corpus once, then
+    * mapPartitions over the distributed rows — each task compares its
+    * rows against the broadcast side with a primitive-array dot loop
+    * (no per-pair deserialization, no join). cos is computed as
+    * dot/(|a||b|) with float inputs in double math — bitwise identical
+    * to [[VectorFunctions.cosine]].
+    *
+    * This is the exact baseline for broadcastable corpora (an N×64
+    * float corpus is ~N/4 KB); beyond broadcast size use
+    * [[embeddingNearDupsLsh]], whose bucketing bounds the pair count.
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
                         threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
-      .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = emb.where(col(embCol).isNotNull)
+      .select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+    val corpus = ds.collect().sortBy(_._1)
+    val withNorms: Array[(Long, Array[Float], Double)] = corpus.map { case (id, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+      (id, v, math.sqrt(acc))
+    }
+    val bc = spark.sparkContext.broadcast(withNorms)
+    ds.mapPartitions { it =>
+      val ref = bc.value
+      it.flatMap { case (ida, va) =>
+        var accA = 0.0; var i = 0
+        while (i < va.length) { accA += va(i).toDouble * va(i).toDouble; i += 1 }
+        val na = math.sqrt(accA)
+        ref.iterator
+          .filter { case (idb, _, _) => idb > ida }
+          .map { case (idb, vb, nb) =>
+            var dot = 0.0; var j = 0
+            val n = math.min(va.length, vb.length)
+            while (j < n) { dot += va(j).toDouble * vb(j).toDouble; j += 1 }
+            val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+            (ida, idb, cos)
+          }
+          .filter(_._3 >= threshold)
+      }
+    }.toDF("id_a", "id_b", "cos")
   }
 
   /** Scale path: hyperplane-LSH bucket blocking, pairs only within

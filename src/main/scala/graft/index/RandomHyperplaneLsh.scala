@@ -116,8 +116,15 @@ final case class RandomHyperplaneLsh(
       .withColumn("score", VectorFunctions.cosine(embCol, typedlit(query.toSeq)))
       .orderBy(col("score").desc, idCol.asc)
       .limit(k)
-    if (hits.isEmpty && withEmb.limit((fallbackThreshold + 1).toInt).count() <= fallbackThreshold)
+    // Materialize the <= k hit rows once (one TakeOrderedAndProject job)
+    // so the empty-check and the returned DataFrame don't re-run the
+    // probe.
+    val hitRows = hits.collect()
+    if (hitRows.isEmpty && withEmb.limit((fallbackThreshold + 1).toInt).count() <= fallbackThreshold)
       (BruteForceKnn.search(withEmb, embCol, idCol, query, k), "brute")
-    else (hits, "lsh")
+    else {
+      val spark = chunks.sparkSession
+      (spark.createDataFrame(java.util.Arrays.asList(hitRows: _*), hits.schema), "lsh")
+    }
   }
 }
