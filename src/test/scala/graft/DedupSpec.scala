@@ -1,0 +1,102 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again", "s0"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "s0"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again", "s0"), // near dup of 0
+    (3L, "completely different text with nothing shared here at all okay", "s0"),
+    (4L, "another unrelated document about spark and scala and catalyst", "s1"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact stats count duplicates per group") {
+    val stats = Dedup.exactStats(docs, col("source"), col("text"))
+      .orderBy("source").as[(String, Long, Long, Long)].collect()
+    assert(stats(0) == ("s0", 4L, 3L, 1L))
+    assert(stats(1) == ("s1", 1L, 1L, 0L))
+  }
+
+  test("manual Jaccard agrees with blockedJaccardPairs") {
+    def tri(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expected = {
+      val a = tri("the quick brown fox jumps over the lazy dog again and again")
+      val b = tri("the quick brown fox jumps over the lazy cat again and again")
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 0.3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(pairs.head._3 == 1.0) // exact dup
+    assert(math.abs(pairs(1)._3 - expected) < 1e-9)
+  }
+
+  test("minhash finds the exact and near dup, not the unrelated pairs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature similarity approximates Jaccard for identical docs") {
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignatures(sh).collect().map(r =>
+      r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    assert(sigs(0L) == sigs(1L)) // identical shingle sets -> identical signatures
+    val agree02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree02 > 32, s"near-dups should agree on most hashes, got $agree02/64")
+  }
+
+  test("simhash: identical docs collide; near dups within small hamming distance") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 10)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 4L))
+  }
+
+  test("embedding near-dups: identical vectors at cos 1, orthogonal excluded") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f)),   // same direction as 0
+      (2L, Array(0f, 1f, 0f)),   // orthogonal
+      (3L, Array(0.9f, 0.1f, 0f))) // close to 0
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.9)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
+  }
+
+  test("LSH-bucketed embedding near-dups find same-direction vectors") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1.01f, 0f, 0f, 0f)),
+      (2L, Array(-1f, 0.2f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", 0.95, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 2L))
+  }
+
+  test("wordNgramsFast agrees with the pure-Column wordNgrams") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+      .select(col("doc_id"),
+        TextFunctions.wordNgrams(col("text"), 3).as("slow"),
+        TextFunctions.wordNgramsFast(3)(col("text")).as("fast"))
+    assert(df.where(col("slow") =!= col("fast")).count() == 0)
+    // short-doc edge: fewer than n tokens -> empty
+    val short = Seq((0L, "one two")).toDF("id", "text")
+      .select(TextFunctions.wordNgramsFast(3)(col("text")).as("g"))
+      .as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+}
