@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+final case class SessionUpdate(user_id: Long, session_start: Timestamp,
+                               session_end: Timestamp, n_events: Long, sum_value: Double)
+private final case class SessionBuf(start: Long, end: Long, n: Long, sum: Double)
+
+/** Structured Streaming operators over the events stream — the
+  * streaming analog of the batch queries in [[graft.Queries]], and the
+  * engine's answer to the reference's unbounded-command-loop shape
+  * (SURVEY O27 maps the *session* part; these cover event-time
+  * analytics the reference lacks entirely).
+  *
+  * Both transforms are source-agnostic: feed them a `readStream` from
+  * Kafka/files in production or a MemoryStream in tests. State is kept
+  * by the engine's checkpointing; at scale the shuffle is keyed by
+  * user/window exactly like the batch plan, so the same partitioning
+  * reasoning applies.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour event-time windows with a 2-hour watermark:
+    * counts + sums per (window, event_type). Late rows beyond the
+    * watermark are dropped — the knob the reference has no concept of.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based session windows (30 min inactivity) via
+    * flatMapGroupsWithState with event-time timeout: the streaming twin
+    * of [[graft.Queries.eventsSessionize]]. Emits one row per closed
+    * session. State per user is O(1) (a running buffer), so the
+    * operator scales with distinct active users, not event volume.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapMillis: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(b =>
+              SessionUpdate(userId, new Timestamp(b.start), new Timestamp(b.end), b.n, b.sum))
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var buf = state.getOption
+            val out = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              buf match {
+                case Some(b) if t - b.end <= gapMillis =>
+                  buf = Some(SessionBuf(b.start, math.max(b.end, t), b.n + 1, b.sum + e.value))
+                case Some(b) =>
+                  out += SessionUpdate(userId, new Timestamp(b.start), new Timestamp(b.end), b.n, b.sum)
+                  buf = Some(SessionBuf(t, t, 1, e.value))
+                case None =>
+                  buf = Some(SessionBuf(t, t, 1, e.value))
+              }
+            }
+            buf.foreach { b =>
+              state.update(b)
+              state.setTimeoutTimestamp(b.end + gapMillis)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

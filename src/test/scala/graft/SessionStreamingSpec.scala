@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.embed.HashingEmbedder
+import graft.session._
+import graft.streaming.{Event, EventStreams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SessionStreamingSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("interactive session: CLI happy path updates state, catalog, results") {
+    val s = new InteractiveSession(spark, HashingEmbedder(dim = 16))
+    s.submit(AddLibrary("demo"))
+    val lib = s.status.libraryIds.head
+    s.submit(AddDocument(lib, "landmarks"))
+    val doc = s.engine.listDocuments(lib).head.id
+    s.submit(AddChunk(lib, doc, "eiffel tower paris", Map("type" -> "landmark")))
+    s.submit(AddChunk(lib, doc, "paris capital", Map("type" -> "city")))
+    s.submit(SetQueryParams(k = 1, index = "brute"))
+    s.submit(StartQuery(lib, "eiffel tower paris"))
+    val st = s.status
+    assert(st.libraryNames(lib) == "demo")
+    assert(st.chunkCounts(lib) == 2)
+    assert(st.metadataCatalog("type").toSet == Set("landmark", "city"))
+    val res = s.partialResults.get
+    assert(res.hits.size == 1 && res.hits.head.text == "eiffel tower paris")
+    s.submit(Finish)
+    assert(s.status.finished)
+  }
+
+  test("single-slot mailbox: last writer wins (interactive_workflow.py:225-229)") {
+    val s = new InteractiveSession(spark, HashingEmbedder(dim = 8))
+    s.mailbox.offer(AddLibrary("first"))
+    s.mailbox.offer(AddLibrary("second")) // overwrites before drain
+    s.step()
+    assert(s.status.libraryIds.size == 1)
+    assert(s.status.libraryNames.values.toSeq == Seq("second"))
+    assert(!s.step()) // slot drained
+  }
+
+  test("errors are recorded to the timeline and the session survives") {
+    val s = new InteractiveSession(spark, HashingEmbedder(dim = 8))
+    s.submit(AddDocument("missing-lib", "t"))
+    assert(s.status.timeline.exists(_.startsWith("error:")))
+    s.submit(AddLibrary("after-error"))
+    assert(s.status.libraryIds.size == 1)
+  }
+
+  test("metadata catalog caps at 20 distinct samples per key") {
+    val s = new InteractiveSession(spark, HashingEmbedder(dim = 8))
+    s.submit(AddLibrary("l"))
+    val lib = s.status.libraryIds.head
+    s.submit(AddDocument(lib, "d"))
+    val doc = s.engine.listDocuments(lib).head.id
+    (1 to 25).foreach(i => s.submit(AddChunk(lib, doc, s"text $i", Map("type" -> s"t$i"))))
+    assert(s.status.metadataCatalog("type").size == 20)
+  }
+
+  test("streaming hourly counts with watermark (tumbling windows)") {
+    val mem = MemoryStream[Event](spark)
+    def ev(id: Long, t: String, typ: String, v: Double) =
+      Event(id, Timestamp.valueOf(t), 1L, typ, v)
+    mem.addData(
+      ev(1, "2024-01-01 10:05:00", "click", 1.0),
+      ev(2, "2024-01-01 10:55:00", "click", 2.0),
+      ev(3, "2024-01-01 11:10:00", "view", 5.0))
+    val q = EventStreams.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    try {
+      mem.addData(ev(4, "2024-01-01 14:00:00", "click", 1.0)) // advances watermark past 11:00+2h? no; past 12:00 -> closes 10:00,11:00
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select(date_format(col("hour"), "HH:mm").as("h"), col("event_type"), col("n_events"))
+        .as[(String, String, Long)].collect().toSet
+      assert(rows.contains(("10:00", "click", 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits closed sessions (flatMapGroupsWithState)") {
+    val mem = MemoryStream[Event](spark)
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      Event(id, Timestamp.valueOf(t), u, "click", v)
+    // user 7: two events 10 min apart (one session), then a 3rd event
+    // 2 h later that starts a new session and (via watermark) closes
+    // the first.
+    mem.addData(
+      ev(1, "2024-01-01 10:00:00", 7, 1.0),
+      ev(2, "2024-01-01 10:10:00", 7, 2.0))
+    val sessions = EventStreams.sessionize(spark, mem.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(3, "2024-01-01 12:30:00", 7, 4.0))
+      q.processAllAvailable()
+      mem.addData(ev(4, "2024-01-01 20:00:00", 8, 0.5)) // advance watermark far
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select(col("user_id"), col("n_events"), col("sum_value"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows.contains((7L, 2L, 3.0)), s"got $rows") // first session closed
+    } finally q.stop()
+  }
+}
