@@ -76,7 +76,12 @@ object VectorFunctions {
     }
   }
 
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+  /** Primary scorer: the codegen'd native Catalyst expression
+    * ([[graft.expressions.CosineSimilarity]]); bitwise-equal to
+    * [[cosineUdf]] but reads floats straight from columnar buffers
+    * inside whole-stage codegen.
+    */
+  def cosine(a: Column, b: Column): Column = graft.expressions.CosineSimilarity(a, b)
   def dot(a: Column, b: Column): Column = dotUdf(a, b)
   def l2Normalize(a: Column): Column = l2NormalizeUdf(a)
 
