@@ -151,6 +151,12 @@ object OracleSql {
         |SELECT lang, predicted, count(*) AS n_docs FROM pred
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
 
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -220,6 +220,51 @@ object Queries {
     Dedup.simhashNearDups(Tables.documents(spark, sfDir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  def textBpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  def fingerprintWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextFunctions.winnowingFingerprints(5, 4)(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+        element_at(col("fps"), 1).as("first_fp"))
+      .orderBy(col("doc_id"))
+
+  /** MLlib KMeans-IVF ANN: fit clusters (batch index build), probe the
+    * 2 clusters nearest the query by centroid cosine, exact-rerank
+    * inside them. Deterministic given the seed; rows-only check.
+    */
+  def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = queryVec(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val assigned = graft.index.MllibIndexes.kmeansIvf(emb, "embedding", k = 8)
+    val centroids = assigned
+      .groupBy(col("cluster_id"))
+      .agg(collect_list(col("embedding")).as("vs"))
+      .collect()
+      .map { r =>
+        val cid = r.getInt(0)
+        val vs = r.getSeq[collection.Seq[Float]](1)
+        val dim = vs.head.length
+        val mean = Array.tabulate(dim)(i => vs.map(_(i).toDouble).sum / vs.size)
+        val dot = mean.zip(q).map { case (x, y) => x * y.toDouble }.sum
+        val na = math.sqrt(mean.map(x => x * x).sum)
+        val nb = math.sqrt(q.map(x => x.toDouble * x).sum)
+        (cid, if (na == 0 || nb == 0) 0.0 else dot / (na * nb))
+      }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(2).map(_._1)
+    BruteForceKnn.search(
+      assigned.where(col("cluster_id").isin(centroids.map(Int.box): _*)),
+      col("embedding"), col("vec_id"), q, 5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+  }
+
   // ---- multimodal ----
 
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
@@ -290,6 +335,9 @@ object Queries {
     "dedup_trigram_jaccard" -> (dedupTrigramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
+    "text_bpe_tokens" -> (textBpeTokens _),
+    "fingerprint_winnow" -> (fingerprintWinnow _),
+    "ann_ivf_kmeans" -> (annIvfKmeans _),
     "multimodal_meta" -> (multimodalMeta _),
     "crud_lifecycle" -> (crudLifecycle _),
     "crud_versions" -> (crudVersions _),

@@ -91,6 +91,60 @@ object TextFunctions {
     lit(0.5) * lenScore + lit(0.5) * (lit(1.0) - stopPenalty)
   }
 
+  /** BPE-pre-tokenizer-style token count: letter runs, digit runs and
+    * individual punctuation marks each count as one token (the shape a
+    * byte-pair encoder's pre-tokenizer produces, minus merges). Pure
+    * Column — regexp_extract_all is codegen'd.
+    */
+  val BpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    * rolling Rabin-Karp hashes over character k-grams, then the minimum
+    * hash of each sliding window of `w` consecutive k-gram hashes
+    * (rightmost-min tie-break), deduplicated. Guarantees any shared
+    * substring of length >= w + k - 1 yields a shared fingerprint —
+    * the plagiarism-detector fingerprint set.
+    */
+  def winnowingFingerprints(k: Int = 5, w: Int = 4) = udf { (text: String) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val s = text.toLowerCase
+      val n = s.length - k + 1
+      if (n <= 0) Array.empty[Long]
+      else {
+        val B = 257L
+        val M = 1000000007L
+        var pow = 1L
+        (1 until k).foreach(_ => pow = pow * B % M)
+        val hashes = new Array[Long](n)
+        var h = 0L
+        (0 until k).foreach(i => h = (h * B + s.charAt(i)) % M)
+        hashes(0) = h
+        var i = 1
+        while (i < n) {
+          h = ((h - s.charAt(i - 1) * pow % M + M * M) % M * B + s.charAt(i + k - 1)) % M
+          hashes(i) = h
+          i += 1
+        }
+        if (n <= w) Array(hashes.min)
+        else {
+          val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var j = 0
+          while (j + w <= n) {
+            var mi = j
+            var x = j + 1
+            while (x < j + w) { if (hashes(x) <= hashes(mi)) mi = x; x += 1 }
+            out += hashes(mi)
+            j += 1
+          }
+          out.toArray
+        }
+      }
+    }
+  }
+
   /** Canonical-form document fingerprint: lowercase, strip
     * non-alphanumerics (keeping spaces), collapse whitespace, md5.
     * Exact-dedup key robust to casing/punctuation noise.

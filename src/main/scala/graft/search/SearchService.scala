@@ -30,7 +30,8 @@ final case class SearchResult(hits: Seq[Hit], index: String,
   * the driver.
   */
 final class SearchService(spark: SparkSession, engine: Engine,
-                          embedder: Option[Embedder] = None) {
+                          embedder: Option[Embedder] = None,
+                          rerank: DataFrame => DataFrame = identity) {
 
   def search(libraryId: String,
              queryText: Option[String] = None,
@@ -76,7 +77,11 @@ final class SearchService(spark: SparkSession, engine: Engine,
         throw new IllegalArgumentException(s"unknown index: $other")
     }
 
-    val hits = hitsDF
+    // O15 rerank hook: identity by default (query_workflow.py:248-259),
+    // reserved for semantic reranking / metadata boosting; callers that
+    // rerank must re-trim to k afterwards (interactive_workflow.py:346-349).
+    val hits = rerank(hitsDF)
+      .limit(k)
       .select(col("id"), col("document_id"), col("library_id"), col("text"),
         col("metadata"), col("score"))
       .collect()
