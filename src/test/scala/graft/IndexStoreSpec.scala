@@ -1,0 +1,68 @@
+package graft
+
+import graft.index.{BruteForceKnn, LshIndexStore, RandomHyperplaneLsh}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IndexStoreSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val path = "target/test-index/embeddings-lsh"
+
+  test("partitioned at-rest LSH index: write, probe with partition pruning, results subset of brute") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir)
+    val store = LshIndexStore(RandomHyperplaneLsh(8, 12, 42L), dim = 64)
+    store.write(emb, "embedding", path)
+
+    // layout: one directory per table-0 bucket
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=")))
+
+    val q = Queries.queryVec(spark, sfDir)
+    val hits = store.search(spark, path, "embedding", "vec_id", q, 5)
+      .select("vec_id", "score").as[(Long, Double)].collect()
+    assert(hits.nonEmpty)
+    assert(hits.head._1 == 0L && math.abs(hits.head._2 - 1.0) < 1e-9) // member query finds itself
+
+    // probe plan prunes partitions: the table-0 bucket predicate must
+    // appear in the scan's partition filters
+    val probePlan = store.search(spark, path, "embedding", "vec_id", q, 5)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters") && probePlan.contains("bucket"),
+      s"expected partition pruning in:\n$probePlan")
+
+    // subset-of-brute with equal scores
+    val brute = BruteForceKnn.scored(emb, col("embedding"), q)
+      .select("vec_id", "score").as[(Long, Double)].collect().toMap
+    hits.foreach { case (id, s) => assert(math.abs(brute(id) - s) < 1e-12) }
+  }
+
+  test("GraftExtensions registers cosine_similarity for SQL in a fresh session") {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // new session over the same SparkContext; extensions only apply to
+    // newly built sessions, so the existing default must be cleared
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      Seq((Array(1f, 0f), Array(1f, 0f))).toDF("a", "b").createOrReplaceTempView("v2")
+      val r = s2.sql("SELECT cosine_similarity(a, b) AS c FROM v2").as[Double].head()
+      assert(math.abs(r - 1.0) < 1e-12)
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}
