@@ -25,7 +25,7 @@ object Probe {
     val docs = Tables.documents(spark, sfDir)
     val sh = Dedup.shingleTable(docs, "doc_id", "text", 3).cache()
     time("shingles")(sh.count())
-    val sigs = Dedup.minhashSignatures(sh).cache()
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").cache()
     time("signatures")(sigs.count())
     val cands = Dedup.minhashCandidatePairs(sigs).cache()
     time("candidates")(cands.count())

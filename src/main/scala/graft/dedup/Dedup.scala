@@ -41,18 +41,53 @@ object Dedup {
     }
   }
 
-  /** MinHash signatures over a [[shingleTable]]: (id, m0..m{numHashes-1}).
-    * One aggregate of 64 mins — partial (map-side) aggregation applies,
-    * so the shuffle carries one signature row per document, not one row
-    * per shingle.
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private def stringHash(s: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = splitmix64(h ^ s.charAt(i).toLong); i += 1 }
+    h
+  }
+
+  /** MinHash signature per document in ONE pass — tokenize, shingle and
+    * fold all `numHashes` minima inside a single UDF call. No explode,
+    * no shuffle: signatures are embarrassingly parallel per document
+    * (the only shuffle left in the pipeline is the band-bucket join).
+    * Output: (id, sig ARRAY<LONG>[numHashes]).
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 64,
+                        seed: Long = 42L): DataFrame = {
     val fam = hashFamily(numHashes, seed)
-    val hashed = sh.withColumn("x", pmod(xxhash64(col("shingle")), lit(MersennePrime)))
-    val minExprs = fam.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("x") + lit(b), lit(MersennePrime))).as(s"m$i")
+    val sigUdf = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val toks = text.trim.split(" +")
+        if (toks.length < shingleSize) null
+        else {
+          val sig = Array.fill(numHashes)(Long.MaxValue)
+          toks.sliding(shingleSize).foreach { w =>
+            val x = math.floorMod(stringHash(w.mkString(" ")), MersennePrime)
+            var i = 0
+            while (i < numHashes) {
+              val (a, b) = fam(i)
+              val v = math.floorMod(a * x + b, MersennePrime)
+              if (v < sig(i)) sig(i) = v
+              i += 1
+            }
+          }
+          sig
+        }
+      }
     }
-    hashed.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
+    docs.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .where(col("sig").isNotNull)
   }
 
   /** Candidate near-dup pairs via LSH banding of MinHash signatures:
@@ -67,7 +102,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*).as("band_hash"))
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
     }
     val banded = signatures
       .select(col(idCol), explode(array(bandStructs: _*)).as("band"))
@@ -113,9 +148,9 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, shingleSize: Int = 3,
                       numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, shingleSize).cache()
-    val sigs = minhashSignatures(sh, numHashes, seed)
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes, seed)
     val cands = minhashCandidatePairs(sigs, "id", numHashes, bands)
+    val sh = shingleTable(docs, idCol, textCol, shingleSize)
     verifyJaccard(sh, cands)
       .where(col("jaccard") >= threshold)
   }

@@ -152,22 +152,42 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
 
-  /** 64-bit SimHash over whitespace tokens: per token take xxhash64,
-    * each of the 64 bit positions votes +1/-1, final bit = sign of the
-    * vote sum. Computed as an explode + 64 conditional-sum aggregates —
-    * fully codegen'd, one shuffle on the group key.
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per token a 64-bit hash,
+    * each bit position votes +1/-1, final bit = sign of the vote sum.
+    * One pass per document inside a single UDF — no explode, no
+    * shuffle; the sketch is embarrassingly parallel (the banded
+    * candidate join in [[graft.dedup.Dedup.simhashNearDups]] is the
+    * only shuffle of the pipeline).
     * Input: df with (idCol, textCol); output: (idCol, simhash LONG).
     */
   def simhash64(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    val simUdf = udf { (text: String) =>
+      if (text == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val votes = new Array[Int](64)
+        text.trim.split(" +").foreach { tok =>
+          var h = 1125899906842597L
+          var i = 0
+          while (i < tok.length) { h = splitmix64(h ^ tok.charAt(i).toLong); i += 1 }
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        var out = 0L
+        var b = 0
+        while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+        java.lang.Long.valueOf(out)
+      }
     }
-    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val simhash = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col(idCol), simhash.as("simhash"))
+    df.select(col(idCol), simUdf(col(textCol)).as("simhash"))
   }
 }

@@ -46,9 +46,8 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhash signature similarity approximates Jaccard for identical docs") {
-    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
-    val sigs = Dedup.minhashSignatures(sh).collect().map(r =>
-      r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(0L) == sigs(1L)) // identical shingle sets -> identical signatures
     val agree02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
     assert(agree02 > 32, s"near-dups should agree on most hashes, got $agree02/64")
