@@ -87,6 +87,27 @@ object OracleSql {
         |  FROM orders) t
         |WHERE rn = 1 ORDER BY o_custkey LIMIT 100""".stripMargin,
 
+    "events_asof_orders" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "lineitem_quantiles" ->
+      """SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value

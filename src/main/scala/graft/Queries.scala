@@ -136,6 +136,43 @@ object Queries {
       .limit(100)
   }
 
+  /** As-of join: attach each event's user's most recent order (the
+    * latest o_orderdate <= ts) — feature-at-event-time retrieval.
+    * Right side deduped to one order per (custkey, orderdate) for
+    * determinism.
+    */
+  def eventsAsofOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = graft.operators.AsOfJoin.latestPerKeyTime(
+      Tables.orders(spark, sfDir), "o_custkey", "o_orderdate", "o_orderkey")
+    graft.operators.AsOfJoin.join(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Exact percentiles (interpolated) of extended price per return flag. */
+  def lineitemQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP aggregation: per (flag, status), per flag subtotals, grand
+    * total — multi-level aggregates in one pass.
+    */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   // ---- events: time windows, json, sessionization ----
 
   def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
@@ -324,6 +361,9 @@ object Queries {
     "q3_segment_revenue" -> (q3SegmentRevenue _),
     "region_customers" -> (regionCustomers _),
     "top_order_per_customer" -> (topOrderPerCustomer _),
+    "events_asof_orders" -> (eventsAsofOrders _),
+    "lineitem_quantiles" -> (lineitemQuantiles _),
+    "agg_rollup" -> (aggRollup _),
     "events_hourly" -> (eventsHourly _),
     "events_json_k" -> (eventsJsonK _),
     "events_sessionize" -> (eventsSessionize _),
