@@ -35,6 +35,13 @@ object OracleSql {
          |SELECT label, rn, vec_id, ROUND(s, 4) AS score FROM ranked WHERE rn <= 3
          |ORDER BY label, rn""".stripMargin,
 
+    "knn_topk_per_label_agg" ->
+      s"""${knnScores("")},
+         |ranked AS (SELECT vec_id, label, s,
+         |  row_number() OVER (PARTITION BY label ORDER BY s DESC, vec_id) AS rn FROM scores)
+         |SELECT label, rn, vec_id, ROUND(s, 4) AS score FROM ranked WHERE rn <= 3
+         |ORDER BY label, rn""".stripMargin,
+
     "neardup_embedding" ->
       """WITH pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
         |  unnest(a.embedding) AS x, unnest(b.embedding) AS y

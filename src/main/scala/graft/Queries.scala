@@ -54,6 +54,19 @@ object Queries {
       .orderBy(col("label"), col("rn"))
   }
 
+  /** Same contract as [[knnTopkPerLabel]] but via the bounded-heap
+    * aggregator ([[graft.operators.TopK]]): map-side partial top-k, at
+    * most k rows per (group, partition) shuffled — no per-group sort.
+    * Oracle-checked against the identical SQL as the window variant.
+    */
+  def knnTopkPerLabelAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val scored = BruteForceKnn.scored(emb, col("embedding"), queryVec(spark, sfDir))
+    graft.operators.TopK.perGroup(scored, Seq(col("label")), col("vec_id"), col("score"), 3)
+      .select(col("label"), col("rn"), col("id").as("vec_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("label"), col("rn"))
+  }
+
   def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val (hits, used) = RandomHyperplaneLsh(8, 12, 42L)
@@ -352,6 +365,7 @@ object Queries {
     "knn_brute" -> (knnBrute _),
     "knn_brute_filtered" -> (knnBruteFiltered _),
     "knn_topk_per_label" -> (knnTopkPerLabel _),
+    "knn_topk_per_label_agg" -> (knnTopkPerLabelAgg _),
     "knn_lsh" -> (knnLsh _),
     "ann_ivf" -> (annIvf _),
     "neardup_embedding" -> (neardupEmbedding _),
