@@ -131,6 +131,24 @@ object Queries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Semi/anti joins: EXISTS / NOT EXISTS as single-pass joins that
+    * never duplicate the left side (vs inner join + distinct). */
+  def customersWithOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   def regionCustomers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
       .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
@@ -374,6 +392,8 @@ object Queries {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_segment_revenue" -> (q3SegmentRevenue _),
     "region_customers" -> (regionCustomers _),
+    "customers_with_orders" -> (customersWithOrders _),
+    "customers_without_orders" -> (customersWithoutOrders _),
     "top_order_per_customer" -> (topOrderPerCustomer _),
     "events_asof_orders" -> (eventsAsofOrders _),
     "lineitem_quantiles" -> (lineitemQuantiles _),
