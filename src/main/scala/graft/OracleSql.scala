@@ -146,6 +146,10 @@ object OracleSql {
         |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "agg_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "dedup_exact" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         |  count(*) - count(DISTINCT md5(text)) AS n_dupes

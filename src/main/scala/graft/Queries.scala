@@ -220,6 +220,14 @@ object Queries {
       .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))
       .orderBy(col("k_bucket"))
 
+  /** Distinct aggregation (two-phase: partial distinct then exact count
+    * — Catalyst expands to a double aggregate, no driver-side sets). */
+  def aggDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Gap-based sessionization (30-min inactivity), the batch shape of
     * the streaming session-window operator: two windows over
     * (user, time) — a lag to flag session starts, a running sum to
@@ -401,6 +409,7 @@ object Queries {
     "events_hourly" -> (eventsHourly _),
     "events_json_k" -> (eventsJsonK _),
     "events_sessionize" -> (eventsSessionize _),
+    "agg_distinct_users" -> (aggDistinctUsers _),
     "dedup_exact" -> (dedupExact _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality" -> (textQuality _),
