@@ -1,0 +1,105 @@
+package graft.plans
+
+import graft.expressions.CosineSimilarity
+import graft.index.RandomHyperplaneLsh
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: rewrite exact top-k-by-cosine over a registered LSH
+  * index table into the bucket-probe plan — the optimizer version of
+  * the engine-level index choice (SURVEY §4, the `Rule[LogicalPlan]`
+  * extension the reference's adaptive fallback O10 hints at).
+  *
+  * Matches `LIMIT k (SORT cosine_similarity(emb, <literal qvec>) DESC
+  * (PROJECT ... (scan of a registered index table)))` and injects the
+  * candidate Filter `bucket = h0(q) OR buckets[t] = ht(q) ...` under
+  * the Project. The scan must carry the `bucket`/`buckets` columns
+  * written by [[graft.index.LshIndexStore]]; the bucket predicate then
+  * prunes partitions/row groups exactly like the hand-built probe.
+  *
+  * NOTE this is an opt-in APPROXIMATE rewrite: registering a path
+  * declares "serve ANN from this index". Unregistered plans are
+  * untouched. The rewrite is idempotent (skips when the probe filter is
+  * already present).
+  */
+object LshProbeRewrite extends Rule[LogicalPlan] {
+
+  final case class Registration(lsh: RandomHyperplaneLsh, dim: Int)
+
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Registration]()
+
+  private def normalize(p: String): String =
+    java.net.URI.create(p.replace(" ", "%20")).getPath.stripSuffix("/")
+
+  def register(path: String, lsh: RandomHyperplaneLsh, dim: Int): Unit =
+    registry.put(normalize(new java.io.File(path).getAbsolutePath), Registration(lsh, dim))
+
+  def clear(): Unit = registry.clear()
+
+  private def registrationFor(plan: LogicalPlan): Option[Registration] =
+    plan.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] &&
+        lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.exists { rp =>
+          registry.containsKey(normalize(rp.toUri.toString))
+        } =>
+        val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+        val key = fs.location.rootPaths
+          .map(rp => normalize(rp.toUri.toString))
+          .find(registry.containsKey)
+          .get
+        registry.get(key)
+    }
+
+  private def alreadyProbed(plan: LogicalPlan): Boolean = plan.exists {
+    case Filter(cond, _) =>
+      cond.exists {
+        case GetArrayItem(a: Attribute, _, _) => a.name == "buckets"
+        case EqualTo(a: Attribute, _) => a.name == "bucket"
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def queryBuckets(reg: Registration, q: Array[Float]): Array[Int] = {
+    val n = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+    val qn = if (n == 0.0) q else q.map(x => (x / n).toFloat)
+    reg.lsh.planes(reg.dim).map(tp => reg.lsh.hash(qn.toSeq, tp))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case limit @ GlobalLimit(_, LocalLimit(_,
+        sort @ Sort(SortOrder(scoreAttr: Attribute, Descending, _, _) +: _, true,
+          proj @ Project(projectList, child), _)))
+        if !alreadyProbed(child) =>
+      val rewrite = for {
+        cs <- projectList.collectFirst {
+          case a: Alias if a.exprId == scoreAttr.exprId && a.child.isInstanceOf[CosineSimilarity] =>
+            a.child.asInstanceOf[CosineSimilarity]
+        }
+        qvec <- cs.right match {
+          case Literal(data: ArrayData, _) => Some(data.toFloatArray())
+          case _ => None
+        }
+        reg <- registrationFor(child)
+        bucketsAttr <- child.output.find(_.name == "buckets")
+      } yield {
+        val qb = queryBuckets(reg, qvec)
+        val tableProbes: Seq[Expression] = qb.zipWithIndex.drop(1).map { case (b, t) =>
+          EqualTo(GetArrayItem(bucketsAttr, Literal(t, IntegerType)), Literal(b, IntegerType))
+        }.toSeq
+        val partitionProbe: Seq[Expression] = child.output.find(_.name == "bucket")
+          .map(a => EqualTo(a, Literal(qb(0), IntegerType)).asInstanceOf[Expression]).toSeq
+        val probeOnTable0: Seq[Expression] =
+          if (partitionProbe.nonEmpty) partitionProbe
+          else Seq(EqualTo(GetArrayItem(bucketsAttr, Literal(0, IntegerType)), Literal(qb(0), IntegerType)))
+        val pred = (probeOnTable0 ++ tableProbes).reduce[Expression](Or(_, _))
+        limit.copy(child = limit.child.asInstanceOf[LocalLimit].copy(child =
+          sort.copy(child = proj.copy(child = Filter(pred, child)))))
+      }
+      rewrite.getOrElse(limit)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.expressions.CosineSimilarity
+import graft.index.{BruteForceKnn, LshIndexStore, RandomHyperplaneLsh}
+import graft.plans.LshProbeRewrite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LshProbeRewriteSpec extends AnyFunSuite {
+
+  private val indexPath = "target/test-index/rewrite-lsh"
+
+  private def withExtSession[A](f: SparkSession => A): A = {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-rewrite-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try f(s)
+    finally prev.foreach { p =>
+      SparkSession.setDefaultSession(p)
+      SparkSession.setActiveSession(p)
+    }
+  }
+
+  test("registered index: ORDER BY cosine DESC LIMIT k gets the bucket-probe filter injected") {
+    // build the at-rest index with the base session
+    val base = TestSpark.spark
+    val lsh = RandomHyperplaneLsh(8, 12, 42L)
+    LshIndexStore(lsh, 64).write(
+      Tables.embeddings(base, "/root/testdata/sf0.001"), "embedding", indexPath)
+    val q = Queries.queryVec(base, "/root/testdata/sf0.001")
+
+    withExtSession { s =>
+      LshProbeRewrite.clear()
+      def topk = s.read.parquet(indexPath)
+        .withColumn("score", CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+
+      // unregistered: no probe filter in the optimized plan
+      val before = topk.queryExecution.optimizedPlan.toString
+      assert(!before.contains("buckets["), s"unexpected probe in:\n$before")
+
+      LshProbeRewrite.register(indexPath, lsh, 64)
+      val after = topk.queryExecution.optimizedPlan.toString
+      assert(after.contains("bucket") && (after.contains("buckets[") || after.contains("bucket#")),
+        s"expected probe filter in:\n$after")
+
+      // results: the probe is the LSH candidate set -> subset of brute
+      // with equal scores; the member query (vec 0) is always a candidate
+      import s.implicits._
+      val hits = topk.select("vec_id", "score").as[(Long, Double)].collect()
+      assert(hits.nonEmpty && hits.head._1 == 0L && math.abs(hits.head._2 - 1.0) < 1e-9)
+      val brute = BruteForceKnn.scored(
+          Tables.embeddings(s, "/root/testdata/sf0.001"), col("embedding"), q)
+        .select("vec_id", "score").as[(Long, Double)].collect().toMap
+      hits.foreach { case (id, sc) => assert(math.abs(brute(id) - sc) < 1e-12) }
+      LshProbeRewrite.clear()
+    }
+  }
+
+  test("rule is idempotent and leaves non-cosine sorts alone") {
+    withExtSession { s =>
+      LshProbeRewrite.clear()
+      LshProbeRewrite.register(indexPath, RandomHyperplaneLsh(8, 12, 42L), 64)
+      // plain sort on vec_id: untouched
+      val plain = s.read.parquet(indexPath).orderBy(col("vec_id")).limit(3)
+      assert(plain.count() == 3)
+      // rewrite applies once even though the optimizer runs to fixpoint
+      val q = Queries.queryVec(TestSpark.spark, "/root/testdata/sf0.001")
+      val topk = s.read.parquet(indexPath)
+        .withColumn("score", CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+      val plan = topk.queryExecution.optimizedPlan.toString
+      val probes = plan.split("Filter").length - 1
+      assert(probes >= 1, s"no filter in:\n$plan")
+      assert(topk.count() >= 1)
+      LshProbeRewrite.clear()
+    }
+  }
+}
