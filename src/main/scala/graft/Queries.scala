@@ -86,6 +86,29 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Recall@10 of the ANN backends (LSH, IVF) vs exact brute force on a
+    * 20-query member sample — one corpus pass per method. Rows-only
+    * check (the eval itself is the oracle: brute-as-method must be 1.0,
+    * asserted in tests).
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.AnnEval
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+      .take(20)
+    val k = 10
+    val truth = AnnEval.groundTruth(emb, "vec_id", "embedding", queries, k).cache()
+    val lsh = AnnEval.lshTopK(emb, "vec_id", "embedding", queries, k,
+      graft.index.RandomHyperplaneLsh(8, 6, 42L), dim = 64)
+    val ivf = AnnEval.ivfTopK(emb, "vec_id", "embedding", queries, k, stride = 53L, nprobe = 4)
+    AnnEval.recallReport(spark, truth, Seq("lsh" -> lsh, "ivf" -> ivf), k)
+      .orderBy(col("method"))
+  }
+
   // ---- aggregations (O23, O24) ----
 
   def aggCountByLabel(spark: SparkSession, sfDir: String): DataFrame =
@@ -394,6 +417,7 @@ object Queries {
     "knn_topk_per_label_agg" -> (knnTopkPerLabelAgg _),
     "knn_lsh" -> (knnLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_recall" -> (annRecall _),
     "neardup_embedding" -> (neardupEmbedding _),
     "agg_count_by_label" -> (aggCountByLabel _),
     "catalog_meta_samples" -> (catalogMetaSamples _),

@@ -1,0 +1,131 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One (query, candidate) score pair emitted during evaluation. */
+final case class QScore(qid: Long, score: Double)
+
+/** Distributed recall@k evaluation of the ANN backends against exact
+  * brute force — the measurement harness behind index tuning ("a
+  * correct-but-low-recall index is not done" any more than a slow one).
+  *
+  * Shape: ONE pass over the corpus per method. The query sample
+  * (typically tens of vectors) is broadcast; each row emits its score
+  * against every query (ground truth) or against the queries whose
+  * candidate set it belongs to (LSH buckets / IVF probe lists); a
+  * window per query takes top-k; recall = |method ∩ truth| / k averaged
+  * over queries. Corpus size scales the scan, not the shuffle (≤ k rows
+  * per query per partition reach the window).
+  */
+object AnnEval {
+
+  private def cosRaw(a: collection.Seq[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid"), col("id"))
+  }
+
+  /** Exact top-k per query: every row scores against every query. */
+  def groundTruth(emb: DataFrame, idCol: String, embCol: String,
+                  queries: Array[(Long, Array[Float])], k: Int): DataFrame = {
+    val scoreAll = udf { (v: collection.Seq[Float]) =>
+      queries.map { case (qid, qv) => QScore(qid, cosRaw(v, qv)) }
+    }
+    topkPerQuery(
+      emb.where(col(embCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), explode(scoreAll(col(embCol))).as("qs"))
+        .select(col("id"), col("qs.qid").as("qid"), col("qs.score").as("score")), k)
+  }
+
+  /** LSH top-k per query: rows score only against queries sharing a
+    * bucket in some table. */
+  def lshTopK(emb: DataFrame, idCol: String, embCol: String,
+              queries: Array[(Long, Array[Float])], k: Int,
+              lsh: RandomHyperplaneLsh, dim: Int): DataFrame = {
+    val ps = lsh.planes(dim)
+    val qBuckets = queries.map { case (qid, qv) =>
+      val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      val qn = if (n == 0.0) qv else qv.map(x => (x / n).toFloat)
+      (qid, qv, ps.map(tp => lsh.hash(qn.toSeq, tp)))
+    }
+    val candScores = udf { (v: collection.Seq[Float]) =>
+      if (v == null) Array.empty[QScore]
+      else {
+        val rowBuckets = ps.map(tp => lsh.hash(v, tp))
+        qBuckets.collect {
+          case (qid, qv, qb) if qb.indices.exists(t => qb(t) == rowBuckets(t)) =>
+            QScore(qid, cosRaw(v, qv))
+        }
+      }
+    }
+    // NB rows are hashed on their normalized form in the index; sign
+    // bits are scale-invariant so hashing the raw vector is equivalent.
+    topkPerQuery(
+      emb.where(col(embCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), explode(candScores(col(embCol))).as("qs"))
+        .select(col("id"), col("qs.qid").as("qid"), col("qs.score").as("score")), k)
+  }
+
+  /** IVF top-k per query: rows score only against queries probing the
+    * row's cluster. */
+  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
+              queries: Array[(Long, Array[Float])], k: Int,
+              stride: Long, nprobe: Int): DataFrame = {
+    val cents = IvfKnn.centroids(emb, col(idCol), col(embCol), stride)
+    val probes: Map[Long, Set[Long]] = queries.map { case (qid, qv) =>
+      qid -> cents.map { case (cid, cv) => (cid, cosRaw(qv.toSeq, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
+    }.toMap
+    val centVecs = cents
+    val candScores = udf { (v: collection.Seq[Float]) =>
+      if (v == null) Array.empty[QScore]
+      else {
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < centVecs.length) {
+          val s = cosRaw(v, centVecs(c)._2)
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        val cluster = centVecs(best)._1
+        queries.collect {
+          case (qid, qv) if probes(qid).contains(cluster) => QScore(qid, cosRaw(v, qv))
+        }
+      }
+    }
+    topkPerQuery(
+      emb.where(col(embCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), explode(candScores(col(embCol))).as("qs"))
+        .select(col("id"), col("qs.qid").as("qid"), col("qs.score").as("score")), k)
+  }
+
+  /** recall@k per method vs ground truth: (method, k, n_queries,
+    * avg_recall, min_recall). */
+  def recallReport(spark: SparkSession, truth: DataFrame,
+                   methods: Seq[(String, DataFrame)], k: Int): DataFrame = {
+    import spark.implicits._
+    val nQueries = truth.select(countDistinct(col("qid"))).head().getLong(0)
+    methods.map { case (name, result) =>
+      val perQuery = truth.join(result, Seq("qid", "id"))
+        .groupBy(col("qid")).agg((count(lit(1)).cast("double") / k).as("recall"))
+      // queries with zero overlap drop out of the join -> count them as 0
+      val recalls = perQuery.select(col("recall")).as[Double].collect()
+      val padded = recalls ++ Array.fill((nQueries - recalls.length).toInt)(0.0)
+      val avg = if (padded.isEmpty) 0.0 else padded.sum / padded.length
+      val min = if (padded.isEmpty) 0.0 else padded.min
+      (name, k, nQueries, math.rint(avg * 10000) / 10000, math.rint(min * 10000) / 10000)
+    }.toDF("method", "k", "n_queries", "avg_recall", "min_recall")
+  }
+}
