@@ -8,31 +8,60 @@ import org.apache.spark.sql.functions._
   *
   * The reference rebuilds its index in-process on every query
   * (search_service.py:122,125) and tracks staleness with
-  * `library.version`. On Spark the index IS a table layout: write the
-  * corpus once with its table-0 LSH bucket as a partition column
-  * (`.../bucket=NNN/part-*.parquet`), then a probe for a query vector
-  * is a scan whose `bucket = h(q)` predicate prunes to one directory —
-  * Catalyst partition pruning does the candidate lookup, no driver-side
-  * bucket map, no shuffle. Versioned paths (`.../v=<library.version>/`)
-  * give the reference's staleness semantics: a mutation writes a new
-  * version directory and readers pin the version they started with.
+  * `library.version`. On Spark the index IS a table layout. One
+  * sub-layout per LSH table (`.../table=t/bucket_part=p/`): each table
+  * clusters the corpus by ITS bucket, so probing table t for a query is
+  * a scan whose predicates are a pure conjunction — partition pruning +
+  * row-group min/max on the exact bucket do the candidate lookup, no
+  * driver-side bucket map, no shuffle. A single mixed layout cannot do
+  * this: the cross-table candidate union is an OR, and an OR across
+  * differently-clustered predicates defeats pruning. Storage is ×T —
+  * the standard trade for pruned multi-table LSH serving (T=8 here).
+  * Versioned paths (`.../v=<library.version>/`) give the reference's
+  * staleness semantics: mutations write a new version, readers pin
+  * theirs.
   *
-  * Only table 0 can be the physical partition key; the other T-1 tables
-  * ride along as an array column and are probed with the same OR filter
-  * (they prune row groups via min/max stats rather than directories).
+  * Two more load-bearing knobs:
+  *  - physical partition key is `bucket % numPhysicalPartitions`
+  *    (default 256), not the raw 2^numPlanes bucket — a 4096-way
+  *    partitionBy explodes file counts (measured 30×+ slower writes);
+  *    the exact `bucket` column prunes row groups inside the coarse
+  *    partition (rows are sorted by it within partitions);
+  *  - `repartition(partition key)` before the write so each partition
+  *    directory is one task's single file, not tasks × partitions
+  *    slivers.
   */
-final case class LshIndexStore(lsh: RandomHyperplaneLsh, dim: Int) {
+final case class LshIndexStore(lsh: RandomHyperplaneLsh, dim: Int,
+                               numPhysicalPartitions: Int = 256) {
 
-  /** Write the corpus partitioned by the table-0 bucket. */
-  def write(corpus: DataFrame, embCol: String, path: String): Unit =
-    lsh.withBuckets(corpus.where(col(embCol).isNotNull),
-        VectorFunctions.l2Normalize(col(embCol)), dim)
-      .withColumn("bucket", col("buckets").getItem(0))
-      .write.mode("overwrite")
-      .partitionBy("bucket")
-      .parquet(path)
+  /** Write one clustered sub-layout per LSH table. */
+  def write(corpus: DataFrame, embCol: String, path: String): Unit = {
+    val bucketed = lsh.withBuckets(corpus.where(col(embCol).isNotNull),
+      VectorFunctions.l2Normalize(col(embCol)), dim).cache()
+    try {
+      (0 until lsh.numTables).foreach { t =>
+        bucketed
+          .withColumn("bucket", col("buckets").getItem(t))
+          .drop("buckets")
+          .withColumn("bucket_part", pmod(col("bucket"), lit(numPhysicalPartitions)))
+          .repartition(col("bucket_part"))
+          .sortWithinPartitions(col("bucket"))
+          .write.mode("overwrite")
+          .partitionBy("bucket_part")
+          .parquet(s"$path/table=$t")
+      }
+    } finally bucketed.unpersist(blocking = false)
+  }
 
-  /** Probe: partition-pruned scan of the query's buckets, exact rerank. */
+  /** Probe: ONE scan of the root with
+    * `(partition-col disjunction) AND (exact per-table bucket
+    * disjunction)`. The first conjunct references only partition
+    * columns (table, bucket_part) so Catalyst prunes directories for
+    * all tables in a single listing; the second is implied per table by
+    * the first's bucket (bucket determines bucket_part) and does the
+    * exact row filtering. Then dedupe (a row sits in every sub-layout)
+    * and exact rerank.
+    */
   def search(spark: SparkSession, path: String, embCol: String, idCol: String,
              query: Array[Float], k: Int): DataFrame = {
     val qNorm = {
@@ -41,11 +70,16 @@ final case class LshIndexStore(lsh: RandomHyperplaneLsh, dim: Int) {
     }
     val ps = lsh.planes(dim)
     val qBuckets = ps.map(tp => lsh.hash(qNorm.toSeq, tp))
-    val probe = spark.read.parquet(path)
-      .where(col("bucket") === qBuckets(0) ||
-        qBuckets.zipWithIndex.drop(1)
-          .map { case (qb, t) => col("buckets").getItem(t) === lit(qb) }
-          .foldLeft(lit(false))(_ || _))
-    BruteForceKnn.search(probe, col(embCol), col(idCol), query, k)
+    val pruneOr = qBuckets.zipWithIndex.map { case (qb, t) =>
+      col("table") === t && col("bucket_part") === qb % numPhysicalPartitions
+    }.reduce(_ || _)
+    val exactOr = qBuckets.zipWithIndex.map { case (qb, t) =>
+      col("table") === t && col("bucket") === qb
+    }.reduce(_ || _)
+    val candidates = spark.read.parquet(path)
+      .where(pruneOr && exactOr)
+      .drop("table", "bucket", "bucket_part")
+      .dropDuplicates(idCol)
+    BruteForceKnn.search(candidates, col(embCol), col(idCol), query, k)
   }
 }

@@ -91,6 +91,44 @@ final case class RandomHyperplaneLsh(
       .map { case (qb, t) => col("buckets").getItem(t) === lit(qb) }
       .reduce(_ || _)
 
+  /** Multi-probe candidate filter: per table, also probe the buckets at
+    * Hamming distance <= `probeBits` bit flips from the query's bucket
+    * (flipping the sign bit of the planes the query is closest to would
+    * be the classic refinement; flipping all single bits is the simple,
+    * deterministic superset). Recall grows ~(1 + P·probes/2^?) per
+    * table at probe-count cost, with no extra tables and no rebuild —
+    * the standard trade once tables are at rest.
+    */
+  def multiProbeFilter(queryBuckets: Array[Int], probeBits: Int = 1): Column = {
+    require(probeBits <= 1, "only 0/1-bit probes supported")
+    queryBuckets.zipWithIndex.map { case (qb, t) =>
+      val candidates: Seq[Int] =
+        if (probeBits == 0) Seq(qb)
+        else qb +: (0 until numPlanes).map(b => qb ^ (1 << b))
+      col("buckets").getItem(t).isin(candidates.map(Int.box): _*)
+    }.reduce(_ || _)
+  }
+
+  /** [[search]] with 1-bit multi-probe expansion. */
+  def searchMultiProbe(chunks: DataFrame, embCol: Column, idCol: Column,
+                       query: Array[Float], k: Int): DataFrame = {
+    val withEmb = chunks.where(embCol.isNotNull)
+    if (k <= 0) return withEmb.limit(0)
+    val dim = query.length
+    val ps = planes(dim)
+    val qNorm = {
+      val n = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+      if (n == 0.0) query else query.map(x => (x / n).toFloat)
+    }
+    val qBuckets = ps.map(tp => hash(qNorm.toSeq, tp))
+    withBuckets(withEmb, VectorFunctions.l2Normalize(embCol), dim)
+      .where(multiProbeFilter(qBuckets))
+      .drop("buckets")
+      .withColumn("score", VectorFunctions.cosine(embCol, typedlit(query.toSeq)))
+      .orderBy(col("score").desc, idCol.asc)
+      .limit(k)
+  }
+
   /** LSH probe + exact rerank. Returns (hits, indexUsed). Fallback to
     * brute force when 0 candidates and the corpus is small
     * (search_service.py:127-131).

@@ -28,15 +28,17 @@ import org.apache.spark.sql.types.IntegerType
   */
 object LshProbeRewrite extends Rule[LogicalPlan] {
 
-  final case class Registration(lsh: RandomHyperplaneLsh, dim: Int)
+  final case class Registration(lsh: RandomHyperplaneLsh, dim: Int, numPhysicalPartitions: Int)
 
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, Registration]()
 
   private def normalize(p: String): String =
     java.net.URI.create(p.replace(" ", "%20")).getPath.stripSuffix("/")
 
-  def register(path: String, lsh: RandomHyperplaneLsh, dim: Int): Unit =
-    registry.put(normalize(new java.io.File(path).getAbsolutePath), Registration(lsh, dim))
+  def register(path: String, lsh: RandomHyperplaneLsh, dim: Int,
+               numPhysicalPartitions: Int = 256): Unit =
+    registry.put(normalize(new java.io.File(path).getAbsolutePath),
+      Registration(lsh, dim, numPhysicalPartitions))
 
   def clear(): Unit = registry.clear()
 
@@ -57,8 +59,7 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
   private def alreadyProbed(plan: LogicalPlan): Boolean = plan.exists {
     case Filter(cond, _) =>
       cond.exists {
-        case GetArrayItem(a: Attribute, _, _) => a.name == "buckets"
-        case EqualTo(a: Attribute, _) => a.name == "bucket"
+        case EqualTo(a: Attribute, _) => a.name == "bucket_part" || a.name == "bucket"
         case _ => false
       }
     case _ => false
@@ -85,20 +86,41 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
           case _ => None
         }
         reg <- registrationFor(child)
-        bucketsAttr <- child.output.find(_.name == "buckets")
+        tableAttr <- child.output.find(_.name == "table")
+        partAttr <- child.output.find(_.name == "bucket_part")
+        bucketAttr <- child.output.find(_.name == "bucket")
       } yield {
         val qb = queryBuckets(reg, qvec)
-        val tableProbes: Seq[Expression] = qb.zipWithIndex.drop(1).map { case (b, t) =>
-          EqualTo(GetArrayItem(bucketsAttr, Literal(t, IntegerType)), Literal(b, IntegerType))
-        }.toSeq
-        val partitionProbe: Seq[Expression] = child.output.find(_.name == "bucket")
-          .map(a => EqualTo(a, Literal(qb(0), IntegerType)).asInstanceOf[Expression]).toSeq
-        val probeOnTable0: Seq[Expression] =
-          if (partitionProbe.nonEmpty) partitionProbe
-          else Seq(EqualTo(GetArrayItem(bucketsAttr, Literal(0, IntegerType)), Literal(qb(0), IntegerType)))
-        val pred = (probeOnTable0 ++ tableProbes).reduce[Expression](Or(_, _))
+        // Partition-col-only disjunction (prunable by Catalyst) AND the
+        // exact per-table bucket disjunction (row filtering). The first
+        // is implied by the second (bucket determines bucket_part), so
+        // the conjunction is exactly the per-table candidate union.
+        val pruneOr = qb.zipWithIndex.map { case (b, t) =>
+          And(EqualTo(tableAttr, Literal(t, IntegerType)),
+            EqualTo(partAttr, Literal(math.floorMod(b, reg.numPhysicalPartitions), IntegerType)))
+            .asInstanceOf[Expression]
+        }.reduce(Or(_, _))
+        val exactOr = qb.zipWithIndex.map { case (b, t) =>
+          And(EqualTo(tableAttr, Literal(t, IntegerType)),
+            EqualTo(bucketAttr, Literal(b, IntegerType)))
+            .asInstanceOf[Expression]
+        }.reduce(Or(_, _))
+        // a row sits in every table's sub-layout -> dedupe the payload
+        // columns before scoring. Emitted directly as the Aggregate
+        // form (grouping on payload, first() for the layout columns,
+        // exprIds preserved so the Project above still resolves) —
+        // ReplaceDeduplicateWithAggregate has already run by the time
+        // user rules fire, so a Deduplicate node would reach planning.
+        val layoutNames = Set("table", "bucket", "bucket_part")
+        val dedupeKeys = child.output.filterNot(a => layoutNames.contains(a.name))
+        val aggExprs: Seq[NamedExpression] = child.output.map { a =>
+          if (layoutNames.contains(a.name))
+            Alias(new aggregate.First(a, false).toAggregateExpression(), a.name)(exprId = a.exprId)
+          else a
+        }
         limit.copy(child = limit.child.asInstanceOf[LocalLimit].copy(child =
-          sort.copy(child = proj.copy(child = Filter(pred, child)))))
+          sort.copy(child = proj.copy(child =
+            Aggregate(dedupeKeys, aggExprs, Filter(And(pruneOr, exactOr), child))))))
       }
       rewrite.getOrElse(limit)
   }

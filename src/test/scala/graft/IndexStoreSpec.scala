@@ -17,9 +17,11 @@ class IndexStoreSpec extends AnyFunSuite {
     val store = LshIndexStore(RandomHyperplaneLsh(8, 12, 42L), dim = 64)
     store.write(emb, "embedding", path)
 
-    // layout: one directory per table-0 bucket
-    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
-    assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=")))
+    // layout: one sub-layout per table, partitioned by coarse bucket
+    val tables = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(tables.count(_.startsWith("table=")) == 8, tables.mkString(","))
+    val parts = new java.io.File(s"$path/table=0").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.startsWith("bucket_part=")))
 
     val q = Queries.queryVec(spark, sfDir)
     val hits = store.search(spark, path, "embedding", "vec_id", q, 5)
@@ -27,12 +29,13 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(hits.nonEmpty)
     assert(hits.head._1 == 0L && math.abs(hits.head._2 - 1.0) < 1e-9) // member query finds itself
 
-    // probe plan prunes partitions: the table-0 bucket predicate must
-    // appear in the scan's partition filters
+    // the single root scan carries a non-empty partition filter over
+    // (table, bucket_part) — directory pruning for all tables at once
     val probePlan = store.search(spark, path, "embedding", "vec_id", q, 5)
       .queryExecution.executedPlan.toString
-    assert(probePlan.contains("PartitionFilters") && probePlan.contains("bucket"),
-      s"expected partition pruning in:\n$probePlan")
+    val partFilter = probePlan.split("PartitionFilters: \\[").lift(1).map(_.takeWhile(_ != ']'))
+    assert(partFilter.exists(f => f.contains("bucket_part") && f.contains("table")),
+      s"expected non-empty partition filter in:\n$probePlan")
 
     // subset-of-brute with equal scores
     val brute = BruteForceKnn.scored(emb, col("embedding"), q)

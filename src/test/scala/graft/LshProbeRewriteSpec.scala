@@ -11,6 +11,11 @@ class LshProbeRewriteSpec extends AnyFunSuite {
 
   private val indexPath = "target/test-index/rewrite-lsh"
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+
   private def withExtSession[A](f: SparkSession => A): A = {
     val prev = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
@@ -30,7 +35,9 @@ class LshProbeRewriteSpec extends AnyFunSuite {
   }
 
   test("registered index: ORDER BY cosine DESC LIMIT k gets the bucket-probe filter injected") {
-    // build the at-rest index with the base session
+    // build the at-rest index with the base session (clean slate: layout
+    // changes leave stale partition dirs behind otherwise)
+    deleteRecursively(new java.io.File(indexPath))
     val base = TestSpark.spark
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
     LshIndexStore(lsh, 64).write(
@@ -44,14 +51,14 @@ class LshProbeRewriteSpec extends AnyFunSuite {
         .orderBy(col("score").desc, col("vec_id").asc)
         .limit(5)
 
-      // unregistered: no probe filter in the optimized plan
+      // unregistered: no probe (no injected dedupe aggregate)
       val before = topk.queryExecution.optimizedPlan.toString
-      assert(!before.contains("buckets["), s"unexpected probe in:\n$before")
+      assert(!before.contains("first("), s"unexpected probe in:\n$before")
 
       LshProbeRewrite.register(indexPath, lsh, 64)
       val after = topk.queryExecution.optimizedPlan.toString
-      assert(after.contains("bucket") && (after.contains("buckets[") || after.contains("bucket#")),
-        s"expected probe filter in:\n$after")
+      assert(after.contains("first(") && after.contains("bucket_part"),
+        s"expected probe filter + dedupe aggregate in:\n$after")
 
       // results: the probe is the LSH candidate set -> subset of brute
       // with equal scores; the member query (vec 0) is always a candidate

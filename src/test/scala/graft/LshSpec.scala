@@ -77,6 +77,22 @@ class LshSpec extends AnyFunSuite {
     assert(hits.count() == 1)
   }
 
+  test("multi-probe returns a candidate superset of exact-bucket probing, scores still exact") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = Queries.queryVec(spark, sfDir)
+    val lsh = RandomHyperplaneLsh(8, 12, 42L)
+    val (exactHits, used) = lsh.search(emb, col("embedding"), col("vec_id"), q, 50)
+    val exact = exactHits.select("vec_id").as[Long].collect().toSet
+    val multi = lsh.searchMultiProbe(emb, col("embedding"), col("vec_id"), q, 50)
+      .select("vec_id", "score").as[(Long, Double)].collect()
+    if (used == "lsh") assert(exact.subsetOf(multi.map(_._1).toSet))
+    assert(multi.length >= exact.size)
+    val brute = BruteForceKnn.scored(emb, col("embedding"), q)
+      .select("vec_id", "score").as[(Long, Double)].collect().toMap
+    multi.foreach { case (id, s) => assert(math.abs(brute(id) - s) < 1e-12) }
+  }
+
   test("k <= 0 yields empty without fallback") {
     val df = toDf(Seq.fill(5)(randVec(4)))
     val (hits, used) = RandomHyperplaneLsh(2, 4, 42L)
