@@ -74,6 +74,16 @@ object Queries {
     hits.select(col("vec_id"), round(col("score"), 4).as("score"), lit(used).as("index_used"))
   }
 
+  /** Multi-probe LSH (1-bit bucket expansion): larger candidate set
+    * from the same tables — recall knob with no rebuild. Rows-only.
+    */
+  def knnLshMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    RandomHyperplaneLsh(8, 12, 42L)
+      .searchMultiProbe(emb, col("embedding"), col("vec_id"), queryVec(spark, sfDir), 5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+  }
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     IvfKnn.search(spark, emb, col("embedding"), col("vec_id"), queryVec(spark, sfDir),
@@ -416,6 +426,7 @@ object Queries {
     "knn_topk_per_label" -> (knnTopkPerLabel _),
     "knn_topk_per_label_agg" -> (knnTopkPerLabelAgg _),
     "knn_lsh" -> (knnLsh _),
+    "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "ann_ivf" -> (annIvf _),
     "ann_recall" -> (annRecall _),
     "neardup_embedding" -> (neardupEmbedding _),

@@ -1,0 +1,80 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.VectorFunctions
+import graft.index.{BruteForceKnn, RandomHyperplaneLsh}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck property tests (SURVEY §5): the invariants the reference
+  * implied but never wired up, checked over generated inputs. Each case
+  * runs real Spark jobs, so the success count is kept small.
+  */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5).withWorkers(1)
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dimGen = Gen.choose(2, 16)
+  private def vecGen(dim: Int): Gen[Array[Float]] =
+    Gen.containerOfN[Array, Float](dim, Gen.choose(-5f, 5f))
+  private val corpusGen: Gen[(List[Array[Float]], Array[Float])] = for {
+    dim <- dimGen
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, vecGen(dim))
+    q <- vecGen(dim)
+  } yield (rows, q)
+
+  property("topk equals oracle and is a prefix of top-(k+1)") =
+    Prop.forAll(corpusGen, Gen.choose(1, 10)) { case ((rows, q), k) =>
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val expected = OracleKnn.search(rows.map(_.map(_.toDouble)), q.map(_.toDouble), k)
+      val got = BruteForceKnn.search(df, col("embedding"), col("vec_id"), q, k)
+        .select("vec_id", "score").as[(Long, Double)].collect()
+      val plusOne = BruteForceKnn.search(df, col("embedding"), col("vec_id"), q, k + 1)
+        .select("vec_id").as[Long].collect()
+      got.map(_._1).toSeq == expected.map(_._1.toLong) &&
+        got.zip(expected).forall { case ((_, gs), (_, es)) => math.abs(gs - es) < 1e-9 } &&
+        plusOne.take(got.length).toSeq == got.map(_._1).toSeq
+    }
+
+  property("LSH hits scored identically to brute (subset property)") =
+    Prop.forAll(corpusGen) { case (rows, q) =>
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val (hits, _) = RandomHyperplaneLsh(4, 4, 42L)
+        .search(df, col("embedding"), col("vec_id"), q, 10)
+      val lshScores = hits.select("vec_id", "score").as[(Long, Double)].collect()
+      val bruteAll = BruteForceKnn.scored(df, col("embedding"), q)
+        .select("vec_id", "score").as[(Long, Double)].collect().toMap
+      lshScores.forall { case (id, s) => math.abs(bruteAll(id) - s) < 1e-12 }
+    }
+
+  property("normalize is idempotent; cosine(v, unit(v)) is 1 (or 0 for the zero vector)") =
+    Prop.forAll(dimGen.flatMap(vecGen)) { v =>
+      val df = Seq(Tuple1(v)).toDF("v")
+      val out = df.select(
+        VectorFunctions.l2Normalize(col("v")).as("u"),
+        VectorFunctions.l2Normalize(VectorFunctions.l2Normalize(col("v"))).as("uu"),
+        VectorFunctions.cosine(col("v"), VectorFunctions.l2Normalize(col("v"))).as("c"))
+        .head()
+      val u = out.getSeq[Float](0)
+      val uu = out.getSeq[Float](1)
+      val norm = math.sqrt(u.map(x => x.toDouble * x).sum)
+      u.zip(uu).forall { case (a, b) => math.abs(a - b) < 1e-5 } &&
+        (if (norm > 0) math.abs(out.getDouble(2) - 1.0) < 1e-6 else out.getDouble(2) == 0.0)
+    }
+
+  property("minhash signatures: identical texts identical; equality iff same shingle set") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")),
+      Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))) { (t1, t2) =>
+      val docs = Seq((0L, t1), (1L, t1), (2L, t2)).toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val sameShingles = t1.split(" ").sliding(3).toSet == t2.split(" ").sliding(3).toSet
+      sigs(0L) == sigs(1L) && (sigs(0L) == sigs(2L)) == sameShingles
+    }
+}
