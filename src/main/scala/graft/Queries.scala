@@ -253,6 +253,30 @@ object Queries {
       .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))
       .orderBy(col("k_bucket"))
 
+  /** Pivot-shaped conditional aggregation: one row per user, one column
+    * per event type (portable form of PIVOT — single pass, no extra
+    * shuffle beyond the groupBy).
+    */
+  def eventsPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        types.map(t => sum(when(col("event_type") === t, 1).otherwise(0)).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** Set operators: users who click AND purchase (INTERSECT) vs click
+    * but never purchase (EXCEPT). */
+  def setOpsUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clickers = ev.where(col("event_type") === "click").select(col("user_id")).distinct()
+    val buyers = ev.where(col("event_type") === "purchase").select(col("user_id")).distinct()
+    clickers.intersect(buyers).withColumn("segment", lit("click_and_purchase"))
+      .unionByName(clickers.except(buyers).withColumn("segment", lit("click_no_purchase")))
+      .orderBy(col("segment"), col("user_id"))
+  }
+
   /** Distinct aggregation (two-phase: partial distinct then exact count
     * — Catalyst expands to a double aggregate, no driver-side sets). */
   def aggDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
@@ -445,6 +469,8 @@ object Queries {
     "events_json_k" -> (eventsJsonK _),
     "events_sessionize" -> (eventsSessionize _),
     "agg_distinct_users" -> (aggDistinctUsers _),
+    "events_pivot" -> (eventsPivot _),
+    "set_ops_users" -> (setOpsUsers _),
     "dedup_exact" -> (dedupExact _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality" -> (textQuality _),
