@@ -96,9 +96,10 @@ final class Engine(clock: () => Instant = () => Instant.now(),
   def listLibraries(): Vector[LibraryRow] = state.libraries
 
   /** name is required (routers/libraries.py:31-40 → 400 without it);
-    * metadata merge only touches the whitelisted `tags` key (the
-    * reference's open-dict merge 500s on unknown keys via
-    * extra="forbid" — we reject instead of crashing).
+    * name/description are OVERWRITTEN (description=None clears it,
+    * library_repo.py:56-75), while metadata is MERGED into the existing
+    * dict — only the whitelisted `tags` key, since the reference's
+    * open-dict merge 500s on unknown keys via extra="forbid".
     */
   def updateLibrary(libId: String, name: String, description: Option[String],
                     tags: Option[String]): LibraryRow = mutate { s =>
@@ -108,7 +109,7 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     var updated: LibraryRow = null
     val libs = s.libraries.map { l =>
       if (l.id == libId) {
-        updated = l.copy(name = name, description = description.orElse(l.description),
+        updated = l.copy(name = name, description = description,
           tags = tags.orElse(l.tags), version = l.version + 1, updated_at = now)
         updated
       } else l

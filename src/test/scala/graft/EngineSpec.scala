@@ -56,6 +56,11 @@ class EngineSpec extends AnyFunSuite {
     assert(up.name == "Updated Name" && up.description.contains("Updated description"))
     assert(up.tags.contains("updated") && up.version == 1)
     assert(up.created_at == lib.created_at && up.updated_at.isAfter(lib.updated_at))
+    // description is overwrite semantics: None clears it (library_repo.py:56-75);
+    // tags merge: absent tags keep the previous value
+    val cleared = e.updateLibrary(lib.id, "Updated Name", None, None)
+    assert(cleared.description.isEmpty && cleared.tags.contains("updated"))
+    assert(cleared.version == 2)
   }
 
   test("update library without name -> BadRequest (400, libraries.py:31-40)") {
