@@ -237,6 +237,20 @@ object Queries {
       .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Correlated scalar subquery, executed through the engine's actual
+    * SQL surface (`spark.sql` over a temp view) with the very same SQL
+    * text the DuckDB oracle runs — Catalyst decorrelates it into an
+    * aggregate + join.
+    */
+  def sqlCorrelatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+        |                            WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   // ---- events: time windows, json, sessionization ----
 
   def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
@@ -462,6 +476,7 @@ object Queries {
     "customers_with_orders" -> (customersWithOrders _),
     "customers_without_orders" -> (customersWithoutOrders _),
     "top_order_per_customer" -> (topOrderPerCustomer _),
+    "sql_correlated_subquery" -> (sqlCorrelatedSubquery _),
     "events_asof_orders" -> (eventsAsofOrders _),
     "lineitem_quantiles" -> (lineitemQuantiles _),
     "agg_rollup" -> (aggRollup _),
