@@ -84,6 +84,15 @@ object Queries {
       .select(col("vec_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Graph-ANN (partition-sharded NSW): per-partition navigable-small-
+    * world beam search + global exact rerank. Rows-only; recall@10 is
+    * asserted 1.0 on the test corpus in NswKnnSpec.
+    */
+  def annNsw(spark: SparkSession, sfDir: String): DataFrame =
+    graft.index.NswKnn.search(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        queryVec(spark, sfDir), 5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     IvfKnn.search(spark, emb, col("embedding"), col("vec_id"), queryVec(spark, sfDir),
@@ -466,6 +475,7 @@ object Queries {
     "knn_lsh" -> (knnLsh _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "ann_ivf" -> (annIvf _),
+    "ann_nsw" -> (annNsw _),
     "ann_recall" -> (annRecall _),
     "neardup_embedding" -> (neardupEmbedding _),
     "agg_count_by_label" -> (aggCountByLabel _),
