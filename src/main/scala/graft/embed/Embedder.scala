@@ -12,6 +12,14 @@ package graft.embed
 trait Embedder extends Serializable {
   def dim: Int
   def embed(text: String): Array[Float]
+
+  /** Embed at an explicit dimensionality. The reference passes the
+    * corpus dim through (`embed_text(text, dim=dim)`,
+    * search_service.py:112); providers with a fixed output size (Cohere)
+    * ignore it, so ignoring is the default. Resizable embedders override
+    * so query vectors always match the corpus they search.
+    */
+  def embedAt(text: String, dim: Int): Array[Float] = embed(text)
 }
 
 /** Deterministic, seedable hash-based embedder: token hashing into a
@@ -20,6 +28,9 @@ trait Embedder extends Serializable {
   * fixtures and oracle expectations are reproducible.
   */
 final case class HashingEmbedder(dim: Int = 64, seed: Long = 42L) extends Embedder {
+
+  override def embedAt(text: String, d: Int): Array[Float] =
+    if (d == dim) embed(text) else copy(dim = d).embed(text)
 
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L

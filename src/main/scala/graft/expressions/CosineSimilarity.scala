@@ -13,7 +13,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics are identical to [[graft.functions.VectorFunctions.cosineUdf]]
   * (double accumulation, dot over the common prefix, norms over each
   * full array, 0.0 for a zero vector — reference brute_force.py:8-16):
-  * same operation order, so results are bitwise equal.
+  * same operation order, so results are bitwise equal on null-free
+  * arrays. NULL *elements* (legal in ARRAY<FLOAT> with
+  * containsNull=true, e.g. any parquet-read embedding column) are
+  * treated as 0.0 in both eval and codegen — the UDF cannot accept them
+  * at all (Catalyst's Seq[Float] conversion rejects null elements), so
+  * a defined zero-contribution is the only total semantics available.
   *
   * Why an Expression and not a UDF: the generated code reads floats
   * straight out of the columnar/UnsafeArrayData buffers inside the
@@ -44,15 +49,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val nx = x.numElements()
     val ny = y.numElements()
     val n = math.min(nx, ny)
+    @inline def elem(arr: ArrayData, i: Int): Double =
+      if (arr.isNullAt(i)) 0.0 else arr.getFloat(i).toDouble
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) { dot += elem(x, i) * elem(y, i); i += 1 }
     var na = 0.0
     i = 0
-    while (i < nx) { val v = x.getFloat(i).toDouble; na += v * v; i += 1 }
+    while (i < nx) { val v = elem(x, i); na += v * v; i += 1 }
     var nb = 0.0
     i = 0
-    while (i < ny) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
+    while (i < ny) { val v = elem(y, i); nb += v * v; i += 1 }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -72,15 +79,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($nx, $ny);
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $dot += ($a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i))
+         |        * ($b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i));
          |}
          |double $na = 0.0;
          |for (int $i = 0; $i < $nx; $i++) {
-         |  final double $v = (double) $a.getFloat($i); $na += $v * $v;
+         |  final double $v = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i); $na += $v * $v;
          |}
          |double $nb = 0.0;
          |for (int $i = 0; $i < $ny; $i++) {
-         |  final double $v = (double) $b.getFloat($i); $nb += $v * $v;
+         |  final double $v = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i); $nb += $v * $v;
          |}
          |${ev.value} = ($na == 0.0 || $nb == 0.0)
          |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

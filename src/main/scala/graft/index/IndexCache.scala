@@ -1,7 +1,5 @@
 package graft.index
 
-import java.util.concurrent.ConcurrentHashMap
-
 import graft.functions.VectorFunctions
 import graft.state.Engine
 import org.apache.spark.sql.DataFrame
@@ -14,32 +12,48 @@ import org.apache.spark.sql.functions.col
   *
   * Cache key = (libraryId, version, numTables, numPlanes, seed): a
   * mutation bumps the version, so stale entries simply stop being hit
-  * and are evicted lazily. The cached value is the bucketed DataFrame,
-  * Spark-cached so repeated probes at the same version skip both the
-  * hash computation and the source scan. Identical semantics to
-  * rebuild-per-query — the key IS the consistency proof.
+  * and are evicted on the next insert. The cached value is the bucketed
+  * DataFrame, Spark-cached so repeated probes at the same version skip
+  * both the hash computation and the source scan. Identical semantics
+  * to rebuild-per-query — the key IS the consistency proof.
+  *
+  * Entries are access-ordered; inserts first drop stale versions of the
+  * library being (re)built, then LRU-evict globally until the map is
+  * under `maxEntries` — so the cache is bounded even when every hit is
+  * a distinct library. All map access is serialized on a plain lock
+  * (builds are lazy plan construction, so holding it is cheap).
   */
 final class IndexCache(maxEntries: Int = 64) {
 
   final case class Key(libraryId: String, version: Int,
                        numTables: Int, numPlanes: Int, seed: Long)
 
-  private val cache = new ConcurrentHashMap[Key, DataFrame]()
+  private[this] val lock = new Object
+  private[this] val cache =
+    new java.util.LinkedHashMap[Key, DataFrame](16, 0.75f, /*accessOrder=*/ true)
 
   def bucketed(engine: Engine, spark: org.apache.spark.sql.SparkSession,
                libraryId: String, lsh: RandomHyperplaneLsh, dim: Int): DataFrame = {
     val version = engine.getLibrary(libraryId).version
     val key = Key(libraryId, version, lsh.numTables, lsh.numPlanes, lsh.seed)
-    cache.computeIfAbsent(key, { _ =>
-      if (cache.size() >= maxEntries) evictStale(libraryId, version)
-      val chunks = engine.chunksDF(spark)
-        .where(col("library_id") === libraryId && col("embedding").isNotNull)
-      lsh.withBuckets(chunks, VectorFunctions.l2Normalize(col("embedding")), dim).cache()
-    })
+    lock.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        evictFor(libraryId, version)
+        val chunks = engine.chunksDF(spark)
+          .where(col("library_id") === libraryId && col("embedding").isNotNull)
+        val built =
+          lsh.withBuckets(chunks, VectorFunctions.l2Normalize(col("embedding")), dim).cache()
+        cache.put(key, built)
+        built
+      }
+    }
   }
 
-  /** Drop entries for this library at older versions (and unpersist). */
-  private def evictStale(libraryId: String, currentVersion: Int): Unit = {
+  /** Pre-insert eviction (call with `lock` held): drop stale versions of
+    * this library, then LRU entries globally until an insert fits. */
+  private def evictFor(libraryId: String, currentVersion: Int): Unit = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -48,11 +62,16 @@ final class IndexCache(maxEntries: Int = 64) {
         it.remove()
       }
     }
+    while (cache.size() >= maxEntries) {
+      val eldest = cache.entrySet().iterator().next() // least-recently-used
+      eldest.getValue.unpersist(blocking = false)
+      cache.remove(eldest.getKey)
+    }
   }
 
-  def size: Int = cache.size()
+  def size: Int = lock.synchronized(cache.size())
 
-  def invalidate(libraryId: String): Unit = {
+  def invalidate(libraryId: String): Unit = lock.synchronized {
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

@@ -54,21 +54,29 @@ final class SearchService(spark: SparkSession, engine: Engine,
       df.where(col("metadata").getItem(key) === lit(value))
     }
 
-    if (filtered.isEmpty) return SearchResult(Nil, index, None, version)
+    // One job doubles as the empty-after-filter check (search_service.py:105-106)
+    // and the corpus-dim probe the index guards need.
+    val firstEmbedding = filtered.select(col("embedding")).limit(1).collect()
+    if (firstEmbedding.isEmpty) return SearchResult(Nil, index, None, version)
+    val dim = firstEmbedding(0).getSeq[Float](0).length
 
-    // Query vector: given embedding, else embed text, else error
-    // (search_service.py:110-116).
+    // Query vector: given embedding, else embed text at the corpus dim
+    // (search_service.py:110-116 passes dim through), else error.
     val qvec: Array[Float] = queryEmbedding.getOrElse {
       val text = queryText.getOrElse(
         throw new IllegalArgumentException("query_text or query_embedding required"))
       embedder.getOrElse(
-        throw new IllegalArgumentException("no embedder configured")).embed(text)
+        throw new IllegalArgumentException("no embedder configured")).embedAt(text, dim)
     }
+
+    // Dim guard on BOTH index paths (brute_force.py:36-37). The reference's
+    // lsh path has no clean guard — a mismatched query just explodes inside
+    // NumPy — so erroring here matches its observable "errors on mismatch"
+    // behavior rather than silently scoring a common prefix.
+    BruteForceKnn.requireDim(qvec, dim)
 
     val (hitsDF, used) = index match {
       case "brute" =>
-        val dim = filtered.select(col("embedding")).head().getSeq[Float](0).length
-        BruteForceKnn.requireDim(qvec, dim) // brute_force.py:36-37
         (BruteForceKnn.search(filtered, col("embedding"), col("id"), qvec, k), "brute")
       case "lsh" =>
         RandomHyperplaneLsh(lshTables, lshPlanes).search(

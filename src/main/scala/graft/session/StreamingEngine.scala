@@ -41,11 +41,29 @@ final class StreamingEngine(spark: SparkSession, embedder: Embedder) {
   @volatile private var errorLog: Vector[String] = Vector.empty
   def errors: Vector[String] = errorLog
 
+  /** Highest command seq already applied. foreachBatch is at-least-once
+    * (a failed/restarted micro-batch is replayed in full), so replayed
+    * rows with seq <= lastApplied are filtered out rather than
+    * re-applied — without this, non-idempotent adds would duplicate
+    * entities on every replay. Deletes are naturally idempotent; adds
+    * with explicit ids are additionally guarded by an existence check
+    * so a replay that races the watermark is still a no-op.
+    */
+  @volatile private var lastApplied: Long = Long.MinValue
+  def lastAppliedSeq: Long = lastApplied
+
   private def applyRow(c: CommandRow): Unit = c.kind match {
-    case "add_library" => engine.createLibrary(c.name, id = Option(c.libraryId))
-    case "add_document" => engine.addDocument(c.libraryId, c.title, id = Option(c.documentId))
+    case "add_library" =>
+      val exists = Option(c.libraryId).exists(id => engine.listLibraries().exists(_.id == id))
+      if (!exists) engine.createLibrary(c.name, id = Option(c.libraryId))
+    case "add_document" =>
+      val exists = Option(c.documentId).exists(id =>
+        engine.listDocuments(c.libraryId).exists(_.id == id))
+      if (!exists) engine.addDocument(c.libraryId, c.title, id = Option(c.documentId))
     case "add_chunk" =>
-      engine.addChunk(c.libraryId, c.documentId, c.text,
+      val exists = Option(c.chunkId).exists(id =>
+        engine.listChunks(c.libraryId, c.documentId).exists(_.id == id))
+      if (!exists) engine.addChunk(c.libraryId, c.documentId, c.text,
         Some(embedder.embed(c.text)),
         Option(c.metaType).map(t => Map("type" -> t)).getOrElse(Map.empty),
         id = Option(c.chunkId))
@@ -64,9 +82,12 @@ final class StreamingEngine(spark: SparkSession, embedder: Embedder) {
     checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
     w.foreachBatch { (batch: Dataset[CommandRow], _: Long) =>
       batch.orderBy("seq").collect().foreach { c =>
-        try applyRow(c)
-        catch { case e: Throwable =>
-          errorLog = errorLog :+ s"seq=${c.seq} ${c.kind}: ${e.getMessage}"
+        if (c.seq > lastApplied) {
+          try applyRow(c)
+          catch { case e: Throwable =>
+            errorLog = errorLog :+ s"seq=${c.seq} ${c.kind}: ${e.getMessage}"
+          }
+          lastApplied = c.seq // failed commands are recorded, never retried (interactive_workflow.py:373-377)
         }
       }
     }.start()

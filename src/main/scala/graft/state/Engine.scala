@@ -68,10 +68,18 @@ final class Engine(clock: () => Instant = () => Instant.now(),
 
   def state: EngineState = ref.get()
 
-  private def mutate[A](f: EngineState => (EngineState, A)): A = {
-    var out: A = null.asInstanceOf[A]
-    ref.updateAndGet { s => val (s2, a) = f(s); out = a; s2 }
-    out
+  /** Single-writer mutation: writers serialize on a plain lock and
+    * publish the new snapshot with one atomic set; readers stay
+    * lock-free on `ref.get()`. A CAS-retry loop (updateAndGet) is
+    * deliberately NOT used — mutation functions run side effects
+    * (clock(), newId(), embedder.embed in updateChunk) that must
+    * execute exactly once, and a contended CAS re-applies its function.
+    */
+  private val writeLock = new Object
+  private def mutate[A](f: EngineState => (EngineState, A)): A = writeLock.synchronized {
+    val (s2, a) = f(ref.get())
+    ref.set(s2)
+    a
   }
 
   private def requireLibrary(s: EngineState, libId: String): LibraryRow =

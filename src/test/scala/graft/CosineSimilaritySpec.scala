@@ -48,6 +48,30 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(r.head.isNullAt(0))
   }
 
+  test("null ELEMENTS contribute 0.0 — codegen and eval agree") {
+    // ARRAY<FLOAT> with containsNull=true (the shape every parquet-read
+    // embedding column has): a null element must act as 0.0, not read
+    // undefined memory.
+    val withNulls = Seq(
+      (Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](1f, 2f, 3f)),
+      (Seq[java.lang.Float](null, null), Seq[java.lang.Float](1f, 2f)))
+      .toDF("a", "b")
+    val got = withNulls.select(CosineSimilarity(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    // (1,0,3)·(1,2,3) / (|103| * |123|)
+    val exp0 = (1.0 + 0.0 + 9.0) / (math.sqrt(10.0) * math.sqrt(14.0))
+    assert(math.abs(got(0) - exp0) < 1e-12)
+    assert(got(1) == 0.0) // all-null lhs == zero vector -> 0.0
+
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val a = Literal(new GenericArrayData(Array[Any](1f, null, 3f)), ArrayType(FloatType, containsNull = true))
+    val b = Literal(new GenericArrayData(Array[Any](1f, 2f, 3f)), ArrayType(FloatType, containsNull = true))
+    val evald = CosineSimilarity(a, b).eval(null).asInstanceOf[Double]
+    assert(math.abs(evald - exp0) < 1e-12)
+  }
+
   test("registered SQL function works") {
     CosineSimilarity.register(spark)
     Seq((Array(1f, 0f), Array(1f, 0f))).toDF("a", "b").createOrReplaceTempView("vecs")

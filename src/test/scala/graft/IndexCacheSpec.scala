@@ -31,6 +31,24 @@ class IndexCacheSpec extends AnyFunSuite {
     assert(df3.count() == 3 && df1.count() == 2) // old snapshot stays consistent
   }
 
+  test("maxEntries bounds the cache globally (LRU eviction across libraries)") {
+    val e = new Engine()
+    val emb = HashingEmbedder(dim = 8)
+    val libs = (1 to 4).map { i =>
+      val lib = e.createLibrary(s"lib$i").id
+      val doc = e.addDocument(lib, "d").id
+      e.addChunk(lib, doc, s"text $i", Some(emb.embed(s"text $i")))
+      lib
+    }
+    val cache = new IndexCache(maxEntries = 2)
+    val lsh = RandomHyperplaneLsh(2, 4, 42L)
+    libs.foreach(lib => cache.bucketed(e, spark, lib, lsh, 8))
+    assert(cache.size <= 2) // distinct libraries, no stale versions — still bounded
+    // most-recently-used survives
+    val last = cache.bucketed(e, spark, libs.last, lsh, 8)
+    assert(last eq cache.bucketed(e, spark, libs.last, lsh, 8))
+  }
+
   test("different LSH params are distinct entries; invalidate clears a library") {
     val (e, lib, _) = seeded()
     val cache = new IndexCache()

@@ -91,6 +91,20 @@ class SearchServiceSpec extends AnyFunSuite {
       svc.search(lib, queryEmbedding = Some(Array(1f, 2f)), k = 3))
   }
 
+  test("dim mismatch on lsh raises too (reference errors inside NumPy; we error cleanly)") {
+    val (e, lib) = fixture()
+    val svc = new SearchService(spark, e, Some(embedder))
+    intercept[IllegalArgumentException](
+      svc.search(lib, queryEmbedding = Some(Array(1f, 2f)), k = 3, index = "lsh"))
+  }
+
+  test("query text embeds at the corpus dimension, not the embedder's default") {
+    val (e, lib) = fixture() // corpus embedded at dim=16
+    val svc = new SearchService(spark, e, Some(HashingEmbedder(dim = 64)))
+    val res = svc.search(lib, queryText = Some("eiffel tower paris"), k = 1)
+    assert(res.hits.nonEmpty) // would throw on dim guard if embedded at 64
+  }
+
   test("lsh index reports index/index_used; falls back to brute on zero candidates") {
     val (e, lib) = fixture()
     val svc = new SearchService(spark, e, Some(embedder))

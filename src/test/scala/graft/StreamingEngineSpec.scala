@@ -44,4 +44,27 @@ class StreamingEngineSpec extends AnyFunSuite {
       assert(res.libraryVersion == 5)
     } finally q.stop()
   }
+
+  test("at-least-once replay is idempotent: re-delivered commands do not duplicate entities") {
+    val se = new StreamingEngine(spark, HashingEmbedder(dim = 16))
+    val mem = MemoryStream[CommandRow](spark)
+    val q = se.attach(mem.toDS())
+    try {
+      val cmds = Seq(
+        CommandRow(1, "add_library", libraryId = "lib1", name = "l"),
+        CommandRow(2, "add_document", libraryId = "lib1", documentId = "doc1", title = "d"),
+        CommandRow(3, "add_chunk", libraryId = "lib1", documentId = "doc1",
+          chunkId = "c1", text = "hello world"))
+      mem.addData(cmds: _*)
+      q.processAllAvailable()
+      val v1 = se.engine.getLibrary("lib1").version
+      // simulate a replayed micro-batch (foreachBatch is at-least-once)
+      mem.addData(cmds: _*)
+      q.processAllAvailable()
+      assert(se.engine.listLibraries().count(_.id == "lib1") == 1)
+      assert(se.engine.listChunks("lib1", "doc1").map(_.id) == Vector("c1"))
+      assert(se.engine.getLibrary("lib1").version == v1) // replay applied nothing
+      assert(se.lastAppliedSeq == 3)
+    } finally q.stop()
+  }
 }
