@@ -23,12 +23,18 @@ object Queries {
 
   /** The canonical query vector: embedding of vec_id 0 (a corpus
     * member, so brute top-1 is itself at score 1.0 — a built-in sanity
-    * anchor). */
+    * anchor). Memoized per sfDir — it's a constant of the dataset, and
+    * fetching it per query would cost every knn/ann query an extra
+    * Spark job.
+    */
+  private val queryVecCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Float]]
   def queryVec(spark: SparkSession, sfDir: String): Array[Float] =
-    Tables.embeddings(spark, sfDir)
-      .where(col("vec_id") === 0)
-      .select(col("embedding"))
-      .head().getSeq[Float](0).toArray
+    queryVecCache.getOrElseUpdate(sfDir,
+      Tables.embeddings(spark, sfDir)
+        .where(col("vec_id") === 0)
+        .select(col("embedding"))
+        .head().getSeq[Float](0).toArray)
 
   // ---- vector search (O1-O13) ----
 
@@ -398,25 +404,21 @@ object Queries {
   def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
     val q = queryVec(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
-    val assigned = graft.index.MllibIndexes.kmeansIvf(emb, "embedding", k = 8)
-    val centroids = assigned
-      .groupBy(col("cluster_id"))
-      .agg(collect_list(col("embedding")).as("vs"))
-      .collect()
-      .map { r =>
-        val cid = r.getInt(0)
-        val vs = r.getSeq[collection.Seq[Float]](1)
-        val dim = vs.head.length
-        val mean = Array.tabulate(dim)(i => vs.map(_(i).toDouble).sum / vs.size)
-        val dot = mean.zip(q).map { case (x, y) => x * y.toDouble }.sum
-        val na = math.sqrt(mean.map(x => x * x).sum)
+    val (assigned, centers) =
+      graft.index.MllibIndexes.kmeansIvfWithCenters(emb, "embedding", k = 8)
+    // Probe choice from the model's own centroids — k driver-side
+    // vectors, no pass over the assigned corpus.
+    val probed = centers.zipWithIndex
+      .map { case (c, cid) =>
+        val dot = c.zip(q).map { case (x, y) => x * y.toDouble }.sum
+        val na = math.sqrt(c.map(x => x * x).sum)
         val nb = math.sqrt(q.map(x => x.toDouble * x).sum)
         (cid, if (na == 0 || nb == 0) 0.0 else dot / (na * nb))
       }
       .sortBy { case (cid, s) => (-s, cid) }
       .take(2).map(_._1)
     BruteForceKnn.search(
-      assigned.where(col("cluster_id").isin(centroids.map(Int.box): _*)),
+      assigned.where(col("cluster_id").isin(probed.map(Int.box): _*)),
       col("embedding"), col("vec_id"), q, 5)
       .select(col("vec_id"), round(col("score"), 4).as("score"))
   }
@@ -436,7 +438,12 @@ object Queries {
     * the surviving documents — final state is oracle-reconstructable in
     * pure SQL.
     */
-  private def lifecycleEngine(spark: SparkSession, sfDir: String): Engine = {
+  private val lifecycleCache =
+    scala.collection.concurrent.TrieMap.empty[String, Engine]
+  private def lifecycleEngine(spark: SparkSession, sfDir: String): Engine =
+    lifecycleCache.getOrElseUpdate(sfDir, buildLifecycleEngine(spark, sfDir))
+
+  private def buildLifecycleEngine(spark: SparkSession, sfDir: String): Engine = {
     val engine = new Engine()
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"))

@@ -7,10 +7,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet file per table. Filters/projections applied downstream are
   * pushed into the parquet scan by Catalyst (verify via .explain:
   * PushedFilters / ReadSchema).
+  *
+  * Tables are registered with Spark's storage cache on first load (per
+  * session × sfDir): a multi-query run (Bench, Verify — and any real
+  * engine session) scans each parquet file once and serves every later
+  * query from columnar memory. This is the in-memory operating point of
+  * the reference (whose whole corpus lives in process memory); on a
+  * cluster the same call is a no-op safety: `.cache()` is lazy and LRU —
+  * partitions that don't fit simply stay on disk.
   */
 object Tables {
+
+  private val cached =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cached.getOrElseUpdate((System.identityHashCode(spark), sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet").cache())
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -112,20 +112,29 @@ object AnnEval {
   }
 
   /** recall@k per method vs ground truth: (method, k, n_queries,
-    * avg_recall, min_recall). */
+    * avg_recall, min_recall). ONE distributed aggregation for every
+    * method at once (union-tagged join against truth), not a
+    * collect-per-method loop: the (method × query) grid left-join keeps
+    * zero-overlap queries in the average as 0.
+    */
   def recallReport(spark: SparkSession, truth: DataFrame,
                    methods: Seq[(String, DataFrame)], k: Int): DataFrame = {
     import spark.implicits._
-    val nQueries = truth.select(countDistinct(col("qid"))).head().getLong(0)
-    methods.map { case (name, result) =>
-      val perQuery = truth.join(result, Seq("qid", "id"))
-        .groupBy(col("qid")).agg((count(lit(1)).cast("double") / k).as("recall"))
-      // queries with zero overlap drop out of the join -> count them as 0
-      val recalls = perQuery.select(col("recall")).as[Double].collect()
-      val padded = recalls ++ Array.fill((nQueries - recalls.length).toInt)(0.0)
-      val avg = if (padded.isEmpty) 0.0 else padded.sum / padded.length
-      val min = if (padded.isEmpty) 0.0 else padded.min
-      (name, k, nQueries, math.rint(avg * 10000) / 10000, math.rint(min * 10000) / 10000)
-    }.toDF("method", "k", "n_queries", "avg_recall", "min_recall")
+    val tagged = methods.map { case (name, df) =>
+      df.select(col("qid"), col("id")).withColumn("method", lit(name))
+    }.reduce(_ unionByName _)
+    val perQuery = truth.select(col("qid"), col("id")).join(tagged, Seq("qid", "id"))
+      .groupBy(col("method"), col("qid"))
+      .agg((count(lit(1)).cast("double") / k).as("recall"))
+    val grid = truth.select(col("qid")).distinct()
+      .crossJoin(methods.map(_._1).toDF("method"))
+    grid.join(perQuery, Seq("method", "qid"), "left")
+      .na.fill(0.0, Seq("recall"))
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall")), 4).as("avg_recall"),
+        round(min(col("recall")), 4).as("min_recall"))
+      .select(col("method"), lit(k).as("k"), col("n_queries"),
+        col("avg_recall"), col("min_recall"))
   }
 }

@@ -27,13 +27,25 @@ object MllibIndexes {
     * writable partitioned by cluster_id for probe-pruned ANN serving.
     */
   def kmeansIvf(emb: DataFrame, embCol: String, k: Int = 16, seed: Long = 42L,
-                maxIter: Int = 5): DataFrame = {
+                maxIter: Int = 5): DataFrame =
+    kmeansIvfWithCenters(emb, embCol, k, seed, maxIter)._1
+
+  /** [[kmeansIvf]] plus the fitted centroids — the probe-list choice
+    * (which clusters a query visits) needs only these k driver-side
+    * vectors, never a pass over the assigned corpus.
+    */
+  def kmeansIvfWithCenters(emb: DataFrame, embCol: String, k: Int = 16, seed: Long = 42L,
+                           maxIter: Int = 5): (DataFrame, Array[Array[Double]]) = {
     val withVec = emb.where(col(embCol).isNotNull)
       .withColumn("features", array_to_vector(col(embCol)))
+    // Seeded random init instead of k-means|| — the parallel init's extra
+    // passes over the corpus buy little for an ANN coarse quantizer, and
+    // at 100 TB each pass is a full scan.
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cluster_id")
       .fit(withVec)
-    model.transform(withVec).drop("features")
+    (model.transform(withVec).drop("features"), model.clusterCenters.map(_.toArray))
   }
 
   /** MLlib BRP-LSH: Euclidean-distance bucketing over embeddings.

@@ -109,24 +109,59 @@ final case class RandomHyperplaneLsh(
     }.reduce(_ || _)
   }
 
+  /** Single-pass candidate predicate for a TRANSIENT probe (no at-rest
+    * bucket column): hash the raw embedding per table inside ONE boolean
+    * UDF, short-circuiting on the first table within `maxHamming` bit
+    * flips of the query's bucket. Hashing the raw vector is exact: sign
+    * bits are scale-invariant, and the zero vector hashes identically
+    * raw or "normalized" (the reference leaves it unchanged).
+    *
+    * Why not `candidateFilter` over [[withBuckets]] here: a filter
+    * expression that references the bucket column T times makes Catalyst
+    * collapse the projection and re-evaluate the full T-table hash UDF
+    * once PER TERM — T× redundant work (measured 7× slower at T=8).
+    * `candidateFilter` remains the right probe for an at-rest bucketed
+    * layout, where `buckets` is materialized data, not an expression.
+    */
+  def candidateMatch(embCol: Column, qBuckets: Array[Int], dim: Int,
+                     maxHamming: Int = 0): Column = {
+    val ps = planes(dim)
+    val matchUdf = udf { (v: collection.Seq[Float]) =>
+      if (v == null) false
+      else {
+        var t = 0
+        var found = false
+        while (t < ps.length && !found) {
+          if (Integer.bitCount(hash(v, ps(t)) ^ qBuckets(t)) <= maxHamming) found = true
+          t += 1
+        }
+        found
+      }
+    }
+    matchUdf(embCol)
+  }
+
   /** [[search]] with 1-bit multi-probe expansion. */
   def searchMultiProbe(chunks: DataFrame, embCol: Column, idCol: Column,
                        query: Array[Float], k: Int): DataFrame = {
     val withEmb = chunks.where(embCol.isNotNull)
     if (k <= 0) return withEmb.limit(0)
     val dim = query.length
-    val ps = planes(dim)
-    val qNorm = {
-      val n = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
-      if (n == 0.0) query else query.map(x => (x / n).toFloat)
-    }
-    val qBuckets = ps.map(tp => hash(qNorm.toSeq, tp))
-    withBuckets(withEmb, VectorFunctions.l2Normalize(embCol), dim)
-      .where(multiProbeFilter(qBuckets))
-      .drop("buckets")
+    val qBuckets = queryBuckets(query, dim)
+    withEmb
+      .where(candidateMatch(embCol, qBuckets, dim, maxHamming = 1))
       .withColumn("score", VectorFunctions.cosine(embCol, typedlit(query.toSeq)))
       .orderBy(col("score").desc, idCol.asc)
       .limit(k)
+  }
+
+  /** The query's bucket per table (query normalized for exactness —
+    * lsh.py:54-55 hashes normalized vectors; equivalent for rows). */
+  def queryBuckets(query: Array[Float], dim: Int): Array[Int] = {
+    val ps = planes(dim)
+    val n = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+    val qNorm = if (n == 0.0) query else query.map(x => (x / n).toFloat)
+    ps.map(tp => hash(qNorm.toSeq, tp))
   }
 
   /** LSH probe + exact rerank. Returns (hits, indexUsed). Fallback to
@@ -139,18 +174,9 @@ final case class RandomHyperplaneLsh(
     val withEmb = chunks.where(embCol.isNotNull)
     if (k <= 0) return (withEmb.limit(0), "lsh")
     val dim = query.length
-    val ps = planes(dim)
-    val qNorm = {
-      val n = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
-      if (n == 0.0) query else query.map(x => (x / n).toFloat)
-    }
-    val qBuckets = ps.map(tp => hash(qNorm.toSeq, tp))
-    // NB: the reference hashes *normalized* vectors (lsh.py:54-55); sign
-    // bits are scale-invariant so hashing raw vectors is equivalent for
-    // non-zero vectors, but we normalize the query for exactness.
-    val bucketed = withBuckets(withEmb, VectorFunctions.l2Normalize(embCol), dim)
-    val candidates = bucketed.where(candidateFilter(qBuckets)).drop("buckets")
-    val hits = candidates
+    val qBuckets = queryBuckets(query, dim)
+    val hits = withEmb
+      .where(candidateMatch(embCol, qBuckets, dim))
       .withColumn("score", VectorFunctions.cosine(embCol, typedlit(query.toSeq)))
       .orderBy(col("score").desc, idCol.asc)
       .limit(k)
