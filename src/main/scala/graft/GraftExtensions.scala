@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
-    ext.injectOptimizerRule(_ => graft.plans.LshProbeRewrite)
+    // Pre-CBO, not the operator-optimization fixpoint: the rewrite emits
+    // a custom logical node whose expression lists must not be rewritten
+    // by the stock operator rules that iterate that batch.
+    ext.injectPreCBORule(_ => graft.plans.LshProbeRewrite)
+    ext.injectPlannerStrategy(s => graft.plans.LshProbeStrategy(s))
   }
 }

@@ -72,7 +72,7 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case limit @ GlobalLimit(_, LocalLimit(_,
+    case limit @ GlobalLimit(IntegerLiteral(kVal), LocalLimit(_,
         sort @ Sort(SortOrder(scoreAttr: Attribute, Descending, _, _) +: _, true,
           proj @ Project(projectList, child), _)))
         if !alreadyProbed(child) =>
@@ -89,6 +89,17 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         tableAttr <- child.output.find(_.name == "table")
         partAttr <- child.output.find(_.name == "bucket_part")
         bucketAttr <- child.output.find(_.name == "bucket")
+        // the physical operator re-derives ordering and dedupe keys from
+        // its projected rows, so every sort expression and every payload
+        // column must flow through the projection
+        outIds = projectList.map(_.toAttribute.exprId).toSet
+        if sort.order.forall(_.child match {
+          case a: Attribute => outIds.contains(a.exprId)
+          case _ => false
+        })
+        layoutNames = Set("table", "bucket", "bucket_part")
+        dedupeKeys = child.output.filterNot(a => layoutNames.contains(a.name))
+        if dedupeKeys.nonEmpty && dedupeKeys.forall(a => outIds.contains(a.exprId))
       } yield {
         val qb = queryBuckets(reg, qvec)
         // Partition-col-only disjunction (prunable by Catalyst) AND the
@@ -105,22 +116,14 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
             EqualTo(bucketAttr, Literal(b, IntegerType)))
             .asInstanceOf[Expression]
         }.reduce(Or(_, _))
-        // a row sits in every table's sub-layout -> dedupe the payload
-        // columns before scoring. Emitted directly as the Aggregate
-        // form (grouping on payload, first() for the layout columns,
-        // exprIds preserved so the Project above still resolves) —
-        // ReplaceDeduplicateWithAggregate has already run by the time
-        // user rules fire, so a Deduplicate node would reach planning.
-        val layoutNames = Set("table", "bucket", "bucket_part")
-        val dedupeKeys = child.output.filterNot(a => layoutNames.contains(a.name))
-        val aggExprs: Seq[NamedExpression] = child.output.map { a =>
-          if (layoutNames.contains(a.name))
-            Alias(new aggregate.First(a, false).toAggregateExpression(), a.name)(exprId = a.exprId)
-          else a
-        }
-        limit.copy(child = limit.child.asInstanceOf[LocalLimit].copy(child =
-          sort.copy(child = proj.copy(child =
-            Aggregate(dedupeKeys, aggExprs, Filter(And(pruneOr, exactOr), child))))))
+        // Collapse dedupe + score + sort + limit into the custom
+        // whole-operator node ([[LshProbeTopK]]); [[LshProbeStrategy]]
+        // plans it into the bounded-heap physical operator. A row sits
+        // in every table's sub-layout, so the operator dedupes the
+        // payload columns — as per-partition hash-skip + merge, not the
+        // full-shuffle Aggregate the logical form would need.
+        LshProbeTopK(kVal, sort.order, projectList, dedupeKeys,
+          Filter(And(pruneOr, exactOr), child))
       }
       rewrite.getOrElse(limit)
   }

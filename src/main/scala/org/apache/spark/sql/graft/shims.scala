@@ -12,4 +12,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object SqlShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Serializable, lazily-codegen'd row ordering for custom physical
+    * operators (the same mechanism TakeOrderedAndProjectExec uses). */
+  def rowOrdering(sortOrder: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],
+                  input: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+  : Ordering[org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering(sortOrder, input)
 }

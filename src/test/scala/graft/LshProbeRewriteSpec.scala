@@ -51,14 +51,22 @@ class LshProbeRewriteSpec extends AnyFunSuite {
         .orderBy(col("score").desc, col("vec_id").asc)
         .limit(5)
 
-      // unregistered: no probe (no injected dedupe aggregate)
+      // unregistered: no probe node
       val before = topk.queryExecution.optimizedPlan.toString
-      assert(!before.contains("first("), s"unexpected probe in:\n$before")
+      assert(!before.contains("LshProbeTopK"), s"unexpected probe in:\n$before")
 
       LshProbeRewrite.register(indexPath, lsh, 64)
       val after = topk.queryExecution.optimizedPlan.toString
-      assert(after.contains("first(") && after.contains("bucket_part"),
-        s"expected probe filter + dedupe aggregate in:\n$after")
+      assert(after.contains("LshProbeTopK") && after.contains("bucket_part"),
+        s"expected probe node + bucket filter in:\n$after")
+      // physical node names print with the Exec suffix stripped
+      val physical = topk.queryExecution.executedPlan.toString
+      assert(physical.contains("LshProbeTopK"),
+        s"expected the custom physical operator in:\n$physical")
+      // the whole-operator plan has NO exchange for the dedupe: only the
+      // final <= k*P-row merge moves data
+      assert(!physical.contains("HashAggregate"),
+        s"dedupe must not plan as an aggregate:\n$physical")
 
       // results: the probe is the LSH candidate set -> subset of brute
       // with equal scores; the member query (vec 0) is always a candidate
