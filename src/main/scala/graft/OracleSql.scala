@@ -262,5 +262,59 @@ object OracleSql {
       """SELECT source AS library_id,
         |  CAST(count(*) + SUM(CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) AS INT) AS version
         |FROM documents WHERE source <> 'src0' GROUP BY source ORDER BY library_id""".stripMargin,
+
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+        |  ROUND(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+        |  ROUND(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "ntile_quartiles" ->
+      """WITH q AS (SELECT c_acctbal,
+        |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile FROM customer)
+        |SELECT quartile, count(*) AS n_cust,
+        |  ROUND(MIN(c_acctbal), 2) AS min_bal, ROUND(MAX(c_acctbal), 2) AS max_bal
+        |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "range_join_events_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_pairs,
+        |  count(DISTINCT event_id) AS n_events
+        |FROM events e JOIN orders o
+        |  ON e.user_id = o.o_custkey
+        | AND e.ts >= o.o_orderdate AND e.ts <= o.o_orderdate + INTERVAL 1 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "string_funcs_customers" ->
+      """SELECT c_custkey, upper(c_name) AS uname,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  substr(c_name, 1, 8) AS prefix,
+        |  c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS tag
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+
+    "date_funcs_orders" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  count(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+
+    "parts_by_brand" ->
+      """SELECT p_brand, count(*) AS n_parts, count(DISTINCT p_type) AS n_types,
+        |  ROUND(AVG(p_retailprice), 4) AS avg_price,
+        |  ROUND(MAX(p_retailprice), 2) AS max_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "supplier_balance_by_nation" ->
+      """SELECT n_name, count(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
 }

@@ -266,6 +266,98 @@ object Queries {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Running total + lag/lead over each customer's order history —
+    * the window-frame trio (cumulative frame, offset functions) on one
+    * shuffle by customer.
+    */
+  def windowRunningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .where(col("o_custkey") < 100)
+      .withColumn("running", round(sum(col("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("prev_price", round(lag(col("o_totalprice"), 1).over(w), 2))
+      .withColumn("next_price", round(lead(col("o_totalprice"), 1).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("running"), col("prev_price"), col("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** CUBE aggregation: all four grouping combinations in one pass. */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Quartiles by account balance (ntile window) → per-quartile stats. */
+  def ntileQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+      .orderBy(col("quartile"))
+  }
+
+  /** Range (interval) join: events within 1 day after the same user's
+    * order — an equi-join on the user key plus a time-range predicate,
+    * the standard feature-window shape. The equi key bounds the pair
+    * blow-up; the range predicate filters inside each key group.
+    */
+  def rangeJoinEventsOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    e.join(o, col("user_id") === col("o_custkey") &&
+        col("ts") >= col("o_orderdate") &&
+        col("ts") <= col("o_orderdate") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("event_id")).as("n_events"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Scalar string-function battery over customers (projection-only —
+    * stays inside whole-stage codegen, no shuffle at all).
+    */
+  def stringFuncsCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .where(col("c_custkey") <= 200)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).cast("long").as("name_len"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("tag"))
+      .orderBy(col("c_custkey"))
+
+  /** Date-part extraction + monthly revenue rollup. */
+  def dateFuncsOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("y"), col("m"))
+
+  /** Catalog stats over the `part` dimension. */
+  def partsByBrand(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"),
+        round(max(col("p_retailprice")), 2).as("max_price"))
+      .orderBy(col("p_brand"))
+
+  /** Supplier balances per nation (broadcast dim join + agg). */
+  def supplierBalanceByNation(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "supplier")
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), round(sum(col("s_acctbal")), 2).as("total_bal"))
+      .orderBy(col("n_name"))
+
   // ---- events: time windows, json, sessionization ----
 
   def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
@@ -517,5 +609,13 @@ object Queries {
     "multimodal_meta" -> (multimodalMeta _),
     "crud_lifecycle" -> (crudLifecycle _),
     "crud_versions" -> (crudVersions _),
+    "window_running_total" -> (windowRunningTotal _),
+    "agg_cube" -> (aggCube _),
+    "ntile_quartiles" -> (ntileQuartiles _),
+    "range_join_events_orders" -> (rangeJoinEventsOrders _),
+    "string_funcs_customers" -> (stringFuncsCustomers _),
+    "date_funcs_orders" -> (dateFuncsOrders _),
+    "parts_by_brand" -> (partsByBrand _),
+    "supplier_balance_by_nation" -> (supplierBalanceByNation _),
   )
 }
