@@ -316,5 +316,31 @@ object OracleSql {
       """SELECT n_name, count(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS total_bal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // The synthetic P5 blob is a pure function of the ASCII text
+    // (dims from n_chars, pixels = text bytes cycled), so the real
+    // codec's outputs are recomputable in SQL.
+    "multimodal_decode" ->
+      """WITH m AS (SELECT doc_id, 16 + (n_chars % 16) AS w, 16 + (n_chars % 8) AS h
+        |           FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(255 AS BIGINT) AS maxval,
+        |  CAST(length('P5' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+        |    || chr(10) || '255' || chr(10)) + w * h AS BIGINT) AS n_bytes,
+        |  'pgm' AS format
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "multimodal_thumbnail" ->
+      """WITH m AS (SELECT doc_id, text, n_chars AS n,
+        |             16 + (n_chars % 16) AS w, 16 + (n_chars % 8) AS h FROM documents),
+        |cells AS (
+        |  SELECT doc_id,
+        |    unicode(substr(text,
+        |      CAST(((y.g * h // 12) * w + (x.g * w // 12)) % n AS INT) + 1, 1)) AS v
+        |  FROM m, generate_series(0, 11) AS y(g), generate_series(0, 11) AS x(g))
+        |SELECT doc_id, CAST(12 AS BIGINT) AS thumb_w, CAST(12 AS BIGINT) AS thumb_h,
+        |  CAST(length('P5' || chr(10) || '12 12' || chr(10) || '255' || chr(10)) + 144 AS BIGINT) AS n_thumb_bytes,
+        |  CAST(SUM(v) % 997 AS BIGINT) AS checksum
+        |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -522,6 +522,29 @@ object Queries {
       .toDF()
       .orderBy(col("doc_id"))
 
+  private def syntheticImages(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("blob", Multimodal.syntheticPgmUdf(col("text")))
+
+  /** REAL-codec decode over the binary column: every doc becomes a
+    * valid P5 image (dims from text length, pixels = text bytes
+    * cycled), parsed by the actual Netpbm decoder; the oracle recomputes
+    * header geometry and byte counts in SQL.
+    */
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.decodeMeta(spark, syntheticImages(spark, sfDir), "doc_id", "blob")
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  /** decode → 12×12 nearest-neighbor thumbnail → re-encode PGM, with a
+    * pixel checksum the oracle reproduces cell-by-cell in SQL — proof
+    * that real pixels moved through resize, not just headers.
+    */
+  def multimodalThumbnail(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.thumbnails(spark, syntheticImages(spark, sfDir), "doc_id", "blob", 12, 12)
+      .toDF()
+      .orderBy(col("doc_id"))
+
   // ---- CRUD engine lifecycle (O16-O22 re-expressed as queries) ----
 
   /** Builds an Engine from the documents table (one library per source,
@@ -617,5 +640,7 @@ object Queries {
     "date_funcs_orders" -> (dateFuncsOrders _),
     "parts_by_brand" -> (partsByBrand _),
     "supplier_balance_by_nation" -> (supplierBalanceByNation _),
+    "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_thumbnail" -> (multimodalThumbnail _),
   )
 }

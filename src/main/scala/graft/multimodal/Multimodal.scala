@@ -54,4 +54,78 @@ object Multimodal {
     */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] =
     extractMeta(spark, docs.withColumn("blob", encode(col("text"), "UTF-8")), "doc_id", "blob")
+
+  // ---- real-codec path ([[ImageCodec]]) ----
+
+  /** Header + payload metadata decoded by the REAL codec. */
+  case class DecodedMeta(doc_id: Long, width: Long, height: Long,
+                         maxval: Long, n_bytes: Long, format: String)
+
+  /** Thumbnail roundtrip proof: decode → resize → re-encode, with a
+    * pixel checksum so the oracle verifies actual pixel movement. */
+  case class ThumbMeta(doc_id: Long, thumb_w: Long, thumb_h: Long,
+                       n_thumb_bytes: Long, checksum: Long)
+
+  /** Deterministic synthetic PGM: a real P5 image whose dimensions
+    * derive from the text length and whose pixels are the ASCII text
+    * bytes cycled row-major — so every decoded property is
+    * SQL-reproducible for the DuckDB oracle while the decode itself
+    * exercises the real parser.
+    */
+  def syntheticPgm(text: String): Array[Byte] = {
+    val bytes = text.getBytes("US-ASCII")
+    val n = math.max(bytes.length, 1)
+    val w = 16 + n % 16
+    val h = 16 + n % 8
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = Array.tabulate(w * h)(i => if (bytes.isEmpty) 0.toByte else bytes(i % n))
+    header ++ px
+  }
+
+  val syntheticPgmUdf = udf { (text: String) =>
+    if (text == null) null else syntheticPgm(text)
+  }
+
+  /** Decode a binary column with the real codec; undecodable blobs are
+    * dropped (quarantine path at scale). One partition-local pass. */
+  def decodeMeta(spark: SparkSession, df: DataFrame, idCol: String, binCol: String): Dataset[DecodedMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.decode(bytes).map(img =>
+          DecodedMeta(id, img.width, img.height, img.maxval, bytes.length.toLong, img.format))
+      })
+  }
+
+  /** decode → nearest-neighbor resize → re-encode PGM, one pass. */
+  def thumbnails(spark: SparkSession, df: DataFrame, idCol: String, binCol: String,
+                 tw: Int, th: Int): Dataset[ThumbMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.decode(bytes).map { img =>
+          val thumb = ImageCodec.resizeNearest(img, tw, th)
+          val encoded = ImageCodec.encodePgm(thumb)
+          val gray = ImageCodec.toGray(thumb)
+          var acc = 0L; var i = 0
+          while (i < gray.pixels.length) { acc += gray.pixels(i) & 0xFF; i += 1 }
+          ThumbMeta(id, thumb.width, thumb.height, encoded.length.toLong, acc % 997L)
+        }
+      })
+  }
+
+  /** Luma-histogram feature vectors — image "embeddings" that plug into
+    * the cosine ANN / near-dup operators unchanged. */
+  def featureVectors(spark: SparkSession, df: DataFrame, idCol: String, binCol: String,
+                     bins: Int = 8): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.decode(bytes).map(img => (id, ImageCodec.lumaHistogram(img, bins)))
+      })
+      .toDF(idCol, "features")
+  }
 }

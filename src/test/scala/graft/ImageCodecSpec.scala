@@ -1,0 +1,94 @@
+package graft
+
+import graft.multimodal.{ImageCodec, Multimodal, RasterImage}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ImageCodecSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+
+  private def gradient(w: Int, h: Int): RasterImage =
+    RasterImage(w, h, 1, 255, Array.tabulate(w * h)(i => (i % 256).toByte), "pgm")
+
+  test("PGM roundtrip: encode then decode preserves header and pixels") {
+    val img = gradient(17, 9)
+    val decoded = ImageCodec.decode(ImageCodec.encodePgm(img)).get
+    assert(decoded.width == 17 && decoded.height == 9 && decoded.channels == 1)
+    assert(decoded.maxval == 255 && decoded.format == "pgm")
+    assert(decoded.pixels.sameElements(img.pixels))
+  }
+
+  test("PGM parser handles comments and multi-whitespace headers") {
+    val px = Array.tabulate(6)(i => (10 * i).toByte)
+    val bytes = "P5\n# a comment\n3 2\n255\n".getBytes("US-ASCII") ++ px
+    val img = ImageCodec.decode(bytes).get
+    assert(img.width == 3 && img.height == 2)
+    assert(img.pixels.sameElements(px))
+  }
+
+  test("PNG roundtrip through the JDK ImageIO path") {
+    val img = gradient(8, 5)
+    val png = ImageCodec.encodePng(img)
+    assert(ImageCodec.sniff(png) == "png")
+    val back = ImageCodec.decode(png).get
+    assert(back.width == 8 && back.height == 5 && back.channels == 3)
+    // gray source -> equal RGB channels carrying the original gray level
+    (0 until 40).foreach { i =>
+      val v = img.pixels(i) & 0xFF
+      assert((back.pixels(i * 3) & 0xFF) == v)
+      assert((back.pixels(i * 3 + 1) & 0xFF) == v)
+      assert((back.pixels(i * 3 + 2) & 0xFF) == v)
+    }
+  }
+
+  test("nearest-neighbor resize picks floor-mapped source pixels") {
+    val img = gradient(16, 16)
+    val half = ImageCodec.resizeNearest(img, 8, 8)
+    assert(half.width == 8 && half.height == 8)
+    (0 until 8).foreach { y =>
+      (0 until 8).foreach { x =>
+        assert(half.pixels(y * 8 + x) == img.pixels(y * 2 * 16 + x * 2))
+      }
+    }
+  }
+
+  test("luma histogram is L1-normalized and lands in the right bins") {
+    // half the pixels at 0 (bin 0), half at 255 (bin 7)
+    val img = RasterImage(4, 2, 1, 255,
+      Array[Byte](0, 0, 0, 0, -1, -1, -1, -1), "pgm")
+    val hist = ImageCodec.lumaHistogram(img, 8)
+    assert(math.abs(hist(0) - 0.5f) < 1e-6)
+    assert(math.abs(hist(7) - 0.5f) < 1e-6)
+    assert(math.abs(hist.sum - 1.0f) < 1e-6)
+    assert(math.abs(ImageCodec.meanLuma(img) - 127.5) < 1e-9)
+  }
+
+  test("garbage and truncated blobs decode to None, not exceptions") {
+    assert(ImageCodec.decode(null).isEmpty)
+    assert(ImageCodec.decode("nonsense".getBytes).isEmpty)
+    assert(ImageCodec.decode("P5\n10 10\n255\nxx".getBytes).isEmpty) // truncated payload
+    assert(ImageCodec.decode("P5\nab cd\n255\n".getBytes).isEmpty)   // non-numeric dims
+  }
+
+  test("RGB PPM decodes and grayscales with BT.601 luma") {
+    val px = Array[Byte](-1, 0, 0, 0, -1, 0) // red, green
+    val bytes = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ px
+    val img = ImageCodec.decode(bytes).get
+    assert(img.channels == 3 && img.format == "ppm")
+    val gray = ImageCodec.toGray(img)
+    assert((gray.pixels(0) & 0xFF) == 299 * 255 / 1000)
+    assert((gray.pixels(1) & 0xFF) == 587 * 255 / 1000)
+  }
+
+  test("feature vectors flow into the cosine near-dup operator") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val blobs = docs.withColumn("blob", Multimodal.syntheticPgmUdf(col("text")))
+    val feats = Multimodal.featureVectors(spark, blobs, "doc_id", "blob")
+    assert(feats.count() == 50)
+    val pairs = graft.dedup.Dedup.embeddingNearDups(feats, "doc_id", "features", 0.999)
+    // histograms of same-language synthetic text are near-identical for
+    // some pairs; the operator must run end-to-end either way
+    assert(pairs.columns.toSeq == Seq("id_a", "id_b", "cos"))
+    pairs.collect() // executes the full broadcast + mapPartitions path
+  }
+}
