@@ -99,6 +99,15 @@ object Queries {
         queryVec(spark, sfDir), 5)
       .select(col("vec_id"), round(col("score"), 4).as("score"))
 
+  /** Hierarchical NSW (multi-layer, HNSW-shaped): deterministic levels,
+    * greedy upper-layer descent, layer-0 beam, exact global rerank.
+    * Rows-only; recall + store roundtrip asserted in HnswSpec.
+    */
+  def annHnsw(spark: SparkSession, sfDir: String): DataFrame =
+    graft.index.Hnsw.search(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        queryVec(spark, sfDir), 5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     IvfKnn.search(spark, emb, col("embedding"), col("vec_id"), queryVec(spark, sfDir),
@@ -129,8 +138,13 @@ object Queries {
     val truth = AnnEval.groundTruth(emb, "vec_id", "embedding", queries, k).cache()
     val lsh = AnnEval.lshTopK(emb, "vec_id", "embedding", queries, k,
       graft.index.RandomHyperplaneLsh(8, 6, 42L), dim = 64)
+    // tuned default from the LshSweep grid: 1-bit multi-probe at 8×6
+    // matches 16-table exact-bucket recall at half the storage
+    val lshMp = AnnEval.lshTopK(emb, "vec_id", "embedding", queries, k,
+      graft.index.RandomHyperplaneLsh(8, 6, 42L), dim = 64, maxHamming = 1)
     val ivf = AnnEval.ivfTopK(emb, "vec_id", "embedding", queries, k, stride = 53L, nprobe = 4)
-    AnnEval.recallReport(spark, truth, Seq("lsh" -> lsh, "ivf" -> ivf), k)
+    AnnEval.recallReport(spark, truth,
+        Seq("lsh" -> lsh, "lsh_mp" -> lshMp, "ivf" -> ivf), k)
       .orderBy(col("method"))
   }
 
@@ -598,6 +612,7 @@ object Queries {
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "ann_ivf" -> (annIvf _),
     "ann_nsw" -> (annNsw _),
+    "ann_hnsw" -> (annHnsw _),
     "ann_recall" -> (annRecall _),
     "neardup_embedding" -> (neardupEmbedding _),
     "agg_count_by_label" -> (aggCountByLabel _),

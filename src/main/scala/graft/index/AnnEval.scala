@@ -50,10 +50,11 @@ object AnnEval {
   }
 
   /** LSH top-k per query: rows score only against queries sharing a
-    * bucket in some table. */
+    * bucket in some table (within `maxHamming` bit flips — 0 = exact
+    * bucket, 1 = single-probe expansion). */
   def lshTopK(emb: DataFrame, idCol: String, embCol: String,
               queries: Array[(Long, Array[Float])], k: Int,
-              lsh: RandomHyperplaneLsh, dim: Int): DataFrame = {
+              lsh: RandomHyperplaneLsh, dim: Int, maxHamming: Int = 0): DataFrame = {
     val ps = lsh.planes(dim)
     val qBuckets = queries.map { case (qid, qv) =>
       val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
@@ -65,7 +66,8 @@ object AnnEval {
       else {
         val rowBuckets = ps.map(tp => lsh.hash(v, tp))
         qBuckets.collect {
-          case (qid, qv, qb) if qb.indices.exists(t => qb(t) == rowBuckets(t)) =>
+          case (qid, qv, qb) if qb.indices.exists(t =>
+              Integer.bitCount(qb(t) ^ rowBuckets(t)) <= maxHamming) =>
             QScore(qid, cosRaw(v, qv))
         }
       }

@@ -1,0 +1,263 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hierarchical NSW (the HNSW shape: multi-layer navigable-small-world
+  * graphs) — the roadmap upgrade over the single-layer [[NswKnn]].
+  *
+  * Layout: one graph per shard (Spark partition), FAISS-style sharded
+  * serving — each shard answers with a beam search, the global answer
+  * is the exact rerank of shard candidates. Within a shard:
+  *
+  *  - node levels are DETERMINISTIC (level = trailing-zeros base 4 of
+  *    the insertion index, capped) instead of HNSW's random geometric
+  *    draw — same expected layer sizes (1/4 per level), reproducible
+  *    builds on any cluster;
+  *  - insertion descends from the current entry point greedily through
+  *    upper layers, then beam-searches each layer ≤ node level and
+  *    connects to the M best (2M degree cap, similarity-pruned);
+  *  - search descends greedily (ef=1) to layer 0, then beams with `ef`.
+  *
+  * Exact cosine everywhere, so returned scores are exact; hierarchy
+  * only changes WHICH candidates surface (and turns the O(N) entry walk
+  * of a flat NSW into O(log N) layer hops).
+  *
+  * [[HnswIndexStore]] persists the built graphs as a parquet table
+  * (shard, node_idx, id, embedding, neighbors-per-level) so serving
+  * never rebuilds: the reference re-indexes per query
+  * (search_service.py:122); here the build is a batch job and the probe
+  * is a scan of stored adjacency.
+  */
+object Hnsw {
+
+  final val MaxLevel = 4
+
+  /** level(i): trailing zeros of i in base 4, capped; node 0 owns the
+    * top so an entry point always exists. */
+  def levelOf(i: Int): Int =
+    if (i == 0) MaxLevel
+    else {
+      var l = 0
+      var x = i
+      while (l < MaxLevel && x % 4 == 0) { l += 1; x /= 4 }
+      l
+    }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** One shard's graph: `layers(l)(node)` = neighbor list at level l
+    * (null above the node's level — jagged, parquet-friendly). */
+  final case class ShardGraph(ids: Array[Long], vecs: Array[Array[Float]],
+                              layers: Array[Array[Array[Int]]])
+
+  /** Beam search one LAYER of the graph over nodes < bound. `layer` is
+    * a neighbor lookup (null = no edges) so build-time adjacency
+    * buffers and stored arrays share the code without copying. */
+  private def beamLayer(vecs: Array[Array[Float]], layer: Int => Array[Int],
+                        entry: Int, bound: Int, query: Array[Float], ef: Int): Array[(Int, Double)] = {
+    val visited = new java.util.BitSet(bound)
+    val candOrd = Ordering.by[(Int, Double), (Double, Int)](t => (t._2, -t._1))
+    val cands = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](candOrd)
+    val results = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](candOrd.reverse)
+    val es = cos(vecs(entry), query)
+    visited.set(entry)
+    cands.enqueue((entry, es))
+    results.enqueue((entry, es))
+    while (cands.nonEmpty) {
+      val (c, cs) = cands.dequeue()
+      if (results.size >= ef && cs < results.head._2) cands.clear()
+      else {
+        val nbs = layer(c)
+        if (nbs != null) nbs.foreach { nb =>
+          if (nb < bound && !visited.get(nb)) {
+            visited.set(nb)
+            val s = cos(vecs(nb), query)
+            if (results.size < ef || s > results.head._2) {
+              cands.enqueue((nb, s))
+              results.enqueue((nb, s))
+              if (results.size > ef) results.dequeue()
+            }
+          }
+        }
+      }
+    }
+    results.dequeueAll.toArray.sortBy(t => (-t._2, t._1))
+  }
+
+  /** Greedy single-step descent on one layer (ef=1 beam). */
+  private def greedyLayer(vecs: Array[Array[Float]], layer: Int => Array[Int],
+                          entry: Int, bound: Int, query: Array[Float]): Int = {
+    var cur = entry
+    var curS = cos(vecs(cur), query)
+    var improved = true
+    while (improved) {
+      improved = false
+      val nbs = layer(cur)
+      if (nbs != null) nbs.foreach { nb =>
+        if (nb < bound) {
+          val s = cos(vecs(nb), query)
+          if (s > curS || (s == curS && nb < cur)) { cur = nb; curS = s; improved = true }
+        }
+      }
+    }
+    cur
+  }
+
+  /** Deterministic greedy-insertion build of one shard. `nodes` should
+    * be pre-sorted (by id) for run-to-run reproducibility. */
+  def build(nodes: Array[(Long, Array[Float])], m: Int = 8, efConstruction: Int = 32): ShardGraph = {
+    val n = nodes.length
+    val vecs = nodes.map(_._2)
+    val layers = Array.fill(MaxLevel + 1)(new Array[Array[Int]](n))
+    val adj = Array.fill(MaxLevel + 1)(
+      new Array[scala.collection.mutable.ArrayBuffer[Int]](n))
+    def ensure(l: Int, i: Int): scala.collection.mutable.ArrayBuffer[Int] = {
+      if (adj(l)(i) == null) adj(l)(i) = scala.collection.mutable.ArrayBuffer.empty[Int]
+      adj(l)(i)
+    }
+    def layerView(l: Int): Int => Array[Int] =
+      i => { val b = adj(l)(i); if (b == null) null else b.toArray }
+    var i = 1
+    while (i < n) {
+      val lvl = levelOf(i)
+      val q = vecs(i)
+      // descend from the top entry (node 0 owns MaxLevel) to lvl+1
+      var entry = 0
+      var l = MaxLevel
+      while (l > lvl) { entry = greedyLayer(vecs, layerView(l), entry, i, q); l -= 1 }
+      // connect on each layer <= lvl
+      while (l >= 0) {
+        val near = beamLayer(vecs, layerView(l), entry, i, q, efConstruction)
+        val chosen = near.take(m)
+        chosen.foreach { case (j, _) =>
+          ensure(l, i) += j
+          val back = ensure(l, j)
+          back += i
+          if (back.length > 2 * m) {
+            val pruned = back.map(x => (x, cos(vecs(j), vecs(x))))
+              .sortBy(t => (-t._2, t._1)).take(2 * m).map(_._1)
+            back.clear(); back ++= pruned
+          }
+        }
+        if (near.nonEmpty) entry = near.head._1
+        l -= 1
+      }
+      i += 1
+    }
+    (0 to MaxLevel).foreach { l =>
+      var j = 0
+      while (j < n) { if (adj(l)(j) != null) layers(l)(j) = adj(l)(j).toArray; j += 1 }
+    }
+    ShardGraph(nodes.map(_._1), vecs, layers)
+  }
+
+  /** Search one built shard: greedy descent to layer 0, then beam. */
+  def searchShard(g: ShardGraph, query: Array[Float], ef: Int): Array[(Long, Double)] = {
+    val n = g.ids.length
+    if (n == 0) return Array.empty
+    var entry = 0
+    var l = MaxLevel
+    while (l > 0) { val lv = g.layers(l); entry = greedyLayer(g.vecs, i => lv(i), entry, n, query); l -= 1 }
+    val l0 = g.layers(0)
+    beamLayer(g.vecs, i => l0(i), entry, n, query, ef)
+      .map { case (idx, s) => (g.ids(idx), s) }
+  }
+
+  /** Transient ANN top-k: per-partition hierarchical graph + beam, then
+    * global exact rerank — [[NswKnn.search]] with layers. */
+  def search(emb: DataFrame, idCol: String, embCol: String, query: Array[Float], k: Int,
+             m: Int = 8, efConstruction: Int = 32, ef: Int = 48): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.where(col(embCol).isNotNull)
+      .select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val nodes = it.toArray.sortBy(_._1)
+        if (nodes.isEmpty) Iterator.empty
+        else searchShard(build(nodes, m, efConstruction), query, ef).iterator
+      }
+      .toDF(idCol, "score")
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}
+
+/** One persisted graph node (jagged neighbors: index = level; empty
+  * list above the node's level). */
+final case class HnswNodeRow(shard: Int, node_idx: Int, id: Long,
+                             embedding: Array[Float], neighbors: Array[Array[Int]])
+
+/** At-rest hierarchical-NSW layout: graphs built ONCE as a batch job,
+  * stored as parquet partitioned by shard, served by scanning stored
+  * adjacency — never rebuilt per query (the reference rebuilds per
+  * query, search_service.py:122).
+  *
+  * Shard files are written one-per-shard; at read time Spark packs
+  * whole small files into task bins (a sub-128MB file is never split),
+  * so a task may hold several complete shards — the searcher groups its
+  * rows by shard before reconstructing graphs.
+  */
+final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
+
+  def write(emb: DataFrame, idCol: String, embCol: String, path: String,
+            numShards: Int): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.where(col(embCol).isNotNull)
+      .select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .repartition(numShards, col(idCol))
+      .mapPartitions { it =>
+        val nodes = it.toArray.sortBy(_._1)
+        if (nodes.isEmpty) Iterator.empty
+        else {
+          val shard = org.apache.spark.TaskContext.getPartitionId()
+          val g = Hnsw.build(nodes, m, efConstruction)
+          g.ids.indices.iterator.map { i =>
+            val nbs = (0 to Hnsw.MaxLevel).map { l =>
+              val a = g.layers(l)(i)
+              if (a == null) Array.empty[Int] else a
+            }.toArray
+            HnswNodeRow(shard, i, g.ids(i), g.vecs(i), nbs)
+          }
+        }
+      }
+      .toDF()
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
+  /** Probe the stored graphs: one scan, zero build work per query. */
+  def search(spark: SparkSession, path: String, query: Array[Float], k: Int,
+             ef: Int = 48): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("shard"), col("node_idx"), col("id"), col("embedding"), col("neighbors"))
+      .as[HnswNodeRow]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_.shard).iterator.flatMap { case (_, rows) =>
+          val sorted = rows.sortBy(_.node_idx)
+          val layers = Array.tabulate(Hnsw.MaxLevel + 1) { l =>
+            sorted.map { r =>
+              if (l < r.neighbors.length && r.neighbors(l).nonEmpty) r.neighbors(l) else null
+            }
+          }
+          val g = Hnsw.ShardGraph(sorted.map(_.id), sorted.map(_.embedding), layers)
+          Hnsw.searchShard(g, query, ef).iterator
+        }
+      }
+      .toDF("id", "score")
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}
