@@ -38,6 +38,36 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup by key with BOUNDED state: the watermark
+    * lets the engine drop seen-key state older than the horizon, so
+    * memory tracks the key-arrival rate, not the stream's lifetime —
+    * the streaming half of the training-pipeline dedup story
+    * ([[graft.dedup.Dedup.exactStats]] is the batch half).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Content-level streaming dedup: first occurrence of each payload
+    * digest wins (md5 over the props payload — digests, never raw
+    * payloads, reach the state store). */
+  def dedupedByContent(events: DataFrame): DataFrame =
+    events
+      .withColumn("content_hash", md5(col("props")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (broadcastable) customer dimension — no stream-side state at all,
+    * the standard fact-stream × dim-table shape.
+    */
+  def enrichedWithSegment(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+      events("user_id") === col("c_custkey"), "left")
+      .drop("c_custkey")
+
   /** Gap-based session windows (30 min inactivity) via
     * flatMapGroupsWithState with event-time timeout: the streaming twin
     * of [[graft.Queries.eventsSessionize]]. Emits one row per closed

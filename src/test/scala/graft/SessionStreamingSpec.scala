@@ -81,6 +81,41 @@ class SessionStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup by key and by content digest, bounded by watermark") {
+    val mem = MemoryStream[Event](spark)
+    def ev(id: Long, t: String, v: Double) =
+      Event(id, Timestamp.valueOf(t), 1L, "click", v)
+    val q = EventStreams.dedupedEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", 1.0), ev(2, "2024-01-01 10:01:00", 2.0))
+      q.processAllAvailable()
+      // replayed ids within the watermark horizon are dropped
+      mem.addData(ev(1, "2024-01-01 10:02:00", 1.0), ev(3, "2024-01-01 10:03:00", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast join enriches events with the customer dim") {
+    val mem = MemoryStream[Event](spark)
+    val customers = Seq((1L, "n1", 0, 0.0, "BUILDING"), (2L, "n2", 0, 0.0, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val q = EventStreams.enrichedWithSegment(mem.toDF(), customers)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        Event(2, Timestamp.valueOf("2024-01-01 10:01:00"), 9L, "view", 2.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select(col("event_id"), col("c_mktsegment"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("BUILDING")), (2L, None))) // left join keeps dim-less rows
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions (flatMapGroupsWithState)") {
     val mem = MemoryStream[Event](spark)
     def ev(id: Long, t: String, u: Long, v: Double) =
