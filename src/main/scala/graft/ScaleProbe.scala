@@ -68,6 +68,24 @@ object ScaleProbe {
       store.search(spark, idxPath, "embedding", "vec_id", q, 5).collect()
     }
     println(s"SCALE probe head=${probeRows.take(2).mkString(", ")}")
+
+    // (c) hierarchical NSW: one-time graph build, then stored-adjacency
+    // serving (beam per shard, exact rerank)
+    val hnswShards = math.max(32, (n / 10000L).toInt)
+    val hnswStore = graft.index.HnswIndexStore()
+    val hnswPath = "target/scale-probe/hnsw-index"
+    if (!new java.io.File(s"$hnswPath/_SUCCESS").exists()) {
+      time(s"HNSW graph build ($hnswShards shards, one-time batch job)") {
+        hnswStore.write(corpus, "vec_id", "embedding", hnswPath, hnswShards)
+      }
+    } else println("SCALE HNSW build: skipped (exists)")
+    val hnswRows = time("HNSW stored-graph top-5 (cold)") {
+      hnswStore.search(spark, hnswPath, q, 5).collect()
+    }
+    time("HNSW stored-graph top-5 (warm page cache)") {
+      hnswStore.search(spark, hnswPath, q, 5).collect()
+    }
+    println(s"SCALE hnsw head=${hnswRows.take(2).mkString(", ")}")
     spark.stop()
   }
 }

@@ -175,19 +175,42 @@ final case class RandomHyperplaneLsh(
     if (k <= 0) return (withEmb.limit(0), "lsh")
     val dim = query.length
     val qBuckets = queryBuckets(query, dim)
-    val hits = withEmb
-      .where(candidateMatch(embCol, qBuckets, dim))
+    val candidates = withEmb.where(candidateMatch(embCol, qBuckets, dim))
+    probeWithFallback(candidates, withEmb, embCol, idCol, query, k, fallbackThreshold)
+  }
+
+  /** Probe a PRE-BUCKETED frame (a cached/at-rest layout carrying the
+    * `buckets` column — e.g. [[IndexCache]] output): filter on the
+    * stored buckets (no hashing at query time), exact rerank, same
+    * fallback semantics as [[search]].
+    */
+  def searchBucketed(bucketed: DataFrame, embCol: Column, idCol: Column,
+                     query: Array[Float], k: Int,
+                     fallbackThreshold: Long = 10000L): (DataFrame, String) = {
+    val corpus = bucketed.drop("buckets")
+    if (k <= 0) return (corpus.limit(0), "lsh")
+    val qBuckets = queryBuckets(query, query.length)
+    val candidates = bucketed.where(candidateFilter(qBuckets)).drop("buckets")
+    probeWithFallback(candidates, corpus, embCol, idCol, query, k, fallbackThreshold)
+  }
+
+  /** Shared tail: exact rerank of `candidates`, brute fallback over
+    * `corpus` when the probe comes back empty and the corpus is small.
+    * Materializes the <= k hit rows once (one TakeOrderedAndProject
+    * job) so the empty-check and the returned frame don't re-probe.
+    */
+  private def probeWithFallback(candidates: DataFrame, corpus: DataFrame,
+                                embCol: Column, idCol: Column, query: Array[Float],
+                                k: Int, fallbackThreshold: Long): (DataFrame, String) = {
+    val hits = candidates
       .withColumn("score", VectorFunctions.cosine(embCol, typedlit(query.toSeq)))
       .orderBy(col("score").desc, idCol.asc)
       .limit(k)
-    // Materialize the <= k hit rows once (one TakeOrderedAndProject job)
-    // so the empty-check and the returned DataFrame don't re-run the
-    // probe.
     val hitRows = hits.collect()
-    if (hitRows.isEmpty && withEmb.limit((fallbackThreshold + 1).toInt).count() <= fallbackThreshold)
-      (BruteForceKnn.search(withEmb, embCol, idCol, query, k), "brute")
+    if (hitRows.isEmpty && corpus.limit((fallbackThreshold + 1).toInt).count() <= fallbackThreshold)
+      (BruteForceKnn.search(corpus, embCol, idCol, query, k), "brute")
     else {
-      val spark = chunks.sparkSession
+      val spark = candidates.sparkSession
       (spark.createDataFrame(java.util.Arrays.asList(hitRows: _*), hits.schema), "lsh")
     }
   }

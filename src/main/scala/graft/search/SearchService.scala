@@ -31,7 +31,8 @@ final case class SearchResult(hits: Seq[Hit], index: String,
   */
 final class SearchService(spark: SparkSession, engine: Engine,
                           embedder: Option[Embedder] = None,
-                          rerank: DataFrame => DataFrame = identity) {
+                          rerank: DataFrame => DataFrame = identity,
+                          indexCache: Option[graft.index.IndexCache] = None) {
 
   def search(libraryId: String,
              queryText: Option[String] = None,
@@ -79,8 +80,22 @@ final class SearchService(spark: SparkSession, engine: Engine,
       case "brute" =>
         (BruteForceKnn.search(filtered, col("embedding"), col("id"), qvec, k), "brute")
       case "lsh" =>
-        RandomHyperplaneLsh(lshTables, lshPlanes).search(
-          filtered, col("embedding"), col("id"), qvec, k)
+        val lsh = RandomHyperplaneLsh(lshTables, lshPlanes)
+        indexCache match {
+          // Version-keyed cached bucketing: hashing ran once per
+          // (library, version, params); this query only filters stored
+          // bucket columns. Metadata filters apply on top of the cached
+          // frame — same rows as the uncached path. The staleness proof
+          // is the cache key (a mutation bumps the version).
+          case Some(c) =>
+            val bucketed = c.bucketed(engine, spark, libraryId, lsh, dim)
+            val bFiltered = filters.foldLeft(bucketed) { case (df, (key, value)) =>
+              df.where(col("metadata").getItem(key) === lit(value))
+            }
+            lsh.searchBucketed(bFiltered, col("embedding"), col("id"), qvec, k)
+          case None =>
+            lsh.search(filtered, col("embedding"), col("id"), qvec, k)
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown index: $other")
     }

@@ -105,6 +105,26 @@ class SearchServiceSpec extends AnyFunSuite {
     assert(res.hits.nonEmpty) // would throw on dim guard if embedded at 64
   }
 
+  test("cached-index lsh path returns identical results and reuses the bucketed frame") {
+    val (e, lib) = fixture()
+    val cache = new graft.index.IndexCache()
+    val plain = new SearchService(spark, e, Some(embedder))
+    val cached = new SearchService(spark, e, Some(embedder), indexCache = Some(cache))
+    val qt = Some("eiffel tower paris landmark")
+    val a = plain.search(lib, queryText = qt, k = 3, index = "lsh")
+    val b = cached.search(lib, queryText = qt, k = 3, index = "lsh")
+    assert(a.hits == b.hits && a.indexUsed == b.indexUsed)
+    assert(cache.size == 1)
+    // repeated search at the same version: cache hit, same answer
+    val c = cached.search(lib, queryText = qt, k = 3, index = "lsh")
+    assert(c.hits == b.hits)
+    assert(cache.size == 1)
+    // metadata filters compose with the cached frame
+    val f = cached.search(lib, queryText = qt, k = 3, index = "lsh",
+      filters = Map("type" -> "landmark"))
+    assert(f.hits.forall(_.metadata.get("type").contains("landmark")))
+  }
+
   test("lsh index reports index/index_used; falls back to brute on zero candidates") {
     val (e, lib) = fixture()
     val svc = new SearchService(spark, e, Some(embedder))
