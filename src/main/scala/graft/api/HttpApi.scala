@@ -26,7 +26,8 @@ import org.apache.spark.sql.SparkSession
 final class HttpApi(spark: SparkSession, engine: Engine, embedder: Embedder) {
 
   private val mapper = new ObjectMapper()
-  private val service = new SearchService(spark, engine, Some(embedder))
+  private val service = new SearchService(spark, engine, Some(embedder),
+    indexCache = Some(new graft.index.IndexCache()))
   private var server: HttpServer = _
 
   def start(port: Int = 0): Int = {
