@@ -67,6 +67,41 @@ object GraftProperties extends Properties("graft") {
         (if (norm > 0) math.abs(out.getDouble(2) - 1.0) < 1e-6 else out.getDouble(2) == 0.0)
     }
 
+  // ---- ImageCodec properties (pure JVM, no Spark jobs) ----
+
+  private val imageGen: Gen[graft.multimodal.RasterImage] = for {
+    w <- Gen.choose(1, 32)
+    h <- Gen.choose(1, 32)
+    px <- Gen.containerOfN[Array, Byte](w * h, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield graft.multimodal.RasterImage(w, h, 1, 255, px, "pgm")
+
+  property("PGM encode/decode roundtrip preserves geometry and every pixel") =
+    Prop.forAll(imageGen) { img =>
+      val back = graft.multimodal.ImageCodec.decode(
+        graft.multimodal.ImageCodec.encodePgm(img)).get
+      back.width == img.width && back.height == img.height &&
+        back.pixels.sameElements(img.pixels)
+    }
+
+  property("resizeNearest output pixels all come from the source raster") =
+    Prop.forAll(imageGen, Gen.choose(1, 16), Gen.choose(1, 16)) { (img, tw, th) =>
+      val out = graft.multimodal.ImageCodec.resizeNearest(img, tw, th)
+      val srcSet = img.pixels.toSet
+      out.width == tw && out.height == th && out.pixels.forall(srcSet.contains)
+    }
+
+  property("luma histogram is a probability vector") =
+    Prop.forAll(imageGen, Gen.choose(2, 16)) { (img, bins) =>
+      val h = graft.multimodal.ImageCodec.lumaHistogram(img, bins)
+      h.length == bins && math.abs(h.sum - 1.0f) < 1e-4 && h.forall(_ >= 0f)
+    }
+
+  property("decode never throws on arbitrary bytes") =
+    Prop.forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      graft.multimodal.ImageCodec.decode(bytes) // Option by contract
+      true
+    }
+
   property("minhash signatures: identical texts identical; equality iff same shingle set") =
     Prop.forAll(
       Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")),
