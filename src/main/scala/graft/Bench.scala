@@ -20,7 +20,7 @@ object Bench {
     // query. Reported separately as `warmup_sec`.
     val w0 = System.nanoTime()
     Seq("lineitem", "orders", "customer", "nation", "region",
-        "documents", "embeddings").foreach { t =>
+        "part", "supplier", "documents", "embeddings").foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
     }
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => }

@@ -18,12 +18,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  private val cached =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  // Weakly keyed by session: a stopped/collected session's entries
+  // vanish with it (no pinning of dead SparkContexts, no identity-hash
+  // collisions handing out DataFrames bound to a stopped context).
+  private val cached = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cached.getOrElseUpdate((System.identityHashCode(spark), sfDir, name),
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = cached.synchronized {
+      var m = cached.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        cached.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((sfDir, name),
       spark.read.parquet(s"$sfDir/$name.parquet").cache())
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -245,8 +245,20 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
       .select(col("shard"), col("node_idx"), col("id"), col("embedding"), col("neighbors"))
       .as[HnswNodeRow]
       .mapPartitions { it =>
-        it.toArray.groupBy(_.shard).iterator.flatMap { case (_, rows) =>
+        it.toArray.groupBy(_.shard).iterator.flatMap { case (shard, rows) =>
           val sorted = rows.sortBy(_.node_idx)
+          // A shard split across read tasks would rebuild a PARTIAL
+          // graph whose stored neighbor indices point at wrong
+          // positions — traversal would silently return near-random
+          // candidates. Node indices are written contiguous from 0, so
+          // completeness is checkable: fail loudly instead. (Shard
+          // files only split past maxPartitionBytes — size shards
+          // under it, or raise numShards.)
+          require(sorted.head.node_idx == 0 && sorted.last.node_idx == sorted.length - 1,
+            s"shard $shard is incomplete in this task (${sorted.length} rows, " +
+              s"idx ${sorted.head.node_idx}..${sorted.last.node_idx}); " +
+              "the shard file was split across input partitions — raise numShards " +
+              "so each shard file stays under spark.sql.files.maxPartitionBytes")
           val layers = Array.tabulate(Hnsw.MaxLevel + 1) { l =>
             sorted.map { r =>
               if (l < r.neighbors.length && r.neighbors(l).nonEmpty) r.neighbors(l) else null

@@ -129,10 +129,28 @@ final case class RandomHyperplaneLsh(
     val matchUdf = udf { (v: collection.Seq[Float]) =>
       if (v == null) false
       else {
+        // hash the FLOAT-NORMALIZED vector, exactly like the at-rest
+        // bucketed path (withBuckets ∘ l2Normalize): sign bits are
+        // scale-invariant in the reals but not at float rounding
+        // boundaries (|dot| ≈ 0), and the two paths must agree
+        // bit-for-bit on bucket membership.
+        val n = {
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(acc)
+        }
+        val vn: collection.Seq[Float] =
+          if (n == 0.0) v
+          else {
+            val out = new Array[Float](v.length)
+            var i = 0
+            while (i < v.length) { out(i) = (v(i).toDouble / n).toFloat; i += 1 }
+            out
+          }
         var t = 0
         var found = false
         while (t < ps.length && !found) {
-          if (Integer.bitCount(hash(v, ps(t)) ^ qBuckets(t)) <= maxHamming) found = true
+          if (Integer.bitCount(hash(vn, ps(t)) ^ qBuckets(t)) <= maxHamming) found = true
           t += 1
         }
         found

@@ -53,10 +53,13 @@ object ImageCodec {
     pnmTokens(bytes, 4).flatMap { case (toks, off) =>
       try {
         val w = toks(1).toInt; val h = toks(2).toInt; val maxval = toks(3).toInt
-        val n = w * h * channels
-        if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 || off + n > bytes.length) None
+        // Long math: a malicious header like "50000 50000" overflows an
+        // Int payload size and would bypass the bounds check below.
+        val n = w.toLong * h.toLong * channels.toLong
+        if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 ||
+            n > Int.MaxValue || off.toLong + n > bytes.length) None
         else Some(RasterImage(w, h, channels, maxval,
-          java.util.Arrays.copyOfRange(bytes, off, off + n), fmt))
+          java.util.Arrays.copyOfRange(bytes, off, off + n.toInt), fmt))
       } catch { case _: NumberFormatException => None }
     }
   }

@@ -41,29 +41,36 @@ final class StreamingEngine(spark: SparkSession, embedder: Embedder) {
   @volatile private var errorLog: Vector[String] = Vector.empty
   def errors: Vector[String] = errorLog
 
-  /** Highest command seq already applied. foreachBatch is at-least-once
-    * (a failed/restarted micro-batch is replayed in full), so replayed
-    * rows with seq <= lastApplied are filtered out rather than
-    * re-applied — without this, non-idempotent adds would duplicate
-    * entities on every replay. Deletes are naturally idempotent; adds
-    * with explicit ids are additionally guarded by an existence check
-    * so a replay that races the watermark is still a no-op.
+  /** Exact replay dedupe with BOUNDED state. foreachBatch is
+    * at-least-once (a failed/restarted micro-batch is replayed in
+    * full), so already-applied seqs must be skipped — but a plain
+    * high-watermark would also discard genuinely-new commands that
+    * arrive out of seq order ACROSS batches (multi-partition sources
+    * have no cross-batch total order). So: keep the set of applied
+    * seqs, pruned to the most recent `seqHorizon` entries; a command is
+    * a replay iff its seq is below the retained floor or in the set.
+    * Replays are batch retries of recent work, always inside the
+    * horizon; the floor only ever discards seqs older than 100k
+    * successors, which an ordered-log replay cannot produce.
     */
-  @volatile private var lastApplied: Long = Long.MinValue
-  def lastAppliedSeq: Long = lastApplied
+  private val seqHorizon = 100000
+  private val applied = new java.util.TreeSet[java.lang.Long]()
+  def lastAppliedSeq: Long =
+    applied.synchronized { if (applied.isEmpty) Long.MinValue else applied.last() }
+  private def markApplied(seq: Long): Unit = applied.synchronized {
+    applied.add(seq)
+    while (applied.size() > seqHorizon) applied.pollFirst()
+  }
+  private def isReplay(seq: Long): Boolean = applied.synchronized {
+    if (applied.isEmpty) false
+    else seq < applied.first() || applied.contains(seq)
+  }
 
   private def applyRow(c: CommandRow): Unit = c.kind match {
-    case "add_library" =>
-      val exists = Option(c.libraryId).exists(id => engine.listLibraries().exists(_.id == id))
-      if (!exists) engine.createLibrary(c.name, id = Option(c.libraryId))
-    case "add_document" =>
-      val exists = Option(c.documentId).exists(id =>
-        engine.listDocuments(c.libraryId).exists(_.id == id))
-      if (!exists) engine.addDocument(c.libraryId, c.title, id = Option(c.documentId))
+    case "add_library" => engine.createLibrary(c.name, id = Option(c.libraryId))
+    case "add_document" => engine.addDocument(c.libraryId, c.title, id = Option(c.documentId))
     case "add_chunk" =>
-      val exists = Option(c.chunkId).exists(id =>
-        engine.listChunks(c.libraryId, c.documentId).exists(_.id == id))
-      if (!exists) engine.addChunk(c.libraryId, c.documentId, c.text,
+      engine.addChunk(c.libraryId, c.documentId, c.text,
         Some(embedder.embed(c.text)),
         Option(c.metaType).map(t => Map("type" -> t)).getOrElse(Map.empty),
         id = Option(c.chunkId))
@@ -82,12 +89,12 @@ final class StreamingEngine(spark: SparkSession, embedder: Embedder) {
     checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
     w.foreachBatch { (batch: Dataset[CommandRow], _: Long) =>
       batch.orderBy("seq").collect().foreach { c =>
-        if (c.seq > lastApplied) {
+        if (!isReplay(c.seq)) {
           try applyRow(c)
           catch { case e: Throwable =>
             errorLog = errorLog :+ s"seq=${c.seq} ${c.kind}: ${e.getMessage}"
           }
-          lastApplied = c.seq // failed commands are recorded, never retried (interactive_workflow.py:373-377)
+          markApplied(c.seq) // failed commands are recorded, never retried (interactive_workflow.py:373-377)
         }
       }
     }.start()

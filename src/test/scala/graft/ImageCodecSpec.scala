@@ -68,6 +68,10 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.decode("nonsense".getBytes).isEmpty)
     assert(ImageCodec.decode("P5\n10 10\n255\nxx".getBytes).isEmpty) // truncated payload
     assert(ImageCodec.decode("P5\nab cd\n255\n".getBytes).isEmpty)   // non-numeric dims
+    // dimensions whose product overflows Int must not bypass the bounds
+    // check (w*h = 2.5e9 -> negative as Int) or build empty-pixel rasters
+    assert(ImageCodec.decode("P5\n50000 50000\n255\nxxxx".getBytes).isEmpty)
+    assert(ImageCodec.decode("P5\n65536 65536\n255\nxxxx".getBytes).isEmpty)
   }
 
   test("RGB PPM decodes and grayscales with BT.601 luma") {

@@ -67,4 +67,26 @@ class StreamingEngineSpec extends AnyFunSuite {
       assert(se.lastAppliedSeq == 3)
     } finally q.stop()
   }
+
+  test("out-of-seq-order arrival across batches is applied, not mistaken for replay") {
+    val se = new StreamingEngine(spark, HashingEmbedder(dim = 16))
+    val mem = MemoryStream[CommandRow](spark)
+    val q = se.attach(mem.toDS())
+    try {
+      // batch 1 delivers seqs {1, 3}; batch 2 delivers the straggler seq 2
+      mem.addData(
+        CommandRow(1, "add_library", libraryId = "lib1", name = "l"),
+        CommandRow(3, "add_document", libraryId = "lib1", documentId = "doc-late", title = "d3"))
+      q.processAllAvailable()
+      mem.addData(
+        CommandRow(2, "add_document", libraryId = "lib1", documentId = "doc-early", title = "d2"))
+      q.processAllAvailable()
+      assert(se.engine.listDocuments("lib1").map(_.id).toSet == Set("doc-late", "doc-early"))
+      // but an exact replay of seq 2 is still skipped
+      mem.addData(
+        CommandRow(2, "add_document", libraryId = "lib1", documentId = "doc-early", title = "d2"))
+      q.processAllAvailable()
+      assert(se.engine.listDocuments("lib1").size == 2)
+    } finally q.stop()
+  }
 }
