@@ -21,7 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  @inline private def dotD(a: collection.Seq[Float], b: collection.Seq[Float]): Double = {
+  /** Force O(1) indexing: a UDF's Seq[Float] can arrive as a LinearSeq
+    * (List) depending on the upstream deserializer, where `a(i)` is
+    * O(i) — a silent O(n²)-per-row trap on the hot path. One bulk copy
+    * beats n² pointer hops everywhere below.
+    */
+  @inline private[graft] def toArr(a: collection.Seq[Float]): Array[Float] = a match {
+    case w: scala.collection.mutable.ArraySeq.ofFloat => w.array
+    case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+    case other => other.toArray
+  }
+
+  @inline private def dotD(a0: collection.Seq[Float], b0: collection.Seq[Float]): Double = {
+    val a = toArr(a0); val b = toArr(b0)
     var acc = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -29,7 +41,8 @@ object VectorFunctions {
     acc
   }
 
-  @inline private def normD(a: collection.Seq[Float]): Double = {
+  @inline private def normD(a0: collection.Seq[Float]): Double = {
+    val a = toArr(a0)
     var acc = 0.0
     var i = 0
     while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
@@ -62,11 +75,12 @@ object VectorFunctions {
     * scale-path optimization the reference misses: it re-normalizes the
     * whole corpus on every query because it rebuilds the index per query.
     */
-  val l2NormalizeUdf = udf { (a: collection.Seq[Float]) =>
-    if (a == null) null
+  val l2NormalizeUdf = udf { (a0: collection.Seq[Float]) =>
+    if (a0 == null) null
     else {
+      val a = toArr(a0)
       val n = normD(a)
-      if (n == 0.0) a.toArray
+      if (n == 0.0) a
       else {
         val out = new Array[Float](a.length)
         var i = 0

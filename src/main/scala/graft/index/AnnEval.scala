@@ -21,7 +21,8 @@ final case class QScore(qid: Long, score: Double)
   */
 object AnnEval {
 
-  private def cosRaw(a: collection.Seq[Float], b: Array[Float]): Double = {
+  private def cosRaw(a0: collection.Seq[Float], b: Array[Float]): Double = {
+    val a = graft.functions.VectorFunctions.toArr(a0)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) {
@@ -64,7 +65,12 @@ object AnnEval {
     val candScores = udf { (v: collection.Seq[Float]) =>
       if (v == null) Array.empty[QScore]
       else {
-        val rowBuckets = ps.map(tp => lsh.hash(v, tp))
+        // float-normalize before hashing, bit-identical to the served
+        // index path (withBuckets ∘ l2Normalize / candidateMatch)
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        val vn: collection.Seq[Float] =
+          if (n == 0.0) v else v.map(x => (x.toDouble / n).toFloat)
+        val rowBuckets = ps.map(tp => lsh.hash(vn, tp))
         qBuckets.collect {
           case (qid, qv, qb) if qb.indices.exists(t =>
               Integer.bitCount(qb(t) ^ rowBuckets(t)) <= maxHamming) =>
@@ -72,8 +78,6 @@ object AnnEval {
         }
       }
     }
-    // NB rows are hashed on their normalized form in the index; sign
-    // bits are scale-invariant so hashing the raw vector is equivalent.
     topkPerQuery(
       emb.where(col(embCol).isNotNull)
         .select(col(idCol).cast("long").as("id"), explode(candScores(col(embCol))).as("qs"))

@@ -42,14 +42,7 @@ final case class LshIndexStore(lsh: RandomHyperplaneLsh, dim: Int,
     * task's single file.
     */
   def write(corpus: DataFrame, embCol: String, path: String): Unit = {
-    // Round-robin spread BEFORE the expensive hash+explode: a
-    // well-compressed corpus can arrive as a handful of input splits
-    // (dictionary-encoded vectors), which would serialize the whole
-    // build onto those few map tasks. The narrow 1× shuffle here buys a
-    // cluster-wide T× explode.
-    val spread = corpus.where(col(embCol).isNotNull).repartition(
-      corpus.sparkSession.sparkContext.defaultParallelism)
-    val bucketed = lsh.withBuckets(spread,
+    val bucketed = lsh.withBuckets(corpus.where(col(embCol).isNotNull),
       VectorFunctions.l2Normalize(col(embCol)), dim)
     val payload = bucketed.columns.filterNot(_ == "buckets").map(col)
     bucketed

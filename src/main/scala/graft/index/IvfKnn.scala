@@ -29,7 +29,8 @@ object IvfKnn {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
 
-  private def cosineRaw(a: collection.Seq[Float], b: Array[Float]): Double = {
+  private def cosineRaw(a0: collection.Seq[Float], b: Array[Float]): Double = {
+    val a = graft.functions.VectorFunctions.toArr(a0)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)

@@ -55,7 +55,8 @@ final case class RandomHyperplaneLsh(
   }
 
   /** Sign-bit hash of one vector against one table's planes. */
-  def hash(v: collection.Seq[Float], tablePlanes: Array[Array[Float]]): Int = {
+  def hash(v0: collection.Seq[Float], tablePlanes: Array[Array[Float]]): Int = {
+    val v = VectorFunctions.toArr(v0) // O(1) indexing regardless of Seq runtime type
     var bits = 0
     var p = 0
     while (p < tablePlanes.length) {
@@ -75,8 +76,12 @@ final case class RandomHyperplaneLsh(
     */
   def withBuckets(df: DataFrame, embCol: Column, dim: Int): DataFrame = {
     val ps = planes(dim)
-    val bucketUdf = udf { (v: collection.Seq[Float]) =>
-      if (v == null) null else ps.map(tp => hash(v, tp))
+    val bucketUdf = udf { (v0: collection.Seq[Float]) =>
+      if (v0 == null) null
+      else {
+        val v = VectorFunctions.toArr(v0) // convert once, not once per table
+        ps.map(tp => hash(v, tp))
+      }
     }
     df.withColumn("buckets", bucketUdf(embCol))
   }
@@ -126,20 +131,21 @@ final case class RandomHyperplaneLsh(
   def candidateMatch(embCol: Column, qBuckets: Array[Int], dim: Int,
                      maxHamming: Int = 0): Column = {
     val ps = planes(dim)
-    val matchUdf = udf { (v: collection.Seq[Float]) =>
-      if (v == null) false
+    val matchUdf = udf { (v0: collection.Seq[Float]) =>
+      if (v0 == null) false
       else {
         // hash the FLOAT-NORMALIZED vector, exactly like the at-rest
         // bucketed path (withBuckets ∘ l2Normalize): sign bits are
         // scale-invariant in the reals but not at float rounding
         // boundaries (|dot| ≈ 0), and the two paths must agree
         // bit-for-bit on bucket membership.
+        val v = VectorFunctions.toArr(v0)
         val n = {
           var acc = 0.0; var i = 0
           while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
           math.sqrt(acc)
         }
-        val vn: collection.Seq[Float] =
+        val vn: Array[Float] =
           if (n == 0.0) v
           else {
             val out = new Array[Float](v.length)
