@@ -41,7 +41,23 @@ final case class LshIndexStore(lsh: RandomHyperplaneLsh, dim: Int,
     * layout key so each (table, bucket_part) directory is a single
     * task's single file.
     */
-  def write(corpus: DataFrame, embCol: String, path: String): Unit = {
+  def write(corpus: DataFrame, embCol: String, path: String): Unit =
+    writeLayout(corpus, embCol, path, "overwrite")
+
+  /** Incremental maintenance: hash a DELTA of new rows with the same
+    * planes and append its files into the existing partition
+    * directories — the layout stays prunable and the probe predicate is
+    * unchanged, so new rows are searchable the moment the append
+    * commits. This is how a streaming ingest keeps the index fresh
+    * (see [[appendStream]]) — vs. the reference, which can only
+    * rebuild in-process per query. Periodic [[write]] compacts the
+    * accumulated small delta files.
+    */
+  def append(delta: DataFrame, embCol: String, path: String): Unit =
+    writeLayout(delta, embCol, path, "append")
+
+  private def writeLayout(corpus: DataFrame, embCol: String, path: String,
+                          mode: String): Unit = {
     val bucketed = lsh.withBuckets(corpus.where(col(embCol).isNotNull),
       VectorFunctions.l2Normalize(col(embCol)), dim)
     val payload = bucketed.columns.filterNot(_ == "buckets").map(col)
@@ -50,9 +66,22 @@ final case class LshIndexStore(lsh: RandomHyperplaneLsh, dim: Int,
       .withColumn("bucket_part", pmod(col("bucket"), lit(numPhysicalPartitions)))
       .repartition(col("table"), col("bucket_part"))
       .sortWithinPartitions(col("table"), col("bucket_part"), col("bucket"))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .partitionBy("table", "bucket_part")
       .parquet(path)
+  }
+
+  /** Attach a streaming source of new rows: every micro-batch is hashed
+    * and appended to the at-rest layout (exactly-once per epoch via the
+    * stream's checkpoint + parquet's atomic commit). */
+  def appendStream(rows: DataFrame, embCol: String, path: String,
+                   checkpointDir: Option[String] = None)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    var w = rows.writeStream.outputMode("append")
+    checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+      append(batch, embCol, path)
+    }.start()
   }
 
   /** Probe: ONE scan of the root with

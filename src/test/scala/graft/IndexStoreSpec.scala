@@ -43,6 +43,39 @@ class IndexStoreSpec extends AnyFunSuite {
     hits.foreach { case (id, s) => assert(math.abs(brute(id) - s) < 1e-12) }
   }
 
+  test("incremental append: streamed delta rows become searchable in the existing layout") {
+    val sfDir = "/root/testdata/sf0.001"
+    val appendPath = "target/test-index/embeddings-lsh-append"
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    rm(new java.io.File(appendPath))
+    val emb = Tables.embeddings(spark, sfDir)
+    val store = LshIndexStore(RandomHyperplaneLsh(4, 8, 42L), dim = 64)
+    // base layout from the first 400 vectors
+    store.write(emb.where(col("vec_id") < 400), "embedding", appendPath)
+    val before = spark.read.parquet(appendPath).select("vec_id").distinct().count()
+    assert(before == 400)
+
+    // stream the remaining 100 in as micro-batched deltas
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val delta = emb.where(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val q = store.appendStream(mem.toDF().toDF("vec_id", "embedding"), "embedding", appendPath)
+    try {
+      mem.addData(delta.take(50): _*)
+      q.processAllAvailable()
+      mem.addData(delta.drop(50): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(spark.read.parquet(appendPath).select("vec_id").distinct().count() == 500)
+    // an appended member is findable with exact score through the same probe
+    val late = delta.last
+    val hits = store.search(spark, appendPath, "embedding", "vec_id", late._2, 3)
+      .select("vec_id", "score").as[(Long, Double)].collect()
+    assert(hits.head._1 == late._1 && math.abs(hits.head._2 - 1.0) < 1e-9)
+  }
+
   test("GraftExtensions registers cosine_similarity for SQL in a fresh session") {
     val prev = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
