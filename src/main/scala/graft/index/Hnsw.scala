@@ -237,39 +237,75 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 
-  /** Probe the stored graphs: one scan, zero build work per query. */
-  def search(spark: SparkSession, path: String, query: Array[Float], k: Int,
-             ef: Int = 48): DataFrame = {
+  /** Batched serving: answer EVERY query in one scan pass — each task
+    * reconstructs its shards once and beams all queries through them,
+    * so the per-query cost is the beam, not the scan. One small shuffle
+    * ranks per query. Output: (qid, id, score, rn) with rn 1..k.
+    */
+  def searchMany(spark: SparkSession, path: String,
+                 queries: Array[(Long, Array[Float])], k: Int,
+                 ef: Int = 48): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perShard = loadNodes(spark, path)
+      .mapPartitions { it =>
+        HnswIndexStore.reconstruct(it).flatMap { g =>
+          queries.iterator.flatMap { case (qid, qv) =>
+            Hnsw.searchShard(g, qv, ef).iterator.map { case (id, s) => (qid, id, s) }
+          }
+        }
+      }
+      .toDF("qid", "id", "score")
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    perShard.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  private def loadNodes(spark: SparkSession, path: String)
+  : org.apache.spark.sql.Dataset[HnswNodeRow] = {
     import spark.implicits._
     spark.read.parquet(path)
       .select(col("shard"), col("node_idx"), col("id"), col("embedding"), col("neighbors"))
       .as[HnswNodeRow]
+  }
+
+  /** Probe the stored graphs: one scan, zero build work per query. */
+  def search(spark: SparkSession, path: String, query: Array[Float], k: Int,
+             ef: Int = 48): DataFrame = {
+    import spark.implicits._
+    loadNodes(spark, path)
       .mapPartitions { it =>
-        it.toArray.groupBy(_.shard).iterator.flatMap { case (shard, rows) =>
-          val sorted = rows.sortBy(_.node_idx)
-          // A shard split across read tasks would rebuild a PARTIAL
-          // graph whose stored neighbor indices point at wrong
-          // positions — traversal would silently return near-random
-          // candidates. Node indices are written contiguous from 0, so
-          // completeness is checkable: fail loudly instead. (Shard
-          // files only split past maxPartitionBytes — size shards
-          // under it, or raise numShards.)
-          require(sorted.head.node_idx == 0 && sorted.last.node_idx == sorted.length - 1,
-            s"shard $shard is incomplete in this task (${sorted.length} rows, " +
-              s"idx ${sorted.head.node_idx}..${sorted.last.node_idx}); " +
-              "the shard file was split across input partitions — raise numShards " +
-              "so each shard file stays under spark.sql.files.maxPartitionBytes")
-          val layers = Array.tabulate(Hnsw.MaxLevel + 1) { l =>
-            sorted.map { r =>
-              if (l < r.neighbors.length && r.neighbors(l).nonEmpty) r.neighbors(l) else null
-            }
-          }
-          val g = Hnsw.ShardGraph(sorted.map(_.id), sorted.map(_.embedding), layers)
-          Hnsw.searchShard(g, query, ef).iterator
-        }
+        HnswIndexStore.reconstruct(it).flatMap(g => Hnsw.searchShard(g, query, ef).iterator)
       }
       .toDF("id", "score")
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
+}
+
+object HnswIndexStore {
+  /** Rebuild every complete shard graph held by this task. A shard
+    * split across read tasks would rebuild a PARTIAL graph whose stored
+    * neighbor indices point at wrong positions — traversal would
+    * silently return near-random candidates. Node indices are written
+    * contiguous from 0, so completeness is checkable: fail loudly
+    * instead. (Shard files only split past maxPartitionBytes — size
+    * shards under it, or raise numShards.)
+    */
+  private[index] def reconstruct(it: Iterator[HnswNodeRow]): Iterator[Hnsw.ShardGraph] =
+    it.toArray.groupBy(_.shard).iterator.map { case (shard, rows) =>
+      val sorted = rows.sortBy(_.node_idx)
+      require(sorted.head.node_idx == 0 && sorted.last.node_idx == sorted.length - 1,
+        s"shard $shard is incomplete in this task (${sorted.length} rows, " +
+          s"idx ${sorted.head.node_idx}..${sorted.last.node_idx}); " +
+          "the shard file was split across input partitions — raise numShards " +
+          "so each shard file stays under spark.sql.files.maxPartitionBytes")
+      val layers = Array.tabulate(Hnsw.MaxLevel + 1) { l =>
+        sorted.map { r =>
+          if (l < r.neighbors.length && r.neighbors(l).nonEmpty) r.neighbors(l) else null
+        }
+      }
+      Hnsw.ShardGraph(sorted.map(_.id), sorted.map(_.embedding), layers)
+    }
 }

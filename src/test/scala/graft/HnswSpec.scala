@@ -63,4 +63,27 @@ class HnswSpec extends AnyFunSuite {
       .where(size(element_at(col("neighbors"), 3)) > 0).count()
     assert(upperLevelNodes >= 2, s"level-2 edges on $upperLevelNodes nodes")
   }
+
+  test("batched multi-query serving: one scan answers every query, matching per-query search") {
+    val path = "target/test-index/hnsw-store" // built by the previous test
+    val store = HnswIndexStore()
+    val emb2 = emb
+    val queries = emb2.where(col("vec_id").isin(0L, 100L, 200L, 300L, 400L))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val many = store.searchMany(spark, path, queries, k = 5)
+      .select("qid", "id", "score").as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+    queries.foreach { case (qid, qv) =>
+      // every member query finds itself first at score 1
+      val mine = many(qid).sortBy(t => (-t._3, t._2))
+      assert(mine.head._2 == qid && math.abs(mine.head._3 - 1.0) < 1e-9)
+      // and the batched answer equals the single-query path
+      val single = store.search(spark, path, qv, 5)
+        .select("id", "score").as[(Long, Double)].collect().toSeq
+      assert(mine.map(t => (t._2, t._3)).toSeq == single)
+    }
+  }
 }
