@@ -420,6 +420,24 @@ object Queries {
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Sketch aggregations: HLL++ distinct counts and t-digest-style
+    * approximate percentiles next to their exact twins — the bounded-
+    * memory path for 100 TB cardinality/quantile work (exact distinct
+    * shuffles every key; the sketch ships a constant-size buffer per
+    * partition). Deterministic (both sketches are seedless) but not
+    * SQL-oracle-reproducible (DuckDB's approx algorithms differ), so
+    * rows-only; relative-error bounds are asserted in SketchSpec.
+    */
+  def aggSketches(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("approx_p50"),
+        round(expr("percentile(value, 0.5)"), 4).as("exact_p50"))
+      .orderBy(col("event_type"))
+
   /** Gap-based sessionization (30-min inactivity), the batch shape of
     * the streaming session-window operator: two windows over
     * (user, time) — a lag to flag session starts, a running sum to
@@ -631,6 +649,7 @@ object Queries {
     "events_json_k" -> (eventsJsonK _),
     "events_sessionize" -> (eventsSessionize _),
     "agg_distinct_users" -> (aggDistinctUsers _),
+    "agg_sketches" -> (aggSketches _),
     "events_pivot" -> (eventsPivot _),
     "set_ops_users" -> (setOpsUsers _),
     "dedup_exact" -> (dedupExact _),

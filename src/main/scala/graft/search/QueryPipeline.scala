@@ -28,7 +28,8 @@ final case class PipelineResult(hits: Seq[Hit], index: String, libraryVersion: I
   */
 final class QueryPipeline(spark: SparkSession, engine: Engine, embedder: Embedder) {
 
-  private val service = new SearchService(spark, engine, Some(embedder))
+  private val service = new SearchService(spark, engine, Some(embedder),
+    indexCache = Some(new graft.index.IndexCache()))
 
   /** Idempotent demo seeding (O28, query_workflow.py:45-168): library
     * with chunks → no-op; library without chunks → add doc + 2 embedded
