@@ -18,12 +18,14 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = Queries.all(name)
-    if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"RUN$i $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    name.split(",").foreach { q =>
+      val fn = Queries.all(q)
+      if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"RUN$i $q rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

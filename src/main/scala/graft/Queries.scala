@@ -135,16 +135,11 @@ object Queries {
       .sortBy(_._1)
       .take(20)
     val k = 10
-    val truth = AnnEval.groundTruth(emb, "vec_id", "embedding", queries, k).cache()
-    val lsh = AnnEval.lshTopK(emb, "vec_id", "embedding", queries, k,
-      graft.index.RandomHyperplaneLsh(8, 6, 42L), dim = 64)
     // tuned default from the LshSweep grid: 1-bit multi-probe at 8×6
     // matches 16-table exact-bucket recall at half the storage
-    val lshMp = AnnEval.lshTopK(emb, "vec_id", "embedding", queries, k,
-      graft.index.RandomHyperplaneLsh(8, 6, 42L), dim = 64, maxHamming = 1)
-    val ivf = AnnEval.ivfTopK(emb, "vec_id", "embedding", queries, k, stride = 53L, nprobe = 4)
-    AnnEval.recallReport(spark, truth,
-        Seq("lsh" -> lsh, "lsh_mp" -> lshMp, "ivf" -> ivf), k)
+    AnnEval.recallSinglePass(emb, "vec_id", "embedding", queries, k,
+        graft.index.RandomHyperplaneLsh(8, 6, 42L), dim = 64, mpMaxHamming = 1,
+        stride = 53L, nprobe = 4)
       .orderBy(col("method"))
   }
 
@@ -529,7 +524,9 @@ object Queries {
     val q = queryVec(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     val (assigned, centers) =
-      graft.index.MllibIndexes.kmeansIvfWithCenters(emb, "embedding", k = 8)
+      // maxIter=3: a coarse quantizer needs rough Voronoi cells, not
+      // convergence — at 100 TB each extra iteration is a corpus pass
+      graft.index.MllibIndexes.kmeansIvfWithCenters(emb, "embedding", k = 8, maxIter = 3)
     // Probe choice from the model's own centroids — k driver-side
     // vectors, no pass over the assigned corpus.
     val probed = centers.zipWithIndex

@@ -141,18 +141,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** MinHash signature from a document's (distinct) shingle array —
+    * the same hash stream as [[minhashSignatures]] (min is unaffected
+    * by shingle multiplicity), but computable from a shared shingle
+    * column instead of re-tokenizing the text.
+    */
+  private def sigFromShingles(numHashes: Int, seed: Long) = {
+    val fam = hashFamily(numHashes, seed)
+    udf { (shingles: collection.Seq[String]) =>
+      if (shingles == null || shingles.isEmpty) null
+      else {
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        shingles.foreach { s =>
+          val x = math.floorMod(stringHash(s), MersennePrime)
+          var i = 0
+          while (i < numHashes) {
+            val (a, b) = fam(i)
+            val v = math.floorMod(a * x + b, MersennePrime)
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+        }
+        sig
+      }
+    }
+  }
+
   /** MinHash+LSH near-dup pipeline: signatures → banded candidates →
-    * exact-Jaccard verify → threshold. The shingle table is built and
-    * cached once and feeds both the signatures and the verify step.
+    * exact-Jaccard verify → threshold.
+    *
+    * One cached table of per-document distinct-shingle ARRAYS feeds
+    * both the signature UDF and the verify step, so the text is
+    * tokenized once and there is no (id, shingle) posting shuffle at
+    * all: candidates come from the band-bucket equi-join, and the
+    * verify is `array_intersect`/`array_union` on the candidate pairs
+    * only — pairs are rare relative to the corpus (that is the point
+    * of banding), so joining the arrays to ≪N pairs beats shuffling
+    * N×|shingles| postings three ways even at 100 TB.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, shingleSize: Int = 3,
                       numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes, seed)
+    val docsh = docs.select(col(idCol).as("id"),
+        array_distinct(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shs"))
+      .where(size(col("shs")) > 0)
+      .cache()
+    val sigs = docsh.select(col("id"), sigFromShingles(numHashes, seed)(col("shs")).as("sig"))
     val cands = minhashCandidatePairs(sigs, "id", numHashes, bands)
-    val sh = shingleTable(docs, idCol, textCol, shingleSize)
-    verifyJaccard(sh, cands)
+    cands
+      .join(docsh.toDF("id_a", "shs_a"), "id_a")
+      .join(docsh.toDF("id_b", "shs_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
+          size(array_union(col("shs_a"), col("shs_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Exact pairwise n-gram Jaccard within a blocking key (e.g. source).
@@ -168,12 +211,18 @@ object Dedup {
                           threshold: Double, shingleSize: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = docs.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
-      explode(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shingle"))
-      .distinct()
+    // Per-document distinct-shingle ARRAYS: in-row `array_distinct`
+    // replaces the global DISTINCT a (id, shingle) posting table would
+    // need — one narrow cached table of N rows feeds both the size
+    // lookup and the posting explode, and the only wide shuffles left
+    // are the two aggregations below.
+    val docsh = docs.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
+        array_distinct(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shs"))
       .cache()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val interCounts = sh.groupBy(col("block"), col("shingle"))
+    val sizes = docsh.select(col("id"), size(col("shs")).cast("long").as("n"))
+    val interCounts = docsh
+      .select(col("block"), col("id"), explode(col("shs")).as("shingle"))
+      .groupBy(col("block"), col("shingle"))
       .agg(collect_list(col("id")).as("ids"))
       .select(col("ids"))
       .as[Seq[Long]]

@@ -117,6 +117,96 @@ object AnnEval {
         .select(col("id"), col("qs.qid").as("qid"), col("qs.score").as("score")), k)
   }
 
+  /** One (method, query, candidate) score emitted by the single-pass
+    * evaluator. */
+  final case class MQScore(method: String, qid: Long, score: Double)
+
+  /** Single-pass recall@k of LSH (exact-bucket and 1-bit multi-probe)
+    * and IVF against exact brute force: ONE scan of the corpus emits,
+    * per row, its score against every query for ground truth plus its
+    * score for each method whose candidate set it falls in; ONE window
+    * over (method, qid) takes top-k; methods join truth's top-k and
+    * aggregate to recall. Identical recall values to running
+    * [[groundTruth]]/[[lshTopK]]/[[ivfTopK]] + [[recallReport]]
+    * separately (same scores, same `score desc, id asc` tie order) at a
+    * quarter of the corpus passes and a single shuffle-heavy stage —
+    * the shape that matters when the corpus is 100 TB and the scan IS
+    * the cost.
+    */
+  def recallSinglePass(emb: DataFrame, idCol: String, embCol: String,
+                       queries: Array[(Long, Array[Float])], k: Int,
+                       lsh: RandomHyperplaneLsh, dim: Int, mpMaxHamming: Int,
+                       stride: Long, nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ps = lsh.planes(dim)
+    val qBuckets = queries.map { case (qid, qv) =>
+      val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      val qn = if (n == 0.0) qv else qv.map(x => (x / n).toFloat)
+      (qid, qv, ps.map(tp => lsh.hash(qn.toSeq, tp)))
+    }
+    val cents = IvfKnn.centroids(emb, col(idCol), col(embCol), stride)
+    val probes: Map[Long, Set[Long]] = queries.map { case (qid, qv) =>
+      qid -> cents.map { case (cid, cv) => (cid, cosRaw(qv.toSeq, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
+    }.toMap
+    val allScores = udf { (v: collection.Seq[Float]) =>
+      if (v == null) Array.empty[MQScore]
+      else {
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        val vn: collection.Seq[Float] =
+          if (n == 0.0) v else v.map(x => (x.toDouble / n).toFloat)
+        val rowBuckets = ps.map(tp => lsh.hash(vn, tp))
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val s = cosRaw(v, cents(c)._2)
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        val cluster = cents(best)._1
+        qBuckets.flatMap { case (qid, qv, qb) =>
+          val score = cosRaw(v, qv)
+          val out = scala.collection.mutable.ArrayBuffer(MQScore("truth", qid, score))
+          if (qb.indices.exists(t => qb(t) == rowBuckets(t)))
+            out += MQScore("lsh", qid, score)
+          if (qb.indices.exists(t =>
+              Integer.bitCount(qb(t) ^ rowBuckets(t)) <= mpMaxHamming))
+            out += MQScore("lsh_mp", qid, score)
+          if (probes(qid).contains(cluster))
+            out += MQScore("ivf", qid, score)
+          out
+        }
+      }
+    }
+    val w = Window.partitionBy(col("method"), col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    val topk = emb.where(col(embCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), explode(allScores(col(embCol))).as("mqs"))
+      .select(col("id"), col("mqs.method").as("method"), col("mqs.qid").as("qid"),
+        col("mqs.score").as("score"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("method"), col("qid"), col("id"))
+    val truth = topk.where(col("method") === "truth").select(col("qid"), col("id"))
+    val perQuery = topk.where(col("method") =!= "truth")
+      .join(truth, Seq("qid", "id"))
+      .groupBy(col("method"), col("qid"))
+      .agg((count(lit(1)).cast("double") / k).as("recall"))
+    // the (method × query) grid is known up front — build it locally
+    // instead of a distinct + crossJoin over the truth table
+    val grid = (for {
+      m <- Seq("lsh", "lsh_mp", "ivf"); (qid, _) <- queries
+    } yield (m, qid)).toDF("method", "qid")
+    grid.join(perQuery, Seq("method", "qid"), "left")
+      .na.fill(0.0, Seq("recall"))
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall")), 4).as("avg_recall"),
+        round(min(col("recall")), 4).as("min_recall"))
+      .select(col("method"), lit(k).as("k"), col("n_queries"),
+        col("avg_recall"), col("min_recall"))
+  }
+
   /** recall@k per method vs ground truth: (method, k, n_queries,
     * avg_recall, min_recall). ONE distributed aggregation for every
     * method at once (union-tagged join against truth), not a

@@ -42,4 +42,22 @@ class AnnEvalSpec extends AnyFunSuite {
       .as[(String, Int, Long, Double, Double)].head()
     assert(rep2._4 == rep("lsh")._4) // deterministic
   }
+
+  test("single-pass evaluator reproduces the multi-pass recall numbers exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val k = 10
+    val lshCfg = RandomHyperplaneLsh(8, 4, 42L)
+    val truth = AnnEval.groundTruth(emb, "vec_id", "embedding", queries, k).cache()
+    val lsh = AnnEval.lshTopK(emb, "vec_id", "embedding", queries, k, lshCfg, dim = 64)
+    val lshMp = AnnEval.lshTopK(emb, "vec_id", "embedding", queries, k, lshCfg,
+      dim = 64, maxHamming = 1)
+    val ivf = AnnEval.ivfTopK(emb, "vec_id", "embedding", queries, k, stride = 53L, nprobe = 2)
+    val expected = AnnEval.recallReport(spark, truth,
+        Seq("lsh" -> lsh, "lsh_mp" -> lshMp, "ivf" -> ivf), k)
+      .as[(String, Int, Long, Double, Double)].collect().sortBy(_._1)
+    val got = AnnEval.recallSinglePass(emb, "vec_id", "embedding", queries, k,
+        lshCfg, dim = 64, mpMaxHamming = 1, stride = 53L, nprobe = 2)
+      .as[(String, Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+  }
 }
