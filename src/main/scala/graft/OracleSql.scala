@@ -342,5 +342,84 @@ object OracleSql {
         |  CAST(length('P5' || chr(10) || '12 12' || chr(10) || '255' || chr(10)) + 144 AS BIGINT) AS n_thumb_bytes,
         |  CAST(SUM(v) % 997 AS BIGINT) AS checksum
         |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q5_local_supplier_revenue" ->
+      """SELECT r_name, n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS qty FROM lineitem
+        |             GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  ROUND(o_totalprice, 2) AS o_totalprice, ROUND(qty, 2) AS total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "window_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal,
+        |  ROUND(percent_rank() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey), 6) AS pr,
+        |  ROUND(cume_dist() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey), 6) AS cd
+        |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin,
+
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+        |  ROUND(first_value(o_totalprice) OVER w, 2) AS first_price,
+        |  ROUND(last_value(o_totalprice) OVER w, 2) AS last_price
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // identical SQL text to the Spark-side spark.sql(...) call
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_filter_events" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(*) FILTER (WHERE value > 50) AS n_high,
+        |  ROUND(AVG(value) FILTER (WHERE value > 50), 4) AS avg_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "embedding_norm_stats" ->
+      """WITH norms AS (SELECT label,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  ROUND(AVG(nrm), 4) AS avg_norm,
+        |  ROUND(MIN(nrm), 4) AS min_norm,
+        |  ROUND(MAX(nrm), 4) AS max_norm
+        |FROM norms GROUP BY label ORDER BY label""".stripMargin,
+
+    "ngram_top20" ->
+      """WITH toks AS (SELECT string_split_regex(trim(text), ' +') AS w FROM documents),
+        |bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+        |  i -> w[i] || ' ' || w[i+1])) AS bigram FROM toks)
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "regex_extract_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, 'or[a-z]+'))) AS BIGINT) AS n_matches
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "agg_salted_skew" ->
+      """SELECT event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

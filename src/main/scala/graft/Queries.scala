@@ -574,6 +574,139 @@ object Queries {
       .toDF()
       .orderBy(col("doc_id"))
 
+  // ---- relational coverage round 3 ----
+
+  /** TPC-H Q5 shape: the one fact-fact shuffle (lineitem⋈orders on the
+    * order key) plus broadcast dimension joins everywhere else —
+    * supplier/nation/region are tiny, and the c_nationkey = s_nationkey
+    * locality predicate rides the customer join. At 100 TB only the
+    * l⋈o exchange scales with data; every other input stays a broadcast.
+    */
+  def q5LocalSupplierRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(spark, sfDir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** TPC-H Q18 shape (large-volume orders): aggregate the fact table
+    * FIRST (partial aggregation collapses lineitem before any join),
+    * then join the ≪1% survivors to orders + broadcast customer.
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .where(col("qty") > 300)
+    big.join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), round(col("qty"), 2).as("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Rank-family windows: percent_rank + cume_dist of account balance
+    * within each market segment (unique ordering → deterministic). */
+  def windowPercentRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .where(col("c_custkey") <= 300)
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("pr"), col("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Unbounded-frame window functions: each order next to its
+    * customer's first/last order price (full-partition frame). */
+  def windowFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .where(col("o_custkey") < 50)
+      .withColumn("first_price", round(first(col("o_totalprice")).over(w), 2))
+      .withColumn("last_price", round(last(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("first_price"), col("last_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private def lineitemSql(spark: SparkSession, sfDir: String): Unit =
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+
+  /** GROUPING SETS through the SQL surface — the same SQL text runs on
+    * DuckDB as the oracle. */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    lineitemSql(spark, sfDir)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** FILTER-clause conditional aggregation through the SQL surface
+    * (identical SQL text on both engines). */
+  def aggFilterEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT event_type, count(*) AS n_events,
+        |  count(*) FILTER (WHERE value > 50) AS n_high,
+        |  ROUND(AVG(value) FILTER (WHERE value > 50), 4) AS avg_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Per-label L2-norm statistics of the embedding column — pure
+    * higher-order array expressions (codegen'd, no UDF). */
+  def embeddingNormStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), norm.as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("nrm")), 4).as("avg_norm"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"))
+      .orderBy(col("label"))
+  }
+
+  /** Corpus-level n-gram frequency: top-20 word bigrams. The groupBy
+    * count is the whole job — partial aggregation collapses each
+    * partition's bigram counts before the single shuffle. */
+  def ngramTop20(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(TextFunctions.wordNgramsFast(2)(col("text"))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  /** Regex extraction battery: occurrences per language of a pattern
+    * (regexp_extract_all → size), aggregated. */
+  def regexExtractStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(col("text"), lit("or[a-z]+"), lit(0)))).cast("long").as("n_matches"))
+      .orderBy(col("lang"))
+
+  /** Skew-safe two-phase aggregation ([[graft.operators.Salting]]):
+    * identical results to the direct groupBy, oracle-checked against
+    * the plain SQL aggregate. */
+  def aggSaltedSkew(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Salting.saltedCountSum(Tables.events(spark, sfDir), "event_type", "value")
+      .select(col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
   // ---- CRUD engine lifecycle (O16-O22 re-expressed as queries) ----
 
   /** Builds an Engine from the documents table (one library per source,
@@ -673,5 +806,15 @@ object Queries {
     "supplier_balance_by_nation" -> (supplierBalanceByNation _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_thumbnail" -> (multimodalThumbnail _),
+    "q5_local_supplier_revenue" -> (q5LocalSupplierRevenue _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "window_percent_rank" -> (windowPercentRank _),
+    "window_first_last" -> (windowFirstLast _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "agg_filter_events" -> (aggFilterEvents _),
+    "embedding_norm_stats" -> (embeddingNormStats _),
+    "ngram_top20" -> (ngramTop20 _),
+    "regex_extract_stats" -> (regexExtractStats _),
+    "agg_salted_skew" -> (aggSaltedSkew _),
   )
 }
