@@ -421,5 +421,23 @@ object OracleSql {
     "agg_salted_skew" ->
       """SELECT event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "bm25_search" ->
+      """WITH dl AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS dl FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+        |         FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |       WHERE term IN ('table', 'scan', 'merge') GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |scores AS (SELECT tf.doc_id,
+        |  SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, ROUND(s, 4) AS score FROM scores
+        |ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

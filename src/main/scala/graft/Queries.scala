@@ -707,6 +707,37 @@ object Queries {
       .select(col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Okapi BM25 text search ([[graft.search.Bm25]]): top-20 documents
+    * for a 3-term query, scored with the standard Lucene-style idf.
+    * Fully SQL-expressible → DuckDB-oracle-checked. */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame =
+    graft.search.Bm25.search(Tables.documents(spark, sfDir), "doc_id", "text",
+        Seq("table", "scan", "merge"), 20)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+
+  /** Batch embedding generation (the BASELINE.json north star: "Spark
+    * could implement batch embedding generation") as a first-class
+    * query: mapPartitions over documents with ONE embedder instance per
+    * partition (the batched-provider shape — a real provider would make
+    * one HTTP call per batch here, never per row; O14,
+    * cohere_provider.py:12-29), then brute-force top-5 against the
+    * embedded query text. Embedder hashing is engine-internal →
+    * rows-only check; determinism and unit norms are asserted in specs.
+    */
+  def embedKnnText(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val embedded = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val e = graft.embed.HashingEmbedder(64)
+        it.map { case (id, t) => (id, e.embed(t)) }
+      }
+      .toDF("doc_id", "embedding")
+    val q = graft.embed.HashingEmbedder(64).embed("table scan merge")
+    BruteForceKnn.search(embedded, col("embedding"), col("doc_id"), q, 5)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
   // ---- CRUD engine lifecycle (O16-O22 re-expressed as queries) ----
 
   /** Builds an Engine from the documents table (one library per source,
@@ -816,5 +847,7 @@ object Queries {
     "ngram_top20" -> (ngramTop20 _),
     "regex_extract_stats" -> (regexExtractStats _),
     "agg_salted_skew" -> (aggSaltedSkew _),
+    "bm25_search" -> (bm25Search _),
+    "embed_knn_text" -> (embedKnnText _),
   )
 }
