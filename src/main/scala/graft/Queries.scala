@@ -707,6 +707,17 @@ object Queries {
       .select(col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Product-quantization ANN ([[graft.index.PqKnn]]): codebooks
+    * trained on a deterministic sample, corpus encoded to 8-byte codes
+    * (32× compression — the "working set fits in memory at 100 TB"
+    * lever), ADC top-5 from one scan of the codes. Rows-only; recall
+    * and code determinism asserted in PqKnnSpec.
+    */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame =
+    graft.index.PqKnn.search(Tables.embeddings(spark, sfDir), col("vec_id"),
+        col("embedding"), queryVec(spark, sfDir), k = 5, dim = 64)
+      .select(col("id").as("vec_id"), round(col("score"), 4).as("score"))
+
   /** Okapi BM25 text search ([[graft.search.Bm25]]): top-20 documents
     * for a 3-term query, scored with the standard Lucene-style idf.
     * Fully SQL-expressible → DuckDB-oracle-checked. */
@@ -849,5 +860,6 @@ object Queries {
     "agg_salted_skew" -> (aggSaltedSkew _),
     "bm25_search" -> (bm25Search _),
     "embed_knn_text" -> (embedKnnText _),
+    "ann_pq" -> (annPq _),
   )
 }

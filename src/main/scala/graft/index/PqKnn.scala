@@ -1,0 +1,162 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory-compression scale path for
+  * ANN (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011; the codebook layout FAISS calls `PQ{m}`).
+  *
+  * A 64-dim float corpus is 256 B/vector; PQ with m=8 sub-spaces and
+  * 256 centroids each stores 8 bytes/vector — 32× smaller, which is the
+  * difference between "the working set fits in executor memory at
+  * 100 TB" and "it does not". The trade is exactness: search scores an
+  * 8-byte code against a per-query lookup table (asymmetric distance
+  * computation, ADC) instead of the raw vector.
+  *
+  * Division of labor, 100-TB-shaped:
+  *  - TRAIN on a deterministic corpus sample, driver-side (seeded
+  *    Lloyd iterations per sub-space — FAISS trains on a sample the
+  *    same way; the codebook is a few KB);
+  *  - ENCODE in one distributed UDF pass (this is the batch index
+  *    build; codes are writable as a parquet column next to the id);
+  *  - SEARCH broadcasts the m×k ADC table (dot products of the query's
+  *    sub-vectors against every centroid) and ranks with one scan of
+  *    the codes + TakeOrderedAndProject — no float vectors are read at
+  *    query time at all.
+  *
+  * Corpus vectors are L2-normalized before encoding and the query
+  * before table construction, so the ADC score approximates cosine
+  * (sum of per-sub-space dots with the reconstruction).
+  */
+object PqKnn {
+
+  /** m sub-spaces × k centroids × subDim floats. */
+  final case class Codebooks(dim: Int, m: Int, k: Int, cents: Array[Array[Array[Float]]]) {
+    def subDim: Int = dim / m
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var acc = 0.0; var i = 0
+    while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+    val n = math.sqrt(acc)
+    if (n == 0.0) v else v.map(x => (x / n).toFloat)
+  }
+
+  private def sub(v: Array[Float], s: Int, subDim: Int): Array[Float] =
+    java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)
+
+  private def l2(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Seeded Lloyd k-means on one sub-space (driver-side, sample-sized).
+    * Init = k distinct vectors picked round-robin from the sample
+    * (deterministic; no RNG in the data path). Empty clusters keep
+    * their previous centroid.
+    */
+  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    val distinct = points.distinct
+    val init = Array.tabulate(math.min(k, distinct.length))(i =>
+      distinct(i * distinct.length / math.min(k, distinct.length)))
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](points.headOption.map(_.length).getOrElse(0)))
+      val counts = new Array[Int](cents.length)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val d = l2(p, cents(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < p.length) { s(i) += p(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  /** Train codebooks on the deterministic sample id % stride == 0. */
+  def train(emb: DataFrame, idCol: Column, embCol: Column, dim: Int,
+            m: Int = 8, k: Int = 256, sampleStride: Long = 3L, iters: Int = 10): Codebooks = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val sample = emb.where(idCol % sampleStride === 0 && embCol.isNotNull)
+      .select(idCol.cast("long"), embCol)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => normalize(r.getSeq[Float](1).toArray))
+    val cents = Array.tabulate(m) { s =>
+      lloyd(sample.map(v => sub(v, s, subDim)), k, iters)
+    }
+    Codebooks(dim, m, k, cents)
+  }
+
+  /** Distributed encode: one UDF pass → (id, code ARRAY<TINYINT>[m]).
+    * This is the batch index build; at rest the codes table is the
+    * index (write it partitioned however the serving layout needs).
+    */
+  def encode(emb: DataFrame, idCol: Column, embCol: Column, cb: Codebooks): DataFrame = {
+    val codeUdf = udf { (v0: collection.Seq[Float]) =>
+      if (v0 == null) null
+      else {
+        val v = normalize(graft.functions.VectorFunctions.toArr(v0))
+        Array.tabulate(cb.m) { s =>
+          val sv = sub(v, s, cb.subDim)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cb.cents(s).length) {
+            val d = l2(sv, cb.cents(s)(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+          }
+          best.toByte
+        }
+      }
+    }
+    emb.where(embCol.isNotNull)
+      .select(idCol.cast("long").as("id"), codeUdf(embCol).as("code"))
+  }
+
+  /** Per-query ADC table: table(s)(c) = dot(q_s, centroid_{s,c}). */
+  def adcTable(query: Array[Float], cb: Codebooks): Array[Array[Double]] = {
+    val qn = normalize(query)
+    Array.tabulate(cb.m) { s =>
+      val qs = sub(qn, s, cb.subDim)
+      cb.cents(s).map { c =>
+        var acc = 0.0; var i = 0
+        while (i < qs.length) { acc += qs(i).toDouble * c(i).toDouble; i += 1 }
+        acc
+      }
+    }
+  }
+
+  /** ADC search over an encoded corpus: broadcastable table, one scan
+    * of the codes, TakeOrderedAndProject. */
+  def searchEncoded(codes: DataFrame, query: Array[Float], cb: Codebooks, k: Int): DataFrame = {
+    val table = adcTable(query, cb)
+    val scoreUdf = udf { (code: Array[Byte]) =>
+      var acc = 0.0; var s = 0
+      while (s < table.length) { acc += table(s)(code(s) & 0xFF); s += 1 }
+      acc
+    }
+    codes.select(col("id"), scoreUdf(col("code")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Transient end-to-end: train → encode → ADC top-k. */
+  def search(emb: DataFrame, idCol: Column, embCol: Column, query: Array[Float],
+             k: Int, dim: Int, m: Int = 8, numCentroids: Int = 256): DataFrame = {
+    val cb = train(emb, idCol, embCol, dim, m, numCentroids)
+    searchEncoded(encode(emb, idCol, embCol, cb), query, cb, k)
+  }
+}
