@@ -438,6 +438,41 @@ object OracleSql {
         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
         |  GROUP BY tf.doc_id)
         |SELECT doc_id, ROUND(s, 4) AS score FROM scores
-        |ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
+        |ORDER BY ROUND(s, 4) DESC, doc_id LIMIT 20""".stripMargin,
+
+    "hybrid_rrf" ->
+      """WITH dl AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS dl FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+        |         FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |       WHERE term IN ('table', 'scan', 'merge') GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |bscores AS (SELECT tf.doc_id,
+        |  SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |brank AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS text_rank
+        |  FROM bscores QUALIFY text_rank <= 50),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+        |          FROM embeddings e, q),
+        |cscores AS (SELECT vec_id,
+        |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+        |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+        |  FROM pairs GROUP BY vec_id),
+        |crank AS (SELECT vec_id AS doc_id,
+        |  row_number() OVER (ORDER BY ROUND(s, 6) DESC, vec_id) AS vec_rank
+        |  FROM cscores QUALIFY vec_rank <= 50),
+        |fused AS (SELECT doc_id,
+        |  COALESCE(1.0 / (60 + text_rank), 0) + COALESCE(1.0 / (60 + vec_rank), 0) AS rrf,
+        |  text_rank, vec_rank
+        |  FROM brank FULL JOIN crank USING (doc_id))
+        |SELECT doc_id, ROUND(rrf, 6) AS rrf, text_rank, vec_rank FROM fused
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
   )
 }

@@ -722,9 +722,21 @@ object Queries {
     * for a 3-term query, scored with the standard Lucene-style idf.
     * Fully SQL-expressible → DuckDB-oracle-checked. */
   def bm25Search(spark: SparkSession, sfDir: String): DataFrame =
+    // rank on the ROUNDED score (+ id tie-break): 1-ulp summation-order
+    // jitter between engines must never reorder the result
     graft.search.Bm25.search(Tables.documents(spark, sfDir), "doc_id", "text",
-        Seq("table", "scan", "merge"), 20)
+        Seq("table", "scan", "merge"), 20, rankRounded = Some(4))
       .select(col("doc_id"), round(col("score"), 4).as("score"))
+
+  /** Hybrid retrieval ([[graft.search.HybridSearch]]): reciprocal-rank
+    * fusion of the BM25 top-50 and the cosine top-50 — both lists rank
+    * on rounded scores so the fused output is an exact function of
+    * integer ranks, DuckDB-oracle-checked end to end. */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.search.HybridSearch.rrf(
+      Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir),
+      "doc_id", "text", "vec_id", col("embedding"),
+      Seq("table", "scan", "merge"), queryVec(spark, sfDir))
 
   /** Batch embedding generation (the BASELINE.json north star: "Spark
     * could implement batch embedding generation") as a first-class
@@ -861,5 +873,6 @@ object Queries {
     "bm25_search" -> (bm25Search _),
     "embed_knn_text" -> (embedKnnText _),
     "ann_pq" -> (annPq _),
+    "hybrid_rrf" -> (hybridRrf _),
   )
 }

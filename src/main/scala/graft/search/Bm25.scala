@@ -27,8 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** `rankRounded = Some(d)` orders by the score rounded to d decimals
+    * (id tie-break) instead of the raw double — cross-engine float
+    * summation-order jitter (~1 ulp) then cannot reorder oracle-checked
+    * output. */
   def search(docs: DataFrame, idCol: String, textCol: String, query: Seq[String],
-             k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+             k: Int, k1: Double = 1.2, b: Double = 0.75,
+             rankRounded: Option[Int] = None): DataFrame = {
     val qterms = query.distinct
     val base = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
     val dl = base.select(col("doc_id"),
@@ -48,7 +53,8 @@ object Bm25 {
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("s")).as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
+      .orderBy(rankRounded.fold(col("score"))(d => round(col("score"), d)).desc,
+        col("doc_id").asc)
       .limit(k)
   }
 }

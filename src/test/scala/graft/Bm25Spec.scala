@@ -57,6 +57,22 @@ class Bm25Spec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("RRF output is an exact function of the two rank lists") {
+    val rows = Queries.hybridRrf(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val tr = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val vr = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(tr.nonEmpty || vr.nonEmpty)
+      val exp = tr.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        vr.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(1) - math.rint(exp * 1e6) / 1e6) < 1e-9)
+    }
+    // fused order is descending in rrf
+    val rrfs = rows.map(_.getDouble(1)).toSeq
+    assert(rrfs == rrfs.sorted.reverse)
+  }
+
   test("batch-embedded knn query is deterministic with unit-norm vectors") {
     val sfDir = "/root/testdata/sf0.001"
     val r1 = Queries.embedKnnText(spark, sfDir).as[(Long, Double)].collect().toSeq
