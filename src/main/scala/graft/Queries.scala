@@ -137,9 +137,10 @@ object Queries {
     val k = 10
     // tuned default from the LshSweep grid: 1-bit multi-probe at 8×6
     // matches 16-table exact-bucket recall at half the storage
+    val cb = graft.index.PqKnn.train(emb, col("vec_id"), col("embedding"), dim = 64)
     AnnEval.recallSinglePass(emb, "vec_id", "embedding", queries, k,
         graft.index.RandomHyperplaneLsh(8, 6, 42L), dim = 64, mpMaxHamming = 1,
-        stride = 53L, nprobe = 4)
+        stride = 53L, nprobe = 4, pq = Some(cb))
       .orderBy(col("method"))
   }
 
@@ -718,6 +719,15 @@ object Queries {
         col("embedding"), queryVec(spark, sfDir), k = 5, dim = 64)
       .select(col("id").as("vec_id"), round(col("score"), 4).as("score"))
 
+  /** IVF-PQ ([[graft.index.PqKnn.searchIvfPq]]): coarse-cluster probe
+    * + ADC over 8-byte codes — the FAISS flagship composition; at rest
+    * the codes table is partitioned by cluster so a query reads
+    * nprobe/nlist of the files. Rows-only. */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    graft.index.PqKnn.searchIvfPq(Tables.embeddings(spark, sfDir), col("vec_id"),
+        col("embedding"), queryVec(spark, sfDir), k = 5, dim = 64)
+      .select(col("id").as("vec_id"), round(col("score"), 4).as("score"))
+
   /** Okapi BM25 text search ([[graft.search.Bm25]]): top-20 documents
     * for a 3-term query, scored with the standard Lucene-style idf.
     * Fully SQL-expressible → DuckDB-oracle-checked. */
@@ -873,6 +883,7 @@ object Queries {
     "bm25_search" -> (bm25Search _),
     "embed_knn_text" -> (embedKnnText _),
     "ann_pq" -> (annPq _),
+    "ann_ivfpq" -> (annIvfPq _),
     "hybrid_rrf" -> (hybridRrf _),
   )
 }

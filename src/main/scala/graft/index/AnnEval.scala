@@ -136,7 +136,8 @@ object AnnEval {
   def recallSinglePass(emb: DataFrame, idCol: String, embCol: String,
                        queries: Array[(Long, Array[Float])], k: Int,
                        lsh: RandomHyperplaneLsh, dim: Int, mpMaxHamming: Int,
-                       stride: Long, nprobe: Int): DataFrame = {
+                       stride: Long, nprobe: Int,
+                       pq: Option[PqKnn.Codebooks] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val ps = lsh.planes(dim)
@@ -150,6 +151,12 @@ object AnnEval {
       qid -> cents.map { case (cid, cv) => (cid, cosRaw(qv.toSeq, cv)) }
         .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
     }.toMap
+    // PQ rates every row per query, but by its ADC score (the rank
+    // quality of the compressed codes, not candidate pruning)
+    val qAdc: Map[Long, Array[Array[Double]]] = pq match {
+      case Some(cb) => queries.map { case (qid, qv) => qid -> PqKnn.adcTable(qv, cb) }.toMap
+      case None => Map.empty
+    }
     val allScores = udf { (v: collection.Seq[Float]) =>
       if (v == null) Array.empty[MQScore]
       else {
@@ -165,6 +172,7 @@ object AnnEval {
           c += 1
         }
         val cluster = cents(best)._1
+        val code = pq.map(cb => PqKnn.encodeVec(v, cb))
         qBuckets.flatMap { case (qid, qv, qb) =>
           val score = cosRaw(v, qv)
           val out = scala.collection.mutable.ArrayBuffer(MQScore("truth", qid, score))
@@ -175,6 +183,7 @@ object AnnEval {
             out += MQScore("lsh_mp", qid, score)
           if (probes(qid).contains(cluster))
             out += MQScore("ivf", qid, score)
+          code.foreach(cd => out += MQScore("pq", qid, PqKnn.adcScore(cd, qAdc(qid))))
           out
         }
       }
@@ -195,7 +204,8 @@ object AnnEval {
     // the (method × query) grid is known up front — build it locally
     // instead of a distinct + crossJoin over the truth table
     val grid = (for {
-      m <- Seq("lsh", "lsh_mp", "ivf"); (qid, _) <- queries
+      m <- Seq("lsh", "lsh_mp", "ivf") ++ (if (pq.isDefined) Seq("pq") else Nil)
+      (qid, _) <- queries
     } yield (m, qid)).toDF("method", "qid")
     grid.join(perQuery, Seq("method", "qid"), "left")
       .na.fill(0.0, Seq("recall"))

@@ -106,21 +106,31 @@ object PqKnn {
     * This is the batch index build; at rest the codes table is the
     * index (write it partitioned however the serving layout needs).
     */
+  /** Encode one (already raw) vector: normalize, then per sub-space
+    * nearest centroid. */
+  def encodeVec(v0: collection.Seq[Float], cb: Codebooks): Array[Byte] = {
+    val v = normalize(graft.functions.VectorFunctions.toArr(v0))
+    Array.tabulate(cb.m) { s =>
+      val sv = sub(v, s, cb.subDim)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.cents(s).length) {
+        val d = l2(sv, cb.cents(s)(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+      }
+      best.toByte
+    }
+  }
+
+  /** ADC score of one code against a prebuilt [[adcTable]]. */
+  def adcScore(code: Array[Byte], table: Array[Array[Double]]): Double = {
+    var acc = 0.0; var s = 0
+    while (s < table.length) { acc += table(s)(code(s) & 0xFF); s += 1 }
+    acc
+  }
+
   def encode(emb: DataFrame, idCol: Column, embCol: Column, cb: Codebooks): DataFrame = {
     val codeUdf = udf { (v0: collection.Seq[Float]) =>
-      if (v0 == null) null
-      else {
-        val v = normalize(graft.functions.VectorFunctions.toArr(v0))
-        Array.tabulate(cb.m) { s =>
-          val sv = sub(v, s, cb.subDim)
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cb.cents(s).length) {
-            val d = l2(sv, cb.cents(s)(c)); if (d < bestD) { bestD = d; best = c }; c += 1
-          }
-          best.toByte
-        }
-      }
+      if (v0 == null) null else encodeVec(v0, cb)
     }
     emb.where(embCol.isNotNull)
       .select(idCol.cast("long").as("id"), codeUdf(embCol).as("code"))
@@ -143,11 +153,7 @@ object PqKnn {
     * of the codes, TakeOrderedAndProject. */
   def searchEncoded(codes: DataFrame, query: Array[Float], cb: Codebooks, k: Int): DataFrame = {
     val table = adcTable(query, cb)
-    val scoreUdf = udf { (code: Array[Byte]) =>
-      var acc = 0.0; var s = 0
-      while (s < table.length) { acc += table(s)(code(s) & 0xFF); s += 1 }
-      acc
-    }
+    val scoreUdf = udf { (code: Array[Byte]) => adcScore(code, table) }
     codes.select(col("id"), scoreUdf(col("code")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
@@ -158,5 +164,31 @@ object PqKnn {
              k: Int, dim: Int, m: Int = 8, numCentroids: Int = 256): DataFrame = {
     val cb = train(emb, idCol, embCol, dim, m, numCentroids)
     searchEncoded(encode(emb, idCol, embCol, cb), query, cb, k)
+  }
+
+  /** IVF-PQ (the FAISS flagship composition): probe the `nprobe`
+    * coarse clusters nearest the query ([[IvfKnn]]), ADC-score only
+    * their members' codes. At rest this is a codes table partitioned
+    * by cluster_id — a query reads nprobe/nlist of the files and never
+    * touches a float vector.
+    */
+  def searchIvfPq(emb: DataFrame, idCol: Column, embCol: Column, query: Array[Float],
+                  k: Int, dim: Int, stride: Long = 53L, nprobe: Int = 2,
+                  m: Int = 8, numCentroids: Int = 256): DataFrame = {
+    val coarse = IvfKnn.centroids(emb, idCol, embCol, stride)
+    val qn = normalize(query)
+    val probeIds = coarse
+      .map { case (cid, v) =>
+        var dot = 0.0; var na = 0.0; var i = 0
+        val n = math.min(qn.length, v.length)
+        while (i < n) { dot += qn(i).toDouble * v(i).toDouble; na += v(i).toDouble * v(i).toDouble; i += 1 }
+        (cid, if (na == 0.0) 0.0 else dot / math.sqrt(na))
+      }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nprobe).map(_._1)
+    val cb = train(emb, idCol, embCol, dim, m, numCentroids)
+    val probed = IvfKnn.assign(emb.where(embCol.isNotNull), embCol, coarse)
+      .where(col("cluster_id").isin(probeIds.map(Long.box): _*))
+    searchEncoded(encode(probed, idCol, embCol, cb), query, cb, k)
   }
 }

@@ -48,6 +48,29 @@ class PqKnnSpec extends AnyFunSuite {
     assert(pq.contains(0L), "query's own vector fell out of PQ top-10")
   }
 
+  test("IVF-PQ returns k hits drawn from the probed clusters only") {
+    val q = Queries.queryVec(spark, sfDir)
+    val hits = PqKnn.searchIvfPq(emb, col("vec_id"), col("embedding"), q, 5, dim = 64)
+      .as[(Long, Double)].collect()
+    assert(hits.length == 5)
+    val again = PqKnn.searchIvfPq(emb, col("vec_id"), col("embedding"), q, 5, dim = 64)
+      .as[(Long, Double)].collect()
+    assert(hits.toSeq == again.toSeq) // deterministic
+    // every hit must be a member of the 2 probed coarse clusters
+    val cents = graft.index.IvfKnn.centroids(emb, col("vec_id"), col("embedding"), 53L)
+    val assigned = graft.index.IvfKnn.assign(emb, col("embedding"), cents)
+      .select(col("vec_id"), col("cluster_id")).as[(Long, Long)].collect().toMap
+    val clustersHit = hits.map(h => assigned(h._1)).toSet
+    assert(clustersHit.size <= 2, s"hits spanned clusters $clustersHit")
+  }
+
+  test("recall report includes pq when codebooks are supplied") {
+    val q = Queries.annRecall(spark, sfDir)
+      .as[(String, Int, Long, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(q.keySet == Set("lsh", "lsh_mp", "ivf", "pq"))
+    assert(q("pq") > 0.0 && q("pq") <= 1.0)
+  }
+
   test("more centroids monotonically improve (or tie) quantization error") {
     val q = Queries.queryVec(spark, sfDir)
     def err(k: Int): Double = {
