@@ -86,6 +86,33 @@ object ScaleProbe {
       hnswStore.search(spark, hnswPath, q, 5).collect()
     }
     println(s"SCALE hnsw head=${hnswRows.take(2).mkString(", ")}")
+
+    // (d) product quantization: one-time train+encode (8-byte codes,
+    // 32x smaller than the float corpus), then ADC serving that scans
+    // codes only — never the vectors
+    val pqStore = graft.index.PqIndexStore()
+    val pqPath = "target/scale-probe/pq-index"
+    if (!new java.io.File(s"$pqPath/codes/_SUCCESS").exists()) {
+      time("PQ train+encode (one-time batch job)") {
+        pqStore.write(corpus, col("vec_id"), col("embedding"), dim = 64, pqPath,
+          sampleStride = math.max(1L, n / 20000L))
+      }
+    } else println("SCALE PQ build: skipped (exists)")
+    val pqRows = time("PQ ADC top-5 (cold, codes-only scan)") {
+      pqStore.search(spark, pqPath, q, 5, dim = 64).collect()
+    }
+    time("PQ ADC top-5 (warm page cache)") {
+      pqStore.search(spark, pqPath, q, 5, dim = 64).collect()
+    }
+    println(s"SCALE pq head=${pqRows.take(2).mkString(", ")}")
+    def dirSize(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else f.length()
+      walk(new java.io.File(p))
+    }
+    println(f"SCALE bytes corpus=${dirSize(bigPath) / 1e6}%.0f MB " +
+      f"pq=${dirSize(pqPath) / 1e6}%.0f MB hnsw=${dirSize(hnswPath) / 1e6}%.0f MB")
     spark.stop()
   }
 }

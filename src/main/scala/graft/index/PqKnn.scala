@@ -99,7 +99,9 @@ object PqKnn {
     val cents = Array.tabulate(m) { s =>
       lloyd(sample.map(v => sub(v, s, subDim)), k, iters)
     }
-    Codebooks(dim, m, k, cents)
+    // a sample with < k distinct sub-vectors trains fewer centroids;
+    // record the ACTUAL count so stored/loaded codebooks agree
+    Codebooks(dim, m, cents.headOption.map(_.length).getOrElse(0), cents)
   }
 
   /** Distributed encode: one UDF pass → (id, code ARRAY<TINYINT>[m]).
@@ -166,6 +168,9 @@ object PqKnn {
     searchEncoded(encode(emb, idCol, embCol, cb), query, cb, k)
   }
 
+  /** One persisted codebook centroid. */
+  final case class PqCentRow(s: Int, c: Int, centroid: Array[Float])
+
   /** IVF-PQ (the FAISS flagship composition): probe the `nprobe`
     * coarse clusters nearest the query ([[IvfKnn]]), ADC-score only
     * their members' codes. At rest this is a codes table partitioned
@@ -191,4 +196,45 @@ object PqKnn {
       .where(col("cluster_id").isin(probeIds.map(Long.box): _*))
     searchEncoded(encode(probed, idCol, embCol, cb), query, cb, k)
   }
+}
+
+/** At-rest PQ layout: `<path>/codebook` (m×k centroids, a few KB) and
+  * `<path>/codes` (id + m-byte code per vector). Train + encode are
+  * the one-time batch build; serving reads ~9 bytes/row instead of the
+  * 4·dim-byte float vectors — at 100 TB that turns the ANN scan from
+  * I/O-bound on vectors into a scan of a table ~30× smaller, and the
+  * floats never need to be resident at query time at all.
+  */
+final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
+  import PqKnn._
+
+  /** Batch build: train on the stride sample, persist codebook + codes. */
+  def write(emb: DataFrame, idCol: Column, embCol: Column, dim: Int, path: String,
+            sampleStride: Long = 3L): Codebooks = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = train(emb, idCol, embCol, dim, m, numCentroids, sampleStride)
+    val centRows = for {
+      s <- cb.cents.indices; c <- cb.cents(s).indices
+    } yield PqCentRow(s, c, cb.cents(s)(c))
+    centRows.toDS().repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
+    encode(emb, idCol, embCol, cb).write.mode("overwrite").parquet(s"$path/codes")
+    cb
+  }
+
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession, path: String, dim: Int): Codebooks = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/codebook").as[PqCentRow].collect()
+    val bySub = rows.groupBy(_.s)
+    val cents = Array.tabulate(bySub.size) { s =>
+      bySub(s).sortBy(_.c).map(_.centroid)
+    }
+    Codebooks(dim, cents.length, cents.headOption.map(_.length).getOrElse(0), cents)
+  }
+
+  /** Serve from the stored layout: scan codes only. */
+  def search(spark: org.apache.spark.sql.SparkSession, path: String,
+             query: Array[Float], k: Int, dim: Int): DataFrame =
+    searchEncoded(spark.read.parquet(s"$path/codes"), query,
+      loadCodebooks(spark, path, dim), k)
 }

@@ -71,6 +71,22 @@ class PqKnnSpec extends AnyFunSuite {
     assert(q("pq") > 0.0 && q("pq") <= 1.0)
   }
 
+  test("stored layout roundtrips: serve-from-disk equals transient search") {
+    val q = Queries.queryVec(spark, sfDir)
+    val store = graft.index.PqIndexStore()
+    val path = "target/test-pq-store"
+    val cb = store.write(emb, col("vec_id"), col("embedding"), dim = 64, path)
+    val direct = PqKnn.searchEncoded(
+        PqKnn.encode(emb, col("vec_id"), col("embedding"), cb), q, cb, 10)
+      .as[(Long, Double)].collect().toSeq
+    val stored = store.search(spark, path, q, 10, dim = 64)
+      .as[(Long, Double)].collect().toSeq
+    assert(stored == direct)
+    val cb2 = store.loadCodebooks(spark, path, 64)
+    assert(cb2.m == cb.m && cb2.k == cb.k)
+    assert(cb2.cents.flatten.map(_.toSeq).toSeq == cb.cents.flatten.map(_.toSeq).toSeq)
+  }
+
   test("more centroids monotonically improve (or tie) quantization error") {
     val q = Queries.queryVec(spark, sfDir)
     def err(k: Int): Double = {
