@@ -136,6 +136,18 @@ object OracleSql {
         |  count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
+    // every event belongs to exactly two 1h/30min sliding windows:
+    // the one starting at its 30-min floor and the one 30 min earlier
+    "events_sliding" ->
+      """WITH w AS (SELECT event_type, value,
+        |  date_trunc('hour', ts) + to_minutes(30 * CAST(floor(extract('minute' FROM ts) / 30) AS INT)) AS w0
+        |  FROM events),
+        |ex AS (SELECT event_type, value,
+        |  unnest([w0, w0 - INTERVAL 30 MINUTE]) AS ws FROM w)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        |  count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        |FROM ex GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
     "events_json_k" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_bucket,
         |  count(*) AS n_events, ROUND(AVG(value), 4) AS avg_value

@@ -377,6 +377,18 @@ object Queries {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Sliding event-time windows (1 h wide, 30 min slide — every event
+    * lands in two windows): the overlapping-window operator the
+    * streaming engine shares (`window(ts, "1 hour", "30 minutes")`
+    * works identically under readStream). */
+  def eventsSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
   def eventsJsonK(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .withColumn("k_bucket", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int") % 10)
@@ -840,6 +852,7 @@ object Queries {
     "lineitem_quantiles" -> (lineitemQuantiles _),
     "agg_rollup" -> (aggRollup _),
     "events_hourly" -> (eventsHourly _),
+    "events_sliding" -> (eventsSliding _),
     "events_json_k" -> (eventsJsonK _),
     "events_sessionize" -> (eventsSessionize _),
     "agg_distinct_users" -> (aggDistinctUsers _),
