@@ -58,7 +58,8 @@ object PqKnn {
     * their previous centroid.
     */
   private def lloyd(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
-    val distinct = points.distinct
+    // content-level dedup (Array.distinct compares references, not values)
+    val distinct = points.map(_.toSeq).distinct.map(_.toArray)
     val init = Array.tabulate(math.min(k, distinct.length))(i =>
       distinct(i * distinct.length / math.min(k, distinct.length)))
     var cents = init
