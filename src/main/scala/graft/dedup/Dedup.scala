@@ -182,9 +182,13 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, shingleSize: Int = 3,
                       numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+    // dropDuplicates(id): a doubled input row (upstream double-append —
+    // exactly what a dedup module must tolerate) would otherwise
+    // multiply every candidate pair through the two verify joins
     val docsh = docs.select(col(idCol).as("id"),
         array_distinct(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shs"))
       .where(size(col("shs")) > 0)
+      .dropDuplicates("id")
       .cache()
     val sigs = docsh.select(col("id"), sigFromShingles(numHashes, seed)(col("shs")).as("sig"))
     val cands = minhashCandidatePairs(sigs, "id", numHashes, bands)
@@ -216,8 +220,12 @@ object Dedup {
     // need — one narrow cached table of N rows feeds both the size
     // lookup and the posting explode, and the only wide shuffles left
     // are the two aggregations below.
+    // dropDuplicates(id): a doubled input row would otherwise emit
+    // self-pairs from the posting expansion and double the sizes join
+    // (the old posting-level DISTINCT absorbed duplicates implicitly)
     val docsh = docs.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
         array_distinct(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shs"))
+      .dropDuplicates("id")
       .cache()
     val sizes = docsh.select(col("id"), size(col("shs")).cast("long").as("n"))
     val interCounts = docsh

@@ -50,6 +50,43 @@ object AnnEval {
         .select(col("id"), col("qs.qid").as("qid"), col("qs.score").as("score")), k)
   }
 
+  /** Per-query LSH bucket signatures (float-normalize, then hash each
+    * table's planes) — shared by the multi-pass and single-pass paths
+    * so their candidate predicates cannot drift apart. */
+  private def queryBuckets(queries: Array[(Long, Array[Float])],
+                           lsh: RandomHyperplaneLsh,
+                           ps: Array[Array[Array[Float]]]): Array[(Long, Array[Float], Array[Int])] =
+    queries.map { case (qid, qv) =>
+      val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      val qn = if (n == 0.0) qv else qv.map(x => (x / n).toFloat)
+      (qid, qv, ps.map(tp => lsh.hash(qn.toSeq, tp)))
+    }
+
+  /** Per-query IVF probe lists: the nprobe clusters nearest each query. */
+  private def probeSets(queries: Array[(Long, Array[Float])],
+                        cents: Array[(Long, Array[Float])], nprobe: Int): Map[Long, Set[Long]] =
+    queries.map { case (qid, qv) =>
+      qid -> cents.map { case (cid, cv) => (cid, cosRaw(qv.toSeq, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
+    }.toMap
+
+  /** The cluster a row belongs to — None when there are no centroids
+    * (a stride that samples nothing must mean "no IVF candidates",
+    * not an executor crash). */
+  private def nearestCentroid(v: collection.Seq[Float],
+                              cents: Array[(Long, Array[Float])]): Option[Long] =
+    if (cents.isEmpty) None
+    else {
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val s = cosRaw(v, cents(c)._2)
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      Some(cents(best)._1)
+    }
+
   /** LSH top-k per query: rows score only against queries sharing a
     * bucket in some table (within `maxHamming` bit flips — 0 = exact
     * bucket, 1 = single-probe expansion). */
@@ -57,11 +94,7 @@ object AnnEval {
               queries: Array[(Long, Array[Float])], k: Int,
               lsh: RandomHyperplaneLsh, dim: Int, maxHamming: Int = 0): DataFrame = {
     val ps = lsh.planes(dim)
-    val qBuckets = queries.map { case (qid, qv) =>
-      val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
-      val qn = if (n == 0.0) qv else qv.map(x => (x / n).toFloat)
-      (qid, qv, ps.map(tp => lsh.hash(qn.toSeq, tp)))
-    }
+    val qBuckets = queryBuckets(queries, lsh, ps)
     val candScores = udf { (v: collection.Seq[Float]) =>
       if (v == null) Array.empty[QScore]
       else {
@@ -90,25 +123,15 @@ object AnnEval {
               queries: Array[(Long, Array[Float])], k: Int,
               stride: Long, nprobe: Int): DataFrame = {
     val cents = IvfKnn.centroids(emb, col(idCol), col(embCol), stride)
-    val probes: Map[Long, Set[Long]] = queries.map { case (qid, qv) =>
-      qid -> cents.map { case (cid, cv) => (cid, cosRaw(qv.toSeq, cv)) }
-        .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
-    }.toMap
-    val centVecs = cents
+    val probes = probeSets(queries, cents, nprobe)
     val candScores = udf { (v: collection.Seq[Float]) =>
       if (v == null) Array.empty[QScore]
-      else {
-        var best = 0; var bestScore = Double.NegativeInfinity
-        var c = 0
-        while (c < centVecs.length) {
-          val s = cosRaw(v, centVecs(c)._2)
-          if (s > bestScore) { bestScore = s; best = c }
-          c += 1
-        }
-        val cluster = centVecs(best)._1
-        queries.collect {
-          case (qid, qv) if probes(qid).contains(cluster) => QScore(qid, cosRaw(v, qv))
-        }
+      else nearestCentroid(v, cents) match {
+        case None => Array.empty[QScore]
+        case Some(cluster) =>
+          queries.collect {
+            case (qid, qv) if probes(qid).contains(cluster) => QScore(qid, cosRaw(v, qv))
+          }
       }
     }
     topkPerQuery(
@@ -141,16 +164,9 @@ object AnnEval {
     val spark = emb.sparkSession
     import spark.implicits._
     val ps = lsh.planes(dim)
-    val qBuckets = queries.map { case (qid, qv) =>
-      val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
-      val qn = if (n == 0.0) qv else qv.map(x => (x / n).toFloat)
-      (qid, qv, ps.map(tp => lsh.hash(qn.toSeq, tp)))
-    }
+    val qBuckets = queryBuckets(queries, lsh, ps)
     val cents = IvfKnn.centroids(emb, col(idCol), col(embCol), stride)
-    val probes: Map[Long, Set[Long]] = queries.map { case (qid, qv) =>
-      qid -> cents.map { case (cid, cv) => (cid, cosRaw(qv.toSeq, cv)) }
-        .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
-    }.toMap
+    val probes = probeSets(queries, cents, nprobe)
     // PQ rates every row per query, but by its ADC score (the rank
     // quality of the compressed codes, not candidate pruning)
     val qAdc: Map[Long, Array[Array[Double]]] = pq match {
@@ -164,14 +180,7 @@ object AnnEval {
         val vn: collection.Seq[Float] =
           if (n == 0.0) v else v.map(x => (x.toDouble / n).toFloat)
         val rowBuckets = ps.map(tp => lsh.hash(vn, tp))
-        var best = 0; var bestScore = Double.NegativeInfinity
-        var c = 0
-        while (c < cents.length) {
-          val s = cosRaw(v, cents(c)._2)
-          if (s > bestScore) { bestScore = s; best = c }
-          c += 1
-        }
-        val cluster = cents(best)._1
+        val cluster = nearestCentroid(v, cents)
         val code = pq.map(cb => PqKnn.encodeVec(v, cb))
         qBuckets.flatMap { case (qid, qv, qb) =>
           val score = cosRaw(v, qv)
@@ -181,7 +190,7 @@ object AnnEval {
           if (qb.indices.exists(t =>
               Integer.bitCount(qb(t) ^ rowBuckets(t)) <= mpMaxHamming))
             out += MQScore("lsh_mp", qid, score)
-          if (probes(qid).contains(cluster))
+          if (cluster.exists(probes(qid).contains))
             out += MQScore("ivf", qid, score)
           code.foreach(cd => out += MQScore("pq", qid, PqKnn.adcScore(cd, qAdc(qid))))
           out

@@ -87,12 +87,22 @@ object PqKnn {
     cents
   }
 
-  /** Train codebooks on the deterministic sample id % stride == 0. */
+  /** Train codebooks on the deterministic sample id % stride == 0.
+    * `sampleStride <= 0` (the default) derives the stride from the
+    * corpus count so the driver-side sample is capped at
+    * `targetSample` rows no matter the corpus size — a fixed fraction
+    * would OOM the driver at the scale this module exists for.
+    */
   def train(emb: DataFrame, idCol: Column, embCol: Column, dim: Int,
-            m: Int = 8, k: Int = 256, sampleStride: Long = 3L, iters: Int = 10): Codebooks = {
+            m: Int = 8, k: Int = 256, sampleStride: Long = 0L, iters: Int = 10,
+            targetSample: Int = 20000): Codebooks = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val sample = emb.where(idCol % sampleStride === 0 && embCol.isNotNull)
+    val nonNull = emb.where(embCol.isNotNull)
+    val stride =
+      if (sampleStride > 0) sampleStride
+      else math.max(1L, nonNull.count() / targetSample)
+    val sample = nonNull.where(idCol % stride === 0)
       .select(idCol.cast("long"), embCol)
       .collect()
       .sortBy(_.getLong(0))
@@ -101,8 +111,9 @@ object PqKnn {
       lloyd(sample.map(v => sub(v, s, subDim)), k, iters)
     }
     // a sample with < k distinct sub-vectors trains fewer centroids;
-    // record the ACTUAL count so stored/loaded codebooks agree
-    Codebooks(dim, m, cents.headOption.map(_.length).getOrElse(0), cents)
+    // record the count of the largest sub-space so stored/loaded
+    // codebooks agree (sizing always from cents(s).length, never k)
+    Codebooks(dim, m, if (cents.isEmpty) 0 else cents.map(_.length).max, cents)
   }
 
   /** Distributed encode: one UDF pass → (id, code ARRAY<TINYINT>[m]).
@@ -211,7 +222,7 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
 
   /** Batch build: train on the stride sample, persist codebook + codes. */
   def write(emb: DataFrame, idCol: Column, embCol: Column, dim: Int, path: String,
-            sampleStride: Long = 3L): Codebooks = {
+            sampleStride: Long = 0L): Codebooks = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cb = train(emb, idCol, embCol, dim, m, numCentroids, sampleStride)
@@ -230,7 +241,8 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
     val cents = Array.tabulate(bySub.size) { s =>
       bySub(s).sortBy(_.c).map(_.centroid)
     }
-    Codebooks(dim, cents.length, cents.headOption.map(_.length).getOrElse(0), cents)
+    Codebooks(dim, cents.length,
+      if (cents.isEmpty) 0 else cents.map(_.length).max, cents)
   }
 
   /** Serve from the stored layout: scan codes only. */

@@ -31,12 +31,15 @@ object HybridSearch {
     val text = Bm25.search(docs, docIdCol, textCol, queryTerms, n, rankRounded = Some(6))
       .withColumn("text_rank", row_number().over(textRank).cast("long"))
       .select(col("doc_id"), col("text_rank"))
-    val vecRank = Window.orderBy(round(col("score"), 6).desc, col(embIdCol).asc)
     // rank + cutoff BOTH on the rounded score (scored(), not search(),
-    // whose top-k cuts on the raw double)
+    // whose top-k cuts on the raw double). The cutoff is
+    // orderBy+limit — TakeOrderedAndProject over the corpus — and only
+    // the surviving ≤n rows see the (single-partition) ranking window.
+    val vecRank = Window.orderBy(round(col("score"), 6).desc, col(embIdCol).asc)
     val vec = BruteForceKnn.scored(emb, embCol, queryVec)
+      .orderBy(round(col("score"), 6).desc, col(embIdCol).asc)
+      .limit(n)
       .withColumn("vec_rank", row_number().over(vecRank).cast("long"))
-      .where(col("vec_rank") <= n)
       .select(col(embIdCol).cast("long").as("doc_id"), col("vec_rank"))
     text.join(vec, Seq("doc_id"), "full_outer")
       .withColumn("rrf",

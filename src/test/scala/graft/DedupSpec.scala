@@ -38,6 +38,21 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs(1)._3 - expected) < 1e-9)
   }
 
+  test("a doubled input ROW (same id twice) neither self-pairs nor multiplies pairs") {
+    val doubled = docs.unionByName(docs.where(col("doc_id") === 0L))
+    val blocked = Dedup.blockedJaccardPairs(doubled, "doc_id", "text", "source", 0.3)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val clean = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 0.3)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(blocked.toSeq == clean.toSeq)
+    assert(!blocked.exists(p => p._1 == p._2))
+    val mh = Dedup.minhashNearDups(doubled, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val mhClean = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(mh.toSeq == mhClean.toSeq)
+  }
+
   test("minhash finds the exact and near dup, not the unrelated pairs") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
