@@ -182,13 +182,16 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, shingleSize: Int = 3,
                       numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
-    // dropDuplicates(id): a doubled input row (upstream double-append —
+    // one row per id: a doubled input row (upstream double-append —
     // exactly what a dedup module must tolerate) would otherwise
-    // multiply every candidate pair through the two verify joins
+    // multiply every candidate pair through the two verify joins.
+    // max(shs) (array ordering) picks DETERMINISTICALLY when the same
+    // id somehow carries different text — dropDuplicates would keep a
+    // partition-order-dependent row.
     val docsh = docs.select(col(idCol).as("id"),
         array_distinct(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shs"))
       .where(size(col("shs")) > 0)
-      .dropDuplicates("id")
+      .groupBy(col("id")).agg(max(col("shs")).as("shs"))
       .cache()
     val sigs = docsh.select(col("id"), sigFromShingles(numHashes, seed)(col("shs")).as("sig"))
     val cands = minhashCandidatePairs(sigs, "id", numHashes, bands)
@@ -217,15 +220,19 @@ object Dedup {
     import spark.implicits._
     // Per-document distinct-shingle ARRAYS: in-row `array_distinct`
     // replaces the global DISTINCT a (id, shingle) posting table would
-    // need — one narrow cached table of N rows feeds both the size
-    // lookup and the posting explode, and the only wide shuffles left
-    // are the two aggregations below.
-    // dropDuplicates(id): a doubled input row would otherwise emit
+    // need — one cached table of N rows feeds both the size lookup
+    // and the posting explode.
+    // one row per id: a doubled input row would otherwise emit
     // self-pairs from the posting expansion and double the sizes join
-    // (the old posting-level DISTINCT absorbed duplicates implicitly)
+    // (the old posting-level DISTINCT absorbed duplicates implicitly).
+    // max(struct) picks deterministically if an id ever carries
+    // conflicting (block, text). This aggregation + the two below are
+    // the pipeline's wide shuffles; map-side combine collapses
+    // duplicates before any array payload moves.
     val docsh = docs.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
         array_distinct(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shs"))
-      .dropDuplicates("id")
+      .groupBy(col("id")).agg(max(struct(col("block"), col("shs"))).as("bs"))
+      .select(col("id"), col("bs.block").as("block"), col("bs.shs").as("shs"))
       .cache()
     val sizes = docsh.select(col("id"), size(col("shs")).cast("long").as("n"))
     val interCounts = docsh

@@ -62,6 +62,18 @@ object AnnEval {
       (qid, qv, ps.map(tp => lsh.hash(qn.toSeq, tp)))
     }
 
+  /** Row-side bucket signature: float-normalize (zero vector kept),
+    * then hash every table's planes — MUST stay bit-identical to the
+    * served index path (withBuckets ∘ l2Normalize / candidateMatch);
+    * shared by the multi-pass and single-pass evaluator UDFs. */
+  private def rowBuckets(v: collection.Seq[Float], lsh: RandomHyperplaneLsh,
+                         ps: Array[Array[Array[Float]]]): Array[Int] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val vn: collection.Seq[Float] =
+      if (n == 0.0) v else v.map(x => (x.toDouble / n).toFloat)
+    ps.map(tp => lsh.hash(vn, tp))
+  }
+
   /** Per-query IVF probe lists: the nprobe clusters nearest each query. */
   private def probeSets(queries: Array[(Long, Array[Float])],
                         cents: Array[(Long, Array[Float])], nprobe: Int): Map[Long, Set[Long]] =
@@ -98,15 +110,10 @@ object AnnEval {
     val candScores = udf { (v: collection.Seq[Float]) =>
       if (v == null) Array.empty[QScore]
       else {
-        // float-normalize before hashing, bit-identical to the served
-        // index path (withBuckets ∘ l2Normalize / candidateMatch)
-        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-        val vn: collection.Seq[Float] =
-          if (n == 0.0) v else v.map(x => (x.toDouble / n).toFloat)
-        val rowBuckets = ps.map(tp => lsh.hash(vn, tp))
+        val rb = rowBuckets(v, lsh, ps)
         qBuckets.collect {
           case (qid, qv, qb) if qb.indices.exists(t =>
-              Integer.bitCount(qb(t) ^ rowBuckets(t)) <= maxHamming) =>
+              Integer.bitCount(qb(t) ^ rb(t)) <= maxHamming) =>
             QScore(qid, cosRaw(v, qv))
         }
       }
@@ -176,19 +183,16 @@ object AnnEval {
     val allScores = udf { (v: collection.Seq[Float]) =>
       if (v == null) Array.empty[MQScore]
       else {
-        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-        val vn: collection.Seq[Float] =
-          if (n == 0.0) v else v.map(x => (x.toDouble / n).toFloat)
-        val rowBuckets = ps.map(tp => lsh.hash(vn, tp))
+        val rb = rowBuckets(v, lsh, ps)
         val cluster = nearestCentroid(v, cents)
         val code = pq.map(cb => PqKnn.encodeVec(v, cb))
         qBuckets.flatMap { case (qid, qv, qb) =>
           val score = cosRaw(v, qv)
           val out = scala.collection.mutable.ArrayBuffer(MQScore("truth", qid, score))
-          if (qb.indices.exists(t => qb(t) == rowBuckets(t)))
+          if (qb.indices.exists(t => qb(t) == rb(t)))
             out += MQScore("lsh", qid, score)
           if (qb.indices.exists(t =>
-              Integer.bitCount(qb(t) ^ rowBuckets(t)) <= mpMaxHamming))
+              Integer.bitCount(qb(t) ^ rb(t)) <= mpMaxHamming))
             out += MQScore("lsh_mp", qid, score)
           if (cluster.exists(probes(qid).contains))
             out += MQScore("ivf", qid, score)

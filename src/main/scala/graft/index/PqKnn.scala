@@ -87,33 +87,43 @@ object PqKnn {
     cents
   }
 
-  /** Train codebooks on the deterministic sample id % stride == 0.
+  /** Train codebooks on a deterministic HASHED-id sample
+    * (`xxhash64(id) % stride == 0` — hashing decouples the sample from
+    * any structure in the id spacing; a raw `id % stride` admits
+    * pathological spacings that select the whole corpus).
     * `sampleStride <= 0` (the default) derives the stride from the
-    * corpus count so the driver-side sample is capped at
-    * `targetSample` rows no matter the corpus size — a fixed fraction
-    * would OOM the driver at the scale this module exists for.
+    * corpus count (ceiling division) so the driver-side sample stays
+    * within ~`targetSample` rows no matter the corpus size — a fixed
+    * fraction would OOM the driver at the scale this module exists
+    * for. Pass `knownCount` when the caller already has the row count
+    * (an at-rest build always does) to skip the extra counting scan.
     */
   def train(emb: DataFrame, idCol: Column, embCol: Column, dim: Int,
             m: Int = 8, k: Int = 256, sampleStride: Long = 0L, iters: Int = 10,
-            targetSample: Int = 20000): Codebooks = {
+            targetSample: Int = 20000, knownCount: Long = -1L): Codebooks = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val nonNull = emb.where(embCol.isNotNull)
     val stride =
       if (sampleStride > 0) sampleStride
-      else math.max(1L, nonNull.count() / targetSample)
-    val sample = nonNull.where(idCol % stride === 0)
+      else {
+        val n = if (knownCount >= 0) knownCount else nonNull.count()
+        math.max(1L, (n + targetSample - 1) / targetSample)
+      }
+    val sample = nonNull.where(pmod(xxhash64(idCol), lit(stride)) === 0)
       .select(idCol.cast("long"), embCol)
       .collect()
       .sortBy(_.getLong(0))
       .map(r => normalize(r.getSeq[Float](1).toArray))
+    require(sample.nonEmpty,
+      s"PQ training sample is empty (stride $stride matched no rows)")
     val cents = Array.tabulate(m) { s =>
       lloyd(sample.map(v => sub(v, s, subDim)), k, iters)
     }
     // a sample with < k distinct sub-vectors trains fewer centroids;
     // record the count of the largest sub-space so stored/loaded
     // codebooks agree (sizing always from cents(s).length, never k)
-    Codebooks(dim, m, if (cents.isEmpty) 0 else cents.map(_.length).max, cents)
+    Codebooks(dim, m, cents.map(_.length).max, cents)
   }
 
   /** Distributed encode: one UDF pass → (id, code ARRAY<TINYINT>[m]).
