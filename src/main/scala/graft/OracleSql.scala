@@ -434,6 +434,17 @@ object OracleSql {
       """SELECT event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "chunk_documents" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+        |starts AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 15)) AS start FROM toks),
+        |chunks AS (SELECT doc_id,
+        |  CAST((start - 1) // 15 AS BIGINT) AS chunk_idx,
+        |  list_slice(w, start, least(start + 19, len(w))) AS cw
+        |  FROM starts)
+        |SELECT doc_id, chunk_idx, CAST(len(cw) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(cw, ' ')) AS chunk_digest
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "bm25_search" ->
       """WITH dl AS (SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS dl FROM documents),

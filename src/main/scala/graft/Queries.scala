@@ -731,6 +731,28 @@ object Queries {
         col("embedding"), queryVec(spark, sfDir), k = 5, dim = 64)
       .select(col("id").as("vec_id"), round(col("score"), 4).as("score"))
 
+  /** Document chunking — the reference's own document→chunk data model
+    * (SURVEY §1.1) as a distributed operator: overlapping token-window
+    * chunks (size 20, stride 15 → 5-token overlap), the standard
+    * RAG-ingestion shape. Pure Column expressions (sequence + slice),
+    * so the whole thing stays in codegen; one row explodes to
+    * ~n_tokens/15 chunk rows and nothing shuffles until the final
+    * ORDER BY. Chunk text is emitted as an md5 digest (the driver's
+    * hash compare wants narrow deterministic columns, and a 100 TB
+    * chunker would ship digests to the dedup stage anyway).
+    */
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(15))).as("start"))
+      .select(col("doc_id"), ((col("start") - 1) / 15).cast("long").as("chunk_idx"),
+        slice(col("w"), col("start"), lit(20)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("n_tokens"),
+        md5(array_join(col("cw"), " ")).as("chunk_digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** IVF-PQ ([[graft.index.PqKnn.searchIvfPq]]): coarse-cluster probe
     * + ADC over 8-byte codes — the FAISS flagship composition; at rest
     * the codes table is partitioned by cluster so a query reads
@@ -898,5 +920,6 @@ object Queries {
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "hybrid_rrf" -> (hybridRrf _),
+    "chunk_documents" -> (chunkDocuments _),
   )
 }
