@@ -753,6 +753,36 @@ object Queries {
         md5(array_join(col("cw"), " ")).as("chunk_digest"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** The reference's WHOLE lifecycle as one distributed pipeline:
+    * chunk documents (token windows) → batch-embed every chunk
+    * (mapPartitions, one embedder per partition) → cosine top-5 chunks
+    * for an embedded text query — i.e. document ingestion + chunk
+    * store + search (SURVEY O1/O5/O12/O14) at corpus scale in a
+    * single lazy plan. Rows-only (embedder hashing is
+    * engine-internal); every stage is oracle-checked separately
+    * (chunk_documents, knn_*, embed_knn_text).
+    */
+  def ragChunkSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(15))).as("start"))
+      .select(col("doc_id"), ((col("start") - 1) / 15).cast("long").as("chunk_idx"),
+        array_join(slice(col("w"), col("start"), lit(20)), " ").as("chunk_text"))
+    val embedded = chunks.as[(Long, Long, String)]
+      .mapPartitions { it =>
+        val e = graft.embed.HashingEmbedder(64)
+        it.map { case (d, c, t) => (d, c, e.embed(t)) }
+      }
+      .toDF("doc_id", "chunk_idx", "embedding")
+    val q = graft.embed.HashingEmbedder(64).embed("table scan merge")
+    graft.index.BruteForceKnn.scored(embedded, col("embedding"), q)
+      .orderBy(round(col("score"), 6).desc, col("doc_id").asc, col("chunk_idx").asc)
+      .limit(5)
+      .select(col("doc_id"), col("chunk_idx"), round(col("score"), 4).as("score"))
+  }
+
   /** IVF-PQ ([[graft.index.PqKnn.searchIvfPq]]): coarse-cluster probe
     * + ADC over 8-byte codes — the FAISS flagship composition; at rest
     * the codes table is partitioned by cluster so a query reads
@@ -921,5 +951,6 @@ object Queries {
     "ann_ivfpq" -> (annIvfPq _),
     "hybrid_rrf" -> (hybridRrf _),
     "chunk_documents" -> (chunkDocuments _),
+    "rag_chunk_search" -> (ragChunkSearch _),
   )
 }
