@@ -1,0 +1,48 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dedup pipelines at 10× the bench corpus: every document appears in
+  * `copies` copies (distinct ids), so the pipelines face a genuinely
+  * duplicate-heavy corpus — minhash candidate generation must surface
+  * ~N·C(copies,2) true pairs through band buckets without a cartesian.
+  * Usage: runMain graft.DedupProbe [copies]
+  */
+object DedupProbe {
+  def main(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, "/root/testdata/sf0.1") // 5000 docs
+    val big = base.crossJoin(spark.range(copies).select(col("id").as("copy")))
+      .select((col("doc_id") + col("copy") * 5000L).as("doc_id"),
+        col("text"), col("source"))
+    val bigPath = "target/dedup-probe/corpus"
+    big.write.mode("overwrite").parquet(bigPath)
+    val corpus = spark.read.parquet(bigPath)
+    println(s"DEDUP corpus rows=${corpus.count()}")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"DEDUP $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    time("exact stats (md5 hash-agg)") {
+      Dedup.exactStats(corpus, col("source"), col("text")).count()
+    }
+    time("minhash near-dups (sig + band join + array verify)") {
+      Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.9).count()
+    }
+    time("simhash near-dups (64-bit sketch + band blocking)") {
+      Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3).count()
+    }
+    spark.stop()
+  }
+}

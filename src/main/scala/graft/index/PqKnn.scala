@@ -260,4 +260,16 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
              query: Array[Float], k: Int, dim: Int): DataFrame =
     searchEncoded(spark.read.parquet(s"$path/codes"), query,
       loadCodebooks(spark, path, dim), k)
+
+  /** Incremental maintenance: encode a DELTA of new rows with the
+    * STORED codebooks and append — new vectors are searchable the
+    * moment the append commits, with no retraining (the standard PQ
+    * operating mode: codebooks drift slowly, codes churn fast;
+    * retrain = a fresh [[write]] when drift warrants it).
+    */
+  def append(delta: DataFrame, idCol: Column, embCol: Column, dim: Int,
+             path: String): Unit = {
+    val cb = loadCodebooks(delta.sparkSession, path, dim)
+    encode(delta, idCol, embCol, cb).write.mode("append").parquet(s"$path/codes")
+  }
 }

@@ -87,6 +87,21 @@ class PqKnnSpec extends AnyFunSuite {
     assert(cb2.cents.flatten.map(_.toSeq).toSeq == cb.cents.flatten.map(_.toSeq).toSeq)
   }
 
+  test("appended delta rows are searchable with the stored codebooks") {
+    val q = Queries.queryVec(spark, sfDir)
+    val store = graft.index.PqIndexStore()
+    val path = "target/test-pq-append"
+    // build WITHOUT vec 0, then append it; it must surface at rank 1
+    store.write(emb.where(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+      dim = 64, path)
+    val before = store.search(spark, path, q, 1, dim = 64).as[(Long, Double)].head()
+    assert(before._1 != 0L)
+    store.append(emb.where(col("vec_id") === 0), col("vec_id"), col("embedding"),
+      dim = 64, path)
+    val after = store.search(spark, path, q, 1, dim = 64).as[(Long, Double)].head()
+    assert(after._1 == 0L, s"appended query-member vector not found: $after")
+  }
+
   test("more centroids monotonically improve (or tie) quantization error") {
     val q = Queries.queryVec(spark, sfDir)
     def err(k: Int): Double = {
