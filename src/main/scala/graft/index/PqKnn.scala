@@ -272,4 +272,18 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
     val cb = loadCodebooks(delta.sparkSession, path, dim)
     encode(delta, idCol, embCol, cb).write.mode("append").parquet(s"$path/codes")
   }
+
+  /** Streaming ingest: every micro-batch is encoded with the stored
+    * codebooks (loaded once, reused across batches) and appended —
+    * the PQ twin of [[LshIndexStore.appendStream]]. */
+  def appendStream(rows: DataFrame, idCol: Column, embCol: Column, dim: Int,
+                   path: String, checkpointDir: Option[String] = None)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cb = loadCodebooks(rows.sparkSession, path, dim)
+    var w = rows.writeStream.outputMode("append")
+    checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+      encode(batch, idCol, embCol, cb).write.mode("append").parquet(s"$path/codes")
+    }.start()
+  }
 }

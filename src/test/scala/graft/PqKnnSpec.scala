@@ -102,6 +102,24 @@ class PqKnnSpec extends AnyFunSuite {
     assert(after._1 == 0L, s"appended query-member vector not found: $after")
   }
 
+  test("streaming ingest encodes micro-batches into the stored layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val q = Queries.queryVec(spark, sfDir)
+    val store = graft.index.PqIndexStore()
+    val path = "target/test-pq-stream"
+    store.write(emb.where(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+      dim = 64, path)
+    val src = MemoryStream[(Long, Array[Float])](spark)
+    val query = store.appendStream(src.toDF().toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), dim = 64, path)
+    try {
+      src.addData((0L, q))
+      query.processAllAvailable()
+    } finally query.stop()
+    val top = store.search(spark, path, q, 1, dim = 64).as[(Long, Double)].head()
+    assert(top._1 == 0L, s"streamed vector not served: $top")
+  }
+
   test("more centroids monotonically improve (or tie) quantization error") {
     val q = Queries.queryVec(spark, sfDir)
     def err(k: Int): Double = {
