@@ -41,6 +41,12 @@ object IvfKnn {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Clusters ranked by cosine(query, centroid) desc, id tie-break —
+    * the probe-list choice shared by IVF, IVF-PQ and the stores. */
+  def rankClusters(query: Array[Float], cents: Array[(Long, Array[Float])]): Array[(Long, Double)] =
+    cents.map { case (cid, v) => (cid, cosineRaw(query.toSeq, v)) }
+      .sortBy { case (cid, s) => (-s, cid) }
+
   /** Assign each row to its nearest centroid (by cosine). */
   def assign(emb: DataFrame, embCol: Column, cents: Array[(Long, Array[Float])]): DataFrame = {
     val centVecs = cents.map(_._2)
@@ -65,11 +71,7 @@ object IvfKnn {
   def search(spark: SparkSession, emb: DataFrame, embCol: Column, idCol: Column,
              query: Array[Float], k: Int, stride: Long = 53L, nprobe: Int = 2): DataFrame = {
     val cents = centroids(emb, idCol, embCol, stride)
-    val probeIds = cents
-      .map { case (cid, v) => (cid, cosineRaw(query.toSeq, v)) }
-      .sortBy { case (cid, s) => (-s, cid) }
-      .take(nprobe)
-      .map(_._1)
+    val probeIds = rankClusters(query, cents).take(nprobe).map(_._1)
     val assigned = assign(emb.where(embCol.isNotNull), embCol, cents)
     BruteForceKnn.search(
       assigned.where(col("cluster_id").isin(probeIds.map(Long.box): _*)),

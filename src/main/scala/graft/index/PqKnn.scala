@@ -126,10 +126,6 @@ object PqKnn {
     Codebooks(dim, m, cents.map(_.length).max, cents)
   }
 
-  /** Distributed encode: one UDF pass → (id, code ARRAY<TINYINT>[m]).
-    * This is the batch index build; at rest the codes table is the
-    * index (write it partitioned however the serving layout needs).
-    */
   /** Encode one (already raw) vector: normalize, then per sub-space
     * nearest centroid. */
   def encodeVec(v0: collection.Seq[Float], cb: Codebooks): Array[Byte] = {
@@ -152,6 +148,9 @@ object PqKnn {
     acc
   }
 
+  /** Distributed encode: one UDF pass → (id, code BINARY[m]). This is
+    * the batch index build; at rest the codes table is the index
+    * (write it partitioned however the serving layout needs). */
   def encode(emb: DataFrame, idCol: Column, embCol: Column, cb: Codebooks): DataFrame = {
     val codeUdf = udf { (v0: collection.Seq[Float]) =>
       if (v0 == null) null else encodeVec(v0, cb)
@@ -193,6 +192,9 @@ object PqKnn {
   /** One persisted codebook centroid. */
   final case class PqCentRow(s: Int, c: Int, centroid: Array[Float])
 
+  /** One persisted coarse (IVF) centroid. */
+  final case class CoarseRow(cluster_id: Long, centroid: Array[Float])
+
   /** IVF-PQ (the FAISS flagship composition): probe the `nprobe`
     * coarse clusters nearest the query ([[IvfKnn]]), ADC-score only
     * their members' codes. At rest this is a codes table partitioned
@@ -203,20 +205,62 @@ object PqKnn {
                   k: Int, dim: Int, stride: Long = 53L, nprobe: Int = 2,
                   m: Int = 8, numCentroids: Int = 256): DataFrame = {
     val coarse = IvfKnn.centroids(emb, idCol, embCol, stride)
-    val qn = normalize(query)
-    val probeIds = coarse
-      .map { case (cid, v) =>
-        var dot = 0.0; var na = 0.0; var i = 0
-        val n = math.min(qn.length, v.length)
-        while (i < n) { dot += qn(i).toDouble * v(i).toDouble; na += v(i).toDouble * v(i).toDouble; i += 1 }
-        (cid, if (na == 0.0) 0.0 else dot / math.sqrt(na))
-      }
-      .sortBy { case (cid, s) => (-s, cid) }
-      .take(nprobe).map(_._1)
+    val probeIds = IvfKnn.rankClusters(query, coarse).take(nprobe).map(_._1)
     val cb = train(emb, idCol, embCol, dim, m, numCentroids)
     val probed = IvfKnn.assign(emb.where(embCol.isNotNull), embCol, coarse)
       .where(col("cluster_id").isin(probeIds.map(Long.box): _*))
     searchEncoded(encode(probed, idCol, embCol, cb), query, cb, k)
+  }
+}
+
+/** At-rest IVF-PQ layout — the claim in [[PqKnn.searchIvfPq]]'s
+  * docstring made physical: `<path>/coarse` (the coarse centroids),
+  * `<path>/codebook` (PQ centroids), and `<path>/codes` written
+  * PARTITIONED BY cluster_id. A query ranks the coarse centroids on
+  * the driver (they are tiny), then scans only the `nprobe` matching
+  * partition DIRECTORIES — partition pruning does the inverted-file
+  * lookup, so the I/O per query is nprobe/nlist of an already-32×-
+  * compressed table.
+  */
+final case class IvfPqIndexStore(m: Int = 8, numCentroids: Int = 256,
+                                 coarseStride: Long = 53L) {
+  import PqKnn._
+
+  def write(emb: DataFrame, idCol: Column, embCol: Column, dim: Int, path: String): Codebooks = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coarse = IvfKnn.centroids(emb, idCol, embCol, coarseStride)
+    coarse.map { case (cid, v) => CoarseRow(cid, v) }.toSeq.toDS()
+      .repartition(1).write.mode("overwrite").parquet(s"$path/coarse")
+    val cb = train(emb, idCol, embCol, dim, m, numCentroids)
+    val centRows = for {
+      s <- cb.cents.indices; c <- cb.cents(s).indices
+    } yield PqCentRow(s, c, cb.cents(s)(c))
+    centRows.toDS().repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val assigned = IvfKnn.assign(emb.where(embCol.isNotNull), embCol, coarse)
+    encode(assigned, idCol, embCol, cb)
+      .join(assigned.select(idCol.cast("long").as("id"), col("cluster_id")), "id")
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/codes")
+    cb
+  }
+
+  def loadCoarse(spark: org.apache.spark.sql.SparkSession, path: String): Array[(Long, Array[Float])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/coarse").as[CoarseRow].collect()
+      .map(r => (r.cluster_id, r.centroid)).sortBy(_._1)
+  }
+
+  /** Probe: driver-side coarse ranking → partition-pruned codes scan
+    * → ADC. Returns the scan DataFrame so callers can assert pruning. */
+  def search(spark: org.apache.spark.sql.SparkSession, path: String,
+             query: Array[Float], k: Int, dim: Int, nprobe: Int = 2): DataFrame = {
+    val coarse = loadCoarse(spark, path)
+    val cb = PqIndexStore(m, numCentroids).loadCodebooks(spark, path, dim)
+    val probeIds = IvfKnn.rankClusters(query, coarse).take(nprobe).map(_._1)
+    val probedCodes = spark.read.parquet(s"$path/codes")
+      .where(col("cluster_id").isin(probeIds.map(Long.box): _*))
+    searchEncoded(probedCodes.select(col("id"), col("code")), query, cb, k)
   }
 }
 

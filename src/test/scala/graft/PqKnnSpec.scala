@@ -120,6 +120,33 @@ class PqKnnSpec extends AnyFunSuite {
     assert(top._1 == 0L, s"streamed vector not served: $top")
   }
 
+  test("IVF-PQ store: partition-pruned serving matches the transient path") {
+    val q = Queries.queryVec(spark, sfDir)
+    val store = graft.index.IvfPqIndexStore()
+    val path = "target/test-ivfpq-store"
+    store.write(emb, col("vec_id"), col("embedding"), dim = 64, path)
+    val stored = store.search(spark, path, q, 5, dim = 64, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val transient = PqKnn.searchIvfPq(emb, col("vec_id"), col("embedding"), q, 5,
+        dim = 64, stride = 53L, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(stored == transient)
+    // the probe must scan only the nprobe partition directories
+    val coarse = store.loadCoarse(spark, path)
+    val probeIds = graft.index.IvfKnn.rankClusters(q, coarse).take(2).map(_._1)
+    val probed = spark.read.parquet(s"$path/codes")
+      .where(col("cluster_id").isin(probeIds.map(Long.box): _*))
+    val qe = probed.queryExecution
+    probed.collect()
+    val scan = qe.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val totalFiles = new java.io.File(s"$path/codes").listFiles()
+      .count(_.getName.startsWith("cluster_id="))
+    assert(scan.metrics("numFiles").value <= 2 && totalFiles > 2,
+      s"probe read ${scan.metrics("numFiles").value} files of $totalFiles partitions")
+  }
+
   test("more centroids monotonically improve (or tie) quantization error") {
     val q = Queries.queryVec(spark, sfDir)
     def err(k: Int): Double = {
