@@ -105,6 +105,23 @@ object ScaleProbe {
       pqStore.search(spark, pqPath, q, 5, dim = 64).collect()
     }
     println(s"SCALE pq head=${pqRows.take(2).mkString(", ")}")
+
+    // (e) IVF-PQ at rest: codes partitioned by coarse cluster; a query
+    // scans nprobe partition directories of the compressed table
+    val ivfpqStore = graft.index.IvfPqIndexStore(coarseStride = 4099L)
+    val ivfpqPath = "target/scale-probe/ivfpq-index"
+    if (!new java.io.File(s"$ivfpqPath/codes/_SUCCESS").exists()) {
+      time("IVF-PQ build (assign + encode + partitioned write)") {
+        ivfpqStore.write(corpus, col("vec_id"), col("embedding"), dim = 64, ivfpqPath)
+      }
+    } else println("SCALE IVF-PQ build: skipped (exists)")
+    val ivfpqRows = time("IVF-PQ pruned serve top-5 (nprobe=2)") {
+      ivfpqStore.search(spark, ivfpqPath, q, 5, dim = 64, nprobe = 2).collect()
+    }
+    time("IVF-PQ pruned serve top-5 (warm)") {
+      ivfpqStore.search(spark, ivfpqPath, q, 5, dim = 64, nprobe = 2).collect()
+    }
+    println(s"SCALE ivfpq head=${ivfpqRows.take(2).mkString(", ")}")
     def dirSize(p: String): Long = {
       def walk(f: java.io.File): Long =
         if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)

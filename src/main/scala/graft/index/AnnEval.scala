@@ -21,8 +21,10 @@ final case class QScore(qid: Long, score: Double)
   */
 object AnnEval {
 
-  private def cosRaw(a0: collection.Seq[Float], b: Array[Float]): Double = {
-    val a = graft.functions.VectorFunctions.toArr(a0)
+  private def cosRaw(a0: collection.Seq[Float], b: Array[Float]): Double =
+    cosArr(graft.functions.VectorFunctions.toArr(a0), b)
+
+  private def cosArr(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) {
@@ -85,14 +87,15 @@ object AnnEval {
   /** The cluster a row belongs to — None when there are no centroids
     * (a stride that samples nothing must mean "no IVF candidates",
     * not an executor crash). */
-  private def nearestCentroid(v: collection.Seq[Float],
+  private def nearestCentroid(v0: collection.Seq[Float],
                               cents: Array[(Long, Array[Float])]): Option[Long] =
     if (cents.isEmpty) None
     else {
+      val v = graft.functions.VectorFunctions.toArr(v0) // once, not per centroid
       var best = 0; var bestScore = Double.NegativeInfinity
       var c = 0
       while (c < cents.length) {
-        val s = cosRaw(v, cents(c)._2)
+        val s = cosArr(v, cents(c)._2)
         if (s > bestScore) { bestScore = s; best = c }
         c += 1
       }

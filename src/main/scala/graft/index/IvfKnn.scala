@@ -29,8 +29,10 @@ object IvfKnn {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
 
-  private def cosineRaw(a0: collection.Seq[Float], b: Array[Float]): Double = {
-    val a = graft.functions.VectorFunctions.toArr(a0)
+  private def cosineRaw(a0: collection.Seq[Float], b: Array[Float]): Double =
+    cosineArr(graft.functions.VectorFunctions.toArr(a0), b)
+
+  private def cosineArr(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -51,13 +53,16 @@ object IvfKnn {
   def assign(emb: DataFrame, embCol: Column, cents: Array[(Long, Array[Float])]): DataFrame = {
     val centVecs = cents.map(_._2)
     val centIds = cents.map(_._1)
-    val assignUdf = udf { (v: collection.Seq[Float]) =>
-      if (v == null) null.asInstanceOf[java.lang.Long]
+    val assignUdf = udf { (v0: collection.Seq[Float]) =>
+      if (v0 == null) null.asInstanceOf[java.lang.Long]
       else {
+        // materialize the row vector ONCE — converting per centroid
+        // iteration multiplies the scan cost by the centroid count
+        val v = graft.functions.VectorFunctions.toArr(v0)
         var best = 0; var bestScore = Double.NegativeInfinity
         var c = 0
         while (c < centVecs.length) {
-          val s = cosineRaw(v, centVecs(c))
+          val s = cosineArr(v, centVecs(c))
           if (s > bestScore) { bestScore = s; best = c }
           c += 1
         }

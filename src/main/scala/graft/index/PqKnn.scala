@@ -237,9 +237,14 @@ final case class IvfPqIndexStore(m: Int = 8, numCentroids: Int = 256,
       s <- cb.cents.indices; c <- cb.cents(s).indices
     } yield PqCentRow(s, c, cb.cents(s)(c))
     centRows.toDS().repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
-    val assigned = IvfKnn.assign(emb.where(embCol.isNotNull), embCol, coarse)
-    encode(assigned, idCol, embCol, cb)
-      .join(assigned.select(idCol.cast("long").as("id"), col("cluster_id")), "id")
+    // ONE pass: assign + encode as two UDFs over the same scan — no
+    // join, no second evaluation of the assignment; the only shuffle
+    // is the repartition that gives each cluster directory one file
+    val codeUdf = udf { (v0: collection.Seq[Float]) =>
+      if (v0 == null) null else encodeVec(v0, cb)
+    }
+    IvfKnn.assign(emb.where(embCol.isNotNull), embCol, coarse)
+      .select(idCol.cast("long").as("id"), codeUdf(embCol).as("code"), col("cluster_id"))
       .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/codes")
     cb
