@@ -21,8 +21,11 @@ object DedupProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = Tables.documents(spark, "/root/testdata/sf0.1") // 5000 docs
+    // derive the re-basing offset so copies can never collide even if
+    // the fixture's id range changes
+    val idBase = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val big = base.crossJoin(spark.range(copies).select(col("id").as("copy")))
-      .select((col("doc_id") + col("copy") * 5000L).as("doc_id"),
+      .select((col("doc_id") + col("copy") * idBase).as("doc_id"),
         col("text"), col("source"))
     val bigPath = "target/dedup-probe/corpus"
     big.write.mode("overwrite").parquet(bigPath)

@@ -741,13 +741,20 @@ object Queries {
     * hash compare wants narrow deterministic columns, and a 100 TB
     * chunker would ship digests to the dedup stage anyway).
     */
-  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  /** Shared token-window chunker: (doc_id, chunk_idx, cw ARRAY<STRING>)
+    * with size-20/stride-15 windows — one definition feeds both the
+    * oracle-checked chunk_documents and the rag pipeline, so the window
+    * convention cannot silently diverge between them. */
+  private def tokenWindowChunks(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(1), size(col("w")), lit(15))).as("start"))
       .select(col("doc_id"), ((col("start") - 1) / 15).cast("long").as("chunk_idx"),
         slice(col("w"), col("start"), lit(20)).as("cw"))
+
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    tokenWindowChunks(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("chunk_idx"),
         size(col("cw")).cast("long").as("n_tokens"),
         md5(array_join(col("cw"), " ")).as("chunk_digest"))
@@ -764,12 +771,8 @@ object Queries {
     */
   def ragChunkSearch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val chunks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(1), size(col("w")), lit(15))).as("start"))
-      .select(col("doc_id"), ((col("start") - 1) / 15).cast("long").as("chunk_idx"),
-        array_join(slice(col("w"), col("start"), lit(20)), " ").as("chunk_text"))
+    val chunks = tokenWindowChunks(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("chunk_idx"), array_join(col("cw"), " ").as("chunk_text"))
     val embedded = chunks.as[(Long, Long, String)]
       .mapPartitions { it =>
         val e = graft.embed.HashingEmbedder(64)

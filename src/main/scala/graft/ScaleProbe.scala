@@ -95,7 +95,7 @@ object ScaleProbe {
     if (!new java.io.File(s"$pqPath/codes/_SUCCESS").exists()) {
       time("PQ train+encode (one-time batch job)") {
         pqStore.write(corpus, col("vec_id"), col("embedding"), dim = 64, pqPath,
-          sampleStride = math.max(1L, n / 20000L))
+          knownCount = n)
       }
     } else println("SCALE PQ build: skipped (exists)")
     val pqRows = time("PQ ADC top-5 (cold, codes-only scan)") {
@@ -112,7 +112,8 @@ object ScaleProbe {
     val ivfpqPath = "target/scale-probe/ivfpq-index"
     if (!new java.io.File(s"$ivfpqPath/codes/_SUCCESS").exists()) {
       time("IVF-PQ build (assign + encode + partitioned write)") {
-        ivfpqStore.write(corpus, col("vec_id"), col("embedding"), dim = 64, ivfpqPath)
+        ivfpqStore.write(corpus, col("vec_id"), col("embedding"), dim = 64, ivfpqPath,
+          knownCount = n)
       }
     } else println("SCALE IVF-PQ build: skipped (exists)")
     val ivfpqRows = time("IVF-PQ pruned serve top-5 (nprobe=2)") {

@@ -21,9 +21,6 @@ final case class QScore(qid: Long, score: Double)
   */
 object AnnEval {
 
-  private def cosRaw(a0: collection.Seq[Float], b: Array[Float]): Double =
-    cosArr(graft.functions.VectorFunctions.toArr(a0), b)
-
   private def cosArr(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)
@@ -44,7 +41,8 @@ object AnnEval {
   def groundTruth(emb: DataFrame, idCol: String, embCol: String,
                   queries: Array[(Long, Array[Float])], k: Int): DataFrame = {
     val scoreAll = udf { (v: collection.Seq[Float]) =>
-      queries.map { case (qid, qv) => QScore(qid, cosRaw(v, qv)) }
+      val va = graft.functions.VectorFunctions.toArr(v) // once, not per query
+      queries.map { case (qid, qv) => QScore(qid, cosArr(va, qv)) }
     }
     topkPerQuery(
       emb.where(col(embCol).isNotNull)
@@ -76,12 +74,13 @@ object AnnEval {
     ps.map(tp => lsh.hash(vn, tp))
   }
 
-  /** Per-query IVF probe lists: the nprobe clusters nearest each query. */
+  /** Per-query IVF probe lists: the nprobe clusters nearest each
+    * query, via the same [[IvfKnn.rankClusters]] the served indexes
+    * use — the evaluator's probe choice cannot drift from theirs. */
   private def probeSets(queries: Array[(Long, Array[Float])],
                         cents: Array[(Long, Array[Float])], nprobe: Int): Map[Long, Set[Long]] =
     queries.map { case (qid, qv) =>
-      qid -> cents.map { case (cid, cv) => (cid, cosRaw(qv.toSeq, cv)) }
-        .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
+      qid -> IvfKnn.rankClusters(qv, cents).take(nprobe).map(_._1).toSet
     }.toMap
 
   /** The cluster a row belongs to — None when there are no centroids
@@ -113,11 +112,12 @@ object AnnEval {
     val candScores = udf { (v: collection.Seq[Float]) =>
       if (v == null) Array.empty[QScore]
       else {
+        val va = graft.functions.VectorFunctions.toArr(v)
         val rb = rowBuckets(v, lsh, ps)
         qBuckets.collect {
           case (qid, qv, qb) if qb.indices.exists(t =>
               Integer.bitCount(qb(t) ^ rb(t)) <= maxHamming) =>
-            QScore(qid, cosRaw(v, qv))
+            QScore(qid, cosArr(va, qv))
         }
       }
     }
@@ -139,8 +139,9 @@ object AnnEval {
       else nearestCentroid(v, cents) match {
         case None => Array.empty[QScore]
         case Some(cluster) =>
+          val va = graft.functions.VectorFunctions.toArr(v)
           queries.collect {
-            case (qid, qv) if probes(qid).contains(cluster) => QScore(qid, cosRaw(v, qv))
+            case (qid, qv) if probes(qid).contains(cluster) => QScore(qid, cosArr(va, qv))
           }
       }
     }
@@ -186,11 +187,12 @@ object AnnEval {
     val allScores = udf { (v: collection.Seq[Float]) =>
       if (v == null) Array.empty[MQScore]
       else {
+        val va = graft.functions.VectorFunctions.toArr(v)
         val rb = rowBuckets(v, lsh, ps)
         val cluster = nearestCentroid(v, cents)
         val code = pq.map(cb => PqKnn.encodeVec(v, cb))
         qBuckets.flatMap { case (qid, qv, qb) =>
-          val score = cosRaw(v, qv)
+          val score = cosArr(va, qv)
           val out = scala.collection.mutable.ArrayBuffer(MQScore("truth", qid, score))
           if (qb.indices.exists(t => qb(t) == rb(t)))
             out += MQScore("lsh", qid, score)

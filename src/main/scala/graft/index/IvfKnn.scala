@@ -21,10 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object IvfKnn {
 
-  /** Deterministic centroids: vectors whose id % stride == 0. */
-  def centroids(emb: DataFrame, idCol: Column, embCol: Column, stride: Long): Array[(Long, Array[Float])] =
-    emb.where(idCol % stride === 0 && embCol.isNotNull)
-      .select(idCol.cast("long"), embCol)
+  /** Deterministic sampled centroids: vectors whose HASHED id falls in
+    * the stride class (`xxhash64(id) % stride == 0` — a raw id modulo
+    * admits id spacings that select the whole corpus), hard-capped at
+    * `maxCentroids` via orderBy+limit (TakeOrdered — deterministic) so
+    * the driver collect is bounded no matter the stride/corpus combo.
+    */
+  def centroids(emb: DataFrame, idCol: Column, embCol: Column, stride: Long,
+                maxCentroids: Int = 4096): Array[(Long, Array[Float])] =
+    emb.where(pmod(xxhash64(idCol), lit(stride)) === 0 && embCol.isNotNull)
+      .select(idCol.cast("long").as("id"), embCol)
+      .orderBy(col("id"))
+      .limit(maxCentroids)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
@@ -46,11 +54,14 @@ object IvfKnn {
   /** Clusters ranked by cosine(query, centroid) desc, id tie-break —
     * the probe-list choice shared by IVF, IVF-PQ and the stores. */
   def rankClusters(query: Array[Float], cents: Array[(Long, Array[Float])]): Array[(Long, Double)] =
-    cents.map { case (cid, v) => (cid, cosineRaw(query.toSeq, v)) }
+    cents.map { case (cid, v) => (cid, cosineArr(query, v)) }
       .sortBy { case (cid, s) => (-s, cid) }
 
-  /** Assign each row to its nearest centroid (by cosine). */
+  /** Assign each row to its nearest centroid (by cosine). An empty
+    * centroid set assigns null (no candidates), never crashes. */
   def assign(emb: DataFrame, embCol: Column, cents: Array[(Long, Array[Float])]): DataFrame = {
+    if (cents.isEmpty)
+      return emb.withColumn("cluster_id", lit(null).cast("long"))
     val centVecs = cents.map(_._2)
     val centIds = cents.map(_._1)
     val assignUdf = udf { (v0: collection.Seq[Float]) =>

@@ -226,13 +226,14 @@ final case class IvfPqIndexStore(m: Int = 8, numCentroids: Int = 256,
                                  coarseStride: Long = 53L) {
   import PqKnn._
 
-  def write(emb: DataFrame, idCol: Column, embCol: Column, dim: Int, path: String): Codebooks = {
+  def write(emb: DataFrame, idCol: Column, embCol: Column, dim: Int, path: String,
+            knownCount: Long = -1L): Codebooks = {
     val spark = emb.sparkSession
     import spark.implicits._
     val coarse = IvfKnn.centroids(emb, idCol, embCol, coarseStride)
     coarse.map { case (cid, v) => CoarseRow(cid, v) }.toSeq.toDS()
       .repartition(1).write.mode("overwrite").parquet(s"$path/coarse")
-    val cb = train(emb, idCol, embCol, dim, m, numCentroids)
+    val cb = train(emb, idCol, embCol, dim, m, numCentroids, knownCount = knownCount)
     val centRows = for {
       s <- cb.cents.indices; c <- cb.cents(s).indices
     } yield PqCentRow(s, c, cb.cents(s)(c))
@@ -279,12 +280,15 @@ final case class IvfPqIndexStore(m: Int = 8, numCentroids: Int = 256,
 final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
   import PqKnn._
 
-  /** Batch build: train on the stride sample, persist codebook + codes. */
+  /** Batch build: train on the stride sample, persist codebook + codes.
+    * Pass `knownCount` when the row count is already known to skip
+    * train()'s counting scan. */
   def write(emb: DataFrame, idCol: Column, embCol: Column, dim: Int, path: String,
-            sampleStride: Long = 0L): Codebooks = {
+            sampleStride: Long = 0L, knownCount: Long = -1L): Codebooks = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cb = train(emb, idCol, embCol, dim, m, numCentroids, sampleStride)
+    val cb = train(emb, idCol, embCol, dim, m, numCentroids, sampleStride,
+      knownCount = knownCount)
     val centRows = for {
       s <- cb.cents.indices; c <- cb.cents(s).indices
     } yield PqCentRow(s, c, cb.cents(s)(c))

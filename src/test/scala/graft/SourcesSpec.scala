@@ -21,9 +21,14 @@ class SourcesSpec extends AnyFunSuite {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  test("JSON-lines round-trip preserves every row and column") {
+  private def writeJson(): String = {
     val path = "target/test-sources/docs-json"
     base.write.mode("overwrite").json(path)
+    path
+  }
+
+  test("JSON-lines round-trip preserves every row and column") {
+    val path = writeJson()
     val back = spark.read.schema(schema).json(path)
     assert(back.schema == schema)
     assert(back.except(base).isEmpty && base.except(back).isEmpty)
@@ -41,7 +46,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("a query runs identically over parquet, json and csv sources") {
-    val jf = spark.read.schema(schema).json("target/test-sources/docs-json")
+    val jf = spark.read.schema(schema).json(writeJson())
     val expected = base.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .orderBy(col("lang")).as[(String, Long)].collect().toSeq
     val got = jf.groupBy(col("lang")).agg(count(lit(1)).as("n"))
