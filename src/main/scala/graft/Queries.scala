@@ -786,6 +786,15 @@ object Queries {
       .select(col("doc_id"), col("chunk_idx"), round(col("score"), 4).as("score"))
   }
 
+  /** Int8 scalar quantization ([[graft.index.SqKnn]]): 4× compression
+    * with near-exact ranking (recall ≥ 0.9 asserted in SqKnnSpec) —
+    * the middle of the float32/SQ8/PQ compression spectrum. Rows-only.
+    */
+  def annSq(spark: SparkSession, sfDir: String): DataFrame =
+    graft.index.SqKnn.search(Tables.embeddings(spark, sfDir), col("vec_id"),
+        col("embedding"), queryVec(spark, sfDir), k = 5, dim = 64)
+      .select(col("id").as("vec_id"), round(col("score"), 4).as("score"))
+
   /** IVF-PQ ([[graft.index.PqKnn.searchIvfPq]]): coarse-cluster probe
     * + ADC over 8-byte codes — the FAISS flagship composition; at rest
     * the codes table is partitioned by cluster so a query reads
@@ -951,6 +960,7 @@ object Queries {
     "bm25_search" -> (bm25Search _),
     "embed_knn_text" -> (embedKnnText _),
     "ann_pq" -> (annPq _),
+    "ann_sq" -> (annSq _),
     "ann_ivfpq" -> (annIvfPq _),
     "hybrid_rrf" -> (hybridRrf _),
     "chunk_documents" -> (chunkDocuments _),
