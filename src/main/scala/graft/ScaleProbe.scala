@@ -123,6 +123,35 @@ object ScaleProbe {
       ivfpqStore.search(spark, ivfpqPath, q, 5, dim = 64, nprobe = 2).collect()
     }
     println(s"SCALE ivfpq head=${ivfpqRows.take(2).mkString(", ")}")
+
+    // (f) SQ8 int8 quantization: near-exact ranking over a 4x-smaller
+    // codes table — the middle of the float32/SQ8/PQ spectrum
+    val sqPath = "target/scale-probe/sq-index"
+    val sqScalesPath = new java.io.File(s"$sqPath/scales.txt")
+    val sqScales: Array[Double] =
+      if (sqScalesPath.exists()) {
+        scala.io.Source.fromFile(sqScalesPath).getLines().map(_.toDouble).toArray
+      } else {
+        var s: Array[Double] = null
+        time("SQ8 train+encode (one-time batch job)") {
+          s = graft.index.SqKnn.trainScales(corpus, col("embedding"), 64)
+          graft.index.SqKnn.encode(corpus, col("vec_id"), col("embedding"), s)
+            .write.mode("overwrite").parquet(s"$sqPath/codes")
+        }
+        new java.io.File(sqPath).mkdirs()
+        val w = new java.io.PrintWriter(sqScalesPath)
+        s.foreach(w.println); w.close()
+        s
+      }
+    val sqRows = time("SQ8 serve top-5 (cold, codes-only scan)") {
+      graft.index.SqKnn.searchEncoded(
+        spark.read.parquet(s"$sqPath/codes"), q, sqScales, 5).collect()
+    }
+    time("SQ8 serve top-5 (warm page cache)") {
+      graft.index.SqKnn.searchEncoded(
+        spark.read.parquet(s"$sqPath/codes"), q, sqScales, 5).collect()
+    }
+    println(s"SCALE sq head=${sqRows.take(2).mkString(", ")}")
     def dirSize(p: String): Long = {
       def walk(f: java.io.File): Long =
         if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
