@@ -138,9 +138,10 @@ object Queries {
     // tuned default from the LshSweep grid: 1-bit multi-probe at 8×6
     // matches 16-table exact-bucket recall at half the storage
     val cb = graft.index.PqKnn.train(emb, col("vec_id"), col("embedding"), dim = 64)
+    val scales = graft.index.SqKnn.trainScales(emb, col("embedding"), 64)
     AnnEval.recallSinglePass(emb, "vec_id", "embedding", queries, k,
         graft.index.RandomHyperplaneLsh(8, 6, 42L), dim = 64, mpMaxHamming = 1,
-        stride = 53L, nprobe = 4, pq = Some(cb))
+        stride = 53L, nprobe = 4, pq = Some(cb), sq = Some(scales))
       .orderBy(col("method"))
   }
 

@@ -171,7 +171,8 @@ object AnnEval {
                        queries: Array[(Long, Array[Float])], k: Int,
                        lsh: RandomHyperplaneLsh, dim: Int, mpMaxHamming: Int,
                        stride: Long, nprobe: Int,
-                       pq: Option[PqKnn.Codebooks] = None): DataFrame = {
+                       pq: Option[PqKnn.Codebooks] = None,
+                       sq: Option[Array[Double]] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val ps = lsh.planes(dim)
@@ -184,6 +185,16 @@ object AnnEval {
       case Some(cb) => queries.map { case (qid, qv) => qid -> PqKnn.adcTable(qv, cb) }.toMap
       case None => Map.empty
     }
+    // SQ8 rates every row by its quantized dot (scales folded into
+    // each normalized query driver-side, as in SqKnn.searchEncoded)
+    val qSqScaled: Map[Long, Array[Double]] = sq match {
+      case Some(scales) => queries.map { case (qid, qv) =>
+        val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
+        val qn = if (n == 0.0) qv else qv.map(x => (x / n).toFloat)
+        qid -> Array.tabulate(math.min(qn.length, scales.length))(d => qn(d) * scales(d))
+      }.toMap
+      case None => Map.empty
+    }
     val allScores = udf { (v: collection.Seq[Float]) =>
       if (v == null) Array.empty[MQScore]
       else {
@@ -191,6 +202,7 @@ object AnnEval {
         val rb = rowBuckets(v, lsh, ps)
         val cluster = nearestCentroid(v, cents)
         val code = pq.map(cb => PqKnn.encodeVec(v, cb))
+        val sqCode = sq.map(scales => SqKnn.encodeVecWithScales(va, scales))
         qBuckets.flatMap { case (qid, qv, qb) =>
           val score = cosArr(va, qv)
           val out = scala.collection.mutable.ArrayBuffer(MQScore("truth", qid, score))
@@ -202,6 +214,13 @@ object AnnEval {
           if (cluster.exists(probes(qid).contains))
             out += MQScore("ivf", qid, score)
           code.foreach(cd => out += MQScore("pq", qid, PqKnn.adcScore(cd, qAdc(qid))))
+          sqCode.foreach { cd =>
+            val qs = qSqScaled(qid)
+            var acc = 0.0; var d = 0
+            val nd = math.min(cd.length, qs.length)
+            while (d < nd) { acc += cd(d) * qs(d); d += 1 }
+            out += MQScore("sq", qid, acc)
+          }
           out
         }
       }
@@ -222,7 +241,8 @@ object AnnEval {
     // the (method × query) grid is known up front — build it locally
     // instead of a distinct + crossJoin over the truth table
     val grid = (for {
-      m <- Seq("lsh", "lsh_mp", "ivf") ++ (if (pq.isDefined) Seq("pq") else Nil)
+      m <- Seq("lsh", "lsh_mp", "ivf") ++ (if (pq.isDefined) Seq("pq") else Nil) ++
+        (if (sq.isDefined) Seq("sq") else Nil)
       (qid, _) <- queries
     } yield (m, qid)).toDF("method", "qid")
     grid.join(perQuery, Seq("method", "qid"), "left")

@@ -41,20 +41,23 @@ object SqKnn {
     Array.tabulate(dim)(d => row.getAs[Float](d).toDouble / 127.0)
   }
 
+  /** Encode one raw vector (normalize, then per-dim round/clamp). */
+  def encodeVecWithScales(v0: Array[Float], scales: Array[Double]): Array[Byte] = {
+    val v = normalize(v0)
+    Array.tabulate(v.length) { d =>
+      if (d >= scales.length || scales(d) == 0.0) 0.toByte
+      else {
+        val q = math.rint(v(d) / scales(d))
+        math.max(-127, math.min(127, q)).toByte
+      }
+    }
+  }
+
   /** One UDF pass → (id, code BINARY[dim]). */
   def encode(emb: DataFrame, idCol: Column, embCol: Column, scales: Array[Double]): DataFrame = {
     val codeUdf = udf { (v0: collection.Seq[Float]) =>
       if (v0 == null) null
-      else {
-        val v = normalize(graft.functions.VectorFunctions.toArr(v0))
-        Array.tabulate(v.length) { d =>
-          if (scales(d) == 0.0) 0.toByte
-          else {
-            val q = math.rint(v(d) / scales(d))
-            math.max(-127, math.min(127, q)).toByte
-          }
-        }
-      }
+      else encodeVecWithScales(graft.functions.VectorFunctions.toArr(v0), scales)
     }
     emb.where(embCol.isNotNull)
       .select(idCol.cast("long").as("id"), codeUdf(embCol).as("code"))

@@ -64,11 +64,12 @@ class PqKnnSpec extends AnyFunSuite {
     assert(clustersHit.size <= 2, s"hits spanned clusters $clustersHit")
   }
 
-  test("recall report includes pq when codebooks are supplied") {
+  test("recall report covers pq and sq when supplied; sq is near-exact") {
     val q = Queries.annRecall(spark, sfDir)
       .as[(String, Int, Long, Double, Double)].collect().map(r => r._1 -> r._4).toMap
-    assert(q.keySet == Set("lsh", "lsh_mp", "ivf", "pq"))
+    assert(q.keySet == Set("lsh", "lsh_mp", "ivf", "pq", "sq"))
     assert(q("pq") > 0.0 && q("pq") <= 1.0)
+    assert(q("sq") >= 0.9, s"SQ8 recall should be near-exact, got ${q("sq")}")
   }
 
   test("stored layout roundtrips: serve-from-disk equals transient search") {
