@@ -128,21 +128,29 @@ object ScaleProbe {
     // codes table — the middle of the float32/SQ8/PQ spectrum
     val sqPath = "target/scale-probe/sq-index"
     val sqScalesPath = new java.io.File(s"$sqPath/scales.txt")
-    val sqScales: Array[Double] =
-      if (sqScalesPath.exists()) {
-        scala.io.Source.fromFile(sqScalesPath).getLines().map(_.toDouble).toArray
-      } else {
-        var s: Array[Double] = null
-        time("SQ8 train+encode (one-time batch job)") {
-          s = graft.index.SqKnn.trainScales(corpus, col("embedding"), 64)
-          graft.index.SqKnn.encode(corpus, col("vec_id"), col("embedding"), s)
-            .write.mode("overwrite").parquet(s"$sqPath/codes")
-        }
-        new java.io.File(sqPath).mkdirs()
-        val w = new java.io.PrintWriter(sqScalesPath)
-        s.foreach(w.println); w.close()
-        s
+    val cached: Option[Array[Double]] =
+      if (!sqScalesPath.exists()) None
+      else {
+        // tolerate a truncated marker from a killed run: only a file
+        // with exactly dim scales is a valid cache
+        val ls = scala.io.Source.fromFile(sqScalesPath).getLines()
+          .flatMap(l => scala.util.Try(l.toDouble).toOption).toArray
+        if (ls.length == 64) Some(ls) else None
       }
+    val sqScales: Array[Double] = cached.getOrElse {
+      var s: Array[Double] = null
+      time("SQ8 train+encode (one-time batch job)") {
+        s = graft.index.SqKnn.trainScales(corpus, col("embedding"), 64)
+        graft.index.SqKnn.encode(corpus, col("vec_id"), col("embedding"), s)
+          .write.mode("overwrite").parquet(s"$sqPath/codes")
+      }
+      new java.io.File(sqPath).mkdirs()
+      val tmp = new java.io.File(sqPath, "scales.txt.tmp")
+      val w = new java.io.PrintWriter(tmp)
+      s.foreach(w.println); w.close()
+      tmp.renameTo(sqScalesPath) // atomic publish of the marker
+      s
+    }
     val sqRows = time("SQ8 serve top-5 (cold, codes-only scan)") {
       graft.index.SqKnn.searchEncoded(
         spark.read.parquet(s"$sqPath/codes"), q, sqScales, 5).collect()

@@ -75,19 +75,23 @@ object VectorFunctions {
     * scale-path optimization the reference misses: it re-normalizes the
     * whole corpus on every query because it rebuilds the index per query.
     */
-  val l2NormalizeUdf = udf { (a0: collection.Seq[Float]) =>
-    if (a0 == null) null
+  /** Row-side L2 normalize on a primitive array — THE single
+    * definition every quantizer/evaluator/UDF shares, so their
+    * normalization can never drift a bit apart. Zero vector returned
+    * unchanged. */
+  def l2NormalizeArr(a: Array[Float]): Array[Float] = {
+    val n = normD(a)
+    if (n == 0.0) a
     else {
-      val a = toArr(a0)
-      val n = normD(a)
-      if (n == 0.0) a
-      else {
-        val out = new Array[Float](a.length)
-        var i = 0
-        while (i < a.length) { out(i) = (a(i).toDouble / n).toFloat; i += 1 }
-        out
-      }
+      val out = new Array[Float](a.length)
+      var i = 0
+      while (i < a.length) { out(i) = (a(i).toDouble / n).toFloat; i += 1 }
+      out
     }
+  }
+
+  val l2NormalizeUdf = udf { (a0: collection.Seq[Float]) =>
+    if (a0 == null) null else l2NormalizeArr(toArr(a0))
   }
 
   /** Primary scorer: the codegen'd native Catalyst expression

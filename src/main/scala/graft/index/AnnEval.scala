@@ -57,8 +57,7 @@ object AnnEval {
                            lsh: RandomHyperplaneLsh,
                            ps: Array[Array[Array[Float]]]): Array[(Long, Array[Float], Array[Int])] =
     queries.map { case (qid, qv) =>
-      val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
-      val qn = if (n == 0.0) qv else qv.map(x => (x / n).toFloat)
+      val qn = graft.functions.VectorFunctions.l2NormalizeArr(qv)
       (qid, qv, ps.map(tp => lsh.hash(qn.toSeq, tp)))
     }
 
@@ -189,8 +188,7 @@ object AnnEval {
     // each normalized query driver-side, as in SqKnn.searchEncoded)
     val qSqScaled: Map[Long, Array[Double]] = sq match {
       case Some(scales) => queries.map { case (qid, qv) =>
-        val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
-        val qn = if (n == 0.0) qv else qv.map(x => (x / n).toFloat)
+        val qn = graft.functions.VectorFunctions.l2NormalizeArr(qv)
         qid -> Array.tabulate(math.min(qn.length, scales.length))(d => qn(d) * scales(d))
       }.toMap
       case None => Map.empty

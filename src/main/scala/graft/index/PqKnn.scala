@@ -36,12 +36,8 @@ object PqKnn {
     def subDim: Int = dim / m
   }
 
-  private def normalize(v: Array[Float]): Array[Float] = {
-    var acc = 0.0; var i = 0
-    while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-    val n = math.sqrt(acc)
-    if (n == 0.0) v else v.map(x => (x / n).toFloat)
-  }
+  private def normalize(v: Array[Float]): Array[Float] =
+    graft.functions.VectorFunctions.l2NormalizeArr(v)
 
   private def sub(v: Array[Float], s: Int, subDim: Int): Array[Float] =
     java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)

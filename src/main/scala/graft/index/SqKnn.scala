@@ -24,20 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object SqKnn {
 
-  private def normalize(v: Array[Float]): Array[Float] = {
-    var acc = 0.0; var i = 0
-    while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-    val n = math.sqrt(acc)
-    if (n == 0.0) v else v.map(x => (x / n).toFloat)
-  }
+  private def normalize(v: Array[Float]): Array[Float] =
+    graft.functions.VectorFunctions.l2NormalizeArr(v)
 
   /** Per-dimension scales: max |normalized component| / 127, from one
-    * distributed aggregation (no collect of the corpus). A dimension
-    * that is 0 everywhere gets scale 0 and decodes to exact 0. */
+    * distributed aggregation (no collect of the corpus; the vector is
+    * normalized ONCE per row in a projection, then 64 max(abs(...))
+    * aggregates read components of that one column). A dimension that
+    * is 0 everywhere gets scale 0 and decodes to exact 0. Requires
+    * every embedding to have exactly `dim` components (ANSI
+    * element_at). Fails with a clear error on an empty corpus.
+    */
   def trainScales(emb: DataFrame, embCol: Column, dim: Int): Array[Double] = {
-    val unit = graft.functions.VectorFunctions.l2Normalize(embCol)
-    val maxAbs = (1 to dim).map(d => max(abs(element_at(unit, d))).as(s"m$d"))
-    val row = emb.where(embCol.isNotNull).agg(maxAbs.head, maxAbs.tail: _*).head()
+    val unit = emb.where(embCol.isNotNull)
+      .select(graft.functions.VectorFunctions.l2Normalize(embCol).as("u"))
+    val maxAbs = (1 to dim).map(d => max(abs(element_at(col("u"), d))).as(s"m$d"))
+    val row = unit.agg(maxAbs.head, maxAbs.tail: _*).head()
+    require(!row.isNullAt(0),
+      "SqKnn.trainScales: no non-null embeddings to train on")
     Array.tabulate(dim)(d => row.getAs[Float](d).toDouble / 127.0)
   }
 
@@ -68,7 +72,8 @@ object SqKnn {
   def searchEncoded(codes: DataFrame, query: Array[Float], scales: Array[Double],
                     k: Int): DataFrame = {
     val qn = normalize(query)
-    val qScaled = Array.tabulate(qn.length)(d => qn(d).toDouble * scales(d))
+    val qScaled =
+      Array.tabulate(math.min(qn.length, scales.length))(d => qn(d).toDouble * scales(d))
     val scoreUdf = udf { (code: Array[Byte]) =>
       var acc = 0.0; var d = 0
       val n = math.min(code.length, qScaled.length)
