@@ -112,4 +112,18 @@ object GraftProperties extends Properties("graft") {
       val sameShingles = t1.split(" ").sliding(3).toSet == t2.split(" ").sliding(3).toSet
       sigs(0L) == sigs(1L) && (sigs(0L) == sigs(2L)) == sameShingles
     }
+
+  property("SQ8 per-component reconstruction error is within half a quantization step") =
+    Prop.forAll(dimGen.flatMap(d => vecGen(d))) { v =>
+      val vn = VectorFunctions.l2NormalizeArr(v)
+      // valid scales for this corpus-of-one: per-dim max |component|
+      val scales = vn.map(x => math.abs(x.toDouble) / 127.0)
+      val code = graft.index.SqKnn.encodeVecWithScales(v, scales)
+      code.indices.forall { d =>
+        val recon = code(d) * scales(d)
+        // round-to-nearest: |x - recon| <= scale/2 (+ float slack);
+        // a zero scale means the component is exactly 0
+        math.abs(vn(d).toDouble - recon) <= scales(d) / 2 + 1e-7
+      }
+    }
 }
