@@ -434,6 +434,17 @@ object OracleSql {
       """SELECT event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // same oracle text as events_pivot: the native .pivot() operator
+    // must agree cell-for-cell with the conditional-aggregation form
+    "events_pivot_native" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "chunk_documents" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
         |starts AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 15)) AS start FROM toks),

@@ -410,6 +410,25 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** The same contract as [[eventsPivot]] through Spark's native
+    * `.pivot()` operator (explicit value list — no extra
+    * distinct-values pass). Oracle-checked against the identical SQL
+    * as the conditional-aggregation form: the two formulations must
+    * agree cell for cell. */
+  def eventsPivotNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = Tables.events(spark, sfDir)
+    val counts = ev.groupBy(col("user_id"))
+      .pivot(col("event_type"), types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .join(counts, "user_id")
+      .select(Seq(col("user_id"), col("n_events")) ++
+        types.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
   /** Set operators: users who click AND purchase (INTERSECT) vs click
     * but never purchase (EXCEPT). */
   def setOpsUsers(spark: SparkSession, sfDir: String): DataFrame = {
@@ -923,6 +942,7 @@ object Queries {
     "agg_distinct_users" -> (aggDistinctUsers _),
     "agg_sketches" -> (aggSketches _),
     "events_pivot" -> (eventsPivot _),
+    "events_pivot_native" -> (eventsPivotNative _),
     "set_ops_users" -> (setOpsUsers _),
     "dedup_exact" -> (dedupExact _),
     "text_token_stats" -> (textTokenStats _),
