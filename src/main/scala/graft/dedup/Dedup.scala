@@ -32,8 +32,10 @@ object Dedup {
 
   private val MersennePrime = 2147483647L // 2^31 - 1
 
-  /** Deterministic universal-hash family h_i(x) = (a_i*x + b_i) mod p. */
-  private def hashFamily(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+  /** Deterministic universal-hash family h_i(x) = (a_i*x + b_i) mod p.
+    * private[graft]: [[graft.OracleHashSql]] inlines the same constants
+    * into the DuckDB oracle so the two engines can never drift. */
+  private[graft] def hashFamily(numHashes: Int, seed: Long): Array[(Long, Long)] = {
     val rng = new java.util.Random(seed)
     Array.fill(numHashes) {
       (1L + math.abs(rng.nextLong()) % (MersennePrime - 1),
@@ -209,13 +211,23 @@ object Dedup {
     * The blocking key bounds the pair count. Shape: one shuffle to group
     * postings by (block, shingle), pair expansion inside each posting
     * list (no self-join — the shingle table is computed and shuffled
-    * once, not three times), then a pair-count aggregate. Posting lists
-    * of hot shingles bound the blow-up; at 100 TB add a
-    * document-frequency cap before expansion (drop shingles appearing
-    * in > F docs — standard near-dup practice).
+    * once, not three times), then a pair-count aggregate.
+    *
+    * A shingle appearing in F docs of one block emits F² pair-rows, so
+    * hot shingles are dropped BEFORE expansion: any (block, shingle)
+    * posting list longer than `maxDocFreq` is discarded (standard
+    * near-dup practice — a shingle shared by thousands of documents
+    * carries no discriminative signal, only quadratic blow-up). The
+    * per-task expansion is then bounded by maxDocFreq² per posting.
+    * Dropped shingles still count in the |A|/|B| denominators, so the
+    * reported jaccard is a LOWER bound for affected pairs — at the
+    * default cap no sf0.01/sf0.1 posting comes near the limit and the
+    * output is bit-identical to uncapped (the DuckDB oracle applies
+    * the same HAVING cap).
     */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
-                          threshold: Double, shingleSize: Int = 3): DataFrame = {
+                          threshold: Double, shingleSize: Int = 3,
+                          maxDocFreq: Int = 10000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // Per-document distinct-shingle ARRAYS: in-row `array_distinct`
@@ -239,6 +251,7 @@ object Dedup {
       .select(col("block"), col("id"), explode(col("shs")).as("shingle"))
       .groupBy(col("block"), col("shingle"))
       .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) <= maxDocFreq)
       .select(col("ids"))
       .as[Seq[Long]]
       .flatMap { ids =>
@@ -281,51 +294,41 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs, exact all-pairs.
+  /** Embedding-cosine near-dup pairs: exact all-pairs for corpora that
+    * fit a broadcast, auto-dispatching to the LSH-bucketed path beyond
+    * that — the same adaptive pattern as the LSH→brute search fallback
+    * (RandomHyperplaneLsh.probeWithFallback), pointed the other way.
     *
-    * Shape: broadcast the (id, vector, norm) corpus once, then
-    * mapPartitions over the distributed rows — each task compares its
-    * rows against the broadcast side with a primitive-array dot loop
-    * (no per-pair deserialization, no join). cos is computed as
+    * The exact path is a BROADCAST NESTED-LOOP JOIN on `id_a < id_b`
+    * with the codegen'd [[graft.expressions.CosineSimilarity]] as the
+    * pair scorer — no driver-side corpus collect anywhere in the plan
+    * (the engine's own BroadcastExchange ships the small side), and
+    * the probe side streams through whole-stage codegen. cos is
     * dot/(|a||b|) with float inputs in double math — bitwise identical
-    * to [[VectorFunctions.cosine]].
+    * to the previous hand-rolled loop.
     *
-    * This is the exact baseline for broadcastable corpora (an N×64
-    * float corpus is ~N/4 KB); beyond broadcast size use
-    * [[embeddingNearDupsLsh]], whose bucketing bounds the pair count.
+    * The dispatch probe is `limit(n+1).count()`, NOT `count()` — at
+    * 100 TB the exact path must be ruled out after scanning
+    * `broadcastRowLimit + 1` rows, not after a full corpus count.
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
-                        threshold: Double): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val ds = emb.where(col(embCol).isNotNull)
-      .select(col(idCol).cast("long"), col(embCol))
-      .as[(Long, Array[Float])]
-    val corpus = ds.collect().sortBy(_._1)
-    val withNorms: Array[(Long, Array[Float], Double)] = corpus.map { case (id, v) =>
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-      (id, v, math.sqrt(acc))
-    }
-    val bc = spark.sparkContext.broadcast(withNorms)
-    ds.mapPartitions { it =>
-      val ref = bc.value
-      it.flatMap { case (ida, va) =>
-        var accA = 0.0; var i = 0
-        while (i < va.length) { accA += va(i).toDouble * va(i).toDouble; i += 1 }
-        val na = math.sqrt(accA)
-        ref.iterator
-          .filter { case (idb, _, _) => idb > ida }
-          .map { case (idb, vb, nb) =>
-            var dot = 0.0; var j = 0
-            val n = math.min(va.length, vb.length)
-            while (j < n) { dot += va(j).toDouble * vb(j).toDouble; j += 1 }
-            val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
-            (ida, idb, cos)
-          }
-          .filter(_._3 >= threshold)
-      }
-    }.toDF("id_a", "id_b", "cos")
+                        threshold: Double, dim: Int = 64,
+                        broadcastRowLimit: Long = 500000L): DataFrame = {
+    val nonNull = emb.where(col(embCol).isNotNull)
+    val fits = nonNull.limit((broadcastRowLimit + 1).toInt).count() <= broadcastRowLimit
+    if (fits) embeddingNearDupsExact(nonNull, idCol, embCol, threshold)
+    else embeddingNearDupsLsh(nonNull, idCol, embCol, threshold, dim)
+  }
+
+  /** The exact all-pairs path of [[embeddingNearDups]]. */
+  private[graft] def embeddingNearDupsExact(emb: DataFrame, idCol: String,
+                                            embCol: String, threshold: Double): DataFrame = {
+    val left = emb.select(col(idCol).cast("long").as("id_a"), col(embCol).as("emb_a"))
+    val right = emb.select(col(idCol).cast("long").as("id_b"), col(embCol).as("emb_b"))
+    left.join(broadcast(right), col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Scale path: hyperplane-LSH bucket blocking, pairs only within

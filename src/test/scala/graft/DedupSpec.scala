@@ -76,6 +76,45 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 4L))
   }
 
+  test("hot-shingle DF cap bounds the posting expansion") {
+    // six docs sharing ONE hot shingle, otherwise disjoint: every
+    // candidate pair exists only through that shingle's posting list
+    val hot = (0 until 6).map(i =>
+      (i.toLong, s"common shared shingle tail$i$i word$i$i end$i$i", "s0"))
+      .toDF("doc_id", "text", "source")
+    val uncapped = Dedup.blockedJaccardPairs(hot, "doc_id", "text", "source", 0.0)
+      .count()
+    assert(uncapped == 15L) // 6 choose 2 — F^2/2 growth in the hot list
+    val capped = Dedup.blockedJaccardPairs(hot, "doc_id", "text", "source", 0.0,
+      maxDocFreq = 5).count()
+    assert(capped == 0L) // hot posting dropped before expansion
+    // the default cap is far above any sf0.01/sf0.1 posting: bit-identical
+    val defPairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 0.3)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val bigCap = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 0.3,
+      maxDocFreq = Int.MaxValue).as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(defPairs.toSeq == bigCap.toSeq)
+  }
+
+  test("embedding near-dups auto-dispatch: exact under the limit, LSH past it, no driver collect") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1.01f, 0f, 0f, 0f)),
+      (2L, Array(-1f, 0.2f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // past the row limit the dispatcher must produce the LSH path's result
+    val dispatched = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.95,
+        dim = 4, broadcastRowLimit = 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", 0.95, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dispatched == lsh)
+    // the exact path is the engine's broadcast join — not a hand collect
+    val exactPlan = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.95, dim = 4)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("BroadcastNestedLoopJoin"), exactPlan.take(500))
+  }
+
   test("embedding near-dups: identical vectors at cos 1, orthogonal excluded") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f)),
