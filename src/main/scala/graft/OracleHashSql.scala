@@ -1,0 +1,407 @@
+package graft
+
+/** DuckDB oracle SQL for the queries whose semantics depend on
+  * engine-internal hashing (splitmix64 string folds, the MinHash
+  * universal-hash family, random-hyperplane LSH planes, Spark's
+  * xxhash64, SQ8 quantization). Until round 3 these were rows-only
+  * checks; here each hash primitive is re-expressed as portable SQL:
+  *
+  *  - 64-bit wrap-around arithmetic runs in DuckDB HUGEINT (int128)
+  *    over the domain [0, 2^64) — multiplication is decomposed into
+  *    32-bit halves so no intermediate exceeds int128, shifts become
+  *    division/multiplication by powers of two, and `xor` is DuckDB's
+  *    native HUGEINT xor;
+  *  - sequential char folds (stringHash / HashingEmbedder.tokenHash)
+  *    become WITH RECURSIVE CTEs over the character position — the
+  *    recursion depth is the max token length, the width the DISTINCT
+  *    token/shingle set;
+  *  - driver-seeded constants (the MinHash (a_i, b_i) family, the LSH
+  *    plane matrix) are inlined as literals FROM THE SAME SCALA CODE
+  *    the engine runs ([[graft.dedup.Dedup.hashFamily]],
+  *    [[graft.index.RandomHyperplaneLsh.planes]]), so oracle and
+  *    engine cannot drift;
+  *  - MinHash LSH banding is verified by joining on the band's raw
+  *    4-value sub-signature instead of reproducing Spark's xxhash64 of
+  *    the slice — same candidate set unless xxhash64 collides (and a
+  *    collision would still need to survive the exact-Jaccard verify).
+  *
+  * Every query stays a SINGLE SQL statement (CTEs only, no macros) —
+  * the driver executes one statement per oracle.
+  */
+object OracleHashSql {
+
+  private val W64 = BigInt("18446744073709551616") // 2^64
+  private val W32 = 4294967296L                    // 2^32
+
+  /** (a*b) mod 2^64 for HUGEINT expressions a, b in [0, 2^64):
+    * a*b = a_lo*b + (a_hi*b_lo mod 2^32)<<32 (mod 2^64), every term
+    * within int128 range.
+    */
+  private def mul64(a: String, b: String): String =
+    s"((($a) % $W32) * ($b) + ((($a) // $W32) * (($b) % $W32) % $W32) * $W32) % $W64"
+
+  /** Rotate-left by r on [0, 2^64): the shifted halves occupy disjoint
+    * bits, so `|` is `+`. */
+  private def rotl(x: String, r: Int): String =
+    s"((($x) * ${BigInt(2).pow(r)}) % $W64 + (($x) // ${BigInt(2).pow(64 - r)}))"
+
+  /** splitmix64 over [0, 2^64); `x` must be a SHORT expression (a
+    * column reference) — it is replicated ~70x by the nesting. */
+  private def smix(x: String): String = {
+    val x1 = s"(($x) + 11400714819323198485) % $W64"
+    val x2 = mul64(s"xor(($x1)::HUGEINT, (($x1) // 1073741824)::HUGEINT)", "13787848793156543929")
+    val x3 = mul64(s"xor(($x2)::HUGEINT, (($x2) // 134217728)::HUGEINT)", "10723151780598845931")
+    s"xor(($x3)::HUGEINT, (($x3) // 2147483648)::HUGEINT)"
+  }
+
+  /** java.lang.Math.rint (round half to even) for a DOUBLE expression. */
+  private def rint(x: String): String =
+    s"CASE WHEN ($x) = floor($x) + 0.5 THEN " +
+      s"floor($x) + (CASE WHEN CAST(floor($x) AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END) " +
+      s"ELSE round($x) END"
+
+  /** Recursive char-fold CTE pair: h = smix(h xor char) over positions,
+    * seeded with `seed` — [[graft.dedup.Dedup.stringHash]] (seed
+    * 1125899906842597) and HashingEmbedder.tokenHash (seed 42) share
+    * this shape (the corpus is pure ASCII, so bytes == chars).
+    * Expects a CTE named `src` with a single column named `tok`;
+    * produces `fold`(tok, i, h) — read it at i = length(tok).
+    */
+  private def charFold(seed: Long): String = {
+    val s1 = smix(s"xor($seed::HUGEINT, ascii(substr(tok,1,1))::HUGEINT)")
+    val sr = smix("xor(h, ascii(substr(tok,i+1,1))::HUGEINT)")
+    s"""fold AS (
+       |  SELECT tok, 1 AS i, ($s1)::HUGEINT AS h FROM src
+       |  UNION ALL
+       |  SELECT tok, i+1, ($sr)::HUGEINT FROM fold WHERE i < length(tok)
+       |)""".stripMargin
+  }
+
+  // ---- fingerprint_winnow ----------------------------------------
+  // TextFunctions.winnowingFingerprints(k=5, w=4): Rabin-Karp base-257
+  // mod 1e9+7 k-gram hashes (position-explicit — no rolling needed in
+  // SQL: the rolling update is exact mod arithmetic, so direct
+  // evaluation is identical), then min per w-window, dedup.
+  private def fingerprintWinnowSql: String = {
+    val (k, w, b, m) = (5, 4, 257L, 1000000007L)
+    val terms = (0 until k)
+      .map(j => s"ascii(substr(s, i+$j, 1))::BIGINT * ${BigInt(b).pow(k - 1 - j)}")
+      .mkString(" + ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, lower(text) AS s, length(text) - ${k - 1} AS n FROM documents
+       |),
+       |grams AS (
+       |  SELECT doc_id, n, i, ($terms) % $m AS h
+       |  FROM docs, (SELECT unnest(range(1, (SELECT max(n) FROM docs) + 1)) AS i)
+       |  WHERE i <= n
+       |),
+       |wmins AS (
+       |  SELECT doc_id, n, i,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wm
+       |  FROM grams
+       |),
+       |fps AS (
+       |  SELECT doc_id, count(DISTINCT wm)::BIGINT AS n_fingerprints, arg_min(wm, i) AS first_fp
+       |  FROM wmins WHERE i <= greatest(1, n - ${w - 1}) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(f.n_fingerprints, 0) AS n_fingerprints, f.first_fp
+       |FROM docs d LEFT JOIN fps f USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---- HashingEmbedder pipeline (embed_knn_text, rag_chunk_search) --
+  // tokenHash seed 42; idx = h mod 64 (64 | 2^64, so unsigned mod ==
+  // floorMod); sign from bit 32; votes per occurrence; L2-normalized
+  // to FLOAT. The query string embeds through the same CTEs as unit
+  // id -1, so the oracle needs no inlined query vector.
+  private def embedKnnTextSql: String =
+    s"""WITH RECURSIVE
+       |units AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+       |          UNION ALL SELECT -1, ['table','scan','merge']),
+       |toksf AS (SELECT doc_id, tok
+       |          FROM (SELECT doc_id, unnest(toks) AS tok FROM units) WHERE tok <> ''),
+       |src AS (SELECT DISTINCT tok FROM toksf),
+       |${charFold(42L)},
+       |tokh AS (SELECT tok, h % 64 AS idx,
+       |         CASE WHEN (h // $W32) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |         FROM fold WHERE i = length(tok)),
+       |votes AS (SELECT t.doc_id, th.idx, SUM(th.sgn)::DOUBLE AS v
+       |          FROM toksf t JOIN tokh th USING (tok) GROUP BY t.doc_id, th.idx),
+       |norms AS (SELECT doc_id, sqrt(SUM(v*v)) AS nrm FROM votes GROUP BY doc_id),
+       |comps AS (
+       |  SELECT ids.doc_id, dim.d,
+       |    CAST(coalesce(v.v, 0.0) / (CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END) AS FLOAT) AS u
+       |  FROM (SELECT DISTINCT doc_id FROM units) ids
+       |  CROSS JOIN (SELECT unnest(range(0,64)) AS d) dim
+       |  LEFT JOIN votes v ON v.doc_id = ids.doc_id AND v.idx = dim.d
+       |  JOIN norms n ON n.doc_id = ids.doc_id
+       |),
+       |pairs AS (SELECT c.doc_id, c.u AS x, q.u AS y
+       |          FROM comps c JOIN comps q ON q.doc_id = -1 AND q.d = c.d
+       |          WHERE c.doc_id >= 0),
+       |scores AS (SELECT doc_id,
+       |  CASE WHEN SUM(x::DOUBLE*x::DOUBLE) = 0 OR SUM(y::DOUBLE*y::DOUBLE) = 0 THEN 0.0
+       |       ELSE SUM(x::DOUBLE*y::DOUBLE)/(SQRT(SUM(x::DOUBLE*x::DOUBLE))*SQRT(SUM(y::DOUBLE*y::DOUBLE))) END AS s
+       |  FROM pairs GROUP BY doc_id)
+       |SELECT doc_id, ROUND(s,4) AS score FROM scores ORDER BY s DESC, doc_id LIMIT 5""".stripMargin
+
+  private def ragChunkSearchSql: String =
+    s"""WITH RECURSIVE
+       |ctoks AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 15)) AS start
+       |          FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents)),
+       |chunks AS (SELECT doc_id, CAST((start - 1) // 15 AS BIGINT) AS chunk_idx,
+       |           list_slice(w, start, least(start + 19, len(w))) AS cw FROM ctoks),
+       |units AS (SELECT doc_id, chunk_idx, cw FROM chunks
+       |          UNION ALL SELECT -1, -1, ['table','scan','merge']),
+       |toksf AS (SELECT doc_id, chunk_idx, tok
+       |          FROM (SELECT doc_id, chunk_idx, unnest(cw) AS tok FROM units) WHERE tok <> ''),
+       |src AS (SELECT DISTINCT tok FROM toksf),
+       |${charFold(42L)},
+       |tokh AS (SELECT tok, h % 64 AS idx,
+       |         CASE WHEN (h // $W32) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |         FROM fold WHERE i = length(tok)),
+       |votes AS (SELECT t.doc_id, t.chunk_idx, th.idx, SUM(th.sgn)::DOUBLE AS v
+       |          FROM toksf t JOIN tokh th USING (tok) GROUP BY t.doc_id, t.chunk_idx, th.idx),
+       |norms AS (SELECT doc_id, chunk_idx, sqrt(SUM(v*v)) AS nrm FROM votes GROUP BY doc_id, chunk_idx),
+       |comps AS (
+       |  SELECT ids.doc_id, ids.chunk_idx, dim.d,
+       |    CAST(coalesce(v.v, 0.0) / (CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END) AS FLOAT) AS u
+       |  FROM (SELECT DISTINCT doc_id, chunk_idx FROM units) ids
+       |  CROSS JOIN (SELECT unnest(range(0,64)) AS d) dim
+       |  LEFT JOIN votes v ON v.doc_id = ids.doc_id AND v.chunk_idx = ids.chunk_idx AND v.idx = dim.d
+       |  JOIN norms n ON n.doc_id = ids.doc_id AND n.chunk_idx = ids.chunk_idx
+       |),
+       |pairs AS (SELECT c.doc_id, c.chunk_idx, c.u AS x, q.u AS y
+       |          FROM comps c JOIN comps q ON q.doc_id = -1 AND q.d = c.d
+       |          WHERE c.doc_id >= 0),
+       |scores AS (SELECT doc_id, chunk_idx,
+       |  CASE WHEN SUM(x::DOUBLE*x::DOUBLE) = 0 OR SUM(y::DOUBLE*y::DOUBLE) = 0 THEN 0.0
+       |       ELSE SUM(x::DOUBLE*y::DOUBLE)/(SQRT(SUM(x::DOUBLE*x::DOUBLE))*SQRT(SUM(y::DOUBLE*y::DOUBLE))) END AS s
+       |  FROM pairs GROUP BY doc_id, chunk_idx)
+       |SELECT doc_id, chunk_idx, ROUND(s,4) AS score FROM scores
+       |ORDER BY ROUND(s,6) DESC, doc_id, chunk_idx LIMIT 5""".stripMargin
+
+  // ---- dedup_simhash ----------------------------------------------
+  // TextFunctions.simhash64: stringHash per token OCCURRENCE (seed
+  // 1125899906842597), 64 bit-votes, 4x16-bit banding, hamming via
+  // bit_count(xor) <= 3. Bit extraction works on the unsigned
+  // representation (Spark's arithmetic shiftright + mask reads the
+  // same bits).
+  private def dedupSimhashSql: String =
+    s"""WITH RECURSIVE
+       |toksall AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok FROM documents),
+       |src AS (SELECT DISTINCT tok FROM toksall WHERE length(tok) > 0),
+       |${charFold(1125899906842597L)},
+       |tokh AS (SELECT tok, h FROM fold WHERE i = length(tok)),
+       |bitvotes AS (
+       |  SELECT t.doc_id, b.b,
+       |    SUM(CASE WHEN (th.h // (1::HUGEINT << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+       |  FROM toksall t JOIN tokh th USING (tok)
+       |  CROSS JOIN (SELECT unnest(range(0,64)) AS b) b
+       |  GROUP BY t.doc_id, b.b
+       |),
+       |sim AS (
+       |  SELECT doc_id, SUM(CASE WHEN votes > 0 THEN (1::HUGEINT << b) ELSE 0 END)::HUGEINT AS sh
+       |  FROM bitvotes GROUP BY doc_id
+       |),
+       |banded AS (
+       |  SELECT doc_id, sh, b.band_id, (sh // (1::HUGEINT << (band_id * 16))) % 65536 AS band_val
+       |  FROM sim CROSS JOIN (SELECT unnest(range(0,4)) AS band_id) b
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sh::UBIGINT, b.sh::UBIGINT))::BIGINT AS hamming
+       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
+  // ---- dedup_minhash ----------------------------------------------
+  // Dedup.minhashNearDups(3-shingles, 64 hashes, 16 bands, seed 42,
+  // threshold 0.5). x = floorMod(stringHash(shingle), p) needs the
+  // SIGNED value of the unsigned fold; banding joins on the raw
+  // 4-value sub-signature (see object Scaladoc).
+  private def dedupMinhashSql: String = {
+    val p = 2147483647L
+    val fam = dedup.Dedup.hashFamily(64, 42L)
+    val famValues = fam.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }
+      .mkString(", ")
+    s"""WITH RECURSIVE
+       |docw AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+       |docsh AS (SELECT doc_id, sh FROM (
+       |    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |    FROM docw, (SELECT unnest(range(1, (SELECT max(len(w)) FROM docw))) AS i)
+       |    WHERE i + 2 <= len(w))),
+       |src AS (SELECT DISTINCT sh AS tok FROM docsh),
+       |${charFold(1125899906842597L)},
+       |shx AS (SELECT tok AS sh,
+       |  (((h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) % $p) + $p) % $p AS x
+       |  FROM fold WHERE i = length(tok)),
+       |fam(i, a, b) AS (VALUES $famValues),
+       |sigs AS (
+       |  SELECT d.doc_id, f.i, MIN((f.a * s.x + f.b) % $p) AS v
+       |  FROM docsh d JOIN shx s USING (sh) CROSS JOIN fam f
+       |  GROUP BY d.doc_id, f.i
+       |),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band_id, list(v ORDER BY i) AS bsig
+       |  FROM sigs GROUP BY doc_id, band_id
+       |),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bsig = b.bsig
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM docsh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*)::BIGINT AS ni
+       |  FROM cands c JOIN docsh sa ON sa.doc_id = c.id_a
+       |               JOIN docsh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+       |  GROUP BY c.id_a, c.id_b
+       |),
+       |jac AS (
+       |  SELECT c.id_a, c.id_b,
+       |    coalesce(i.ni, 0)::DOUBLE / (na.n + nb.n - coalesce(i.ni, 0))::DOUBLE AS j
+       |  FROM cands c
+       |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  JOIN sizes na ON na.doc_id = c.id_a
+       |  JOIN sizes nb ON nb.doc_id = c.id_b
+       |)
+       |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- knn_lsh / knn_lsh_multiprobe -------------------------------
+  // RandomHyperplaneLsh(8, 12, 42): the plane matrix is inlined from
+  // the engine's own planes(64) (unit-normalized Gaussian floats);
+  // rows hash their FLOAT-normalized vectors (candidateMatch
+  // semantics); the query is corpus member vec_id 0, so its bucket
+  // comes from the same CTE. Rerank = exact cosine on RAW embeddings.
+  private def lshCtes: String = {
+    val lsh = index.RandomHyperplaneLsh(8, 12, 42L)
+    val flat = lsh.planes(64).flatten.flatten
+    val flatLit = flat.mkString("[", ",", "]")
+    s"""plvals AS (SELECT unnest($flatLit) AS w, unnest(range(0, ${flat.length})) AS f),
+       |planes AS (SELECT f // 768 AS t, (f // 64) % 12 AS p, (f % 64)::BIGINT AS i, CAST(w AS FLOAT) AS w FROM plvals),
+       |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+       |comps AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1)::BIGINT - 1 AS i FROM corpus),
+       |norms AS (SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm FROM comps GROUP BY vec_id),
+       |vn AS (SELECT c.vec_id, c.i,
+       |         CAST(CASE WHEN n.nrm = 0 THEN CAST(c.x AS DOUBLE) ELSE CAST(c.x AS DOUBLE) / n.nrm END AS FLOAT) AS x
+       |       FROM comps c JOIN norms n ON n.vec_id = c.vec_id),
+       |dots AS (SELECT v.vec_id, pl.t, pl.p, SUM(CAST(v.x AS DOUBLE) * CAST(pl.w AS DOUBLE)) AS d
+       |         FROM vn v JOIN planes pl ON pl.i = v.i GROUP BY v.vec_id, pl.t, pl.p),
+       |buckets AS (SELECT vec_id, t, SUM(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END)::BIGINT AS bkt
+       |            FROM dots GROUP BY vec_id, t),
+       |qb AS (SELECT t, bkt FROM buckets WHERE vec_id = 0),
+       |qpairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+       |           FROM corpus e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q),
+       |scores AS (SELECT vec_id,
+       |    SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |    (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+       |  FROM qpairs GROUP BY vec_id)""".stripMargin
+  }
+
+  private def knnLshSql: String =
+    s"""WITH $lshCtes,
+       |cand AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN qb ON qb.t = b.t AND qb.bkt = b.bkt)
+       |SELECT c.vec_id, ROUND(s.s, 4) AS score, 'lsh' AS index_used
+       |FROM cand c JOIN scores s ON s.vec_id = c.vec_id
+       |ORDER BY s.s DESC, c.vec_id LIMIT 5""".stripMargin
+
+  private def knnLshMultiprobeSql: String =
+    s"""WITH $lshCtes,
+       |cand AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN qb ON qb.t = b.t
+       |         WHERE bit_count(xor(qb.bkt::UBIGINT, b.bkt::UBIGINT)) <= 1)
+       |SELECT c.vec_id, ROUND(s.s, 4) AS score
+       |FROM cand c JOIN scores s ON s.vec_id = c.vec_id
+       |ORDER BY s.s DESC, c.vec_id LIMIT 5""".stripMargin
+
+  // ---- ann_sq -----------------------------------------------------
+  // SqKnn: scales = max|normalized component| / 127 per dim; codes =
+  // rint(u/scale) clamped to +/-127; score = sum(code_d * qn_d*scale_d).
+  private def annSqSql: String = {
+    val q = rint("CAST(v.x AS DOUBLE) / s.sc")
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+       |comps AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1)::BIGINT AS i FROM corpus),
+       |norms AS (SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm FROM comps GROUP BY vec_id),
+       |vn AS (SELECT c.vec_id, c.i,
+       |         CAST(CASE WHEN n.nrm = 0 THEN CAST(c.x AS DOUBLE) ELSE CAST(c.x AS DOUBLE) / n.nrm END AS FLOAT) AS x
+       |       FROM comps c JOIN norms n ON n.vec_id = c.vec_id),
+       |scales AS (SELECT i, CAST(MAX(ABS(x)) AS DOUBLE) / 127.0 AS sc FROM vn GROUP BY i),
+       |codes AS (SELECT v.vec_id, v.i,
+       |    CASE WHEN s.sc = 0 THEN 0
+       |         ELSE GREATEST(-127, LEAST(127, $q)) END AS code
+       |  FROM vn v JOIN scales s ON s.i = v.i),
+       |qs AS (SELECT v.i, CAST(v.x AS DOUBLE) * s.sc AS qsc
+       |       FROM vn v JOIN scales s ON s.i = v.i WHERE v.vec_id = 0),
+       |scores AS (SELECT c.vec_id, SUM(c.code * q.qsc) AS s
+       |           FROM codes c JOIN qs q ON q.i = c.i GROUP BY c.vec_id)
+       |SELECT vec_id, ROUND(s, 4) AS score FROM scores ORDER BY s DESC, vec_id LIMIT 5""".stripMargin
+  }
+
+  // ---- ann_ivf ----------------------------------------------------
+  // IvfKnn(stride=53, nprobe=2): centroid sampling needs Spark's
+  // xxhash64 of a BIGINT (XXH64 of the 8-byte value, seed 42) —
+  // implemented below with the same HUGEINT machinery; assignment is
+  // argmax cosine with first-max (ascending centroid id) tie-break,
+  // probe = top-2 centroids by cosine to the query.
+  private def annIvfSql: String = {
+    val P1 = "11400714785074694791"
+    val P2 = "14029467366897019727"
+    val P3 = "1609587929392839161"
+    val P4 = BigInt("9650029242287828579")
+    // acc0 = (seed=42 + PRIME5 + len=8) mod 2^64
+    val acc0 = (BigInt(42) + BigInt("2870177450012600261") + 8).mod(W64)
+    val xxhCte =
+      s"""x1 AS (SELECT vec_id, (${mul64(rotl(mul64("vec_id::HUGEINT", P2), 31), P1)})::HUGEINT AS k1
+         |       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE embedding IS NOT NULL)),
+         |x2 AS (SELECT vec_id, xor($acc0::HUGEINT, k1)::HUGEINT AS acc FROM x1),
+         |x3 AS (SELECT vec_id, ((${mul64(rotl("acc", 27), P1)} + $P4) % $W64)::HUGEINT AS acc FROM x2),
+         |x4 AS (SELECT vec_id, (${mul64("xor(acc, (acc // 8589934592)::HUGEINT)::HUGEINT", P2)})::HUGEINT AS acc FROM x3),
+         |x5 AS (SELECT vec_id, (${mul64("xor(acc, (acc // 536870912)::HUGEINT)::HUGEINT", P3)})::HUGEINT AS acc FROM x4),
+         |xxh AS (SELECT vec_id, xor(acc, (acc // $W32)::HUGEINT)::HUGEINT AS h FROM x5)""".stripMargin
+    s"""WITH $xxhCte,
+       |cents AS (SELECT vec_id AS cid FROM xxh
+       |          WHERE ((((h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) % 53) + 53) % 53) = 0
+       |          ORDER BY cid LIMIT 4096),
+       |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+       |centv AS (SELECT c2.cid, e2.embedding AS ce FROM cents c2 JOIN corpus e2 ON e2.vec_id = c2.cid),
+       |rcp AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS y FROM corpus e, centv c),
+       |rc AS (SELECT vec_id, cid,
+       |    CASE WHEN SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) = 0 OR SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) = 0 THEN 0.0
+       |         ELSE SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |              (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) END AS s
+       |  FROM rcp GROUP BY vec_id, cid),
+       |assigned AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM rc)
+       |  WHERE rn = 1),
+       |probe AS (SELECT cid FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn FROM rc WHERE vec_id = 0)
+       |  WHERE rn <= 2),
+       |qpairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+       |           FROM corpus e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q),
+       |scores AS (SELECT vec_id,
+       |    SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |    (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+       |  FROM qpairs GROUP BY vec_id)
+       |SELECT a.vec_id, ROUND(s.s, 4) AS score
+       |FROM assigned a JOIN probe p ON p.cid = a.cid JOIN scores s ON s.vec_id = a.vec_id
+       |ORDER BY s.s DESC, a.vec_id LIMIT 5""".stripMargin
+  }
+
+  val all: Map[String, String] = Map(
+    "fingerprint_winnow" -> fingerprintWinnowSql,
+    "embed_knn_text" -> embedKnnTextSql,
+    "rag_chunk_search" -> ragChunkSearchSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "knn_lsh" -> knnLshSql,
+    // the at-rest/cached layout probes stored buckets but is candidate-
+    // and rerank-identical to the transient probe — one oracle for both
+    "knn_lsh_cached" -> knnLshSql,
+    "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
+    "ann_sq" -> annSqSql,
+    "ann_ivf" -> annIvfSql,
+  )
+}

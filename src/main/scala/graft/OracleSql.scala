@@ -9,6 +9,16 @@ package graft
   */
 object OracleSql {
 
+  private val eventsSlidingSql =
+    """WITH w AS (SELECT event_type, value,
+      |  date_trunc('hour', ts) + to_minutes(30 * CAST(floor(extract('minute' FROM ts) / 30) AS INT)) AS w0
+      |  FROM events),
+      |ex AS (SELECT event_type, value,
+      |  unnest([w0, w0 - INTERVAL 30 MINUTE]) AS ws FROM w)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+      |  count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+      |FROM ex GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+
   /** cosine-vs-vec-0 scores CTE, parameterized by an extra predicate. */
   private def knnScores(where: String): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -138,15 +148,10 @@ object OracleSql {
 
     // every event belongs to exactly two 1h/30min sliding windows:
     // the one starting at its 30-min floor and the one 30 min earlier
-    "events_sliding" ->
-      """WITH w AS (SELECT event_type, value,
-        |  date_trunc('hour', ts) + to_minutes(30 * CAST(floor(extract('minute' FROM ts) / 30) AS INT)) AS w0
-        |  FROM events),
-        |ex AS (SELECT event_type, value,
-        |  unnest([w0, w0 - INTERVAL 30 MINUTE]) AS ws FROM w)
-        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
-        |  count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
-        |FROM ex GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "events_sliding" -> eventsSlidingSql,
+    // the streaming twin replays the same table through a watermarked
+    // readStream and must land on the identical window table
+    "events_sliding_stream" -> eventsSlidingSql,
 
     "events_json_k" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_bucket,
@@ -249,8 +254,11 @@ object OracleSql {
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
         |  FROM toks),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |keptsh AS (SELECT source, shingle FROM sh GROUP BY source, shingle
+        |  HAVING count(*) <= 10000),
         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN keptsh k ON k.source = a.source AND k.shingle = a.shingle
         |  GROUP BY 1, 2)
         |SELECT ia AS id_a, ib AS id_b,
         |  ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 4) AS jaccard
@@ -508,5 +516,5 @@ object OracleSql {
         |  FROM brank FULL JOIN crank USING (doc_id))
         |SELECT doc_id, ROUND(rrf, 6) AS rrf, text_rank, vec_rank FROM fused
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
-  )
+  ) ++ OracleHashSql.all
 }

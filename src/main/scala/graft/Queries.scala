@@ -90,6 +90,28 @@ object Queries {
       .select(col("vec_id"), round(col("score"), 4).as("score"))
   }
 
+  /** The at-rest serving path of [[knnLsh]]: the corpus is bucketed
+    * ONCE per dataset ([[RandomHyperplaneLsh.withBuckets]] over
+    * normalized embeddings, Spark-cached) and every query probes the
+    * STORED bucket columns — no per-query hashing, no rebuild (the
+    * reference rebuilds its index in-process on every query,
+    * search_service.py:122-125; this is the layout that makes serving
+    * rebuild-free). Identical candidate set and rerank to [[knnLsh]],
+    * so it shares knn_lsh's DuckDB oracle.
+    */
+  private val lshBucketedCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def knnLshCached(spark: SparkSession, sfDir: String): DataFrame = {
+    val lsh = RandomHyperplaneLsh(8, 12, 42L)
+    val bucketed = lshBucketedCache.getOrElseUpdate(sfDir,
+      lsh.withBuckets(
+        Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull),
+        VectorFunctions.l2Normalize(col("embedding")), 64).cache())
+    val (hits, used) =
+      lsh.searchBucketed(bucketed, col("embedding"), col("vec_id"), queryVec(spark, sfDir), 5)
+    hits.select(col("vec_id"), round(col("score"), 4).as("score"), lit(used).as("index_used"))
+  }
+
   /** Graph-ANN (partition-sharded NSW): per-partition navigable-small-
     * world beam search + global exact rerank. Rows-only; recall@10 is
     * asserted 1.0 on the test corpus in NswKnnSpec.
@@ -390,6 +412,47 @@ object Queries {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("wstart"), col("event_type"))
 
+  /** The STREAMING path through the correctness gate: replay the events
+    * table as a file-source readStream (one file per micro-batch)
+    * through the watermarked sliding-window aggregation
+    * ([[graft.streaming.EventStreams.slidingCounts]]), checkpointed to
+    * disk, parquet sink in append mode — then read the sink back and
+    * present it exactly like the batch twin [[eventsSliding]], which
+    * shares its DuckDB oracle.
+    *
+    * A sentinel row 3 hours past the horizon is appended as the last
+    * micro-batch: it pushes the watermark beyond every real window's
+    * end, so append mode releases all of them to the sink; the
+    * sentinel's own windows can never expire and thus never surface
+    * (no overlap — real windows end by max_ts + 1 h, sentinel windows
+    * start at max_ts + 2 h).
+    */
+  def eventsSlidingStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_").toFile.getAbsolutePath
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    val ev = Tables.events(spark, sfDir)
+    ev.coalesce(1).write.parquet(inDir)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    ev.limit(1).select(
+        lit(-1L).as("event_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = graft.streaming.EventStreams.slidingCounts(stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.read.parquet(outDir)
+      .where(col("event_type") =!= "sentinel")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+  }
+
   def eventsJsonK(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .withColumn("k_bucket", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int") % 10)
@@ -532,6 +595,7 @@ object Queries {
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(spark, sfDir), "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
 
   def textBpeTokens(spark: SparkSession, sfDir: String): DataFrame =
@@ -545,7 +609,7 @@ object Queries {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         TextFunctions.winnowingFingerprints(5, 4)(col("text")).as("fps"))
-      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"),
         element_at(col("fps"), 1).as("first_fp"))
       .orderBy(col("doc_id"))
 
@@ -918,6 +982,7 @@ object Queries {
     "knn_topk_per_label_agg" -> (knnTopkPerLabelAgg _),
     "knn_lsh" -> (knnLsh _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
+    "knn_lsh_cached" -> (knnLshCached _),
     "ann_ivf" -> (annIvf _),
     "ann_nsw" -> (annNsw _),
     "ann_hnsw" -> (annHnsw _),
@@ -937,6 +1002,7 @@ object Queries {
     "agg_rollup" -> (aggRollup _),
     "events_hourly" -> (eventsHourly _),
     "events_sliding" -> (eventsSliding _),
+    "events_sliding_stream" -> (eventsSlidingStream _),
     "events_json_k" -> (eventsJsonK _),
     "events_sessionize" -> (eventsSessionize _),
     "agg_distinct_users" -> (aggDistinctUsers _),

@@ -38,6 +38,21 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 30 minutes with a 1-hour watermark —
+    * the streaming twin of the oracle-checked batch query
+    * Queries.eventsSliding, same (window, event_type) grain and
+    * aggregates. In append mode a window reaches the sink exactly once,
+    * when the watermark passes its end — so a bounded replay whose last
+    * row pushes the watermark beyond every real window produces the
+    * batch result exactly (how the events_sliding_stream correctness
+    * query equates the two plans).
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
   /** Streaming exact dedup by key with BOUNDED state: the watermark
     * lets the engine drop seen-key state older than the horizon, so
     * memory tracks the key-arrival rate, not the stream's lifetime —

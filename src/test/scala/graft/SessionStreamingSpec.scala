@@ -81,6 +81,15 @@ class SessionStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("events_sliding_stream: the streaming replay lands on the batch window table") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = Queries.eventsSlidingStream(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val batch = Queries.eventsSliding(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming dedup by key and by content digest, bounded by watermark") {
     val mem = MemoryStream[Event](spark)
     def ev(id: Long, t: String, v: Double) =
