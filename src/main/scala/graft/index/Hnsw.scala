@@ -210,7 +210,45 @@ final case class HnswNodeRow(shard: Int, node_idx: Int, id: Long,
 final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
 
   def write(emb: DataFrame, idCol: String, embCol: String, path: String,
-            numShards: Int): Unit = {
+            numShards: Int): Unit =
+    writeLayout(emb, idCol, embCol, path, numShards, shardOffset = 0, mode = "overwrite")
+
+  /** Incremental ingest — the SEGMENT model (how every LSM-shaped
+    * index takes writes): each delta batch is built into NEW shard
+    * graphs whose ids start past the store's current max, appended as
+    * fresh partition directories. Existing graphs are never touched
+    * (an in-place graph insert would mean rebuilding the shard), the
+    * reconstruct() completeness invariant holds per segment, and
+    * [[search]]/[[searchMany]] already fan out over every stored
+    * shard — new vectors are searchable the moment the append commits.
+    * A periodic [[write]] compacts accumulated small segments.
+    */
+  def append(delta: DataFrame, idCol: String, embCol: String, path: String,
+             numShards: Int = 1): Unit = {
+    val spark = delta.sparkSession
+    val offset =
+      try {
+        val r = spark.read.parquet(path).agg(max(col("shard"))).head()
+        if (r.isNullAt(0)) 0 else r.getInt(0) + 1
+      } catch { case _: org.apache.spark.sql.AnalysisException => 0 }
+    writeLayout(delta, idCol, embCol, path, numShards, offset, mode = "append")
+  }
+
+  /** Attach a streaming source: every micro-batch becomes a segment
+    * (exactly-once per epoch via the stream's checkpoint + parquet's
+    * atomic commit) — parity with PqIndexStore's streaming ingest. */
+  def appendStream(rows: DataFrame, idCol: String, embCol: String, path: String,
+                   numShards: Int = 1, checkpointDir: Option[String] = None)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    var w = rows.writeStream.outputMode("append")
+    checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+      append(batch, idCol, embCol, path, numShards)
+    }.start()
+  }
+
+  private def writeLayout(emb: DataFrame, idCol: String, embCol: String, path: String,
+                          numShards: Int, shardOffset: Int, mode: String): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb.where(col(embCol).isNotNull)
@@ -221,7 +259,7 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
         val nodes = it.toArray.sortBy(_._1)
         if (nodes.isEmpty) Iterator.empty
         else {
-          val shard = org.apache.spark.TaskContext.getPartitionId()
+          val shard = shardOffset + org.apache.spark.TaskContext.getPartitionId()
           val g = Hnsw.build(nodes, m, efConstruction)
           g.ids.indices.iterator.map { i =>
             val nbs = (0 to Hnsw.MaxLevel).map { l =>
@@ -234,7 +272,7 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
       }
       .toDF()
       .repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+      .write.mode(mode).partitionBy("shard").parquet(path)
   }
 
   /** Batched serving: answer EVERY query in one scan pass — each task

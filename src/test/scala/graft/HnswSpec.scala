@@ -64,6 +64,49 @@ class HnswSpec extends AnyFunSuite {
     assert(upperLevelNodes >= 2, s"level-2 edges on $upperLevelNodes nodes")
   }
 
+  test("segment append: delta searchable without touching existing shards") {
+    val path = "target/test-index/hnsw-append"
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    rm(new java.io.File(path))
+    val store = HnswIndexStore()
+    // base store WITHOUT vec 0 — the delta will add the exact query vector
+    store.write(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", path, numShards = 4)
+    val before = store.search(spark, path, q, 1)
+      .select("id", "score").as[(Long, Double)].head()
+    assert(before._1 != 0L)
+    def shardFiles(s: Int) =
+      new java.io.File(s"$path/shard=$s").listFiles().map(_.getName).toSet
+    val baseFiles = (0 until 4).map(shardFiles)
+    val delta = Seq((0L, q)).toDF("vec_id", "embedding")
+    store.append(delta, "vec_id", "embedding", path)
+    // new vector served immediately, via a NEW segment past the old max
+    val after = store.search(spark, path, q, 1)
+      .select("id", "score").as[(Long, Double)].head()
+    assert(after._1 == 0L && math.abs(after._2 - 1.0) < 1e-9)
+    assert((0 until 4).map(shardFiles) == baseFiles) // existing segments untouched
+    val shards = spark.read.parquet(path).select("shard").distinct().as[Int].collect().sorted
+    assert(shards.length == 5 && shards.last == 4)
+  }
+
+  test("streaming segment ingest: micro-batches become searchable segments") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = "target/test-index/hnsw-stream"
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    rm(new java.io.File(path))
+    val store = HnswIndexStore()
+    store.write(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", path, numShards = 4)
+    val src = MemoryStream[(Long, Array[Float])](spark)
+    val query = store.appendStream(src.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    try {
+      src.addData((0L, q))
+      query.processAllAvailable()
+    } finally query.stop()
+    val top = store.search(spark, path, q, 1)
+      .select("id", "score").as[(Long, Double)].head()
+    assert(top._1 == 0L, s"streamed vector not served: $top")
+  }
+
   test("batched multi-query serving: one scan answers every query, matching per-query search") {
     val path = "target/test-index/hnsw-store" // built by the previous test
     val store = HnswIndexStore()
