@@ -271,6 +271,30 @@ object OracleHashSql {
        |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- shared vector CTEs -----------------------------------------
+  // `corpus`: the non-null embedding rows. `vn`: each row's FLOAT-
+  // normalized components at 1-based index i (the candidateMatch /
+  // SqKnn normalization). `scores`: exact cosine of every row against
+  // corpus member vec_id 0 — the rerank used by the LSH and IVF
+  // oracles (same shape as OracleSql.knnScores).
+  private val corpusCte =
+    "corpus AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL)"
+
+  private val vnCtes =
+    s"""comps AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1)::BIGINT AS i FROM corpus),
+       |norms AS (SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm FROM comps GROUP BY vec_id),
+       |vn AS (SELECT c.vec_id, c.i,
+       |         CAST(CASE WHEN n.nrm = 0 THEN CAST(c.x AS DOUBLE) ELSE CAST(c.x AS DOUBLE) / n.nrm END AS FLOAT) AS x
+       |       FROM comps c JOIN norms n ON n.vec_id = c.vec_id)""".stripMargin
+
+  private val qScoresCtes =
+    s"""qpairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+       |           FROM corpus e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q),
+       |scores AS (SELECT vec_id,
+       |    SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |    (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+       |  FROM qpairs GROUP BY vec_id)""".stripMargin
+
   // ---- knn_lsh / knn_lsh_multiprobe -------------------------------
   // RandomHyperplaneLsh(8, 12, 42): the plane matrix is inlined from
   // the engine's own planes(64) (unit-normalized Gaussian floats);
@@ -282,24 +306,15 @@ object OracleHashSql {
     val flat = lsh.planes(64).flatten.flatten
     val flatLit = flat.mkString("[", ",", "]")
     s"""plvals AS (SELECT unnest($flatLit) AS w, unnest(range(0, ${flat.length})) AS f),
-       |planes AS (SELECT f // 768 AS t, (f // 64) % 12 AS p, (f % 64)::BIGINT AS i, CAST(w AS FLOAT) AS w FROM plvals),
-       |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-       |comps AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1)::BIGINT - 1 AS i FROM corpus),
-       |norms AS (SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm FROM comps GROUP BY vec_id),
-       |vn AS (SELECT c.vec_id, c.i,
-       |         CAST(CASE WHEN n.nrm = 0 THEN CAST(c.x AS DOUBLE) ELSE CAST(c.x AS DOUBLE) / n.nrm END AS FLOAT) AS x
-       |       FROM comps c JOIN norms n ON n.vec_id = c.vec_id),
+       |planes AS (SELECT f // 768 AS t, (f // 64) % 12 AS p, (f % 64)::BIGINT + 1 AS i, CAST(w AS FLOAT) AS w FROM plvals),
+       |$corpusCte,
+       |$vnCtes,
        |dots AS (SELECT v.vec_id, pl.t, pl.p, SUM(CAST(v.x AS DOUBLE) * CAST(pl.w AS DOUBLE)) AS d
        |         FROM vn v JOIN planes pl ON pl.i = v.i GROUP BY v.vec_id, pl.t, pl.p),
        |buckets AS (SELECT vec_id, t, SUM(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END)::BIGINT AS bkt
        |            FROM dots GROUP BY vec_id, t),
        |qb AS (SELECT t, bkt FROM buckets WHERE vec_id = 0),
-       |qpairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
-       |           FROM corpus e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q),
-       |scores AS (SELECT vec_id,
-       |    SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
-       |    (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
-       |  FROM qpairs GROUP BY vec_id)""".stripMargin
+       |$qScoresCtes""".stripMargin
   }
 
   private def knnLshSql: String =
@@ -322,12 +337,8 @@ object OracleHashSql {
   // rint(u/scale) clamped to +/-127; score = sum(code_d * qn_d*scale_d).
   private def annSqSql: String = {
     val q = rint("CAST(v.x AS DOUBLE) / s.sc")
-    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-       |comps AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1)::BIGINT AS i FROM corpus),
-       |norms AS (SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm FROM comps GROUP BY vec_id),
-       |vn AS (SELECT c.vec_id, c.i,
-       |         CAST(CASE WHEN n.nrm = 0 THEN CAST(c.x AS DOUBLE) ELSE CAST(c.x AS DOUBLE) / n.nrm END AS FLOAT) AS x
-       |       FROM comps c JOIN norms n ON n.vec_id = c.vec_id),
+    s"""WITH $corpusCte,
+       |$vnCtes,
        |scales AS (SELECT i, CAST(MAX(ABS(x)) AS DOUBLE) / 127.0 AS sc FROM vn GROUP BY i),
        |codes AS (SELECT v.vec_id, v.i,
        |    CASE WHEN s.sc = 0 THEN 0
@@ -365,7 +376,7 @@ object OracleHashSql {
        |cents AS (SELECT vec_id AS cid FROM xxh
        |          WHERE ((((h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) % 53) + 53) % 53) = 0
        |          ORDER BY cid LIMIT 4096),
-       |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+       |$corpusCte,
        |centv AS (SELECT c2.cid, e2.embedding AS ce FROM cents c2 JOIN corpus e2 ON e2.vec_id = c2.cid),
        |rcp AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS y FROM corpus e, centv c),
        |rc AS (SELECT vec_id, cid,
@@ -379,12 +390,7 @@ object OracleHashSql {
        |probe AS (SELECT cid FROM (
        |    SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn FROM rc WHERE vec_id = 0)
        |  WHERE rn <= 2),
-       |qpairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
-       |           FROM corpus e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q),
-       |scores AS (SELECT vec_id,
-       |    SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
-       |    (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
-       |  FROM qpairs GROUP BY vec_id)
+       |$qScoresCtes
        |SELECT a.vec_id, ROUND(s.s, 4) AS score
        |FROM assigned a JOIN probe p ON p.cid = a.cid JOIN scores s ON s.vec_id = a.vec_id
        |ORDER BY s.s DESC, a.vec_id LIMIT 5""".stripMargin

@@ -99,11 +99,21 @@ object Queries {
     * rebuild-free). Identical candidate set and rerank to [[knnLsh]],
     * so it shares knn_lsh's DuckDB oracle.
     */
-  private val lshBucketedCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // weakly keyed by session, like Tables.load: entries die with their
+  // session instead of handing out plans bound to a stopped context
+  private val lshBucketedCache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
   def knnLshCached(spark: SparkSession, sfDir: String): DataFrame = {
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
-    val bucketed = lshBucketedCache.getOrElseUpdate(sfDir,
+    val perSession = lshBucketedCache.synchronized {
+      var m = lshBucketedCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        lshBucketedCache.put(spark, m)
+      }
+      m
+    }
+    val bucketed = perSession.getOrElseUpdate(sfDir,
       lsh.withBuckets(
         Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull),
         VectorFunctions.l2Normalize(col("embedding")), 64).cache())
@@ -446,11 +456,22 @@ object Queries {
       .option("path", outDir).option("checkpointLocation", ckDir)
       .start()
     try { q.processAllAvailable() } finally q.stop()
-    spark.read.parquet(outDir)
+    val result = spark.read.parquet(outDir)
       .where(col("event_type") =!= "sentinel")
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("wstart"), col("event_type"))
+    // the window table is small (one row per window × type) — pin it on
+    // the driver so the staging tree (events copy + sink + checkpoint)
+    // can be deleted instead of leaking a full table copy per call
+    val rows = result.collect()
+    val out = spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    out
   }
 
   def eventsJsonK(spark: SparkSession, sfDir: String): DataFrame =

@@ -315,18 +315,30 @@ object Dedup {
                         threshold: Double, dim: Int = 64,
                         broadcastRowLimit: Long = 500000L): DataFrame = {
     val nonNull = emb.where(col(embCol).isNotNull)
-    val fits = nonNull.limit((broadcastRowLimit + 1).toInt).count() <= broadcastRowLimit
+    val probeRows = math.min(broadcastRowLimit, Int.MaxValue - 2L).toInt + 1
+    val fits = nonNull.limit(probeRows).count() <= broadcastRowLimit
     if (fits) embeddingNearDupsExact(nonNull, idCol, embCol, threshold)
     else embeddingNearDupsLsh(nonNull, idCol, embCol, threshold, dim)
   }
 
-  /** The exact all-pairs path of [[embeddingNearDups]]. */
+  /** The exact all-pairs path of [[embeddingNearDups]]: norms are
+    * computed ONCE per row in the projections under the join (they are
+    * pair-invariant), so each of the N²/2 pairs costs one codegen'd
+    * dot — not a full 3-loop cosine. `cos = dot/(na·nb)` runs the
+    * identical double operations as the one-shot cosine expression, so
+    * scores are bitwise unchanged.
+    */
   private[graft] def embeddingNearDupsExact(emb: DataFrame, idCol: String,
                                             embCol: String, threshold: Double): DataFrame = {
-    val left = emb.select(col(idCol).cast("long").as("id_a"), col(embCol).as("emb_a"))
-    val right = emb.select(col(idCol).cast("long").as("id_b"), col(embCol).as("emb_b"))
+    import graft.expressions.DotProduct
+    val left = emb.select(col(idCol).cast("long").as("id_a"), col(embCol).as("emb_a"),
+      sqrt(DotProduct(col(embCol), col(embCol))).as("norm_a"))
+    val right = emb.select(col(idCol).cast("long").as("id_b"), col(embCol).as("emb_b"),
+      sqrt(DotProduct(col(embCol), col(embCol))).as("norm_b"))
     left.join(broadcast(right), col("id_a") < col("id_b"))
-      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos",
+        when(col("norm_a") === 0.0 || col("norm_b") === 0.0, 0.0)
+          .otherwise(DotProduct(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -224,26 +224,44 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
     * A periodic [[write]] compacts accumulated small segments.
     */
   def append(delta: DataFrame, idCol: String, embCol: String, path: String,
-             numShards: Int = 1): Unit = {
-    val spark = delta.sparkSession
-    val offset =
-      try {
-        val r = spark.read.parquet(path).agg(max(col("shard"))).head()
-        if (r.isNullAt(0)) 0 else r.getInt(0) + 1
-      } catch { case _: org.apache.spark.sql.AnalysisException => 0 }
-    writeLayout(delta, idCol, embCol, path, numShards, offset, mode = "append")
+             numShards: Int = 1): Unit =
+    writeLayout(delta, idCol, embCol, path, numShards, nextShardOffset(path),
+      mode = "append")
+
+  /** First free shard id, from the partition DIRECTORY NAMES — a pure
+    * filesystem listing, not a Spark job over the store (an O(segments)
+    * scan per micro-batch would make a long-running ingest quadratic).
+    */
+  private def nextShardOffset(path: String): Int = {
+    val dirs = new java.io.File(path).listFiles()
+    if (dirs == null) 0
+    else {
+      val ids = dirs.iterator.map(_.getName)
+        .filter(_.startsWith("shard="))
+        .map(_.stripPrefix("shard=").toInt)
+      if (ids.isEmpty) 0 else ids.max + 1
+    }
   }
 
-  /** Attach a streaming source: every micro-batch becomes a segment
-    * (exactly-once per epoch via the stream's checkpoint + parquet's
-    * atomic commit) — parity with PqIndexStore's streaming ingest. */
+  /** Attach a streaming source: every micro-batch becomes a segment.
+    * Segment ids are a DETERMINISTIC function of the stream's batch id
+    * (`offset0 + batchId·numShards + partition`), and the write is a
+    * dynamic-partition overwrite of exactly those ids — so a batch
+    * replayed after a crash-between-commit-and-checkpoint overwrites
+    * its own segment instead of duplicating vectors (foreachBatch is
+    * at-least-once; idempotence, not atomicity, is what makes the
+    * sink effectively exactly-once). Parity with PqIndexStore's
+    * streaming ingest.
+    */
   def appendStream(rows: DataFrame, idCol: String, embCol: String, path: String,
                    numShards: Int = 1, checkpointDir: Option[String] = None)
   : org.apache.spark.sql.streaming.StreamingQuery = {
+    val offset0 = nextShardOffset(path)
     var w = rows.writeStream.outputMode("append")
     checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
-    w.foreachBatch { (batch: DataFrame, _: Long) =>
-      append(batch, idCol, embCol, path, numShards)
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeLayout(batch, idCol, embCol, path, numShards,
+        offset0 + (batchId * numShards).toInt, mode = "dynamicOverwrite")
     }.start()
   }
 
@@ -272,7 +290,11 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
       }
       .toDF()
       .repartition(col("shard"))
-      .write.mode(mode).partitionBy("shard").parquet(path)
+      .write
+      .mode(if (mode == "dynamicOverwrite") "overwrite" else mode)
+      .option("partitionOverwriteMode",
+        if (mode == "dynamicOverwrite") "dynamic" else "static")
+      .partitionBy("shard").parquet(path)
   }
 
   /** Batched serving: answer EVERY query in one scan pass — each task
