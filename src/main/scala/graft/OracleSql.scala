@@ -255,7 +255,7 @@ object OracleSql {
         |  FROM toks),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |keptsh AS (SELECT source, shingle FROM sh GROUP BY source, shingle
-        |  HAVING count(*) <= 10000),
+        |  HAVING count(*) <= 256),
         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
         |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  JOIN keptsh k ON k.source = a.source AND k.shingle = a.shingle

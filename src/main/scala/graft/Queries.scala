@@ -99,21 +99,12 @@ object Queries {
     * rebuild-free). Identical candidate set and rerank to [[knnLsh]],
     * so it shares knn_lsh's DuckDB oracle.
     */
-  // weakly keyed by session, like Tables.load: entries die with their
-  // session instead of handing out plans bound to a stopped context
-  private val lshBucketedCache = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  // session-scoped like Tables.load: stopped sessions are explicitly
+  // evicted instead of handing out plans bound to a stopped context
+  private val lshBucketedCache = new SessionCache[String, DataFrame]
   def knnLshCached(spark: SparkSession, sfDir: String): DataFrame = {
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
-    val perSession = lshBucketedCache.synchronized {
-      var m = lshBucketedCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        lshBucketedCache.put(spark, m)
-      }
-      m
-    }
-    val bucketed = perSession.getOrElseUpdate(sfDir,
+    val bucketed = lshBucketedCache.getOrElseUpdate(spark, sfDir)(
       lsh.withBuckets(
         Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull),
         VectorFunctions.l2Normalize(col("embedding")), 64).cache())
@@ -438,17 +429,14 @@ object Queries {
     * start at max_ts + 2 h).
     */
   def eventsSlidingStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_").toFile.getAbsolutePath
-    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
     val ev = Tables.events(spark, sfDir)
-    ev.coalesce(1).write.parquet(inDir)
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    ev.limit(1).select(
-        lit(-1L).as("event_id"),
-        lit(new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)).as("ts"),
-        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-        lit(0.0).as("value"), lit("{}").as("props"))
-      .write.mode("append").parquet(inDir)
+    if (ev.isEmpty)
+      // no events → no windows; also no sentinel to key the watermark off
+      return ev.limit(0).select(lit("").as("wstart"), col("event_type"),
+        lit(0L).as("n_events"), lit(0.0).as("sum_value"))
+    val inDir = stagedEventsReplayDir(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_run_").toFile
+    val outDir = s"${base.getAbsolutePath}/out"; val ckDir = s"${base.getAbsolutePath}/ck"
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = graft.streaming.EventStreams.slidingCounts(stream)
@@ -462,16 +450,52 @@ object Queries {
         col("event_type"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("wstart"), col("event_type"))
     // the window table is small (one row per window × type) — pin it on
-    // the driver so the staging tree (events copy + sink + checkpoint)
-    // can be deleted instead of leaking a full table copy per call
+    // the driver so the per-run tree (sink + checkpoint) can be deleted
     val rows = result.collect()
     val out = spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(base))
+    rmTree(base)
     out
+  }
+
+  /** The replay INPUT of [[eventsSlidingStream]] (events copy + the
+    * watermark-release sentinel) is immutable per dataset, so it is
+    * staged ONCE per (session, sfDir) like `Tables.load` — the staging
+    * write was ~⅔ of the query's benched cost. The checkpoint and sink
+    * stay per-call: the streaming run itself must be fresh for the
+    * correctness gate.
+    */
+  private val streamInputCache = new SessionCache[String, String]
+
+  private def stagedEventsReplayDir(spark: SparkSession, sfDir: String): String =
+    streamInputCache.getOrElseUpdate(spark, sfDir) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_in_").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir)))
+      val inDir = dir.getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+      ev.coalesce(1).write.mode("overwrite").parquet(inDir)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      def parts(): Array[java.io.File] =
+        dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val before = parts().map(_.getName).toSet
+      ev.limit(1).select(
+          lit(-1L).as("event_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.mode("append").parquet(inDir)
+      // FileStreamSource replays files in modification-time order; the
+      // sentinel must come LAST or every real row is dropped as late
+      // data. Don't rely on the two writes landing in distinct mtime
+      // granules — stamp the sentinel file explicitly past the data.
+      val dataMtime = parts().filter(f => before(f.getName)).map(_.lastModified).max
+      parts().filterNot(f => before(f.getName))
+        .foreach(f => f.setLastModified(dataMtime + 2000L))
+      inDir
+    }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree) }
+    f.delete()
   }
 
   def eventsJsonK(spark: SparkSession, sfDir: String): DataFrame =

@@ -18,24 +18,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  // Weakly keyed by session: a stopped/collected session's entries
-  // vanish with it (no pinning of dead SparkContexts, no identity-hash
-  // collisions handing out DataFrames bound to a stopped context).
-  private val cached = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+  // Session-scoped, with EXPLICIT eviction of stopped sessions.
+  // (Weak keying doesn't work here: a cached DataFrame strongly
+  // references its session through QueryExecution, and a WeakHashMap
+  // entry whose value references its key is never collected.)
+  private val cached = new SessionCache[(String, String), DataFrame]
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val perSession = cached.synchronized {
-      var m = cached.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-        cached.put(spark, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate((sfDir, name),
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cached.getOrElseUpdate(spark, (sfDir, name))(
       spark.read.parquet(s"$sfDir/$name.parquet").cache())
-  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
@@ -59,4 +50,19 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}
+
+/** A memo keyed by (SparkSession, K) whose entries are evicted once
+  * their session's context stops. A resident engine holds a handful of
+  * live sessions, so the O(entries) sweep per lookup is noise; what
+  * matters is that stopped sessions are actually released — weak keying
+  * cannot do that when the cached value (a DataFrame) references the
+  * session key.
+  */
+private[graft] final class SessionCache[K, V] {
+  private val m = scala.collection.concurrent.TrieMap.empty[(SparkSession, K), V]
+  def getOrElseUpdate(spark: SparkSession, key: K)(mk: => V): V = {
+    m.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    m.getOrElseUpdate((spark, key), mk)
+  }
 }

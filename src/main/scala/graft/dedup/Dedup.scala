@@ -220,14 +220,18 @@ object Dedup {
     * carries no discriminative signal, only quadratic blow-up). The
     * per-task expansion is then bounded by maxDocFreq² per posting.
     * Dropped shingles still count in the |A|/|B| denominators, so the
-    * reported jaccard is a LOWER bound for affected pairs — at the
-    * default cap no sf0.01/sf0.1 posting comes near the limit and the
-    * output is bit-identical to uncapped (the DuckDB oracle applies
-    * the same HAVING cap).
+    * reported jaccard is a LOWER bound for affected pairs. The default
+    * cap (256) bounds a single posting's expansion to ~32k pair-rows —
+    * the straggler/OOM ceiling a 100 TB run actually needs — while
+    * sitting far above any real near-dup signal (a shingle shared by
+    * hundreds of documents in one block is boilerplate, not overlap;
+    * the hottest sf0.1 posting is 6 docs, so locally the output is
+    * bit-identical to uncapped). The DuckDB oracle applies the same
+    * HAVING cap.
     */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
                           threshold: Double, shingleSize: Int = 3,
-                          maxDocFreq: Int = 10000): DataFrame = {
+                          maxDocFreq: Int = 256): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // Per-document distinct-shingle ARRAYS: in-row `array_distinct`

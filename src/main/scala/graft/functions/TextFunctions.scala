@@ -169,10 +169,18 @@ object TextFunctions {
     */
   def simhash64(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val simUdf = udf { (text: String) =>
-      if (text == null) null.asInstanceOf[java.lang.Long]
+      // empty-token guard ("".split yields one empty string): an
+      // empty/whitespace-only document has NO tokens and thus no
+      // sketch — null, like a null document. Hashing the zero-char
+      // fold (h = seed) would mint a phantom simhash the DuckDB
+      // oracle's `length(tok) > 0` filter never sees; matches
+      // Embedder.embed's nonEmpty filter.
+      val toks = if (text == null) Array.empty[String]
+                 else text.trim.split(" +").filter(_.nonEmpty)
+      if (toks.isEmpty) null.asInstanceOf[java.lang.Long]
       else {
         val votes = new Array[Int](64)
-        text.trim.split(" +").foreach { tok =>
+        toks.foreach { tok =>
           var h = 1125899906842597L
           var i = 0
           while (i < tok.length) { h = splitmix64(h ^ tok.charAt(i).toLong); i += 1 }

@@ -225,18 +225,21 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
     */
   def append(delta: DataFrame, idCol: String, embCol: String, path: String,
              numShards: Int = 1): Unit =
-    writeLayout(delta, idCol, embCol, path, numShards, nextShardOffset(path),
-      mode = "append")
+    writeLayout(delta, idCol, embCol, path, numShards,
+      nextShardOffset(delta.sparkSession, path), mode = "append")
 
   /** First free shard id, from the partition DIRECTORY NAMES — a pure
     * filesystem listing, not a Spark job over the store (an O(segments)
     * scan per micro-batch would make a long-running ingest quadratic).
+    * Resolved through Hadoop's FileSystem so the store works on any
+    * supported filesystem (HDFS/S3/local), not just `java.io.File`.
     */
-  private def nextShardOffset(path: String): Int = {
-    val dirs = new java.io.File(path).listFiles()
-    if (dirs == null) 0
+  private def nextShardOffset(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
     else {
-      val ids = dirs.iterator.map(_.getName)
+      val ids = fs.listStatus(p).iterator.map(_.getPath.getName)
         .filter(_.startsWith("shard="))
         .map(_.stripPrefix("shard=").toInt)
       if (ids.isEmpty) 0 else ids.max + 1
@@ -250,13 +253,35 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
     * replayed after a crash-between-commit-and-checkpoint overwrites
     * its own segment instead of duplicating vectors (foreachBatch is
     * at-least-once; idempotence, not atomicity, is what makes the
-    * sink effectively exactly-once). Parity with PqIndexStore's
-    * streaming ingest.
+    * sink effectively exactly-once).
+    *
+    * The base offset is PERSISTED next to the checkpoint on first
+    * start and reused on every restart: recomputing it from the store
+    * listing would see an orphaned segment written by a crashed batch
+    * (crash between segment write and checkpoint commit) and shift the
+    * replayed batch onto NEW shard ids, duplicating its vectors.
+    * Without a checkpoint there is no cross-restart replay, so a fresh
+    * listing is safe. Parity with PqIndexStore's streaming ingest.
     */
   def appendStream(rows: DataFrame, idCol: String, embCol: String, path: String,
                    numShards: Int = 1, checkpointDir: Option[String] = None)
   : org.apache.spark.sql.streaming.StreamingQuery = {
-    val offset0 = nextShardOffset(path)
+    val spark = rows.sparkSession
+    val offset0 = checkpointDir match {
+      case Some(d) =>
+        val marker = new org.apache.hadoop.fs.Path(d, "_graft_shard_offset0")
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(marker)) {
+          val in = fs.open(marker)
+          try in.readInt() finally in.close()
+        } else {
+          val o = nextShardOffset(spark, path)
+          val out = fs.create(marker, false)
+          try out.writeInt(o) finally out.close()
+          o
+        }
+      case None => nextShardOffset(spark, path)
+    }
     var w = rows.writeStream.outputMode("append")
     checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>

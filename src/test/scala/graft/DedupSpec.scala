@@ -53,6 +53,31 @@ class DedupSpec extends AnyFunSuite {
     assert(mh.toSeq == mhClean.toSeq)
   }
 
+  test("hot-shingle cap drops over-frequent postings before pair expansion") {
+    // 30 docs in one block, all sharing one hot shingle ("aaa bbb ccc")
+    // plus a unique tail — pairwise jaccard is tiny, but WITHOUT the
+    // doc-frequency cap the hot posting alone expands to C(30,2)=435
+    // candidate pair-rows. With maxDocFreq below the posting length the
+    // expansion must be zero.
+    val hot = (0 until 30).map(i =>
+      (100L + i, s"aaa bbb ccc unique$i tail$i word$i", "hotblk")).toDF("doc_id", "text", "source")
+    val capped = Dedup.blockedJaccardPairs(hot, "doc_id", "text", "source",
+      threshold = 0.0, maxDocFreq = 10).collect()
+    assert(capped.isEmpty, s"capped posting must emit no pairs, got ${capped.length}")
+    // sanity: uncapped, the same corpus does produce all 435 low-jaccard pairs
+    val uncapped = Dedup.blockedJaccardPairs(hot, "doc_id", "text", "source",
+      threshold = 0.0, maxDocFreq = 1000).count()
+    assert(uncapped == 435L)
+    // and the cap leaves sub-threshold postings alone: the standard
+    // fixture's pairs are identical at the shipped default and uncapped
+    val def256 = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 0.3)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val unc = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 0.3,
+      maxDocFreq = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(def256.toSeq == unc.toSeq)
+  }
+
   test("minhash finds the exact and near dup, not the unrelated pairs") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

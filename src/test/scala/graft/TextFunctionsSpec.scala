@@ -53,6 +53,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(m(0L) != m(2L))
   }
 
+  test("simhash64: null, empty and whitespace-only docs sketch to null, not a seed hash") {
+    val df = Seq((0L, null.asInstanceOf[String]), (1L, ""), (2L, "   "),
+      (3L, "real tokens here"))
+      .toDF("id", "text")
+    val rows = TextFunctions.simhash64(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(0L).isEmpty && rows(1L).isEmpty && rows(2L).isEmpty)
+    assert(rows(3L).isDefined)
+  }
+
   test("multimodal decode stub: deterministic metadata from binary payload") {
     val docs = Seq((7L, "abcdef")).toDF("doc_id", "text")
     val meta = Multimodal.fromDocuments(spark, docs).collect().head
