@@ -409,5 +409,10 @@ object OracleHashSql {
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     "ann_sq" -> annSqSql,
     "ann_ivf" -> annIvfSql,
+    // IVF-PQ with the exact-rerank tail is exactly the EXACT IVF
+    // search over the same stride-53/nprobe-2 coarse quantizer
+    // (PqKnn.searchIvfPqRefined; equivalence pinned in
+    // AnnEquivalenceSpec) — one replay oracle serves both
+    "ann_ivfpq" -> annIvfSql,
   )
 }

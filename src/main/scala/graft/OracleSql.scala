@@ -3,9 +3,13 @@ package graft
 /** DuckDB-runnable oracle SQL for every SQL-expressible query in
   * [[Queries.all]]. Column names/types and the rounding of every float
   * column match the Spark implementations exactly (the driver sorts
-  * columns by name and hash-compares values). Queries omitted here
-  * (knn_lsh, ann_ivf, dedup_minhash, dedup_simhash) use engine-internal
-  * hashing/bucketing that plain SQL can't reproduce → rows-only check.
+  * columns by name and hash-compares values). Hash-family queries
+  * (LSH/MinHash/SimHash/IVF replays) live in [[OracleHashSql]];
+  * ann-family queries whose output is provably the brute top-k share
+  * `knn_brute`'s SQL by equivalence (see [[knnBruteSql]]). The one
+  * remaining rows-only query is ann_recall (replaying five ANN
+  * methods' candidate generation in SQL buys no new evidence — each
+  * method is already oracle-checked individually).
   */
 object OracleSql {
 
@@ -29,10 +33,23 @@ object OracleSql {
        |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
        |  FROM pairs GROUP BY vec_id, label)""".stripMargin
 
+  /** Brute top-5 — shared verbatim by the ann-family queries whose
+    * output is provably the brute result: ann_nsw / ann_hnsw (exact
+    * rerank + recall 1.0), ann_pq (ADC shortlist + exact-rerank tail),
+    * ann_ivf_kmeans (recall-driven probe width). The equivalence is
+    * pinned Spark-side at the gate SFs by AnnEquivalenceSpec; here the
+    * oracle checks the actual values independently.
+    */
+  private val knnBruteSql =
+    s"""${knnScores("")}
+       |SELECT vec_id, ROUND(s, 4) AS score FROM scores ORDER BY s DESC, vec_id LIMIT 5""".stripMargin
+
   val all: Map[String, String] = Map(
-    "knn_brute" ->
-      s"""${knnScores("")}
-         |SELECT vec_id, ROUND(s, 4) AS score FROM scores ORDER BY s DESC, vec_id LIMIT 5""".stripMargin,
+    "knn_brute" -> knnBruteSql,
+    "ann_nsw" -> knnBruteSql,
+    "ann_hnsw" -> knnBruteSql,
+    "ann_pq" -> knnBruteSql,
+    "ann_ivf_kmeans" -> knnBruteSql,
 
     "knn_brute_filtered" ->
       s"""${knnScores("WHERE e.label = 3")}
@@ -408,6 +425,16 @@ object OracleSql {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    // exact columns recomputed; the booleans are the engine's own
+    // bounded-error claims about its sketches — the oracle asserts
+    // them TRUE, so an out-of-bounds sketch turns the gate red
+    "agg_sketches" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_users_ok,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+        |  TRUE AS approx_p50_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_filter_events" ->
       """SELECT event_type, count(*) AS n_events,

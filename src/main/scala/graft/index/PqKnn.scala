@@ -185,6 +185,27 @@ object PqKnn {
     searchEncoded(encode(emb, idCol, embCol, cb), query, cb, k)
   }
 
+  /** ADC shortlist → exact rerank back in source order: broadcast the
+    * `candidates` shortlist ids, fetch ONLY those rows' float vectors,
+    * exact cosine top-k (the FAISS `refine` composition). This is the
+    * honest PQ serving shape at 100 TB: the corpus scan touches 8-byte
+    * codes only; the float vectors are read for `candidates` rows — a
+    * broadcast-hash-join row lookup, not a second corpus pass of
+    * decode work. With `candidates` wide enough that the true top-k
+    * survive the compressed shortlist (asserted at the gate SF in
+    * AnnEquivalenceSpec), the output is bit-identical to brute force —
+    * which is what lets ann_pq share knn_brute's DuckDB oracle.
+    */
+  def searchRefined(emb: DataFrame, idCol: Column, embCol: Column, query: Array[Float],
+                    k: Int, dim: Int, candidates: Int = 100,
+                    m: Int = 8, numCentroids: Int = 256): DataFrame = {
+    val cb = train(emb, idCol, embCol, dim, m, numCentroids)
+    val cand = searchEncoded(encode(emb, idCol, embCol, cb), query, cb, candidates)
+      .select(col("id"))
+    val pool = emb.join(broadcast(cand), idCol === cand("id")).drop(cand("id"))
+    BruteForceKnn.search(pool, embCol, idCol, query, k)
+  }
+
   /** One persisted codebook centroid. */
   final case class PqCentRow(s: Int, c: Int, centroid: Array[Float])
 
@@ -206,6 +227,31 @@ object PqKnn {
     val probed = IvfKnn.assign(emb.where(embCol.isNotNull), embCol, coarse)
       .where(col("cluster_id").isin(probeIds.map(Long.box): _*))
     searchEncoded(encode(probed, idCol, embCol, cb), query, cb, k)
+  }
+
+  /** IVF-PQ with an exact-rerank tail ([[searchRefined]] restricted to
+    * the probed clusters): coarse probe prunes the corpus, ADC ranks
+    * the survivors from codes alone, and the float vectors of the
+    * `candidates` shortlist are fetched for exact cosine top-k. With a
+    * shortlist wide enough that PQ misranking cannot evict a true
+    * neighbor (asserted at the gate SF), the result is exactly the
+    * EXACT IVF search over the same coarse quantizer — i.e. identical
+    * to [[IvfKnn.search]] with the same stride/nprobe, which is what
+    * lets ann_ivfpq share ann_ivf's replay oracle.
+    */
+  def searchIvfPqRefined(emb: DataFrame, idCol: Column, embCol: Column, query: Array[Float],
+                         k: Int, dim: Int, candidates: Int = 100,
+                         stride: Long = 53L, nprobe: Int = 2,
+                         m: Int = 8, numCentroids: Int = 256): DataFrame = {
+    val coarse = IvfKnn.centroids(emb, idCol, embCol, stride)
+    val probeIds = IvfKnn.rankClusters(query, coarse).take(nprobe).map(_._1)
+    val cb = train(emb, idCol, embCol, dim, m, numCentroids)
+    val probed = IvfKnn.assign(emb.where(embCol.isNotNull), embCol, coarse)
+      .where(col("cluster_id").isin(probeIds.map(Long.box): _*))
+    val cand = searchEncoded(encode(probed, idCol, embCol, cb), query, cb, candidates)
+      .select(col("id"))
+    val pool = probed.join(broadcast(cand), idCol === cand("id")).drop(cand("id"))
+    BruteForceKnn.search(pool, embCol, idCol, query, k)
   }
 }
 

@@ -7,7 +7,7 @@ class SketchSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("sketch aggregations land within error bounds of their exact twins") {
-    val rows = Queries.aggSketches(spark, "/root/testdata/sf0.01")
+    val rows = Queries.aggSketchesRaw(spark, "/root/testdata/sf0.01")
       .select("event_type", "approx_users", "exact_users", "approx_p50", "exact_p50")
       .as[(String, Long, Long, Double, Double)].collect()
     assert(rows.nonEmpty)
@@ -19,6 +19,16 @@ class SketchSpec extends AnyFunSuite {
       // translate to a loose value tolerance on this distribution
       assert(math.abs(approxP - exactP) <= math.max(0.05 * math.abs(exactP), 0.5),
         s"$et: approx_p50 $approxP vs $exactP")
+    }
+  }
+
+  test("the gated agg_sketches projection reports its bound checks as true") {
+    val rows = Queries.aggSketches(spark, "/root/testdata/sf0.01")
+      .select("event_type", "approx_users_ok", "approx_p50_ok")
+      .as[(String, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, uOk, pOk) =>
+      assert(uOk && pOk, s"$et: bound check false (users_ok=$uOk p50_ok=$pOk)")
     }
   }
 
