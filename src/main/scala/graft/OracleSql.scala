@@ -222,6 +222,38 @@ object OracleSql {
         |  ROUND(AVG(n), 4) AS avg_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // the streaming dedup sink must equal the ORIGINAL events table:
+    // the redelivered duplicates all fall inside the watermark horizon,
+    // so a leak double-counts the last hour and flips the hash
+    "events_dedup_stream" ->
+      """SELECT event_type, count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+        |b AS (SELECT doc_id, w, list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+        |  i -> w[i] || ' ' || w[i+1]) AS bg FROM t)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS dup_word_ratio,
+        |  CASE WHEN len(bg) > 0
+        |       THEN ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+        |       ELSE 0.0 END AS dup_bigram_ratio
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "quality_gate" ->
+      """WITH t AS (SELECT lang, trim(text) AS tt, string_split_regex(trim(text), ' +') AS w FROM documents),
+        |m AS (SELECT lang, len(w) AS nt,
+        |  CASE WHEN len(w) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(tt, ' +', '', 'g')) AS DOUBLE) / len(w) END AS atl,
+        |  CASE WHEN len(w) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(w, x -> x IN ('the','is','and','of','to','a','in'))) AS DOUBLE) / len(w) END AS sr
+        |  FROM t)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE nt >= 30 AND atl >= 4.0 AND atl <= 5.0 AND sr <= 0.10) AS n_pass,
+        |  ROUND(CAST(count(*) FILTER (WHERE nt >= 30 AND atl >= 4.0 AND atl <= 5.0 AND sr <= 0.10) AS DOUBLE)
+        |        / count(*), 4) AS pass_rate
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+
     "text_quality" ->
       """WITH t AS (SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), ' +') AS w FROM documents),
         |m AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,

@@ -502,6 +502,73 @@ object Queries {
     f.delete()
   }
 
+  /** Streaming exact dedup through the correctness gate
+    * ([[graft.streaming.EventStreams.dedupedEvents]]): replay the
+    * events table as micro-batch 1, then REDELIVER the last hour's
+    * rows as micro-batch 2 — the at-least-once-delivery scenario a
+    * real ingest pipeline dedups for. The redelivered rows arrive
+    * within the 2-hour watermark horizon (watermark after batch 1 is
+    * maxTs − 2 h, the dupes' event times are ≥ maxTs − 1 h), so their
+    * keys are still in the state store and every one is dropped;
+    * state older than the horizon has already been evicted — bounded
+    * memory, which is the whole point of the watermarked variant. The
+    * sink therefore holds exactly the original table, and the per-type
+    * aggregate hash-matches a plain batch SQL over `events` — if any
+    * duplicate leaks, the redelivered hour double-counts and the gate
+    * goes red.
+    */
+  def eventsDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    if (ev.isEmpty)
+      return ev.limit(0).select(col("event_type"),
+        lit(0L).as("n_events"), lit(0.0).as("sum_value"))
+    val inDir = stagedDedupReplayDir(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup_stream_run_").toFile
+    val outDir = s"${base.getAbsolutePath}/out"; val ckDir = s"${base.getAbsolutePath}/ck"
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = graft.streaming.EventStreams.dedupedEvents(stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val result = spark.read.parquet(outDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+    // small per-type table — pin it so the run tree can be deleted
+    val rows = result.collect()
+    val out = spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    rmTree(base)
+    out
+  }
+
+  /** Replay input of [[eventsDedupStream]] (events copy + the last
+    * hour redelivered), staged once per (session, sfDir) like the
+    * sliding-window replay. The redelivery file's mtime is stamped
+    * past the data file so FileStreamSource processes it second.
+    */
+  private val dedupStreamInputCache = new SessionCache[String, String]
+
+  private def stagedDedupReplayDir(spark: SparkSession, sfDir: String): String =
+    dedupStreamInputCache.getOrElseUpdate(spark, sfDir) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream_in_").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir)))
+      val inDir = dir.getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+      ev.coalesce(1).write.mode("overwrite").parquet(inDir)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      def parts(): Array[java.io.File] =
+        dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val before = parts().map(_.getName).toSet
+      ev.where(col("ts") >= lit(new java.sql.Timestamp(maxTs.getTime - 3600L * 1000)))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val dataMtime = parts().filter(f => before(f.getName)).map(_.lastModified).max
+      parts().filterNot(f => before(f.getName))
+        .foreach(f => f.setLastModified(dataMtime + 2000L))
+      inDir
+    }
+
   def eventsJsonK(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .withColumn("k_bucket", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int") % 10)
@@ -651,6 +718,52 @@ object Queries {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** Within-document repetition signals (the Gopher/MassiveText
+    * repetition filters, Rae et al. 2021 §A1.1): fraction of word
+    * occurrences that are repeats and fraction of word-bigram
+    * occurrences that are repeats — the two cheapest detectors of the
+    * degenerate looping text a crawl corpus is full of. Projection-only
+    * (tokenize once per row via the single-pass shingler; distinct
+    * counts are array ops inside codegen), so the 100 TB cost is one
+    * corpus scan with no shuffle before the final ORDER BY.
+    */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"),
+        TextFunctions.wordNgramsFast(2)(col("text")).as("bg"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("w"))).cast("double") /
+          size(col("w")).cast("double"), 4).as("dup_word_ratio"),
+        when(size(col("bg")) > 0,
+          round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+            size(col("bg")).cast("double"), 4))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Composite quality gate (C4/Gopher-style document filtering):
+    * token-count window + mean-token-length window + stopword-spam
+    * cap, aggregated to per-language pass counts — the shape a
+    * training-data pipeline runs to decide what survives ingestion.
+    * Thresholds sit inside this corpus's observed distribution so the
+    * gate genuinely splits it. Components reuse the exact expressions
+    * of [[textQuality]], so the oracle reuses its byte-level SQL; the
+    * boundary comparisons are exact-int divisions on both engines and
+    * cannot 1-ulp-flip.
+    */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val nt = TextFunctions.tokenCount(col("text"))
+    val atl = TextFunctions.avgTokenLength(col("text"))
+    val sr = TextFunctions.stopwordRatio(col("text"))
+    val pass = nt >= 30 && atl >= 4.0 && atl <= 5.0 && sr <= 0.10
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), pass.as("pass"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), count(when(col("pass"), 1)).as("n_pass"))
+      .withColumn("pass_rate", round(col("n_pass").cast("double") / col("n_docs"), 4))
+      .orderBy(col("lang"))
+  }
 
   def dedupTrigramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.blockedJaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text", "source", 0.5)
@@ -1089,6 +1202,7 @@ object Queries {
     "events_hourly" -> (eventsHourly _),
     "events_sliding" -> (eventsSliding _),
     "events_sliding_stream" -> (eventsSlidingStream _),
+    "events_dedup_stream" -> (eventsDedupStream _),
     "events_json_k" -> (eventsJsonK _),
     "events_sessionize" -> (eventsSessionize _),
     "agg_distinct_users" -> (aggDistinctUsers _),
@@ -1099,6 +1213,8 @@ object Queries {
     "dedup_exact" -> (dedupExact _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality" -> (textQuality _),
+    "text_repetition" -> (textRepetition _),
+    "quality_gate" -> (qualityGate _),
     "lang_id" -> (langId _),
     "fingerprint" -> (fingerprint _),
     "dedup_trigram_jaccard" -> (dedupTrigramJaccard _),

@@ -314,10 +314,16 @@ object Dedup {
     * The dispatch probe is `limit(n+1).count()`, NOT `count()` — at
     * 100 TB the exact path must be ruled out after scanning
     * `broadcastRowLimit + 1` rows, not after a full corpus count.
+    *
+    * Default dispatch boundary 100k: the exact path is O(n²/2) pairs,
+    * and at 100k rows that is already 5×10⁹ dot products — the LSH
+    * blocking path is cheaper well before the broadcast itself (a few
+    * hundred MB of floats) stops fitting, so the boundary is set by
+    * pair-count economics, not broadcast memory.
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
                         threshold: Double, dim: Int = 64,
-                        broadcastRowLimit: Long = 500000L): DataFrame = {
+                        broadcastRowLimit: Long = 100000L): DataFrame = {
     val nonNull = emb.where(col(embCol).isNotNull)
     val probeRows = math.min(broadcastRowLimit, Int.MaxValue - 2L).toInt + 1
     val fits = nonNull.limit(probeRows).count() <= broadcastRowLimit

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-5 training-pipeline additions: within-document repetition
+  * signals, the composite quality gate, and watermarked streaming
+  * dedup. Each is cross-checked against an independent plain-Scala
+  * recomputation (not the same Spark expressions), and the streaming
+  * test asserts the redelivery is non-vacuous.
+  */
+class TrainingPipelineSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("text_repetition matches a plain-Scala recomputation per document") {
+    val expected = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val w = text.trim.split(" +")
+        val bg = if (w.length < 2) Array.empty[String]
+                 else w.sliding(2).map(_.mkString(" ")).toArray
+        val dupW = BigDecimal(1.0 - w.distinct.length.toDouble / w.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val dupB = if (bg.isEmpty) 0.0
+          else BigDecimal(1.0 - bg.distinct.length.toDouble / bg.length)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, w.length.toLong, dupW, dupB)
+      }.sortBy(_._1)
+    val got = Queries.textRepetition(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"doc ${e._1}") }
+    // the signal is live: some doc in the corpus repeats at least one word
+    assert(got.exists(_._3 > 0.0))
+  }
+
+  test("quality_gate pass counts match a plain-Scala recomputation per lang") {
+    val stop = Set("the", "is", "and", "of", "to", "a", "in")
+    val expected = Tables.documents(spark, sfDir)
+      .select($"lang", $"text").as[(String, String)].collect()
+      .groupBy(_._1).map { case (lang, docs) =>
+        val passes = docs.count { case (_, text) =>
+          val w = text.trim.split(" +")
+          val nt = w.length
+          val atl = if (nt == 0) 0.0 else w.map(_.length).sum.toDouble / nt
+          val sr = if (nt == 0) 0.0 else w.count(stop).toDouble / nt
+          nt >= 30 && atl >= 4.0 && atl <= 5.0 && sr <= 0.10
+        }
+        lang -> (docs.length.toLong, passes.toLong)
+      }
+    val got = Queries.qualityGate(spark, sfDir)
+      .select($"lang", $"n_docs", $"n_pass").as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (lang, nDocs, nPass) =>
+      assert((nDocs, nPass) == expected(lang), s"lang $lang")
+    }
+    // the gate splits the corpus: neither all-pass nor all-fail
+    val (docs, passes) = (got.map(_._2).sum, got.map(_._3).sum)
+    assert(passes > 0 && passes < docs)
+  }
+
+  test("streaming dedup drops every redelivered duplicate (sink == batch)") {
+    val ev = Tables.events(spark, sfDir)
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+    val redelivered = ev
+      .where($"ts" >= lit(new java.sql.Timestamp(maxTs.getTime - 3600L * 1000))).count()
+    assert(redelivered > 0, "redelivery window is empty — the dedup test would be vacuous")
+    val batch = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"event_type").collect().toSeq
+    val streamed = Queries.eventsDedupStream(spark, sfDir).collect().toSeq
+    assert(streamed == batch)
+  }
+}
