@@ -221,7 +221,13 @@ object OracleHashSql {
   // threshold 0.5). x = floorMod(stringHash(shingle), p) needs the
   // SIGNED value of the unsigned fold; banding joins on the raw
   // 4-value sub-signature (see object Scaladoc).
-  private def dedupMinhashSql: String = {
+  /** The MinHash pipeline's CTE chain (shingles → splitmix64 → 64-hash
+    * signatures → 4-row bands → candidate join → exact-Jaccard verify),
+    * shared by the pair query and the component query so the two can
+    * never disagree about what a near-dup pair is. Ends with `jac`
+    * (id_a, id_b, j) unfiltered — callers apply the 0.5 threshold.
+    */
+  private def dedupMinhashCtes: String = {
     val p = 2147483647L
     val fam = dedup.Dedup.hashFamily(64, 42L)
     val famValues = fam.zipWithIndex
@@ -267,9 +273,32 @@ object OracleHashSql {
        |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
        |  JOIN sizes na ON na.doc_id = c.id_a
        |  JOIN sizes nb ON nb.doc_id = c.id_b
-       |)
-       |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+       |)""".stripMargin
   }
+
+  private def dedupMinhashSql: String =
+    s"""$dedupMinhashCtes
+       |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** Connected components of the MinHash pair graph, walked with a
+    * recursive reachability CTE: node reaches itself; if an edge joins
+    * u—v and v reaches r, then u reaches r (edges symmetrized, UNION
+    * dedups so the fixpoint terminates). component_id = min reachable
+    * id — a different component algorithm than the engine's label
+    * propagation, agreeing only if both are correct.
+    */
+  private def dedupComponentsSql: String =
+    s"""$dedupMinhashCtes,
+       |prs AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5),
+       |edges2 AS (SELECT id_a AS u, id_b AS v FROM prs
+       |           UNION ALL SELECT id_b, id_a FROM prs),
+       |reach AS (
+       |  SELECT u AS node, u AS r FROM edges2
+       |  UNION
+       |  SELECT e.u AS node, t.r FROM reach t JOIN edges2 e ON e.v = t.node
+       |)
+       |SELECT node AS doc_id, MIN(r) AS component_id FROM reach
+       |GROUP BY node ORDER BY doc_id""".stripMargin
 
   // ---- shared vector CTEs -----------------------------------------
   // `corpus`: the non-null embedding rows. `vn`: each row's FLOAT-
@@ -402,6 +431,7 @@ object OracleHashSql {
     "rag_chunk_search" -> ragChunkSearchSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_components" -> dedupComponentsSql,
     "knn_lsh" -> knnLshSql,
     // the at-rest/cached layout probes stored buckets but is candidate-
     // and rerank-identical to the transient probe — one oracle for both

@@ -353,6 +353,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Connected components of a near-dup pair graph — the CLUSTER
+    * resolution step of a dedup pipeline (pairs say "a≈b"; the
+    * pipeline must then keep ONE doc per transitive cluster, so every
+    * member needs its cluster id). Iterative min-label propagation as
+    * pure DataFrame joins: each round every vertex takes the min label
+    * over itself and its neighbors; fixpoint when no label changes.
+    *
+    * Scale shape: one equi-join + one min-aggregate per round, both
+    * shuffled on vertex id — the same key every round, so AQE/bucketing
+    * can reuse the partitioning. Rounds needed = graph diameter, and
+    * near-dup graphs are dense clumps with tiny diameters (pairs come
+    * from shared LSH bands, which makes clusters near-cliques); the
+    * published alternating large-star/small-star trick (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) drops
+    * that to O(log n) rounds for adversarial chains — the per-round
+    * plan here is the same shape, so that optimization slots in
+    * without changing the contract. Each round materializes (persist +
+    * count) so lineage stays O(1) deep, not O(rounds).
+    *
+    * Returns (id, label): every vertex that appears in some pair,
+    * labeled with the min id of its component.
+    */
+  def duplicateComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
+      .distinct().persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .select(edges("u").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(nbrMin)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Scale path: hyperplane-LSH bucket blocking, pairs only within
     * buckets, exact cosine verify. Same output contract as
     * [[embeddingNearDups]] minus bucket-missed pairs (tunable recall via

@@ -165,6 +165,40 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 2L))
   }
 
+  test("duplicateComponents resolves chains, cliques and isolated pairs") {
+    // chain 1-2-3-4 (diameter > 1: propagation must iterate),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+        (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.duplicateComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L).forall(labels(_) == 20L))
+    assert(labels.size == 9)
+  }
+
+  test("dedup_components agrees with a plain-Scala union-find on the same pairs") {
+    val sfDir = "/root/testdata/sf0.001"
+    val pairs = Dedup.minhashNearDups(Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+    val got = Queries.dedupComponents(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("wordNgramsFast agrees with the pure-Column wordNgrams") {
     val df = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
       .select(col("doc_id"),
