@@ -276,6 +276,28 @@ object OracleHashSql {
        |)""".stripMargin
   }
 
+  /** chunk_cdc: content-defined chunk counts. A break follows any
+    * NON-LAST token whose char-fold hash (same seed + fold as the
+    * simhash token hash) has low 4 bits zero; n_chunks = breaks + 1.
+    * The fold h lives in [0, 2^64), so `h % 16` is exactly the
+    * engine's `h & 15` on the signed long.
+    */
+  private def chunkCdcSql: String =
+    s"""WITH RECURSIVE
+       |units AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+       |toks AS (SELECT doc_id, w[i] AS tok
+       |         FROM units, (SELECT unnest(range(1, (SELECT max(len(w)) FROM units))) AS i)
+       |         WHERE i <= len(w) - 1),
+       |src AS (SELECT DISTINCT tok FROM toks),
+       |${charFold(1125899906842597L)},
+       |bnd AS (SELECT tok FROM fold WHERE i = length(tok) AND h % 16 = 0),
+       |breaks AS (SELECT t.doc_id, count(*)::BIGINT AS b
+       |           FROM toks t JOIN bnd USING (tok) GROUP BY t.doc_id)
+       |SELECT u.doc_id, CAST(len(u.w) AS BIGINT) AS n_tokens,
+       |  CAST(1 + COALESCE(b.b, 0) AS BIGINT) AS n_chunks,
+       |  ROUND(CAST(len(u.w) AS DOUBLE) / (1 + COALESCE(b.b, 0)), 4) AS avg_chunk_tokens
+       |FROM units u LEFT JOIN breaks b USING (doc_id) ORDER BY u.doc_id""".stripMargin
+
   private def dedupMinhashSql: String =
     s"""$dedupMinhashCtes
        |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
@@ -432,6 +454,7 @@ object OracleHashSql {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_components" -> dedupComponentsSql,
+    "chunk_cdc" -> chunkCdcSql,
     "knn_lsh" -> knnLshSql,
     // the at-rest/cached layout probes stored buckets but is candidate-
     // and rerank-identical to the transient probe — one oracle for both

@@ -229,6 +229,12 @@ object OracleSql {
       """SELECT event_type, count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "events_enrich_stream" ->
+      """SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |  count(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
         |b AS (SELECT doc_id, w, list_transform(generate_series(1, greatest(len(w) - 1, 0)),

@@ -543,6 +543,45 @@ object Queries {
     out
   }
 
+  /** Stream-static enrichment through the gate
+    * ([[graft.streaming.EventStreams.enrichedWithSegment]]): the
+    * events replay joins the (broadcast) customer dimension inside
+    * each micro-batch — the standard fact-stream × dim-table shape,
+    * stateless on the stream side (no watermark, no state store; the
+    * 100 TB cost is one broadcast of the dim per executor, amortized
+    * across batches). The sink aggregated per market segment must
+    * hash-match the plain batch LEFT JOIN — a dropped or duplicated
+    * enrichment row flips the counts. Reuses the sliding replay's
+    * staged input; the watermark sentinel row is filtered at
+    * presentation exactly as there.
+    */
+  def eventsEnrichStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    if (ev.isEmpty)
+      return ev.limit(0).select(lit("").as("segment"),
+        lit(0L).as("n_events"), lit(0.0).as("sum_value"))
+    val inDir = stagedEventsReplayDir(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_enrich_stream_run_").toFile
+    val outDir = s"${base.getAbsolutePath}/out"; val ckDir = s"${base.getAbsolutePath}/ck"
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = graft.streaming.EventStreams
+      .enrichedWithSegment(stream, Tables.customer(spark, sfDir))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val result = spark.read.parquet(outDir)
+      .where(col("event_type") =!= "sentinel")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("segment"))
+    val rows = result.collect()
+    val out = spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    rmTree(base)
+    out
+  }
+
   /** Replay input of [[eventsDedupStream]] (events copy + the last
     * hour redelivered), staged once per (session, sfDir) like the
     * sliding-window replay. The redelivery file's mtime is stamped
@@ -806,6 +845,24 @@ object Queries {
     labels.select(col("id").as("doc_id"), col("label").as("component_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** Content-defined chunking stats
+    * ([[TextFunctions.cdcChunkStats]]): chunk boundaries from token
+    * content alone (splitmix64 low-bits mask, expected length 16
+    * tokens) — the chunking that keeps chunk-level dedup stable under
+    * insertions, vs the fixed token windows of [[chunkDocuments]]
+    * which shift everything after an edit. Projection-only; oracle
+    * replays the identical char-fold hash in DuckDB (the same
+    * charFold CTE the simhash oracle uses).
+    */
+  def chunkCdc(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.cdcChunkStats()(col("text")).as("s"))
+      .select(col("doc_id"), col("s").getItem(0).as("n_tokens"),
+        col("s").getItem(1).as("n_chunks"))
+      .withColumn("avg_chunk_tokens",
+        round(col("n_tokens").cast("double") / col("n_chunks"), 4))
+      .orderBy(col("doc_id"))
 
   def textBpeTokens(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -1230,6 +1287,7 @@ object Queries {
     "events_sliding" -> (eventsSliding _),
     "events_sliding_stream" -> (eventsSlidingStream _),
     "events_dedup_stream" -> (eventsDedupStream _),
+    "events_enrich_stream" -> (eventsEnrichStream _),
     "events_json_k" -> (eventsJsonK _),
     "events_sessionize" -> (eventsSessionize _),
     "agg_distinct_users" -> (aggDistinctUsers _),
@@ -1241,6 +1299,7 @@ object Queries {
     "text_token_stats" -> (textTokenStats _),
     "text_quality" -> (textQuality _),
     "text_repetition" -> (textRepetition _),
+    "chunk_cdc" -> (chunkCdc _),
     "quality_gate" -> (qualityGate _),
     "lang_id" -> (langId _),
     "fingerprint" -> (fingerprint _),

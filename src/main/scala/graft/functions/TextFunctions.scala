@@ -159,6 +159,36 @@ object TextFunctions {
     x ^ (x >>> 31)
   }
 
+  /** Content-defined chunk stats (FastCDC's boundary idea at token
+    * granularity): a chunk CLOSES after any token whose splitmix64
+    * char-fold has its low 4 bits zero (expected chunk length 16
+    * tokens). Boundaries depend only on local token content — never on
+    * position — which is the property that makes the chunking
+    * shift-robust (an inserted sentence re-chunks only its own
+    * neighborhood, so downstream chunk-level dedup still matches
+    * everything else) and embarrassingly parallel. The last token
+    * never opens a new chunk. Returns [n_tokens, n_chunks]; the token
+    * hash is byte-identical to [[simhash64]]'s (same seed, same fold),
+    * so the DuckDB oracle reuses the same charFold SQL.
+    */
+  def cdcChunkStats(boundaryMask: Long = 15L) = udf { (text: String) =>
+    if (text == null) null
+    else {
+      val toks = text.trim.split(" +")
+      var breaks = 0
+      var i = 0
+      while (i < toks.length - 1) {
+        val t = toks(i)
+        var h = 1125899906842597L
+        var j = 0
+        while (j < t.length) { h = splitmix64(h ^ t.charAt(j).toLong); j += 1 }
+        if ((h & boundaryMask) == 0L) breaks += 1
+        i += 1
+      }
+      Array(toks.length.toLong, breaks + 1L)
+    }
+  }
+
   /** 64-bit SimHash over whitespace tokens: per token a 64-bit hash,
     * each bit position votes +1/-1, final bit = sign of the vote sum.
     * One pass per document inside a single UDF — no explode, no

@@ -62,6 +62,46 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(passes > 0 && passes < docs)
   }
 
+  test("chunk_cdc matches a plain-Scala recomputation per document") {
+    def smix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val expected = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val w = text.trim.split(" +")
+        val breaks = w.dropRight(1).count { t =>
+          var h = 1125899906842597L
+          t.foreach(c => h = smix(h ^ c.toLong))
+          (h & 15L) == 0L
+        }
+        val nc = breaks + 1L
+        (id, w.length.toLong, nc,
+          BigDecimal(w.length.toDouble / nc)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(_._1)
+    val got = Queries.chunkCdc(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == expected.toSeq)
+    // content-defined boundaries are live: some doc splits, none vanish
+    assert(got.exists(_._3 > 1L) && got.forall(_._3 >= 1L))
+  }
+
+  test("stream-static enrichment matches the batch left join per segment") {
+    val ev = Tables.events(spark, sfDir)
+    val batch = ev.join(
+        Tables.customer(spark, sfDir).select($"c_custkey", $"c_mktsegment"),
+        ev("user_id") === $"c_custkey", "left")
+      .groupBy(coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"segment").collect().toSeq
+    val streamed = Queries.eventsEnrichStream(spark, sfDir).collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming dedup drops every redelivered duplicate (sink == batch)") {
     val ev = Tables.events(spark, sfDir)
     val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
