@@ -447,8 +447,27 @@ object OracleHashSql {
        |ORDER BY s.s DESC, a.vec_id LIMIT 5""".stripMargin
   }
 
+  // ---- sample_stratified ------------------------------------------
+  // TextFunctions.samplingBucket(100): splitmix64 of doc_id, then
+  // floorMod of the SIGNED value by 100 (the engine's Long % with
+  // negative correction) — the unsigned smix result is re-signed
+  // before the mod, same pattern as the IVF centroid sampler above.
+  private def sampleStratifiedSql: String =
+    s"""WITH h0 AS (SELECT doc_id, lang, (${smix("doc_id::HUGEINT")})::HUGEINT AS h FROM documents),
+       |b AS (SELECT doc_id, lang,
+       |    ((((h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) % 100) + 100) % 100) AS bucket
+       |  FROM h0),
+       |k AS (SELECT lang, doc_id,
+       |    CASE WHEN bucket < CASE WHEN lang = 'en' THEN 25 ELSE 75 END THEN 1 ELSE 0 END AS kept
+       |  FROM b)
+       |SELECT lang, count(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN kept = 1 THEN doc_id END) AS BIGINT) AS kept_id_sum,
+       |  ROUND(SUM(kept) / CAST(count(*) AS DOUBLE), 4) AS kept_rate
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, String] = Map(
     "fingerprint_winnow" -> fingerprintWinnowSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "embed_knn_text" -> embedKnnTextSql,
     "rag_chunk_search" -> ragChunkSearchSql,
     "dedup_simhash" -> dedupSimhashSql,

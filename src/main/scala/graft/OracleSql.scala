@@ -44,6 +44,17 @@ object OracleSql {
     s"""${knnScores("")}
        |SELECT vec_id, ROUND(s, 4) AS score FROM scores ORDER BY s DESC, vec_id LIMIT 5""".stripMargin
 
+  private val eventsSessionizeSql =
+    """WITH flags AS (SELECT user_id, event_id, ts,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (SELECT user_id,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flags)
+      |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "knn_brute" -> knnBruteSql,
     "ann_nsw" -> knnBruteSql,
@@ -175,16 +186,11 @@ object OracleSql {
         |  count(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
 
-    "events_sessionize" ->
-      """WITH flags AS (SELECT user_id, event_id, ts,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (SELECT user_id,
-        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM flags)
-        |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
-        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_sessionize" -> eventsSessionizeSql,
+    // the flatMapGroupsWithState replay's per-user rollup of emitted
+    // closed sessions must land on the identical session table as the
+    // batch lag/cumsum sessionization
+    "events_sessionize_stream" -> eventsSessionizeSql,
 
     "events_pivot" ->
       """SELECT user_id, count(*) AS n_events,
@@ -221,6 +227,41 @@ object OracleSql {
         |SELECT lang, count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
         |  ROUND(AVG(n), 4) AS avg_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // word 4-grams per doc (distinct within doc), benchmark split =
+    // doc_id % 50 == 0; a training doc's n_hits counts its distinct
+    // grams that appear anywhere in the benchmark split
+    "decontaminate_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM toks WHERE len(t) >= 4),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram FROM pos),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, count(*) AS n_hits
+        |FROM g JOIN bench USING (gram)
+        |WHERE g.doc_id % 50 != 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // concat-then-chunk packing: per-source running token total in
+    // doc_id order, a doc lands in the 512-token bin where it ends
+    "pack_sequences" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    len(string_split_regex(trim(text), ' +'))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT source, CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) AS bin_id,
+        |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
+
+    "mix_weights" ->
+      """WITH per AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, MIN(n_tokens) AS min_tokens FROM per)
+        |SELECT lang, n_docs, n_tokens,
+        |  ROUND(n_tokens / CAST(total_tokens AS DOUBLE), 4) AS share,
+        |  ROUND(LEAST(1.0, CAST(min_tokens AS DOUBLE) / n_tokens), 4) AS weight
+        |FROM per, tot ORDER BY lang""".stripMargin,
 
     // the streaming dedup sink must equal the ORIGINAL events table:
     // the redelivered duplicates all fall inside the watermark horizon,

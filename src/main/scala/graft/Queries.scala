@@ -582,6 +582,51 @@ object Queries {
     out
   }
 
+  /** Custom keyed state through the gate: the events replay runs the
+    * flatMapGroupsWithState sessionizer
+    * ([[graft.streaming.EventStreams.sessionize]], 30-min gap,
+    * event-time timeout) and the per-user (n_sessions, n_events)
+    * rollup of the emitted CLOSED sessions must hash-match the batch
+    * window-function sessionization — [[eventsSessionize]]'s exact
+    * DuckDB oracle. The equivalence is total because the sentinel
+    * micro-batch pushes the watermark past every real session's
+    * timeout (session_end + gap ≤ max_ts + 30 min < max_ts + 1 h), so
+    * EVERY session times out and is emitted; the sentinel's own
+    * never-closing session belongs to user −1 and is filtered at
+    * presentation. A session split/merged differently from the batch
+    * lag-based definition, or a row lost across micro-batch/timeout
+    * handling, flips the counts and turns the gate red.
+    */
+  def eventsSessionizeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    if (ev.isEmpty)
+      return ev.limit(0).select(col("user_id"),
+        lit(0L).as("n_sessions"), lit(0L).as("n_events"))
+    val inDir = stagedEventsReplayDir(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_stream_run_").toFile
+    val outDir = s"${base.getAbsolutePath}/out"; val ckDir = s"${base.getAbsolutePath}/ck"
+    import spark.implicits._
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.Event]
+    val q = graft.streaming.EventStreams.sessionize(spark, stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val result = spark.read.parquet(outDir)
+      .where(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+    // one row per user — pin it so the run tree can be deleted
+    val rows = result.collect()
+    val out = spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    rmTree(base)
+    out
+  }
+
   /** Replay input of [[eventsDedupStream]] (events copy + the last
     * hour redelivered), staged once per (session, sfDir) like the
     * sliding-window replay. The redelivery file's mtime is stamped
@@ -801,6 +846,93 @@ object Queries {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), count(when(col("pass"), 1)).as("n_pass"))
       .withColumn("pass_rate", round(col("n_pass").cast("double") / col("n_docs"), 4))
+      .orderBy(col("lang"))
+  }
+
+  /** Benchmark decontamination (the GPT-3/PaLM eval-overlap filter):
+    * flag training documents that share any word 4-gram with a holdout
+    * benchmark set (docs with doc_id % 50 == 0 stand in for the
+    * benchmark split). Shape: distinct n-grams per training doc
+    * (array_distinct before explode bounds the posting rows at the
+    * document's distinct-gram count), equi-join the benchmark gram set,
+    * count hits per doc. At 100 TB the benchmark side is KB–MB and
+    * broadcast — the training side never shuffles more than (doc_id,
+    * gram) pairs that actually match the broadcast hash set.
+    */
+  def decontaminateNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val grams = array_distinct(TextFunctions.wordNgramsFast(4)(col("text")))
+    val bench = docs.where(col("doc_id") % 50 === 0)
+      .select(explode(grams).as("gram")).distinct()
+    docs.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Reproducible stratified downsampling toward a target language mix
+    * ([[TextFunctions.samplingBucket]]): a doc survives iff
+    * splitmix64(doc_id) mod 100 < rate(lang) — the dominant language
+    * is cut to 25%, the rest keep 75%. No RNG state anywhere: the
+    * sample is a pure function of the ids, so a re-run (or a different
+    * cluster size / partition order) reproduces it bit-for-bit — the
+    * property that makes a 100 TB sample auditable. The kept_id_sum
+    * checksum makes the gate sensitive to WHICH docs survive, not just
+    * how many.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 25).otherwise(75)
+    val kept = TextFunctions.samplingBucket(100)(col("doc_id")) < rate
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), kept.as("kept"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
+      .withColumn("kept_rate", round(col("n_kept").cast("double") / col("n_docs"), 4))
+      .orderBy(col("lang"))
+  }
+
+  /** Sequence packing (concat-then-chunk, the GPT-style training-data
+    * layout): per source shard, documents are concatenated in doc_id
+    * order and cut into 512-token bins; a document lands in the bin
+    * where it ENDS. Per-shard windows (partitionBy source) keep the
+    * cumsum embarrassingly parallel — the global-order variant would
+    * serialize 100 TB through one partition, which is exactly why real
+    * packers shard first. Output: per (source, bin) doc and token
+    * counts.
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id", floor((col("cum") - 1) / lit(512.0)).cast("long"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+
+  /** Domain-mixture weights (the data-mixing step of a training
+    * pipeline): per-language token counts and corpus share, plus the
+    * uniform-rebalance sampling weight min(1, min_lang_tokens /
+    * lang_tokens) — apply the weight and every language contributes
+    * equal tokens. The totals are a 1-row broadcast, not a window over
+    * an unpartitioned frame.
+    */
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val perLang = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    val totals = perLang.agg(sum(col("n_tokens")).as("total_tokens"),
+      min(col("n_tokens")).as("min_tokens"))
+    perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 4).as("share"),
+        round(least(lit(1.0), col("min_tokens").cast("double") / col("n_tokens")), 4).as("weight"))
       .orderBy(col("lang"))
   }
 
@@ -1290,6 +1422,11 @@ object Queries {
     "events_enrich_stream" -> (eventsEnrichStream _),
     "events_json_k" -> (eventsJsonK _),
     "events_sessionize" -> (eventsSessionize _),
+    "events_sessionize_stream" -> (eventsSessionizeStream _),
+    "decontaminate_ngram" -> (decontaminateNgram _),
+    "sample_stratified" -> (sampleStratified _),
+    "pack_sequences" -> (packSequences _),
+    "mix_weights" -> (mixWeights _),
     "agg_distinct_users" -> (aggDistinctUsers _),
     "agg_sketches" -> (aggSketches _),
     "events_pivot" -> (eventsPivot _),

@@ -159,6 +159,19 @@ object TextFunctions {
     x ^ (x >>> 31)
   }
 
+  /** Deterministic sampling bucket: splitmix64 of a 64-bit id, reduced
+    * mod `buckets` (non-negative). The pipeline's reproducible-sampling
+    * primitive: a row's fate is a pure function of its id — stable
+    * across runs, partitionings and cluster sizes, unlike
+    * `rand()`-based sampling whose outcome depends on RNG/partition
+    * state. Replayed bit-exactly by the DuckDB oracle's HUGEINT
+    * splitmix (OracleHashSql.smix).
+    */
+  def samplingBucket(buckets: Int) = udf { (id: Long) =>
+    val m = splitmix64(id) % buckets
+    if (m < 0) m + buckets else m
+  }
+
   /** Content-defined chunk stats (FastCDC's boundary idea at token
     * granularity): a chunk CLOSES after any token whose splitmix64
     * char-fold has its low 4 bits zero (expected chunk length 16

@@ -114,4 +114,93 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val streamed = Queries.eventsDedupStream(spark, sfDir).collect().toSeq
     assert(streamed == batch)
   }
+
+  test("streaming sessionization equals the batch window-function sessionization") {
+    val batch = Queries.eventsSessionize(spark, sfDir)
+      .select($"user_id", $"n_sessions", $"n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    val streamed = Queries.eventsSessionizeStream(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // non-vacuous: at least one user has more than one session, so the
+    // gap-split logic (not just the single-session fold) is exercised
+    assert(streamed.exists(_._2 > 1L))
+  }
+
+  test("decontaminate_ngram matches a plain-Scala set-intersection recomputation") {
+    // sf0.01: the 0.001 corpus has a 1-doc benchmark split with no
+    // 4-gram overlap — the check would be vacuously empty there
+    val dir = "/root/testdata/sf0.01"
+    val all = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val w = t.trim.split(" +")
+      if (w.length < 4) Set.empty else w.sliding(4).map(_.mkString(" ")).toSet
+    }
+    val bench = all.filter(_._1 % 50 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = all.filter(_._1 % 50 != 0)
+      .map { case (id, t) => id -> grams(t).count(bench) }
+      .filter(_._2 > 0).sortBy(_._1).toSeq
+    val got = Queries.decontaminateNgram(spark, dir)
+      .as[(Long, Long)].collect().toSeq.map { case (id, n) => (id, n.toInt) }
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("sample_stratified is a pure function of doc_id (independent splitmix64)") {
+    def smix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val expected = Tables.documents(spark, sfDir)
+      .select($"lang", $"doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (lang, rows) =>
+        val rate = if (lang == "en") 25 else 75
+        val kept = rows.filter(r => java.lang.Math.floorMod(smix(r._2), 100L) < rate)
+        lang -> (rows.length.toLong, kept.length.toLong, kept.map(_._2).sum)
+      }
+    val got = Queries.sampleStratified(spark, sfDir)
+      .select($"lang", $"n_docs", $"n_kept", $"kept_id_sum")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (lang, n, k, s) =>
+      assert((n, k, s) == expected(lang), s"lang $lang") }
+    // the stratification bites: en is downsampled below the others' rate
+    val rates = got.map(r => r._1 -> r._3.toDouble / r._2).toMap
+    assert(rates("en") < rates.filterNot(_._1 == "en").values.min)
+  }
+
+  test("pack_sequences matches a plain-Scala concat-then-chunk recomputation") {
+    val all = Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)].collect()
+    val expected = all.groupBy(_._1).toSeq.flatMap { case (src, docs) =>
+      var cum = 0L
+      docs.sortBy(_._2).toSeq.map { case (_, _, text) =>
+        val n = text.trim.split(" +").length.toLong
+        cum += n
+        (src, (cum - 1) / 512, n)
+      }
+    }.groupBy(t => (t._1, t._2))
+      .map { case ((src, bin), rows) => (src, bin, rows.size.toLong, rows.map(_._3).sum) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = Queries.packSequences(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected && got.nonEmpty)
+    // every token is packed exactly once
+    assert(got.map(_._4).sum == all.map(_._3.trim.split(" +").length.toLong).sum)
+  }
+
+  test("mix_weights rebalances to the minority language") {
+    val got = Queries.mixWeights(spark, sfDir)
+      .select($"lang", $"n_tokens", $"weight").as[(String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val minTokens = got.map(_._2).min
+    got.foreach { case (lang, n, w) =>
+      assert(w > 0.0 && w <= 1.0, s"lang $lang")
+      // weight * tokens ≈ min_tokens (to rounding): uniform contribution
+      assert(math.abs(w * n - minTokens) <= 0.0001 * n, s"lang $lang")
+    }
+    assert(got.filter(_._2 == minTokens).forall(_._3 == 1.0))
+  }
 }
