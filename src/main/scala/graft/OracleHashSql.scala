@@ -408,25 +408,34 @@ object OracleHashSql {
   // implemented below with the same HUGEINT machinery; assignment is
   // argmax cosine with first-max (ascending centroid id) tie-break,
   // probe = top-2 centroids by cosine to the query.
-  private def annIvfSql: String = {
+  /** Spark xxhash64 of a BIGINT vec_id (seed 42) in HUGEINT CTEs —
+    * produces `xxh`(vec_id, h); shared by the IVF replays. */
+  private def xxhCte: String = {
     val P1 = "11400714785074694791"
     val P2 = "14029467366897019727"
     val P3 = "1609587929392839161"
     val P4 = BigInt("9650029242287828579")
     // acc0 = (seed=42 + PRIME5 + len=8) mod 2^64
     val acc0 = (BigInt(42) + BigInt("2870177450012600261") + 8).mod(W64)
-    val xxhCte =
-      s"""x1 AS (SELECT vec_id, (${mul64(rotl(mul64("vec_id::HUGEINT", P2), 31), P1)})::HUGEINT AS k1
-         |       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE embedding IS NOT NULL)),
-         |x2 AS (SELECT vec_id, xor($acc0::HUGEINT, k1)::HUGEINT AS acc FROM x1),
-         |x3 AS (SELECT vec_id, ((${mul64(rotl("acc", 27), P1)} + $P4) % $W64)::HUGEINT AS acc FROM x2),
-         |x4 AS (SELECT vec_id, (${mul64("xor(acc, (acc // 8589934592)::HUGEINT)::HUGEINT", P2)})::HUGEINT AS acc FROM x3),
-         |x5 AS (SELECT vec_id, (${mul64("xor(acc, (acc // 536870912)::HUGEINT)::HUGEINT", P3)})::HUGEINT AS acc FROM x4),
-         |xxh AS (SELECT vec_id, xor(acc, (acc // $W32)::HUGEINT)::HUGEINT AS h FROM x5)""".stripMargin
-    s"""WITH $xxhCte,
-       |cents AS (SELECT vec_id AS cid FROM xxh
+    s"""x1 AS (SELECT vec_id, (${mul64(rotl(mul64("vec_id::HUGEINT", P2), 31), P1)})::HUGEINT AS k1
+       |       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE embedding IS NOT NULL)),
+       |x2 AS (SELECT vec_id, xor($acc0::HUGEINT, k1)::HUGEINT AS acc FROM x1),
+       |x3 AS (SELECT vec_id, ((${mul64(rotl("acc", 27), P1)} + $P4) % $W64)::HUGEINT AS acc FROM x2),
+       |x4 AS (SELECT vec_id, (${mul64("xor(acc, (acc // 8589934592)::HUGEINT)::HUGEINT", P2)})::HUGEINT AS acc FROM x3),
+       |x5 AS (SELECT vec_id, (${mul64("xor(acc, (acc // 536870912)::HUGEINT)::HUGEINT", P3)})::HUGEINT AS acc FROM x4),
+       |xxh AS (SELECT vec_id, xor(acc, (acc // $W32)::HUGEINT)::HUGEINT AS h FROM x5)""".stripMargin
+  }
+
+  /** stride-53 centroid sampling off `xxh` (signed floorMod, as the
+    * engine's `xxhash64 % stride`): `cents`(cid). */
+  private val centsCte =
+    s"""cents AS (SELECT vec_id AS cid FROM xxh
        |          WHERE ((((h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) % 53) + 53) % 53) = 0
-       |          ORDER BY cid LIMIT 4096),
+       |          ORDER BY cid LIMIT 4096)""".stripMargin
+
+  private def annIvfSql: String = {
+    s"""WITH $xxhCte,
+       |$centsCte,
        |$corpusCte,
        |centv AS (SELECT c2.cid, e2.embedding AS ce FROM cents c2 JOIN corpus e2 ON e2.vec_id = c2.cid),
        |rcp AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS y FROM corpus e, centv c),
@@ -445,6 +454,86 @@ object OracleHashSql {
        |SELECT a.vec_id, ROUND(s.s, 4) AS score
        |FROM assigned a JOIN probe p ON p.cid = a.cid JOIN scores s ON s.vec_id = a.vec_id
        |ORDER BY s.s DESC, a.vec_id LIMIT 5""".stripMargin
+  }
+
+  // ---- ann_recall_exact -------------------------------------------
+  // Full SQL replay of the recall harness for the replayable methods
+  // (AnnEval.recallSinglePass with lsh(8,6,42)/mp1, ivf stride-53
+  // nprobe-4, sq8; k=10, queries = corpus members vec_id % 25 == 0):
+  // per-query per-method top-10 candidates ranked by the method's own
+  // score, intersected with the brute top-10, averaged to the same
+  // rounded (avg_recall, min_recall) table. Reuses the proven plane /
+  // xxhash / scale CTE shapes of knn_lsh, ann_ivf and ann_sq,
+  // generalized from the single vec-0 query to the 20-query set.
+  private def annRecallExactSql: String = {
+    val lsh = index.RandomHyperplaneLsh(8, 6, 42L)
+    val flat = lsh.planes(64).flatten.flatten
+    val flatLit = flat.mkString("[", ",", "]")
+    val cosSum =
+      """CASE WHEN SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) = 0 OR SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) = 0 THEN 0.0
+        |         ELSE SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+        |              (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) END""".stripMargin
+    def candTopK(name: String, cand: String) =
+      s"""${name}_k AS (SELECT '$name' AS method, qid, id FROM (
+         |    SELECT c.qid, c.id, row_number() OVER (PARTITION BY c.qid ORDER BY s.s DESC, c.id) AS rn
+         |    FROM $cand c JOIN qscores s ON s.id = c.id AND s.qid = c.qid) WHERE rn <= 10)""".stripMargin
+    s"""WITH $xxhCte,
+       |$centsCte,
+       |plvals AS (SELECT unnest($flatLit) AS w, unnest(range(0, ${flat.length})) AS f),
+       |planes AS (SELECT f // 384 AS t, (f // 64) % 6 AS p, (f % 64)::BIGINT + 1 AS i, CAST(w AS FLOAT) AS w FROM plvals),
+       |$corpusCte,
+       |$vnCtes,
+       |qset AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 20),
+       |qpairs AS (SELECT e.vec_id AS id, q.qid, unnest(e.embedding) AS x, unnest(eq.embedding) AS y
+       |           FROM corpus e CROSS JOIN qset q JOIN corpus eq ON eq.vec_id = q.qid),
+       |qscores AS MATERIALIZED (SELECT id, qid, $cosSum AS s FROM qpairs GROUP BY id, qid),
+       |truth_k AS (SELECT qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn FROM qscores)
+       |  WHERE rn <= 10),
+       |dots AS (SELECT v.vec_id, pl.t, pl.p, SUM(CAST(v.x AS DOUBLE) * CAST(pl.w AS DOUBLE)) AS d
+       |         FROM vn v JOIN planes pl ON pl.i = v.i GROUP BY v.vec_id, pl.t, pl.p),
+       |buckets AS MATERIALIZED (SELECT vec_id, t, SUM(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END)::BIGINT AS bkt
+       |            FROM dots GROUP BY vec_id, t),
+       |qb AS (SELECT q.qid, b.t, b.bkt FROM qset q JOIN buckets b ON b.vec_id = q.qid),
+       |lsh_cand AS (SELECT DISTINCT b.vec_id AS id, qb.qid FROM buckets b JOIN qb ON qb.t = b.t AND qb.bkt = b.bkt),
+       |lsh_mp_cand AS (SELECT DISTINCT b.vec_id AS id, qb.qid FROM buckets b JOIN qb ON qb.t = b.t
+       |               WHERE bit_count(xor(qb.bkt::UBIGINT, b.bkt::UBIGINT)) <= 1),
+       |centv AS (SELECT c2.cid, e2.embedding AS ce FROM cents c2 JOIN corpus e2 ON e2.vec_id = c2.cid),
+       |rcp AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS y FROM corpus e, centv c),
+       |rc AS MATERIALIZED (SELECT vec_id, cid, $cosSum AS s FROM rcp GROUP BY vec_id, cid),
+       |assigned AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM rc)
+       |  WHERE rn = 1),
+       |probe AS (SELECT qid, cid FROM (
+       |    SELECT q.qid, rc.cid, row_number() OVER (PARTITION BY q.qid ORDER BY rc.s DESC, rc.cid) AS rn
+       |    FROM qset q JOIN rc ON rc.vec_id = q.qid) WHERE rn <= 4),
+       |ivf_cand AS (SELECT a.vec_id AS id, p.qid FROM assigned a JOIN probe p ON p.cid = a.cid),
+       |scales AS (SELECT i, CAST(MAX(ABS(x)) AS DOUBLE) / 127.0 AS sc FROM vn GROUP BY i),
+       |codes AS MATERIALIZED (SELECT v.vec_id, v.i,
+       |    CASE WHEN s.sc = 0 THEN 0
+       |         ELSE GREATEST(-127, LEAST(127, ${rint("CAST(v.x AS DOUBLE) / s.sc")})) END AS code
+       |  FROM vn v JOIN scales s ON s.i = v.i),
+       |qsq AS (SELECT q.qid, v.i, CAST(v.x AS DOUBLE) * s.sc AS qsc
+       |        FROM qset q JOIN vn v ON v.vec_id = q.qid JOIN scales s ON s.i = v.i),
+       |sq_scores AS (SELECT c.vec_id AS id, q.qid, SUM(c.code * q.qsc) AS s
+       |              FROM codes c JOIN qsq q ON q.i = c.i GROUP BY 1, 2),
+       |${candTopK("lsh", "lsh_cand")},
+       |${candTopK("lsh_mp", "lsh_mp_cand")},
+       |${candTopK("ivf", "ivf_cand")},
+       |sq_k AS (SELECT 'sq' AS method, qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn FROM sq_scores)
+       |  WHERE rn <= 10),
+       |allm AS (SELECT * FROM lsh_k UNION ALL SELECT * FROM lsh_mp_k
+       |         UNION ALL SELECT * FROM ivf_k UNION ALL SELECT * FROM sq_k),
+       |hits AS (SELECT m.method, m.qid, count(*) / 10.0 AS recall
+       |         FROM allm m JOIN truth_k t ON t.qid = m.qid AND t.id = m.id GROUP BY m.method, m.qid),
+       |grid AS (SELECT m.method, q.qid
+       |         FROM (SELECT unnest(['ivf','lsh','lsh_mp','sq']) AS method) m CROSS JOIN qset q),
+       |per AS (SELECT g.method, g.qid, COALESCE(h.recall, 0.0) AS recall
+       |        FROM grid g LEFT JOIN hits h ON h.method = g.method AND h.qid = g.qid)
+       |SELECT method, 10 AS k, count(*) AS n_queries,
+       |  ROUND(AVG(recall), 4) AS avg_recall, ROUND(MIN(recall), 4) AS min_recall
+       |FROM per GROUP BY method ORDER BY method""".stripMargin
   }
 
   // ---- sample_stratified ------------------------------------------
@@ -481,6 +570,7 @@ object OracleHashSql {
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     "ann_sq" -> annSqSql,
     "ann_ivf" -> annIvfSql,
+    "ann_recall_exact" -> annRecallExactSql,
     // IVF-PQ with the exact-rerank tail is exactly the EXACT IVF
     // search over the same stride-53/nprobe-2 coarse quantizer
     // (PqKnn.searchIvfPqRefined; equivalence pinned in

@@ -7,9 +7,11 @@ package graft
   * (LSH/MinHash/SimHash/IVF replays) live in [[OracleHashSql]];
   * ann-family queries whose output is provably the brute top-k share
   * `knn_brute`'s SQL by equivalence (see [[knnBruteSql]]). The one
-  * remaining rows-only query is ann_recall (replaying five ANN
-  * methods' candidate generation in SQL buys no new evidence — each
-  * method is already oracle-checked individually).
+  * remaining rows-only query is ann_recall: its PQ method rides a
+  * k-means codebook that is not SQL-replayable. Every OTHER method of
+  * the same harness IS replayed end-to-end by ann_recall_exact
+  * (OracleHashSql) — the recall measurement itself is hash-checked
+  * there, and PQ's search path is exact-oracled via ann_pq.
   */
 object OracleSql {
 

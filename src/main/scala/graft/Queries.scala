@@ -172,6 +172,33 @@ object Queries {
       .orderBy(col("method"))
   }
 
+  /** The exact-oracle twin of [[annRecall]]: the SAME single-pass
+    * evaluator restricted to the methods whose candidate generation is
+    * bit-replayable in SQL — LSH exact-bucket, 1-bit multi-probe, IVF
+    * stride-centroid probing, SQ8 full-rank — so DuckDB recomputes
+    * every method's per-query top-10 from the parquet tables and must
+    * land on the identical (avg_recall, min_recall) table. This makes
+    * even the RECALL MEASUREMENT hash-checked, not just the individual
+    * search paths. PQ's k-means codebook is not SQL-replayable; its
+    * recall stays in [[annRecall]] and its search path is
+    * exact-oracled via ann_pq's rerank equivalence.
+    */
+  def annRecallExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.AnnEval
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+      .take(20)
+    val scales = graft.index.SqKnn.trainScales(emb, col("embedding"), 64)
+    AnnEval.recallSinglePass(emb, "vec_id", "embedding", queries, 10,
+        graft.index.RandomHyperplaneLsh(8, 6, 42L), dim = 64, mpMaxHamming = 1,
+        stride = 53L, nprobe = 4, pq = None, sq = Some(scales))
+      .orderBy(col("method"))
+  }
+
   // ---- aggregations (O23, O24) ----
 
   def aggCountByLabel(spark: SparkSession, sfDir: String): DataFrame =
@@ -1402,6 +1429,7 @@ object Queries {
     "ann_nsw" -> (annNsw _),
     "ann_hnsw" -> (annHnsw _),
     "ann_recall" -> (annRecall _),
+    "ann_recall_exact" -> (annRecallExact _),
     "neardup_embedding" -> (neardupEmbedding _),
     "agg_count_by_label" -> (aggCountByLabel _),
     "catalog_meta_samples" -> (catalogMetaSamples _),

@@ -60,4 +60,18 @@ class AnnEvalSpec extends AnyFunSuite {
       .as[(String, Int, Long, Double, Double)].collect().sortBy(_._1)
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("ann_recall_exact gate query: 4 replayable methods, multi-probe dominates exact-bucket") {
+    val rows = Queries.annRecallExact(spark, sfDir)
+      .as[(String, Int, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq("ivf", "lsh", "lsh_mp", "sq"))
+    assert(rows.forall(r => r._2 == 10 && r._3 == 20L))
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0 && r._5 <= r._4))
+    val byM = rows.map(r => r._1 -> r._4).toMap
+    // 1-bit multi-probe widens the exact-bucket candidate set, so its
+    // recall can only be >= ; SQ8 ranks every row (no pruning) so it
+    // should sit near the top of the table
+    assert(byM("lsh_mp") >= byM("lsh"))
+    assert(byM("sq") >= byM("lsh"))
+  }
 }
