@@ -243,17 +243,18 @@ object OracleSql {
         |WHERE g.doc_id % 50 != 0
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
-    // concat-then-chunk packing: per-source running token total in
-    // doc_id order, a doc lands in the 512-token bin where it ends
+    // concat-then-chunk packing: running token total per (source,
+    // 100k-doc id-range shard) in doc_id order, a doc lands in the
+    // 512-token bin where it ends
     "pack_sequences" ->
-      """WITH d AS (SELECT source, doc_id,
+      """WITH d AS (SELECT source, doc_id // 100000 AS shard, doc_id,
         |    len(string_split_regex(trim(text), ' +'))::BIGINT AS n_tokens FROM documents),
-        |c AS (SELECT source, doc_id, n_tokens,
-        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |c AS (SELECT source, shard, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM d)
-        |SELECT source, CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) AS bin_id,
+        |SELECT source, shard, CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) AS bin_id,
         |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-        |FROM c GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
+        |FROM c GROUP BY source, shard, bin_id ORDER BY source, shard, bin_id""".stripMargin,
 
     "mix_weights" ->
       """WITH per AS (SELECT lang, count(*) AS n_docs,

@@ -922,24 +922,27 @@ object Queries {
   }
 
   /** Sequence packing (concat-then-chunk, the GPT-style training-data
-    * layout): per source shard, documents are concatenated in doc_id
-    * order and cut into 512-token bins; a document lands in the bin
-    * where it ENDS. Per-shard windows (partitionBy source) keep the
-    * cumsum embarrassingly parallel — the global-order variant would
-    * serialize 100 TB through one partition, which is exactly why real
-    * packers shard first. Output: per (source, bin) doc and token
-    * counts.
+    * layout): per (source, 100k-doc id-range shard), documents are
+    * concatenated in doc_id order and cut into 512-token bins; a
+    * document lands in the bin where it ENDS. The window partition key
+    * is (source, shard), NOT source alone: source cardinality is small
+    * (20 here) and fixed, so a per-source window would cap parallelism
+    * at 20 and serialize a 100 TB source through one straggler
+    * partition — the fixed-width id-range shard bounds every window
+    * partition at 100k rows regardless of corpus size, which is how
+    * real packers shard. Output: per (source, shard, bin) doc and
+    * token counts.
     */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
     Tables.documents(spark, sfDir)
-      .select(col("source"), col("doc_id"),
+      .select(col("source"), expr("doc_id div 100000").as("shard"), col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("bin_id", floor((col("cum") - 1) / lit(512.0)).cast("long"))
-      .groupBy(col("source"), col("bin_id"))
+      .groupBy(col("source"), col("shard"), col("bin_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-      .orderBy(col("source"), col("bin_id"))
+      .orderBy(col("source"), col("shard"), col("bin_id"))
   }
 
   /** Domain-mixture weights (the data-mixing step of a training

@@ -174,21 +174,21 @@ class TrainingPipelineSpec extends AnyFunSuite {
   test("pack_sequences matches a plain-Scala concat-then-chunk recomputation") {
     val all = Tables.documents(spark, sfDir)
       .select($"source", $"doc_id", $"text").as[(String, Long, String)].collect()
-    val expected = all.groupBy(_._1).toSeq.flatMap { case (src, docs) =>
+    val expected = all.groupBy(d => (d._1, d._2 / 100000)).toSeq.flatMap { case ((src, shard), docs) =>
       var cum = 0L
       docs.sortBy(_._2).toSeq.map { case (_, _, text) =>
         val n = text.trim.split(" +").length.toLong
         cum += n
-        (src, (cum - 1) / 512, n)
+        (src, shard, (cum - 1) / 512, n)
       }
-    }.groupBy(t => (t._1, t._2))
-      .map { case ((src, bin), rows) => (src, bin, rows.size.toLong, rows.map(_._3).sum) }
-      .toSeq.sortBy(t => (t._1, t._2))
+    }.groupBy(t => (t._1, t._2, t._3))
+      .map { case ((src, shard, bin), rows) => (src, shard, bin, rows.size.toLong, rows.map(_._4).sum) }
+      .toSeq.sortBy(t => (t._1, t._2, t._3))
     val got = Queries.packSequences(spark, sfDir)
-      .as[(String, Long, Long, Long)].collect().toSeq
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(got == expected && got.nonEmpty)
     // every token is packed exactly once
-    assert(got.map(_._4).sum == all.map(_._3.trim.split(" +").length.toLong).sum)
+    assert(got.map(_._5).sum == all.map(_._3.trim.split(" +").length.toLong).sum)
   }
 
   test("mix_weights rebalances to the minority language") {
