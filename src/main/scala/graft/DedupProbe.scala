@@ -46,6 +46,23 @@ object DedupProbe {
     time("simhash near-dups (64-bit sketch + band blocking)") {
       Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3).count()
     }
+    // the rest of the training-pipeline tier on the same corpus — with
+    // every doc duplicated `copies`×, decontamination faces a gram
+    // table `copies`× wider and the benchmark split is still broadcast
+    import graft.pipeline.TrainingOps
+    time("decontaminate (4-gram overlap vs broadcast benchmark split)") {
+      TrainingOps.decontaminate(corpus, "doc_id", "text",
+        isBenchmark = col("doc_id") % 50 === 0).count()
+    }
+    time("stratified sample (splitmix64 of id, agg by source)") {
+      TrainingOps.stratifiedKept(corpus, "doc_id", lit(50))
+        .groupBy(col("source")).agg(count(when(col("kept"), 1))).count()
+    }
+    time("pack sequences (512-token bins, (source, id-range) shards)") {
+      TrainingOps.packSequences(
+        corpus.withColumn("shard", expr("doc_id div 100000")),
+        "doc_id", "text", Seq(col("source"), col("shard"))).count()
+    }
     spark.stop()
   }
 }

@@ -144,6 +144,10 @@ object OracleSql {
         |  FROM orders) t
         |WHERE rn = 1 ORDER BY o_custkey LIMIT 100""".stripMargin,
 
+    "page_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40""".stripMargin,
+
     "events_asof_orders" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,

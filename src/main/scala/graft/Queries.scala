@@ -280,6 +280,22 @@ object Queries {
       .limit(100)
   }
 
+  /** Keyset-style pagination (page 3 of the global price ranking,
+    * 20 rows, deterministic tie-break): ORDER BY + OFFSET + LIMIT via
+    * `Dataset.offset` — Catalyst folds sort+offset+limit into one
+    * TakeOrderedAndProject carrying offset+limit rows per partition,
+    * so page depth, not corpus size, bounds what moves. (Deep
+    * pagination at 100 TB should switch to a keyset predicate — the
+    * sorted column of the last row — which this same plan serves as a
+    * pushed filter; OFFSET is the API-compat surface.)
+    */
+  def pageOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .offset(40)
+      .limit(20)
+
   /** As-of join: attach each event's user's most recent order (the
     * latest o_orderdate <= ts) — feature-at-event-time retrieval.
     * Right side deduped to one order per (custkey, orderdate) for
@@ -886,17 +902,10 @@ object Queries {
     * broadcast — the training side never shuffles more than (doc_id,
     * gram) pairs that actually match the broadcast hash set.
     */
-  def decontaminateNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val grams = array_distinct(TextFunctions.wordNgramsFast(4)(col("text")))
-    val bench = docs.where(col("doc_id") % 50 === 0)
-      .select(explode(grams).as("gram")).distinct()
-    docs.where(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), explode(grams).as("gram"))
-      .join(broadcast(bench), "gram")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  def decontaminateNgram(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.TrainingOps.decontaminate(Tables.documents(spark, sfDir),
+        "doc_id", "text", isBenchmark = col("doc_id") % 50 === 0, n = 4)
       .orderBy(col("doc_id"))
-  }
 
   /** Reproducible stratified downsampling toward a target language mix
     * ([[TextFunctions.samplingBucket]]): a doc survives iff
@@ -908,18 +917,15 @@ object Queries {
     * checksum makes the gate sensitive to WHICH docs survive, not just
     * how many.
     */
-  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
-    val rate = when(col("lang") === "en", 25).otherwise(75)
-    val kept = TextFunctions.samplingBucket(100)(col("doc_id")) < rate
-    Tables.documents(spark, sfDir)
-      .select(col("lang"), col("doc_id"), kept.as("kept"))
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.TrainingOps.stratifiedKept(Tables.documents(spark, sfDir),
+        "doc_id", ratePct = when(col("lang") === "en", 25).otherwise(75))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("kept"), 1)).as("n_kept"),
         sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
       .withColumn("kept_rate", round(col("n_kept").cast("double") / col("n_docs"), 4))
       .orderBy(col("lang"))
-  }
 
   /** Sequence packing (concat-then-chunk, the GPT-style training-data
     * layout): per (source, 100k-doc id-range shard), documents are
@@ -933,17 +939,12 @@ object Queries {
     * real packers shard. Output: per (source, shard, bin) doc and
     * token counts.
     */
-  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
-    Tables.documents(spark, sfDir)
-      .select(col("source"), expr("doc_id div 100000").as("shard"), col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("bin_id", floor((col("cum") - 1) / lit(512.0)).cast("long"))
-      .groupBy(col("source"), col("shard"), col("bin_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.TrainingOps.packSequences(
+        Tables.documents(spark, sfDir)
+          .withColumn("shard", expr("doc_id div 100000")),
+        "doc_id", "text", Seq(col("source"), col("shard")), binTokens = 512)
       .orderBy(col("source"), col("shard"), col("bin_id"))
-  }
 
   /** Domain-mixture weights (the data-mixing step of a training
     * pipeline): per-language token counts and corpus share, plus the
@@ -952,19 +953,10 @@ object Queries {
     * equal tokens. The totals are a 1-row broadcast, not a window over
     * an unpartitioned frame.
     */
-  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val perLang = Tables.documents(spark, sfDir)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
-    val totals = perLang.agg(sum(col("n_tokens")).as("total_tokens"),
-      min(col("n_tokens")).as("min_tokens"))
-    perLang.crossJoin(broadcast(totals))
-      .select(col("lang"), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens").cast("double") / col("total_tokens"), 4).as("share"),
-        round(least(lit(1.0), col("min_tokens").cast("double") / col("n_tokens")), 4).as("weight"))
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.TrainingOps.mixtureWeights(
+        Tables.documents(spark, sfDir), "lang", "text")
       .orderBy(col("lang"))
-  }
 
   def dedupTrigramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.blockedJaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text", "source", 0.5)
@@ -1442,6 +1434,7 @@ object Queries {
     "customers_with_orders" -> (customersWithOrders _),
     "customers_without_orders" -> (customersWithoutOrders _),
     "top_order_per_customer" -> (topOrderPerCustomer _),
+    "page_orders" -> (pageOrders _),
     "sql_correlated_subquery" -> (sqlCorrelatedSubquery _),
     "events_asof_orders" -> (eventsAsofOrders _),
     "lineitem_quantiles" -> (lineitemQuantiles _),

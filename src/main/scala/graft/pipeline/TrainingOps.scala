@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The training-data-pipeline operators as a reusable DataFrame-level
+  * library surface (column-parameterized — bring your own schema).
+  * [[graft.Queries]] wraps these over the fixture tables for the
+  * correctness gate; `graft.DedupProbe` measures them on a
+  * duplicate-heavy 10× corpus. Every operator is deterministic and
+  * DuckDB-oracle-checkable; the scale notes on each mirror the gate
+  * query's Scaladoc.
+  */
+object TrainingOps {
+
+  /** Benchmark decontamination: per non-benchmark document, the count
+    * of its distinct word `n`-grams that appear anywhere in the
+    * benchmark split. The benchmark gram set is distinct-aggregated
+    * and BROADCAST (KB–MB for real eval suites); the training side is
+    * a projection + explode whose join output is bounded by actual
+    * matches. Output: (idCol, n_hits) for contaminated docs only.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    isBenchmark: Column, n: Int = 4): DataFrame = {
+    val grams = array_distinct(TextFunctions.wordNgramsFast(n)(col(textCol)))
+    val bench = docs.where(isBenchmark)
+      .select(explode(grams).as("gram")).distinct()
+    docs.where(!isBenchmark)
+      .select(col(idCol), explode(grams).as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Reproducible stratified sampling: a row survives iff
+    * splitmix64(id) mod 100 < rate(stratum). RNG-free — the sample is
+    * a pure function of the ids, reproducible across runs, partition
+    * orders and cluster sizes. Returns the input plus a `kept`
+    * boolean (filter or aggregate downstream as needed).
+    */
+  def stratifiedKept(docs: DataFrame, idCol: String, ratePct: Column): DataFrame =
+    docs.withColumn("kept",
+      TextFunctions.samplingBucket(100)(col(idCol)) < ratePct)
+
+  /** Concat-then-chunk sequence packing: within each (shard) group,
+    * documents are concatenated in id order and cut into
+    * `binTokens`-token bins; a document lands in the bin where it
+    * ENDS. `shardCols` must bound the per-window row count (e.g. an
+    * id-range shard), or one big stratum serializes through a single
+    * window partition. Output: per (shardCols..., bin_id) doc and
+    * token counts.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shardCols: Seq[Column], binTokens: Int = 512): DataFrame = {
+    val w = Window.partitionBy(shardCols: _*).orderBy(col(idCol))
+    docs
+      .select(shardCols :+ col(idCol) :+
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"): _*)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id", floor((col("cum") - 1) / lit(binTokens.toDouble)).cast("long"))
+      .groupBy(shardCols :+ col("bin_id"): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  /** Domain-mixture weights: per stratum, token counts, corpus share,
+    * and the uniform-rebalance sampling weight min(1, min_stratum /
+    * stratum) — apply the weight and every stratum contributes equal
+    * tokens. Totals travel as a 1-row broadcast.
+    */
+  def mixtureWeights(docs: DataFrame, strataCol: String, textCol: String): DataFrame = {
+    val per = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val totals = per.agg(sum(col("n_tokens")).as("total_tokens"),
+      min(col("n_tokens")).as("min_tokens"))
+    per.crossJoin(broadcast(totals))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 4).as("share"),
+        round(least(lit(1.0), col("min_tokens").cast("double") / col("n_tokens")), 4).as("weight"))
+  }
+}

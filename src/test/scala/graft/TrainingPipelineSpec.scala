@@ -191,6 +191,17 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got.map(_._5).sum == all.map(_._3.trim.split(" +").length.toLong).sum)
   }
 
+  test("decontaminate_ngram broadcasts the benchmark gram set (plan assertion)") {
+    val df = Queries.decontaminateNgram(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the holdout side must reach the training scan as a broadcast
+    // hash relation — a sort-merge join here would shuffle the full
+    // exploded gram table at 100 TB
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("mix_weights rebalances to the minority language") {
     val got = Queries.mixWeights(spark, sfDir)
       .select($"lang", $"n_tokens", $"weight").as[(String, Long, Double)].collect()
