@@ -554,9 +554,44 @@ object OracleHashSql {
        |  ROUND(SUM(kept) / CAST(count(*) AS DOUBLE), 4) AS kept_rate
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- pipeline_survivors -----------------------------------------
+  // The composed ingestion pipeline: training split → quality gate
+  // (quality_gate's exact expressions) → keep-first per md5(text) →
+  // NOT IN the decontamination hit set (decontaminate_ngram's gram
+  // CTEs) → splitmix64 stratified sampling (sample_stratified's
+  // re-signed floorMod) → per-lang survivor stats.
+  private def pipelineSurvivorsSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, text, trim(text) AS tt, string_split_regex(trim(text), ' +') AS w
+       |           FROM documents WHERE doc_id % 50 != 0),
+       |m AS (SELECT doc_id, lang, text, len(w) AS nt,
+       |  CASE WHEN len(w) = 0 THEN 0.0
+       |       ELSE CAST(length(regexp_replace(tt, ' +', '', 'g')) AS DOUBLE) / len(w) END AS atl,
+       |  CASE WHEN len(w) = 0 THEN 0.0
+       |       ELSE CAST(len(list_filter(w, x -> x IN ('the','is','and','of','to','a','in'))) AS DOUBLE) / len(w) END AS sr
+       |  FROM t),
+       |q AS (SELECT doc_id, lang, text, nt FROM m
+       |      WHERE nt >= 30 AND atl >= 4.0 AND atl <= 5.0 AND sr <= 0.10),
+       |d AS (SELECT doc_id, lang, nt FROM (
+       |    SELECT doc_id, lang, nt, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q)
+       |  WHERE rn = 1),
+       |toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk FROM documents),
+       |pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 4),
+       |g AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+3], ' ') AS gram FROM pos),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+       |contaminated AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.doc_id % 50 != 0),
+       |clean AS (SELECT d.* FROM d WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |h0 AS (SELECT doc_id, lang, nt, (${smix("doc_id::HUGEINT")})::HUGEINT AS h FROM clean),
+       |kept AS (SELECT doc_id, lang, nt FROM h0
+       |  WHERE ((((h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) % 100) + 100) % 100)
+       |        < CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
+       |SELECT lang, count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, String] = Map(
     "fingerprint_winnow" -> fingerprintWinnowSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "pipeline_survivors" -> pipelineSurvivorsSql,
     "embed_knn_text" -> embedKnnTextSql,
     "rag_chunk_search" -> ragChunkSearchSql,
     "dedup_simhash" -> dedupSimhashSql,

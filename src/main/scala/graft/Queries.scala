@@ -958,6 +958,47 @@ object Queries {
         Tables.documents(spark, sfDir), "lang", "text")
       .orderBy(col("lang"))
 
+  /** The END-TO-END ingestion pipeline as ONE composed query — what a
+    * training-data run actually executes, each stage already gated
+    * individually: training split (benchmark docs excluded) → quality
+    * gate ([[qualityGate]]'s exact thresholds) → exact dedup keeping
+    * the first doc per md5(text) (the partition key is the 16-byte
+    * digest, so placement/skew never depends on raw text) →
+    * decontamination anti-join against the broadcast
+    * benchmark-gram hits ([[decontaminateNgram]]) → reproducible
+    * stratified sampling ([[sampleStratified]]'s splitmix64 rates).
+    * Output: per-language survivor counts, token volume and an id-sum
+    * checksum, so the gate is sensitive to WHICH documents survive
+    * the whole composition — one stage misordered or off-by-one and
+    * the hash flips. The plan stays one scan + one 16-byte-key
+    * shuffle + broadcast joins: composing the stages adds no new
+    * scale hazard.
+    */
+  def pipelineSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nt = TextFunctions.tokenCount(col("text"))
+    val atl = TextFunctions.avgTokenLength(col("text"))
+    val sr = TextFunctions.stopwordRatio(col("text"))
+    val quality = docs
+      .where(col("doc_id") % 50 =!= 0)
+      .where(nt >= 30 && atl >= 4.0 && atl <= 5.0 && sr <= 0.10)
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = quality
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    val contaminated = graft.pipeline.TrainingOps
+      .decontaminate(docs, "doc_id", "text", isBenchmark = col("doc_id") % 50 === 0)
+      .select(col("doc_id"))
+    val clean = deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val rate = when(col("lang") === "en", 25).otherwise(75)
+    graft.pipeline.TrainingOps.stratifiedKept(clean, "doc_id", rate)
+      .where(col("kept"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(col("doc_id")).as("kept_id_sum"))
+      .orderBy(col("lang"))
+  }
+
   def dedupTrigramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.blockedJaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text", "source", 0.5)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -1451,6 +1492,7 @@ object Queries {
     "sample_stratified" -> (sampleStratified _),
     "pack_sequences" -> (packSequences _),
     "mix_weights" -> (mixWeights _),
+    "pipeline_survivors" -> (pipelineSurvivors _),
     "agg_distinct_users" -> (aggDistinctUsers _),
     "agg_sketches" -> (aggSketches _),
     "events_pivot" -> (eventsPivot _),

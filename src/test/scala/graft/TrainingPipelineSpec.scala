@@ -202,6 +202,51 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("pipeline_survivors matches a plain-Scala recomputation of the composed stages") {
+    // sf0.01: the sf0.001 benchmark split (1 doc) produces no 4-gram
+    // hits, which would leave the decontamination stage vacuous
+    val dir = "/root/testdata/sf0.01"
+    val all = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    def toks(t: String) = t.trim.split(" +")
+    def grams(t: String): Set[String] = {
+      val w = toks(t)
+      if (w.length < 4) Set.empty else w.sliding(4).map(_.mkString(" ")).toSet
+    }
+    def smix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val stop = Set("the", "is", "and", "of", "to", "a", "in")
+    val bench = all.filter(_._1 % 50 == 0).flatMap(d => grams(d._3)).toSet
+    val survivors = all.filter(_._1 % 50 != 0)
+      .filter { case (_, _, text) =>
+        val w = toks(text); val nt = w.length
+        val atl = if (nt == 0) 0.0 else w.map(_.length).sum.toDouble / nt
+        val sr = if (nt == 0) 0.0 else w.count(stop).toDouble / nt
+        nt >= 30 && atl >= 4.0 && atl <= 5.0 && sr <= 0.10
+      }
+      .groupBy(_._3).values.map(_.minBy(_._1)).toSeq          // keep-first per text
+      .filter(d => grams(d._3).intersect(bench).isEmpty)      // decontaminate
+      .filter { case (id, lang, _) =>                         // sample
+        val rate = if (lang == "en") 25 else 75
+        java.lang.Math.floorMod(smix(id), 100L) < rate
+      }
+    val expected = survivors.groupBy(_._2).map { case (lang, ds) =>
+      lang -> (ds.size.toLong, ds.map(d => toks(d._3).length.toLong).sum, ds.map(_._1).sum)
+    }
+    val got = Queries.pipelineSurvivors(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (lang, n, tok, ids) =>
+      assert((n, tok, ids) == expected(lang), s"lang $lang") }
+    assert(got.map(_._1).toSet == expected.keySet)
+    // the composition bites: fewer survivors than raw training docs
+    assert(got.map(_._2).sum < all.count(_._1 % 50 != 0))
+  }
+
   test("mix_weights rebalances to the minority language") {
     val got = Queries.mixWeights(spark, sfDir)
       .select($"lang", $"n_tokens", $"weight").as[(String, Long, Double)].collect()
