@@ -381,16 +381,19 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id")).persist()
-    var changed = 1L
+    var changed = true
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (changed && it < maxIter) {
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
         .select(edges("u").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).union(nbrMin)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev")).count()
+      // convergence is an EXISTENCE question, not a count: isEmpty
+      // stops at the first changed row (limit-1 under the hood)
+      // instead of scanning every vertex per round
+      changed = !next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev")).isEmpty
       labels.unpersist()
       labels = next
       it += 1
