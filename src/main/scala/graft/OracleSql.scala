@@ -195,8 +195,19 @@ object OracleSql {
     "events_sessionize" -> eventsSessionizeSql,
     // the flatMapGroupsWithState replay's per-user rollup of emitted
     // closed sessions must land on the identical session table as the
-    // batch lag/cumsum sessionization
+    // batch lag/cumsum sessionization...
     "events_sessionize_stream" -> eventsSessionizeSql,
+    // ...and so must the built-in session_window formulation — three
+    // independent implementations share one oracle
+    "events_session_window_native" -> eventsSessionizeSql,
+
+    // the update-mode upsert sink's final (hour, type) table must
+    // equal the plain batch hourly aggregate — keyed last-write-wins
+    // makes incremental emission converge to it
+    "events_hourly_upsert_stream" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "events_pivot" ->
       """SELECT user_id, count(*) AS n_events,

@@ -670,6 +670,79 @@ object Queries {
     out
   }
 
+  /** UPDATE-mode streaming through the gate — the
+    * continuous-dashboard pattern, and the output mode the four
+    * append-mode gates don't cover: the events replay runs the
+    * hourly aggregate unwatermarked in update mode, and foreachBatch
+    * UPSERTS each micro-batch's changed rows into a serving table
+    * keyed by (hour, event_type). Keyed last-write-wins upserts make
+    * the final table equal the batch aggregate even though values
+    * were emitted incrementally across batches — no sentinel or
+    * watermark release needed, a row is allowed to be written twice.
+    * The sink is a driver-side map standing in for the KV serving
+    * store; that is the honest shape BECAUSE the upserted table is
+    * an aggregate bounded by (windows × types), not by event volume
+    * — per-batch updated rows are similarly bounded. A lost or
+    * misattributed update leaves a stale row and flips the gate
+    * hash against [[eventsHourly]]'s oracle.
+    */
+  def eventsHourlyUpsertStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    if (ev.isEmpty)
+      return ev.limit(0).select(lit("").as("hour"), col("event_type"),
+        lit(0L).as("n_events"), lit(0.0).as("sum_value"))
+    val inDir = stagedEventsReplayDir(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_stream_run_").toFile
+    val ckDir = s"${base.getAbsolutePath}/ck"
+    val store = new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Double)]()
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val agg = stream
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // runs on the driver; `batch` holds only the keys whose
+        // aggregate CHANGED this micro-batch (bounded by windows×types)
+        batch.collect().foreach { r =>
+          store.put((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))
+        }
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    rmTree(base)
+    import scala.jdk.CollectionConverters._
+    val rows = store.asScala.toSeq
+      .filter { case ((_, tpe), _) => tpe != "sentinel" }
+      .map { case ((hour, tpe), (n, sum)) =>
+        (hour, tpe, n, BigDecimal(sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    import spark.implicits._
+    rows.toDF("hour", "event_type", "n_events", "sum_value")
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** The BUILT-IN session-window operator as a third, independent
+    * sessionization formulation: `session_window(ts, "30 minutes")`
+    * inside groupBy yields one row per (user, gap-session); the
+    * per-user rollup must land on the identical table as the
+    * lag/cumsum window formulation ([[eventsSessionize]]) and the
+    * flatMapGroupsWithState streaming twin — three implementations,
+    * one oracle. (Convention note: session_window treats an event at
+    * exactly gap distance as a NEW session where the lag form merges
+    * it; no fixture pair sits on the boundary, and sub-second jitter
+    * makes exact 1800.000000000 s gaps measure-zero in real data.)
+    */
+  def eventsSessionWindowNative(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy(col("user_id"))
+
   /** Replay input of [[eventsDedupStream]] (events copy + the last
     * hour redelivered), staged once per (session, sfDir) like the
     * sliding-window replay. The redelivery file's mtime is stamped
@@ -1488,6 +1561,8 @@ object Queries {
     "events_json_k" -> (eventsJsonK _),
     "events_sessionize" -> (eventsSessionize _),
     "events_sessionize_stream" -> (eventsSessionizeStream _),
+    "events_hourly_upsert_stream" -> (eventsHourlyUpsertStream _),
+    "events_session_window_native" -> (eventsSessionWindowNative _),
     "decontaminate_ngram" -> (decontaminateNgram _),
     "sample_stratified" -> (sampleStratified _),
     "pack_sequences" -> (packSequences _),

@@ -127,6 +127,21 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(streamed.exists(_._2 > 1L))
   }
 
+  test("session_window native formulation equals the lag/cumsum formulation") {
+    val batch = Queries.eventsSessionize(spark, sfDir)
+      .select($"user_id", $"n_sessions", $"n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    val native = Queries.eventsSessionWindowNative(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(native == batch && native.nonEmpty)
+  }
+
+  test("update-mode upsert sink converges to the batch hourly aggregate") {
+    val batch = Queries.eventsHourly(spark, sfDir).collect().toSeq
+    val upserted = Queries.eventsHourlyUpsertStream(spark, sfDir).collect().toSeq
+    assert(upserted == batch && upserted.nonEmpty)
+  }
+
   test("decontaminate_ngram matches a plain-Scala set-intersection recomputation") {
     // sf0.01: the 0.001 corpus has a 1-doc benchmark split with no
     // 4-gram overlap — the check would be vacuously empty there
