@@ -673,9 +673,12 @@ object Queries {
   /** UPDATE-mode streaming through the gate — the
     * continuous-dashboard pattern, and the output mode the four
     * append-mode gates don't cover: the events replay runs the
-    * hourly aggregate unwatermarked in update mode, and foreachBatch
-    * UPSERTS each micro-batch's changed rows into a serving table
-    * keyed by (hour, event_type). Keyed last-write-wins upserts make
+    * hourly aggregate in update mode — unwatermarked HERE because the
+    * replay is bounded (aggregate state = windows × types rows; an
+    * unbounded production deployment adds `withWatermark` so closed
+    * windows' state expires, same operator otherwise) — and
+    * foreachBatch UPSERTS each micro-batch's changed rows into a
+    * serving table keyed by (hour, event_type). Keyed last-write-wins upserts make
     * the final table equal the batch aggregate even though values
     * were emitted incrementally across batches — no sentinel or
     * watermark release needed, a row is allowed to be written twice.
