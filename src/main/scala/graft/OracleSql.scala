@@ -271,6 +271,17 @@ object OracleSql {
         |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY source, shard, bin_id ORDER BY source, shard, bin_id""".stripMargin,
 
+    // unigram surprisal: every token occurrence scores
+    // log2(total) - log2(count(token)); per-doc mean, 4-dp round
+    "lm_score" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS n_w FROM tk GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(n_w) AS DOUBLE) AS total FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  ROUND(AVG(log2(total) - log2(n_w)), 4) AS bits_per_token
+        |FROM tk JOIN freq USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "mix_weights" ->
       """WITH per AS (SELECT lang, count(*) AS n_docs,
         |    CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_tokens

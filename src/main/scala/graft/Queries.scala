@@ -491,23 +491,38 @@ object Queries {
       // no events → no windows; also no sentinel to key the watermark off
       return ev.limit(0).select(lit("").as("wstart"), col("event_type"),
         lit(0L).as("n_events"), lit(0.0).as("sum_value"))
-    val inDir = stagedEventsReplayDir(spark, sfDir)
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_run_").toFile
+    runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "sliding",
+      graft.streaming.EventStreams.slidingCounts,
+      sink => sink
+        .where(col("event_type") =!= "sentinel")
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("wstart"), col("event_type")))
+  }
+
+  /** Shared runner of the append-mode streaming gates: a bounded
+    * replay input streams through `transform` into a fresh per-run
+    * checkpoint + parquet sink; the sink is read back, `present`ed,
+    * and the (small — every gate presents an aggregate) result is
+    * pinned on the driver so the run tree can be deleted. The
+    * checkpoint and sink stay PER-CALL on purpose: the gate must
+    * exercise a fresh streaming run every time, only the input
+    * staging is once-per-session.
+    */
+  private def runReplayToSink(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, tag: String,
+      transform: DataFrame => DataFrame,
+      present: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(s"graft_${tag}_stream_run_").toFile
     val outDir = s"${base.getAbsolutePath}/out"; val ckDir = s"${base.getAbsolutePath}/ck"
-    val stream = spark.readStream.schema(ev.schema)
+    val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val q = graft.streaming.EventStreams.slidingCounts(stream)
+    val q = transform(stream)
       .writeStream.outputMode("append").format("parquet")
       .option("path", outDir).option("checkpointLocation", ckDir)
       .start()
     try { q.processAllAvailable() } finally q.stop()
-    val result = spark.read.parquet(outDir)
-      .where(col("event_type") =!= "sentinel")
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
-        col("event_type"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
-      .orderBy(col("wstart"), col("event_type"))
-    // the window table is small (one row per window × type) — pin it on
-    // the driver so the per-run tree (sink + checkpoint) can be deleted
+    val result = present(spark.read.parquet(outDir))
     val rows = result.collect()
     val out = spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     rmTree(base)
@@ -575,25 +590,12 @@ object Queries {
     if (ev.isEmpty)
       return ev.limit(0).select(col("event_type"),
         lit(0L).as("n_events"), lit(0.0).as("sum_value"))
-    val inDir = stagedDedupReplayDir(spark, sfDir)
-    val base = java.nio.file.Files.createTempDirectory("graft_dedup_stream_run_").toFile
-    val outDir = s"${base.getAbsolutePath}/out"; val ckDir = s"${base.getAbsolutePath}/ck"
-    val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val q = graft.streaming.EventStreams.dedupedEvents(stream)
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckDir)
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
-    val result = spark.read.parquet(outDir)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
-      .orderBy(col("event_type"))
-    // small per-type table — pin it so the run tree can be deleted
-    val rows = result.collect()
-    val out = spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    rmTree(base)
-    out
+    runReplayToSink(spark, stagedDedupReplayDir(spark, sfDir), ev.schema, "dedup",
+      graft.streaming.EventStreams.dedupedEvents,
+      sink => sink
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type")))
   }
 
   /** Stream-static enrichment through the gate
@@ -613,26 +615,14 @@ object Queries {
     if (ev.isEmpty)
       return ev.limit(0).select(lit("").as("segment"),
         lit(0L).as("n_events"), lit(0.0).as("sum_value"))
-    val inDir = stagedEventsReplayDir(spark, sfDir)
-    val base = java.nio.file.Files.createTempDirectory("graft_enrich_stream_run_").toFile
-    val outDir = s"${base.getAbsolutePath}/out"; val ckDir = s"${base.getAbsolutePath}/ck"
-    val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val q = graft.streaming.EventStreams
-      .enrichedWithSegment(stream, Tables.customer(spark, sfDir))
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckDir)
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
-    val result = spark.read.parquet(outDir)
-      .where(col("event_type") =!= "sentinel")
-      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
-      .orderBy(col("segment"))
-    val rows = result.collect()
-    val out = spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    rmTree(base)
-    out
+    runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "enrich",
+      stream => graft.streaming.EventStreams
+        .enrichedWithSegment(stream, Tables.customer(spark, sfDir)),
+      sink => sink
+        .where(col("event_type") =!= "sentinel")
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("segment")))
   }
 
   /** Custom keyed state through the gate: the events replay runs the
@@ -655,29 +645,16 @@ object Queries {
     if (ev.isEmpty)
       return ev.limit(0).select(col("user_id"),
         lit(0L).as("n_sessions"), lit(0L).as("n_events"))
-    val inDir = stagedEventsReplayDir(spark, sfDir)
-    val base = java.nio.file.Files.createTempDirectory("graft_sess_stream_run_").toFile
-    val outDir = s"${base.getAbsolutePath}/out"; val ckDir = s"${base.getAbsolutePath}/ck"
     import spark.implicits._
-    val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[graft.streaming.Event]
-    val q = graft.streaming.EventStreams.sessionize(spark, stream)
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckDir)
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
-    val result = spark.read.parquet(outDir)
-      .where(col("user_id") >= 0)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
-      .orderBy(col("user_id"))
-    // one row per user — pin it so the run tree can be deleted
-    val rows = result.collect()
-    val out = spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    rmTree(base)
-    out
+    runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "sess",
+      stream => graft.streaming.EventStreams.sessionize(spark,
+        stream.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[graft.streaming.Event]).toDF(),
+      sink => sink
+        .where(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id")))
   }
 
   /** UPDATE-mode streaming through the gate — the
@@ -1043,6 +1020,30 @@ object Queries {
     graft.pipeline.TrainingOps.mixtureWeights(
         Tables.documents(spark, sfDir), "lang", "text")
       .orderBy(col("lang"))
+
+  /** Unigram language-model quality score (the CCNet/KenLM idea at
+    * unigram order): per document, the mean surprisal
+    * −log2 p(token) under the CORPUS unigram distribution — low
+    * bits-per-token ⇒ stereotypical text, high ⇒ rare-token soup;
+    * the standard perplexity-bucketing signal for crawl filtering.
+    * Shape: one explode + one count aggregate builds the frequency
+    * table (vocabulary-sized — joins as broadcast while it fits,
+    * degrades to a shuffle hash join at open-vocab scale), one
+    * equi-join scores every occurrence, one aggregate per doc. The
+    * 1-row total travels as a broadcast.
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
+    val total = freq.agg(sum(col("n_w")).cast("double").as("total"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(2.0, col("total")) - log(2.0, col("n_w"))), 4).as("bits_per_token"))
+      .orderBy(col("doc_id"))
+  }
 
   /** The END-TO-END ingestion pipeline as ONE composed query — what a
     * training-data run actually executes, each stage already gated
@@ -1581,6 +1582,7 @@ object Queries {
     "pack_sequences" -> (packSequences _),
     "mix_weights" -> (mixWeights _),
     "pipeline_survivors" -> (pipelineSurvivors _),
+    "lm_score" -> (lmScore _),
     "agg_distinct_users" -> (aggDistinctUsers _),
     "agg_sketches" -> (aggSketches _),
     "events_pivot" -> (eventsPivot _),

@@ -262,6 +262,30 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got.map(_._2).sum < all.count(_._1 % 50 != 0))
   }
 
+  test("lm_score matches a plain-Scala unigram surprisal recomputation") {
+    val all = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = all.map { case (id, t) => id -> t.trim.split(" +").toSeq }
+    val freq = toks.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.length }
+    val total = toks.map(_._2.length).sum.toDouble
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val expected = toks.map { case (id, ws) =>
+      val bits = ws.map(w => log2(total) - log2(freq(w).toDouble)).sum / ws.length
+      id -> (ws.length.toLong,
+        BigDecimal(bits).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = Queries.lmScore(spark, sfDir).as[(Long, Long, Double)].collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { case (id, n, bits) =>
+      val (en, ebits) = expected(id)
+      assert(n == en, s"doc $id token count")
+      // recomputation sums in a different order — allow 1 ulp of 4-dp
+      assert(math.abs(bits - ebits) <= 0.00011, s"doc $id: $bits vs $ebits")
+    }
+    // the signal separates docs: not all scores identical
+    assert(got.map(_._3).distinct.length > 1)
+  }
+
   test("mix_weights rebalances to the minority language") {
     val got = Queries.mixWeights(spark, sfDir)
       .select($"lang", $"n_tokens", $"weight").as[(String, Long, Double)].collect()
