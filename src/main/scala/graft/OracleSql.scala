@@ -271,6 +271,19 @@ object OracleSql {
         |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY source, shard, bin_id ORDER BY source, shard, bin_id""".stripMargin,
 
+    // distinct 8-token windows per doc as md5 digests; a window is
+    // SHARED if >= 2 distinct docs contain it; per-doc coverage
+    "dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks WHERE len(t) >= 8),
+        |g AS (SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS w FROM pos),
+        |shared AS (SELECT w FROM g GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_windows FROM g GROUP BY doc_id),
+        |sh AS (SELECT g.doc_id, count(*) AS n_shared FROM g JOIN shared USING (w) GROUP BY g.doc_id)
+        |SELECT p.doc_id, p.n_windows, s.n_shared,
+        |  ROUND(s.n_shared / CAST(p.n_windows AS DOUBLE), 4) AS shared_frac
+        |FROM per p JOIN sh s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // unigram surprisal: every token occurrence scores
     // log2(total) - log2(count(token)); per-doc mean, 4-dp round
     "lm_score" ->

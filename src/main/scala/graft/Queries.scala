@@ -1021,6 +1021,36 @@ object Queries {
         Tables.documents(spark, sfDir), "lang", "text")
       .orderBy(col("lang"))
 
+  /** Cross-document repeated-substring coverage (the signal behind
+    * exact-substring dedup, Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better"): per document, the fraction
+    * of its distinct 8-token windows that also occur in ANOTHER
+    * document. High coverage ⇒ the doc is largely stitched from spans
+    * that exist elsewhere — the slice a substring-dedup pass cuts and
+    * the memorization-risk metric an audit reports. Windows travel as
+    * md5 digests (16 B), so the shuffle key is never raw text; the
+    * shared-window set is one hash-agg with countDistinct(doc) ≥ 2;
+    * per-doc coverage is an equi-join + count (AQE broadcasts the
+    * shared set while it fits, degrades to a shuffle join at scale).
+    */
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+    val wnd = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.wordNgramsFast(8)(col("text")))).as("w0"))
+      .select(col("doc_id"), md5(col("w0")).as("w"))
+    val shared = wnd.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("w"))
+    val perDoc = wnd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val sharedPerDoc = wnd.join(shared, "w")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    perDoc.join(sharedPerDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_windows"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_windows"), 4).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unigram language-model quality score (the CCNet/KenLM idea at
     * unigram order): per document, the mean surprisal
     * −log2 p(token) under the CORPUS unigram distribution — low
@@ -1583,6 +1613,7 @@ object Queries {
     "mix_weights" -> (mixWeights _),
     "pipeline_survivors" -> (pipelineSurvivors _),
     "lm_score" -> (lmScore _),
+    "dedup_substring" -> (dedupSubstring _),
     "agg_distinct_users" -> (aggDistinctUsers _),
     "agg_sketches" -> (aggSketches _),
     "events_pivot" -> (eventsPivot _),

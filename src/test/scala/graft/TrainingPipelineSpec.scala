@@ -262,6 +262,29 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got.map(_._2).sum < all.count(_._1 % 50 != 0))
   }
 
+  test("dedup_substring matches a plain-Scala shared-window recomputation") {
+    // sf0.01 — cross-doc 8-token window sharing needs the near-dup pairs
+    val dir = "/root/testdata/sf0.01"
+    val all = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def windows(t: String): Set[String] = {
+      val w = t.trim.split(" +")
+      if (w.length < 8) Set.empty else w.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val perDoc = all.map { case (id, t) => id -> windows(t) }.filter(_._2.nonEmpty)
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    perDoc.foreach { case (_, ws) => ws.foreach(w => counts(w) = counts.getOrElse(w, 0) + 1) }
+    val expected = perDoc.map { case (id, ws) =>
+      id -> (ws.size.toLong, ws.count(w => counts(w) >= 2).toLong)
+    }.filter(_._2._2 > 0).toMap
+    val got = Queries.dedupSubstring(spark, dir)
+      .select($"doc_id", $"n_windows", $"n_shared").as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.length == expected.size)
+    got.foreach { case (id, nw, ns) => assert((nw, ns) == expected(id), s"doc $id") }
+    // the signal is partial coverage, not all-or-nothing
+    assert(got.exists { case (_, nw, ns) => ns < nw })
+  }
+
   test("lm_score matches a plain-Scala unigram surprisal recomputation") {
     val all = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").as[(Long, String)].collect()
