@@ -295,6 +295,22 @@ object OracleSql {
         |FROM tk JOIN freq USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // tercile thresholds from exact interpolated percentiles of the
+    // per-doc surprisal, bucketing by comparison
+    "perplexity_buckets" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS n_w FROM tk GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(n_w) AS DOUBLE) AS total FROM freq),
+        |scored AS (SELECT doc_id, count(*) AS n_tokens,
+        |    ROUND(AVG(log2(total) - log2(n_w)), 4) AS bits
+        |  FROM tk JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id),
+        |th AS (SELECT quantile_cont(bits, CAST(1 AS DOUBLE)/3) AS t1,
+        |              quantile_cont(bits, CAST(2 AS DOUBLE)/3) AS t2 FROM scored)
+        |SELECT CASE WHEN bits <= t1 THEN 'head' WHEN bits <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  ROUND(AVG(bits), 4) AS avg_bits
+        |FROM scored, th GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "mix_weights" ->
       """WITH per AS (SELECT lang, count(*) AS n_docs,
         |    CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_tokens

@@ -1075,6 +1075,33 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing: split the corpus into
+    * head/middle/tail terciles of unigram surprisal ([[lmScore]]) and
+    * report per-bucket volume — the table the "train on head, sample
+    * middle, drop tail" mixing decision consumes. Deliberately NOT a
+    * global ntile (which would serialize the corpus through one
+    * window partition): thresholds are two exact interpolated
+    * percentiles from one partial-aggregating reduce, broadcast back,
+    * and bucketing is a projection — the same two-pass shape CCNet
+    * itself uses, scalable and exactly replayable (percentile ==
+    * quantile_cont, parity proven by lineitem_quantiles).
+    */
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = lmScore(spark, sfDir)
+    val th = scored.agg(
+      expr("percentile(bits_per_token, CAST(1 AS DOUBLE)/3)").as("t1"),
+      expr("percentile(bits_per_token, CAST(2 AS DOUBLE)/3)").as("t2"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("bits_per_token") <= col("t1"), "head")
+          .when(col("bits_per_token") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        round(avg(col("bits_per_token")), 4).as("avg_bits"))
+      .orderBy(col("bucket"))
+  }
+
   /** The END-TO-END ingestion pipeline as ONE composed query — what a
     * training-data run actually executes, each stage already gated
     * individually: training split (benchmark docs excluded) → quality
@@ -1614,6 +1641,7 @@ object Queries {
     "pipeline_survivors" -> (pipelineSurvivors _),
     "lm_score" -> (lmScore _),
     "dedup_substring" -> (dedupSubstring _),
+    "perplexity_buckets" -> (perplexityBuckets _),
     "agg_distinct_users" -> (aggDistinctUsers _),
     "agg_sketches" -> (aggSketches _),
     "events_pivot" -> (eventsPivot _),

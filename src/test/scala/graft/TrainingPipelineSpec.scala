@@ -309,6 +309,19 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got.map(_._3).distinct.length > 1)
   }
 
+  test("perplexity_buckets: terciles partition the corpus and order by surprisal") {
+    val rows = Queries.perplexityBuckets(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq("head", "middle", "tail"))
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum == total)
+    // terciles are roughly balanced (ties on 4-dp surprisal values
+    // cross a threshold together, so exact N/3 splits are not owed)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= total / 5)
+    // mean surprisal strictly increases head -> middle -> tail
+    assert(rows(0)._4 < rows(1)._4 && rows(1)._4 < rows(2)._4)
+  }
+
   test("mix_weights rebalances to the minority language") {
     val got = Queries.mixWeights(spark, sfDir)
       .select($"lang", $"n_tokens", $"weight").as[(String, Long, Double)].collect()
