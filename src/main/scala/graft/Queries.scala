@@ -1033,23 +1033,12 @@ object Queries {
     * per-doc coverage is an equi-join + count (AQE broadcasts the
     * shared set while it fits, degrades to a shuffle join at scale).
     */
-  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame = {
-    val wnd = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(array_distinct(TextFunctions.wordNgramsFast(8)(col("text")))).as("w0"))
-      .select(col("doc_id"), md5(col("w0")).as("w"))
-    val shared = wnd.groupBy(col("w"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2)
-      .select(col("w"))
-    val perDoc = wnd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
-    val sharedPerDoc = wnd.join(shared, "w")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    perDoc.join(sharedPerDoc, Seq("doc_id"))
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.TrainingOps
+      .substringCoverage(Tables.documents(spark, sfDir), "doc_id", "text", n = 8)
       .select(col("doc_id"), col("n_windows"), col("n_shared"),
         round(col("n_shared").cast("double") / col("n_windows"), 4).as("shared_frac"))
       .orderBy(col("doc_id"))
-  }
 
   /** Unigram language-model quality score (the CCNet/KenLM idea at
     * unigram order): per document, the mean surprisal
@@ -1062,18 +1051,10 @@ object Queries {
     * equi-join scores every occurrence, one aggregate per doc. The
     * 1-row total travels as a broadcast.
     */
-  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
-    val total = freq.agg(sum(col("n_w")).cast("double").as("total"))
-    toks.join(freq, "tok")
-      .crossJoin(broadcast(total))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(2.0, col("total")) - log(2.0, col("n_w"))), 4).as("bits_per_token"))
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.TrainingOps
+      .unigramSurprisal(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("doc_id"))
-  }
 
   /** CCNet-style perplexity bucketing: split the corpus into
     * head/middle/tail terciles of unigram surprisal ([[lmScore]]) and
@@ -1086,21 +1067,13 @@ object Queries {
     * itself uses, scalable and exactly replayable (percentile ==
     * quantile_cont, parity proven by lineitem_quantiles).
     */
-  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = lmScore(spark, sfDir)
-    val th = scored.agg(
-      expr("percentile(bits_per_token, CAST(1 AS DOUBLE)/3)").as("t1"),
-      expr("percentile(bits_per_token, CAST(2 AS DOUBLE)/3)").as("t2"))
-    scored.crossJoin(broadcast(th))
-      .withColumn("bucket",
-        when(col("bits_per_token") <= col("t1"), "head")
-          .when(col("bits_per_token") <= col("t2"), "middle")
-          .otherwise("tail"))
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.TrainingOps
+      .perplexityBuckets(lmScore(spark, sfDir), "bits_per_token")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         round(avg(col("bits_per_token")), 4).as("avg_bits"))
       .orderBy(col("bucket"))
-  }
 
   /** The END-TO-END ingestion pipeline as ONE composed query — what a
     * training-data run actually executes, each stage already gated

@@ -63,6 +63,62 @@ object TrainingOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
   }
 
+  /** Cross-document repeated-substring coverage (Lee et al. 2022):
+    * per document, its distinct `n`-token windows and how many of
+    * them occur in at least one OTHER document. Windows shuffle as
+    * md5 digests (16 B), never raw text. Returns (idCol, n_windows,
+    * n_shared) for documents with ≥ 1 shared window.
+    */
+  def substringCoverage(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8): DataFrame = {
+    val wnd = docs
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.wordNgramsFast(n)(col(textCol)))).as("w0"))
+      .select(col(idCol), md5(col("w0")).as("w"))
+    val shared = wnd.groupBy(col("w"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("w"))
+    val perDoc = wnd.groupBy(col(idCol)).agg(count(lit(1)).as("n_windows"))
+    val sharedPerDoc = wnd.join(shared, "w")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    perDoc.join(sharedPerDoc, Seq(idCol))
+  }
+
+  /** Unigram LM surprisal (the CCNet/KenLM signal at unigram order):
+    * per document, token count and mean −log2 p(token) under the
+    * corpus unigram distribution, rounded to 4 dp. One explode +
+    * count builds the vocabulary-sized frequency table; one equi-join
+    * scores occurrences; the 1-row total broadcasts.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
+    val total = freq.agg(sum(col("n_w")).cast("double").as("total"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(2.0, col("total")) - log(2.0, col("n_w"))), 4).as("bits_per_token"))
+  }
+
+  /** Head/middle/tail perplexity terciles over [[unigramSurprisal]]'s
+    * output — thresholds from two EXACT interpolated percentiles
+    * (one partial-aggregating reduce, broadcast back), bucketing as a
+    * projection. Never a global ntile: one window partition over the
+    * corpus is the scale hazard this shape exists to avoid.
+    */
+  def perplexityBuckets(scored: DataFrame, bitsCol: String): DataFrame = {
+    val th = scored.agg(
+      expr(s"percentile($bitsCol, CAST(1 AS DOUBLE)/3)").as("t1"),
+      expr(s"percentile($bitsCol, CAST(2 AS DOUBLE)/3)").as("t2"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col(bitsCol) <= col("t1"), "head")
+          .when(col(bitsCol) <= col("t2"), "middle")
+          .otherwise("tail"))
+  }
+
   /** Domain-mixture weights: per stratum, token counts, corpus share,
     * and the uniform-rebalance sampling weight min(1, min_stratum /
     * stratum) — apply the weight and every stratum contributes equal
