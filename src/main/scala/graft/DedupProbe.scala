@@ -63,6 +63,15 @@ object DedupProbe {
         corpus.withColumn("shard", expr("doc_id div 100000")),
         "doc_id", "text", Seq(col("source"), col("shard"))).count()
     }
+    // every doc has 9 exact copies, so EVERY 8-token window is shared:
+    // the md5-digest window table faces its worst case (full corpus in
+    // both the shared-set agg and the coverage join)
+    time("substring coverage (8-token md5 windows, countDistinct >= 2)") {
+      TrainingOps.substringCoverage(corpus, "doc_id", "text").count()
+    }
+    time("unigram surprisal (freq join + per-doc mean)") {
+      TrainingOps.unigramSurprisal(corpus, "doc_id", "text").count()
+    }
     spark.stop()
   }
 }
