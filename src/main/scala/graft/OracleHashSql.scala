@@ -554,6 +554,25 @@ object OracleHashSql {
        |  ROUND(SUM(kept) / CAST(count(*) AS DOUBLE), 4) AS kept_rate
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- mix_resample -----------------------------------------------
+  // mixture weights as integer keep-thresholds (round half-up on both
+  // engines), applied via the same re-signed splitmix64 floorMod
+  private def mixResampleSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    len(string_split_regex(trim(text), ' +'))::BIGINT AS n_tok FROM documents),
+       |per AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens FROM d GROUP BY lang),
+       |mt AS (SELECT MIN(lang_tokens) AS min_tokens FROM per),
+       |wt AS (SELECT lang, LEAST(10000, CAST(ROUND(min_tokens * 10000.0 / lang_tokens) AS BIGINT)) AS thr
+       |       FROM per, mt),
+       |h0 AS (SELECT d.doc_id, d.lang, d.n_tok, w.thr,
+       |    (${smix("doc_id::HUGEINT")})::HUGEINT AS h
+       |  FROM d JOIN wt w USING (lang)),
+       |kept AS (SELECT doc_id, lang, n_tok FROM h0
+       |  WHERE ((((h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) % 10000) + 10000) % 10000) < thr)
+       |SELECT lang, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- pipeline_survivors -----------------------------------------
   // The composed ingestion pipeline: training split → quality gate
   // (quality_gate's exact expressions) → keep-first per md5(text) →
@@ -592,6 +611,7 @@ object OracleHashSql {
     "fingerprint_winnow" -> fingerprintWinnowSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pipeline_survivors" -> pipelineSurvivorsSql,
+    "mix_resample" -> mixResampleSql,
     "embed_knn_text" -> embedKnnTextSql,
     "rag_chunk_search" -> ragChunkSearchSql,
     "dedup_simhash" -> dedupSimhashSql,

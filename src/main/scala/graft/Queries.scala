@@ -1056,6 +1056,33 @@ object Queries {
       .unigramSurprisal(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** The mixing decision APPLIED: [[mixWeights]] computes the
+    * uniform-rebalance weights; this query samples BY them —
+    * per-language keep threshold round(min_tokens·10000/lang_tokens)
+    * against splitmix64(doc_id) mod 10000 — and reports the surviving
+    * per-language volume (which lands near min_tokens for every
+    * language, the point of the rebalance). Same RNG-free
+    * reproducibility contract as [[sampleStratified]]; the id-sum
+    * checksum makes the gate sensitive to WHICH docs survive. Plan:
+    * two aggregates + a broadcast threshold join + a projection —
+    * nothing here grows super-linearly with corpus size.
+    */
+  def mixResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("n_tok", TextFunctions.tokenCount(col("text")).cast("long"))
+    val per = docs.groupBy(col("lang")).agg(sum(col("n_tok")).as("lang_tokens"))
+    val minT = per.agg(min(col("lang_tokens")).as("min_tokens"))
+    val thresholds = per.crossJoin(broadcast(minT))
+      .select(col("lang"), least(lit(10000L),
+        round(col("min_tokens") * lit(10000.0) / col("lang_tokens")).cast("long")).as("thr"))
+    docs.join(broadcast(thresholds), "lang")
+      .where(TextFunctions.samplingBucket(10000)(col("doc_id")) < col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("doc_id")).as("kept_id_sum"))
+      .orderBy(col("lang"))
+  }
+
   /** CCNet-style perplexity bucketing: split the corpus into
     * head/middle/tail terciles of unigram surprisal ([[lmScore]]) and
     * report per-bucket volume — the table the "train on head, sample
@@ -1615,6 +1642,7 @@ object Queries {
     "lm_score" -> (lmScore _),
     "dedup_substring" -> (dedupSubstring _),
     "perplexity_buckets" -> (perplexityBuckets _),
+    "mix_resample" -> (mixResample _),
     "agg_distinct_users" -> (aggDistinctUsers _),
     "agg_sketches" -> (aggSketches _),
     "events_pivot" -> (eventsPivot _),

@@ -322,6 +322,33 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(rows(0)._4 < rows(1)._4 && rows(1)._4 < rows(2)._4)
   }
 
+  test("mix_resample equalizes per-language token volume near the minimum") {
+    def smix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val all = Tables.documents(spark, sfDir)
+      .select($"lang", $"doc_id", $"text").as[(String, Long, String)].collect()
+      .map { case (l, id, t) => (l, id, t.trim.split(" +").length.toLong) }
+    val perLang = all.groupBy(_._1).map { case (l, ds) => l -> ds.map(_._3).sum }
+    val minT = perLang.values.min
+    val expected = all.groupBy(_._1).map { case (l, ds) =>
+      val thr = math.min(10000L, math.round(minT * 10000.0 / perLang(l)))
+      val kept = ds.filter(d => java.lang.Math.floorMod(smix(d._2), 10000L) < thr)
+      l -> (kept.length.toLong, kept.map(_._3).sum, kept.map(_._2).sum)
+    }
+    val got = Queries.mixResample(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (l, n, tok, ids) => assert((n, tok, ids) == expected(l), s"lang $l") }
+    // the rebalance lands every language's surviving volume near the
+    // minimum (generous band: small strata sample noisily)
+    got.foreach { case (l, _, tok, _) =>
+      assert(tok >= minT / 2 && tok <= minT * 2, s"lang $l volume $tok vs target $minT") }
+  }
+
   test("mix_weights rebalances to the minority language") {
     val got = Queries.mixWeights(spark, sfDir)
       .select($"lang", $"n_tokens", $"weight").as[(String, Long, Double)].collect()
