@@ -456,8 +456,8 @@ object OracleHashSql {
        |ORDER BY s.s DESC, a.vec_id LIMIT 5""".stripMargin
   }
 
-  // ---- ann_recall_exact -------------------------------------------
-  // Full SQL replay of the recall harness for the replayable methods
+  // ---- ann_recall / ann_recall_exact ------------------------------
+  // Full SQL replay of the recall harness
   // (AnnEval.recallSinglePass with lsh(8,6,42)/mp1, ivf stride-53
   // nprobe-4, sq8; k=10, queries = corpus members vec_id % 25 == 0):
   // per-query per-method top-10 candidates ranked by the method's own
@@ -465,7 +465,37 @@ object OracleHashSql {
   // rounded (avg_recall, min_recall) table. Reuses the proven plane /
   // xxhash / scale CTE shapes of knn_lsh, ann_ivf and ann_sq,
   // generalized from the single vec-0 query to the 20-query set.
-  private def annRecallExactSql: String = {
+  //
+  // With `withPq`, the PQ method is replayed too: the k-means codebook
+  // is not recomputable in SQL, but it does not need to be — Verify
+  // inlines the TRAINED codebook (the same driver-side floats the
+  // engine broadcasts) via [[pqCodebookCte]] into the
+  // `__PQ_CODEBOOK_CTE__` placeholder, the constants-inlined pattern
+  // the LSH plane matrix already uses. DuckDB then replays encode
+  // (per sub-space argmin L2 over the inlined centroids, first-min
+  // tie-break = lowest code) and ADC scoring (per-query dot table,
+  // summed over sub-spaces) from the stored constants.
+  private def annRecallExactSql: String = recallHarnessSql(withPq = false)
+  private def annRecallSql: String = recallHarnessSql(withPq = true)
+
+  /** The `pqcb`(s, c, si, x) CTE for a TRAINED codebook — generated at
+    * Verify time (training needs Spark + the corpus; the SQL map is
+    * static) and substituted into [[annRecallSql]]'s placeholder.
+    * Floats print via Float.toString and round-trip through
+    * CAST(w AS FLOAT), the same exactness trick as the plane matrix.
+    */
+  def pqCodebookCte(cb: index.PqKnn.Codebooks): String = {
+    val parts = cb.cents.indices.map { s =>
+      val flat = cb.cents(s).flatten
+      val lit = flat.mkString("[", ",", "]")
+      s"""SELECT $s AS s, f // ${cb.subDim} AS c, (f % ${cb.subDim})::BIGINT AS si,
+         |      CAST(w AS FLOAT) AS x
+         |    FROM (SELECT unnest($lit) AS w, unnest(range(0, ${flat.length})) AS f)""".stripMargin
+    }
+    s"pqcb AS (${parts.mkString("\n  UNION ALL\n  ")})"
+  }
+
+  private def recallHarnessSql(withPq: Boolean): String = {
     val lsh = index.RandomHyperplaneLsh(8, 6, 42L)
     val flat = lsh.planes(64).flatten.flatten
     val flatLit = flat.mkString("[", ",", "]")
@@ -477,6 +507,35 @@ object OracleHashSql {
       s"""${name}_k AS (SELECT '$name' AS method, qid, id FROM (
          |    SELECT c.qid, c.id, row_number() OVER (PARTITION BY c.qid ORDER BY s.s DESC, c.id) AS rn
          |    FROM $cand c JOIN qscores s ON s.id = c.id AND s.qid = c.qid) WHERE rn <= 10)""".stripMargin
+    // PQ replay off the inlined codebook: vn's 1-based component index
+    // splits into (sub-space s, within-sub si); encode = per (vec, s)
+    // the argmin-L2 code (ORDER BY d, c == the engine's strict-< first-
+    // min); ADC = per (qid, s, c) dot of the query's normalized sub-
+    // vector with the centroid, summed over the vector's 8 codes.
+    val pqCtes = if (!withPq) "" else
+      s"""|__PQ_CODEBOOK_CTE__,
+         |pqsub AS (SELECT vec_id, (i - 1) // 8 AS s, (i - 1) % 8 AS si, CAST(x AS DOUBLE) AS x FROM vn),
+         |pqdist AS (SELECT v.vec_id, v.s, cb.c,
+         |    SUM((v.x - CAST(cb.x AS DOUBLE)) * (v.x - CAST(cb.x AS DOUBLE))) AS d
+         |  FROM pqsub v JOIN pqcb cb ON cb.s = v.s AND cb.si = v.si
+         |  GROUP BY v.vec_id, v.s, cb.c),
+         |pqcode AS MATERIALIZED (SELECT vec_id, s, c FROM (
+         |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+         |    FROM pqdist) WHERE rn = 1),
+         |pqadc AS (SELECT q.qid, cb.s, cb.c, SUM(v.x * CAST(cb.x AS DOUBLE)) AS t
+         |  FROM qset q JOIN pqsub v ON v.vec_id = q.qid
+         |  JOIN pqcb cb ON cb.s = v.s AND cb.si = v.si
+         |  GROUP BY q.qid, cb.s, cb.c),
+         |pq_scores AS (SELECT co.vec_id AS id, a.qid, SUM(a.t) AS s
+         |  FROM pqcode co JOIN pqadc a ON a.s = co.s AND a.c = co.c
+         |  GROUP BY 1, 2),
+         |pq_k AS (SELECT 'pq' AS method, qid, id FROM (
+         |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn FROM pq_scores)
+         |  WHERE rn <= 10),
+         |""".stripMargin.stripPrefix("|")
+    val pqUnion = if (withPq) " UNION ALL SELECT * FROM pq_k" else ""
+    val methodsLit =
+      if (withPq) "['ivf','lsh','lsh_mp','pq','sq']" else "['ivf','lsh','lsh_mp','sq']"
     s"""WITH $xxhCte,
        |$centsCte,
        |plvals AS (SELECT unnest($flatLit) AS w, unnest(range(0, ${flat.length})) AS f),
@@ -523,12 +582,12 @@ object OracleHashSql {
        |sq_k AS (SELECT 'sq' AS method, qid, id FROM (
        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn FROM sq_scores)
        |  WHERE rn <= 10),
-       |allm AS (SELECT * FROM lsh_k UNION ALL SELECT * FROM lsh_mp_k
-       |         UNION ALL SELECT * FROM ivf_k UNION ALL SELECT * FROM sq_k),
+       |${pqCtes}allm AS (SELECT * FROM lsh_k UNION ALL SELECT * FROM lsh_mp_k
+       |         UNION ALL SELECT * FROM ivf_k UNION ALL SELECT * FROM sq_k$pqUnion),
        |hits AS (SELECT m.method, m.qid, count(*) / 10.0 AS recall
        |         FROM allm m JOIN truth_k t ON t.qid = m.qid AND t.id = m.id GROUP BY m.method, m.qid),
        |grid AS (SELECT m.method, q.qid
-       |         FROM (SELECT unnest(['ivf','lsh','lsh_mp','sq']) AS method) m CROSS JOIN qset q),
+       |         FROM (SELECT unnest($methodsLit) AS method) m CROSS JOIN qset q),
        |per AS (SELECT g.method, g.qid, COALESCE(h.recall, 0.0) AS recall
        |        FROM grid g LEFT JOIN hits h ON h.method = g.method AND h.qid = g.qid)
        |SELECT method, 10 AS k, count(*) AS n_queries,
@@ -626,6 +685,9 @@ object OracleHashSql {
     "ann_sq" -> annSqSql,
     "ann_ivf" -> annIvfSql,
     "ann_recall_exact" -> annRecallExactSql,
+    // full-method replay incl. PQ; Verify inlines the trained codebook
+    // into __PQ_CODEBOOK_CTE__ before the SQL reaches DuckDB
+    "ann_recall" -> annRecallSql,
     // IVF-PQ with the exact-rerank tail is exactly the EXACT IVF
     // search over the same stride-53/nprobe-2 coarse quantizer
     // (PqKnn.searchIvfPqRefined; equivalence pinned in

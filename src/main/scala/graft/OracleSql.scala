@@ -6,12 +6,12 @@ package graft
   * columns by name and hash-compares values). Hash-family queries
   * (LSH/MinHash/SimHash/IVF replays) live in [[OracleHashSql]];
   * ann-family queries whose output is provably the brute top-k share
-  * `knn_brute`'s SQL by equivalence (see [[knnBruteSql]]). The one
-  * remaining rows-only query is ann_recall: its PQ method rides a
-  * k-means codebook that is not SQL-replayable. Every OTHER method of
-  * the same harness IS replayed end-to-end by ann_recall_exact
-  * (OracleHashSql) — the recall measurement itself is hash-checked
-  * there, and PQ's search path is exact-oracled via ann_pq.
+  * `knn_brute`'s SQL by equivalence (see [[knnBruteSql]]). ann_recall's
+  * PQ method rides a k-means codebook that is not SQL-RECOMPUTABLE,
+  * but it does not need to be: Verify inlines the TRAINED codebook
+  * into the SQL ([[Queries.oracleSubstitutions]]) and DuckDB replays
+  * encode + ADC from the stored constants — every gate query now has
+  * a full value-level oracle.
   */
 object OracleSql {
 

@@ -147,10 +147,11 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Recall@10 of the ANN backends (LSH, IVF) vs exact brute force on a
-    * 20-query member sample — one corpus pass per method. Rows-only
-    * check (the eval itself is the oracle: brute-as-method must be 1.0,
-    * asserted in tests).
+  /** Recall@10 of the ANN backends (LSH, IVF, PQ, SQ) vs exact brute
+    * force on a 20-query member sample — one corpus pass per method.
+    * Fully oracled: the replayable methods recompute from the parquet
+    * tables, and PQ replays ADC off the trained codebook that Verify
+    * inlines into the oracle SQL ([[oracleSubstitutions]]).
     */
   // PQ codebooks and SQ scales are BUILD ARTIFACTS of a corpus
   // snapshot (trained once, served from memory thereafter) — cached
@@ -158,6 +159,19 @@ object Queries {
   // recall evaluations bench the measurement, not the re-training
   private val pqTrainCache = new SessionCache[String, graft.index.PqKnn.Codebooks]
   private val sqScalesCache = new SessionCache[String, Array[Double]]
+
+  /** Runtime substitutions for oracle SQL placeholders — values only a
+    * live session can produce (trained constants the engine itself
+    * broadcasts). Verify applies these to [[SparkEntry.oracleSql]]
+    * before writing oracle_sql.json, keeping the dumped SQL fully
+    * self-contained for DuckDB.
+    */
+  def oracleSubstitutions(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb = pqTrainCache.getOrElseUpdate(spark, sfDir)(
+      graft.index.PqKnn.train(emb, col("vec_id"), col("embedding"), dim = 64))
+    Map("__PQ_CODEBOOK_CTE__" -> OracleHashSql.pqCodebookCte(cb))
+  }
 
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.index.AnnEval
@@ -1132,7 +1146,14 @@ object Queries {
     val contaminated = graft.pipeline.TrainingOps
       .decontaminate(docs, "doc_id", "text", isBenchmark = col("doc_id") % 50 === 0)
       .select(col("doc_id"))
-    val clean = deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // No broadcast hint: the contamination set is bounded by how much of
+    // the TRAINING corpus overlaps the benchmark, not by the (small)
+    // benchmark split — a heavily contaminated crawl slice can make it
+    // arbitrarily large. AQE broadcasts it while it fits under
+    // autoBroadcastJoinThreshold and falls back to a shuffled anti-join
+    // keyed by doc_id when it doesn't; a forced hint would remove that
+    // fallback and OOM the driver at 100 TB.
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
     val rate = when(col("lang") === "en", 25).otherwise(75)
     graft.pipeline.TrainingOps.stratifiedKept(clean, "doc_id", rate)
       .where(col("kept"))

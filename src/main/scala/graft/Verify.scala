@@ -35,8 +35,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Inline runtime-trained constants (the PQ codebook) into their
+    // oracle-SQL placeholders so the dumped SQL is self-contained.
+    val subs = Queries.oracleSubstitutions(spark, sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v0) =>
+        val v = subs.foldLeft(v0) { case (s, (p, r)) => s.replace(p, r) }
+        s"${q(k)}: ${q(v)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -38,6 +38,10 @@ object TrainingOps {
     * a pure function of the ids, reproducible across runs, partition
     * orders and cluster sizes. Returns the input plus a `kept`
     * boolean (filter or aggregate downstream as needed).
+    *
+    * RESERVED OUTPUT COLUMN: `kept` — a caller column of that name is
+    * overwritten (bring-your-own-schema API; rename before calling if
+    * you need to keep yours).
     */
   def stratifiedKept(docs: DataFrame, idCol: String, ratePct: Column): DataFrame =
     docs.withColumn("kept",
@@ -50,6 +54,9 @@ object TrainingOps {
     * id-range shard), or one big stratum serializes through a single
     * window partition. Output: per (shardCols..., bin_id) doc and
     * token counts.
+    *
+    * RESERVED OUTPUT/WORKING COLUMNS: `n_tokens`, `cum`, `bin_id`,
+    * `n_docs` — caller columns of those names are shadowed/overwritten.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     shardCols: Seq[Column], binTokens: Int = 512): DataFrame = {
@@ -71,35 +78,51 @@ object TrainingOps {
     */
   def substringCoverage(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 8): DataFrame = {
+    // Single pass over the corpus: tokenize+explode+md5 once, attach each
+    // window's distinct-doc count via a window function over the digest
+    // (rows are already distinct (id, w) pairs thanks to array_distinct,
+    // so count(*) == countDistinct(id)), then one aggregation per doc.
+    // One scan, one shuffle on w, one shuffle on id — the previous shape
+    // referenced the un-persisted windows DF three times and re-ran the
+    // most expensive projection in the tier on every reference.
     val wnd = docs
       .select(col(idCol),
         explode(array_distinct(TextFunctions.wordNgramsFast(n)(col(textCol)))).as("w0"))
       .select(col(idCol), md5(col("w0")).as("w"))
-    val shared = wnd.groupBy(col("w"))
-      .agg(countDistinct(col(idCol)).as("nd"))
-      .where(col("nd") >= 2)
-      .select(col("w"))
-    val perDoc = wnd.groupBy(col(idCol)).agg(count(lit(1)).as("n_windows"))
-    val sharedPerDoc = wnd.join(shared, "w")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
-    perDoc.join(sharedPerDoc, Seq(idCol))
+    wnd
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .where(col("n_shared") >= 1)
   }
 
   /** Unigram LM surprisal (the CCNet/KenLM signal at unigram order):
     * per document, token count and mean −log2 p(token) under the
-    * corpus unigram distribution, rounded to 4 dp. One explode +
-    * count builds the vocabulary-sized frequency table; one equi-join
-    * scores occurrences; the 1-row total broadcasts.
+    * corpus unigram distribution, rounded to 4 dp.
+    *
+    * Skew-safe join shape: occurrences are pre-aggregated to distinct
+    * (doc, tok) counts BEFORE anything is keyed by raw token, so the
+    * tok-keyed shuffle carries at most one row per document per token.
+    * Under a Zipfian vocabulary the posting for "the" is then bounded
+    * by the document count, not the corpus token count — the
+    * occurrence-keyed join it replaces concentrated the whole corpus'
+    * stopword mass into single straggler partitions at 100 TB. The
+    * per-doc mean is recovered exactly as the k-weighted average.
     */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
+    val perDocTok = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("k"))
+    val freq = perDocTok.groupBy(col("tok")).agg(sum(col("k")).as("n_w"))
     val total = freq.agg(sum(col("n_w")).cast("double").as("total"))
-    toks.join(freq, "tok")
+    perDocTok.join(freq, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(2.0, col("total")) - log(2.0, col("n_w"))), 4).as("bits_per_token"))
+      .agg(sum(col("k")).as("n_tokens"),
+        round(
+          sum(col("k").cast("double") * (log(2.0, col("total")) - log(2.0, col("n_w"))))
+            / sum(col("k")).cast("double"), 4).as("bits_per_token"))
   }
 
   /** Head/middle/tail perplexity terciles over [[unigramSurprisal]]'s
