@@ -526,11 +526,19 @@ object Queries {
   private def runReplayToSink(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, tag: String,
       transform: DataFrame => DataFrame,
-      present: DataFrame => DataFrame): DataFrame = {
+      present: DataFrame => DataFrame,
+      filesPerTrigger: Int = 1): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory(s"graft_${tag}_stream_run_").toFile
     val outDir = s"${base.getAbsolutePath}/out"; val ckDir = s"${base.getAbsolutePath}/ck"
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    // filesPerTrigger <= 0 → no cap: the whole replay arrives in ONE
+    // micro-batch. Only valid for stateless/no-watermark transforms
+    // (a watermarked agg would never see a batch AFTER the sentinel
+    // and so never release its windows); the stateful gates keep the
+    // 1-file replay their semantics depend on.
+    val reader0 = spark.readStream.schema(schema)
+    val reader = if (filesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", filesPerTrigger) else reader0
+    val stream = reader.parquet(inDir)
     val q = transform(stream)
       .writeStream.outputMode("append").format("parquet")
       .option("path", outDir).option("checkpointLocation", ckDir)
@@ -636,7 +644,11 @@ object Queries {
         .where(col("event_type") =!= "sentinel")
         .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
-        .orderBy(col("segment")))
+        .orderBy(col("segment")),
+      // stateless stream-static join, no watermark: per-batch results
+      // are independent, so one big micro-batch is semantically
+      // identical to N small ones — skip the per-file trigger cycles
+      filesPerTrigger = 0)
   }
 
   /** Custom keyed state through the gate: the events replay runs the
@@ -734,10 +746,13 @@ object Queries {
     * per-user rollup must land on the identical table as the
     * lag/cumsum window formulation ([[eventsSessionize]]) and the
     * flatMapGroupsWithState streaming twin — three implementations,
-    * one oracle. (Convention note: session_window treats an event at
-    * exactly gap distance as a NEW session where the lag form merges
-    * it; no fixture pair sits on the boundary, and sub-second jitter
-    * makes exact 1800.000000000 s gaps measure-zero in real data.)
+    * one oracle. (Convention note: all three — and the oracle — MERGE
+    * an event at exactly gap distance into the running session;
+    * session_window unions windows inclusively (next_start <=
+    * prev_end), matching the lag form's strict `> 1800` split
+    * predicate. sf0.1 contains a real exactly-1800s gap, so the
+    * agreement is load-bearing — pinned by the boundary test in
+    * SessionStreamingSpec.)
     */
   def eventsSessionWindowNative(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -880,6 +895,12 @@ object Queries {
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_s",
         when(col("prev_ts").isNull ||
+          // strict > : an event at EXACTLY gap distance MERGES into the
+          // running session — empirically session_window's convention
+          // too (its windows union when next_start <= prev_end,
+          // inclusive). sf0.1 contains a real exactly-1800s gap, so the
+          // agreement is load-bearing and pinned in
+          // SessionStreamingSpec's boundary test.
           (col("ts").cast("double") - col("prev_ts").cast("double")) > 1800.0, 1).otherwise(0))
       .withColumn("sid", sum(col("new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

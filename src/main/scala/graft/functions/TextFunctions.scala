@@ -30,20 +30,17 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Single-pass shingling UDF — semantically identical to
-    * [[wordNgrams]] (same trim/split) but tokenizes once per document.
-    * The pure-Column version re-evaluates the regex split for every
-    * element_at reference inside the transform lambda (measured ~20× on
-    * the shingle-table build), so dedup hot paths use this one.
+  /** Single-pass shingling — semantically identical to [[wordNgrams]]
+    * (same trim/split) but tokenizes once per document. The pure-Column
+    * version re-evaluates the regex split for every element_at
+    * reference inside the transform lambda (measured ~20× on the
+    * shingle-table build); the former Scala-UDF form paid a per-row
+    * Catalyst↔Scala conversion. Now a native codegen'd Expression
+    * ([[graft.expressions.WordNgrams]]) — the dedup hot path stays
+    * entirely inside WholeStageCodegen.
     */
-  def wordNgramsFast(n: Int) = udf { (text: String) =>
-    if (text == null) Array.empty[String]
-    else {
-      val toks = text.trim.split(" +")
-      if (toks.length < n) Array.empty[String]
-      else toks.sliding(n).map(_.mkString(" ")).toArray
-    }
-  }
+  def wordNgramsFast(n: Int): Column => Column =
+    graft.expressions.WordNgrams.ngrams(n)
 
   /** Count of tokens that appear in a fixed dictionary. */
   def dictHits(text: Column, dict: Seq[String]): Column =

@@ -110,6 +110,10 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               buf match {
+                // inclusive <=: an event at EXACTLY gap distance merges
+                // into the running session — session_window's observed
+                // convention, shared by the batch lag form and the
+                // DuckDB oracle (pinned in SessionStreamingSpec)
                 case Some(b) if t - b.end <= gapMillis =>
                   buf = Some(SessionBuf(b.start, math.max(b.end, t), b.n + 1, b.sum + e.value))
                 case Some(b) =>

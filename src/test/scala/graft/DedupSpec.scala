@@ -211,4 +211,40 @@ class DedupSpec extends AnyFunSuite {
       .as[Seq[String]].head()
     assert(short.isEmpty)
   }
+
+  test("wordNgramsFast is a codegen Expression: no ScalaUDF in the plan, null -> empty") {
+    // the shingle build must stay inside WholeStageCodegen — the whole
+    // point of promoting the UDF to a native Expression (asserted over
+    // a parquet scan; a local relation folds to LocalTableScan)
+    val scanPlan = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(TextFunctions.wordNgramsFast(2)(col("text")).as("g"))
+      .queryExecution.executedPlan
+    assert(!scanPlan.toString.contains("ScalaUDF"))
+    assert(scanPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+    val df = Seq((0L, "a b c d"), (1L, null: String)).toDF("id", "text")
+      .select(col("id"), TextFunctions.wordNgramsFast(2)(col("text")).as("g"))
+    val rows = df.orderBy(col("id")).as[(Long, Seq[String])].collect()
+    assert(rows(0)._2 == Seq("a b", "b c", "c d"))
+    assert(rows(1)._2.isEmpty) // null doc -> EMPTY array (UDF contract kept)
+    // interpreted eval path (codegen off) agrees with the generated one
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+                "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = Seq((0L, "a b c d"), (1L, null: String)).toDF("id", "text")
+        .select(col("id"), TextFunctions.wordNgramsFast(2)(col("text")).as("g"))
+        .orderBy(col("id")).as[(Long, Seq[String])].collect()
+      assert(interp.toSeq == rows.toSeq)
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

@@ -149,4 +149,59 @@ class SessionStreamingSpec extends AnyFunSuite {
       assert(rows.contains((7L, 2L, 3.0)), s"got $rows") // first session closed
     } finally q.stop()
   }
+
+  test("all sessionize forms agree AT the exact 30-min boundary (merge, not split)") {
+    // An event at EXACTLY gap distance MERGES into the running session
+    // in every implementation. Establishing this empirically mattered:
+    // the built-in session_window unions windows INCLUSIVELY
+    // (next_start <= prev_end yields one session for a 1800s gap),
+    // which matches the batch lag form's strict `> 1800` split
+    // predicate and the fMGWS sessionizer's `<= gap` merge. This is
+    // not hypothetical: sf0.1 contains a real exactly-1800s same-user
+    // gap, so a convention mismatch silently diverges the three gate
+    // queries there.
+    val boundary = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), 7L, "click", 2.0), // gap == 1800 s
+      (3L, Timestamp.valueOf("2024-01-01 10:40:00"), 7L, "click", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // batch lag/cumsum form (the eventsSessionize shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagSessions = boundary
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", when(col("prev_ts").isNull ||
+        (col("ts").cast("double") - col("prev_ts").cast("double")) > 1800.0, 1).otherwise(0))
+      .agg(sum(col("new_s"))).as[Long].head()
+    assert(lagSessions == 1L, "lag form must MERGE at gap == 1800s")
+    // built-in session_window
+    val native = boundary
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count().count()
+    assert(native == 1L, "session_window must merge at gap == 1800s")
+    // fMGWS streaming sessionizer
+    val mem = MemoryStream[Event](spark)
+    mem.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 10:30:00"), 7, "click", 2.0),
+      Event(3, Timestamp.valueOf("2024-01-01 10:40:00"), 7, "click", 3.0))
+    val q = EventStreams.sessionize(spark, mem.toDS())
+      .writeStream.format("memory").queryName("boundary_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(4, Timestamp.valueOf("2024-01-02 10:00:00"), 8, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("boundary_sessions")
+        .where(col("user_id") === 7).count()
+      assert(streamed == 1L, "fMGWS sessionizer must merge at gap == 1800s")
+    } finally q.stop()
+    // and the real corpus: batch form == native built-in at sf0.1,
+    // WHERE the exactly-1800s gap actually occurs
+    val sfDir = "/root/testdata/sf0.1"
+    if (new java.io.File(s"$sfDir/events.parquet").exists()) {
+      val a = Queries.eventsSessionize(spark, sfDir).collect().toSeq
+      val b = Queries.eventsSessionWindowNative(spark, sfDir).collect().toSeq
+      assert(a == b, "batch lag form and session_window diverge on sf0.1")
+    }
+  }
 }
