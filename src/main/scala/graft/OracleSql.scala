@@ -197,9 +197,11 @@ object OracleSql {
     // closed sessions must land on the identical session table as the
     // batch lag/cumsum sessionization...
     "events_sessionize_stream" -> eventsSessionizeSql,
-    // ...and so must the built-in session_window formulation — three
-    // independent implementations share one oracle
+    // ...and so must the built-in session_window formulation — and the
+    // same operator RUN AS A STREAM (native session-merging state
+    // store, append mode): four independent implementations, one oracle
     "events_session_window_native" -> eventsSessionizeSql,
+    "events_session_window_stream" -> eventsSessionizeSql,
 
     // the update-mode upsert sink's final (hour, type) table must
     // equal the plain batch hourly aggregate — keyed last-write-wins

@@ -4,7 +4,10 @@ import graft.dedup.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch instrumentation main for stage-level timing. */
+/** Scratch instrumentation main for stage-level timing.
+  * Usage: runMain graft.Probe [queryName ...] — with args, times the
+  * named gate queries (3 runs each) instead of the minhash stages.
+  */
 object Probe {
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
@@ -14,23 +17,33 @@ object Probe {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Tables.documents(spark, sfDir)
-    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3).cache()
-    time("shingles")(sh.count())
-    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").cache()
-    time("signatures")(sigs.count())
-    val cands = Dedup.minhashCandidatePairs(sigs).cache()
-    time("candidates")(cands.count())
-    val verified = Dedup.verifyJaccard(sh, cands)
-    time("verify")(verified.where(col("jaccard") >= 0.5).count())
+    if (args.nonEmpty) {
+      args.foreach { name =>
+        (1 to 3).foreach { i =>
+          time(s"$name run$i")(Queries.all(name)(spark, sfDir).count())
+        }
+      }
+    } else {
+      val docs = Tables.documents(spark, sfDir)
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", 3).cache()
+      time("shingles")(sh.count())
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").cache()
+      time("signatures")(sigs.count())
+      val cands = Dedup.minhashCandidatePairs(sigs).cache()
+      time("candidates")(cands.count())
+      val verified = Dedup.verifyJaccard(sh, cands)
+      time("verify")(verified.where(col("jaccard") >= 0.5).count())
+    }
     spark.stop()
   }
 }

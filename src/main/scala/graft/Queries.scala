@@ -539,14 +539,26 @@ object Queries {
     val reader = if (filesPerTrigger > 0)
       reader0.option("maxFilesPerTrigger", filesPerTrigger) else reader0
     val stream = reader.parquet(inDir)
-    val q = transform(stream)
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckDir)
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
-    val result = present(spark.read.parquet(outDir))
-    val rows = result.collect()
-    val out = spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    // The gates' state is tiny (hundreds of users / window keys), so a
+    // 32-partition state store is pure per-task overhead: each
+    // micro-batch pays 32 state-store open/commit cycles to move a few
+    // hundred rows. Run the stream's shuffles at 8 partitions (the
+    // checkpoint is per-call, so the choice never conflicts with a
+    // prior run's state layout) and restore the session's setting
+    // after. At production scale this knob is sized to state volume,
+    // not set globally.
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val out = try {
+      val q = transform(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      val result = present(spark.read.parquet(outDir))
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     rmTree(base)
     out
   }
@@ -683,6 +695,36 @@ object Queries {
         .orderBy(col("user_id")))
   }
 
+  /** The built-in session_window operator RUN AS A STREAM — the
+    * fourth sessionization formulation and the one that exercises
+    * Spark's native session-merging state store (sessions split
+    * across micro-batches must merge inside the state store, the
+    * machinery [[eventsSessionizeStream]]'s hand-rolled fMGWS buffer
+    * implements manually). Append mode: a (user, session) row reaches
+    * the sink once the watermark passes the session's end, which the
+    * sentinel micro-batch guarantees for every real session
+    * (session_end + gap ≤ max_ts + 30 min; watermark after the
+    * sentinel batch = max_ts + 2 h). The per-user rollup shares
+    * [[eventsSessionize]]'s exact DuckDB oracle with the other three
+    * formulations — four implementations, one oracle.
+    */
+  def eventsSessionWindowStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    if (ev.isEmpty)
+      return ev.limit(0).select(col("user_id"),
+        lit(0L).as("n_sessions"), lit(0L).as("n_events"))
+    runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "sesswin",
+      stream => stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events")),
+      sink => sink
+        .where(col("user_id") >= 0) // the sentinel's own session never closes anyway
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id")))
+  }
+
   /** UPDATE-mode streaming through the gate — the
     * continuous-dashboard pattern, and the output mode the four
     * append-mode gates don't cover: the events replay runs the
@@ -717,17 +759,23 @@ object Queries {
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-    val q = agg.writeStream.outputMode("update")
-      .option("checkpointLocation", ckDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // runs on the driver; `batch` holds only the keys whose
-        // aggregate CHANGED this micro-batch (bounded by windows×types)
-        batch.collect().foreach { r =>
-          store.put((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))
+    // same tiny-state reasoning as runReplayToSink: hour×type keys
+    // number in the thousands, so 8 state partitions beat 32
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // runs on the driver; `batch` holds only the keys whose
+          // aggregate CHANGED this micro-batch (bounded by windows×types)
+          batch.collect().foreach { r =>
+            store.put((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))
+          }
         }
-      }
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     rmTree(base)
     import scala.jdk.CollectionConverters._
     val rows = store.asScala.toSeq
@@ -1129,13 +1177,31 @@ object Queries {
     * itself uses, scalable and exactly replayable (percentile ==
     * quantile_cont, parity proven by lineitem_quantiles).
     */
-  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame =
+  /** The scored table is computed ONCE and persisted per (session,
+    * dataset): bucketing inherently reads the scores twice (the
+    * threshold reduce, then the bucket projection), and without the
+    * persist each read re-runs the whole surprisal DAG — the corpus
+    * scored twice per call, which is exactly the duplicated-scan shape
+    * CCNet's score-then-bucket split exists to avoid. Same
+    * build-artifact reasoning (and cache) as [[dedupComponents]]:
+    * score once, bucket/consume many times.
+    */
+  private val lmScoredCache = new SessionCache[String, DataFrame]
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = lmScoredCache.getOrElseUpdate(spark, sfDir) {
+      val df = graft.pipeline.TrainingOps
+        .unigramSurprisal(Tables.documents(spark, sfDir), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize so both downstream reads hit the cache
+      df
+    }
     graft.pipeline.TrainingOps
-      .perplexityBuckets(lmScore(spark, sfDir), "bits_per_token")
+      .perplexityBuckets(scored, "bits_per_token")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         round(avg(col("bits_per_token")), 4).as("avg_bits"))
       .orderBy(col("bucket"))
+  }
 
   /** The END-TO-END ingestion pipeline as ONE composed query — what a
     * training-data run actually executes, each stage already gated
@@ -1676,6 +1742,7 @@ object Queries {
     "events_sessionize_stream" -> (eventsSessionizeStream _),
     "events_hourly_upsert_stream" -> (eventsHourlyUpsertStream _),
     "events_session_window_native" -> (eventsSessionWindowNative _),
+    "events_session_window_stream" -> (eventsSessionWindowStream _),
     "decontaminate_ngram" -> (decontaminateNgram _),
     "sample_stratified" -> (sampleStratified _),
     "pack_sequences" -> (packSequences _),

@@ -46,6 +46,15 @@ object TextFunctions {
   def dictHits(text: Column, dict: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(dict)))
 
+  /** [[dictHits]] over an ALREADY-TOKENIZED array column — callers
+    * that probe several dictionaries (language ID) tokenize once and
+    * reuse the array instead of re-running the regex split per
+    * dictionary (higher-order lambdas block subexpression
+    * elimination, so the shared-subtree dedup must be explicit).
+    */
+  def dictHitsArr(toks: Column, dict: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(dict)))
+
   private val langDicts: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "is", "and", "of", "to"),
     "de" -> Seq("der", "und", "ist", "die", "das"),
@@ -55,10 +64,20 @@ object TextFunctions {
 
   /** Heuristic language ID: argmax of per-language stopword hits, ties
     * broken by dictionary order above; "und" (undetermined) when no
-    * dictionary matches at all.
+    * dictionary matches at all. Tokenizes once per row (the per-dict
+    * probes run over a shared array bound by a higher-order transform,
+    * not five independent regex splits).
     */
-  def langId(text: Column): Column = {
-    val hits = langDicts.map { case (lang, dict) => lang -> dictHits(text, dict) }
+  def langId(text: Column): Column =
+    // bind the token array once via a single-element transform so the
+    // split genuinely evaluates once per row — five filter lambdas
+    // over the same subtree would otherwise each re-run it (lambda
+    // bodies are excluded from codegen subexpression elimination)
+    element_at(transform(array(tokens(text)), ts => langIdFromTokens(ts)), 1)
+
+  /** [[langId]] over an ALREADY-TOKENIZED array column. */
+  def langIdFromTokens(toks: Column): Column = {
+    val hits = langDicts.map { case (lang, dict) => lang -> dictHitsArr(toks, dict) }
     val maxHits = greatest(hits.map(_._2): _*)
     val firstArgmax = hits.foldRight(lit("und")) { case ((lang, h), acc) =>
       when(h === maxHits, lit(lang)).otherwise(acc)

@@ -113,6 +113,21 @@ object GraftProperties extends Properties("graft") {
       sigs(0L) == sigs(1L) && (sigs(0L) == sigs(2L)) == sameShingles
     }
 
+  property("WordNgrams expression == plain-Scala sliding shingles on arbitrary text") =
+    Prop.forAll(
+      Gen.listOfN(14, Gen.oneOf("a", "bb", "ccc", " ", "  ", "\t", "d e")).map(_.mkString(" ")),
+      Gen.choose(1, 4)) { (text, n) =>
+      // independent reference: the UDF body the expression replaced
+      val toks = text.trim.split(" +")
+      val expected: Seq[String] =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(graft.expressions.WordNgrams.ngrams(n)(col("text")).as("g"))
+        .as[Seq[String]].head()
+      got == expected
+    }
+
   property("SQ8 per-component reconstruction error is within half a quantization step") =
     Prop.forAll(dimGen.flatMap(d => vecGen(d))) { v =>
       val vn = VectorFunctions.l2NormalizeArr(v)

@@ -136,6 +136,15 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(native == batch && native.nonEmpty)
   }
 
+  test("session_window STREAMED (native merging state store) equals the batch table") {
+    val batch = Queries.eventsSessionize(spark, sfDir)
+      .select($"user_id", $"n_sessions", $"n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    val streamed = Queries.eventsSessionWindowStream(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("update-mode upsert sink converges to the batch hourly aggregate") {
     val batch = Queries.eventsHourly(spark, sfDir).collect().toSeq
     val upserted = Queries.eventsHourlyUpsertStream(spark, sfDir).collect().toSeq
