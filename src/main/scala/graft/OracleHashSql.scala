@@ -484,6 +484,52 @@ object OracleHashSql {
     * Floats print via Float.toString and round-trip through
     * CAST(w AS FLOAT), the same exactness trick as the plane matrix.
     */
+  /** cluster_balance's trained k-means centroids as a `kc(cid, i, c)`
+    * CTE (1-based component index, matching `generate_subscripts`) —
+    * inlined by Verify into `__KMEANS_CENTROIDS_CTE__`, the same
+    * constants pattern as [[pqCodebookCte]]. Doubles print in Scala's
+    * shortest round-trip form, which DuckDB parses back bit-exactly.
+    */
+  def kmeansCentroidsCte(centers: Array[Array[Double]]): String = {
+    val dim = centers.head.length
+    val flat = centers.flatten
+    val lit = flat.mkString("[", ",", "]")
+    s"""kc AS (SELECT f // $dim AS cid, (f % $dim)::BIGINT + 1 AS i, CAST(w AS DOUBLE) AS c
+       |       FROM (SELECT unnest($lit) AS w, unnest(range(0, ${flat.length})) AS f))""".stripMargin
+  }
+
+  // ---- cluster_balance --------------------------------------------
+  // TrainingOps.clusterBalance over the inlined trained centroids:
+  // argmin squared-L2 over RAW (un-normalized) components with the
+  // engine's (dist, cid) struct-min first-min tie-break, uniform
+  // target total//8, integer floor-div percent rate clamped at 100,
+  // keep iff re-signed splitmix64(vec_id) floorMod 100 < rate.
+  private def clusterBalanceSql: String =
+    s"""WITH __KMEANS_CENTROIDS_CTE__,
+       |$corpusCte,
+       |comps AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1)::BIGINT AS i FROM corpus),
+       |dist AS (SELECT v.vec_id, k.cid,
+       |    SUM((CAST(v.x AS DOUBLE) - k.c) * (CAST(v.x AS DOUBLE) - k.c)) AS d
+       |  FROM comps v JOIN kc k ON k.i = v.i GROUP BY v.vec_id, k.cid),
+       |asg AS (SELECT vec_id, cid AS cluster_id FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dist)
+       |  WHERE rn = 1),
+       |sizes AS (SELECT cluster_id, count(*) AS n_vecs FROM asg GROUP BY cluster_id),
+       |tot AS (SELECT SUM(n_vecs) AS total FROM sizes),
+       |rates AS (SELECT cluster_id, n_vecs,
+       |    CAST(LEAST(100, (100 * (total // 8)) // n_vecs) AS BIGINT) AS rate_pct
+       |  FROM sizes CROSS JOIN tot),
+       |h0 AS (SELECT vec_id, cluster_id, (${smix("vec_id::HUGEINT")})::HUGEINT AS h FROM asg),
+       |k AS (SELECT vec_id, cluster_id,
+       |    ((((h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) % 100) + 100) % 100) AS bucket
+       |  FROM h0)
+       |SELECT r.cluster_id, r.n_vecs, r.rate_pct,
+       |  CAST(SUM(CASE WHEN k.bucket < r.rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN k.bucket < r.rate_pct THEN k.vec_id END) AS BIGINT) AS kept_id_sum
+       |FROM k JOIN rates r USING (cluster_id)
+       |GROUP BY r.cluster_id, r.n_vecs, r.rate_pct
+       |ORDER BY r.cluster_id""".stripMargin
+
   def pqCodebookCte(cb: index.PqKnn.Codebooks): String = {
     val parts = cb.cents.indices.map { s =>
       val flat = cb.cents(s).flatten
@@ -693,5 +739,8 @@ object OracleHashSql {
     // (PqKnn.searchIvfPqRefined; equivalence pinned in
     // AnnEquivalenceSpec) — one replay oracle serves both
     "ann_ivfpq" -> annIvfSql,
+    // trained-constants replay; Verify inlines the fitted centroids
+    // into __KMEANS_CENTROIDS_CTE__ before the SQL reaches DuckDB
+    "cluster_balance" -> clusterBalanceSql,
   )
 }

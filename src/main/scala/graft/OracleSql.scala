@@ -15,6 +15,16 @@ package graft
   */
 object OracleSql {
 
+  private val decontaminateSql =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+      |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM toks WHERE len(t) >= 4),
+      |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram FROM pos),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+      |SELECT g.doc_id, count(*) AS n_hits
+      |FROM g JOIN bench USING (gram)
+      |WHERE g.doc_id % 50 != 0
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   private val eventsSlidingSql =
     """WITH w AS (SELECT event_type, value,
       |  date_trunc('hour', ts) + to_minutes(30 * CAST(floor(extract('minute' FROM ts) / 30) AS INT)) AS w0
@@ -159,8 +169,8 @@ object OracleSql {
         |ORDER BY e.event_id""".stripMargin,
 
     "lineitem_quantiles" ->
-      """SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95, count(*) AS n
+      """SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_rollup" ->
@@ -250,15 +260,27 @@ object OracleSql {
     // word 4-grams per doc (distinct within doc), benchmark split =
     // doc_id % 50 == 0; a training doc's n_hits counts its distinct
     // grams that appear anywhere in the benchmark split
-    "decontaminate_ngram" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
-        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM toks WHERE len(t) >= 4),
-        |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram FROM pos),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
-        |SELECT g.doc_id, count(*) AS n_hits
-        |FROM g JOIN bench USING (gram)
-        |WHERE g.doc_id % 50 != 0
-        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "decontaminate_ngram" -> decontaminateSql,
+    // the Bloom-prefiltered engine path is exact-equivalent by
+    // construction (the verify join removes every false positive), so
+    // it shares the full value oracle verbatim
+    "decontaminate_bloom" -> decontaminateSql,
+
+    // TF-IDF smooth-idf top-3 terms per doc: score = tf * (ln((N+1)/
+    // (df+1)) + 1) rounded to 4 dp, ranked by (score desc, term) —
+    // df counts distinct docs per term, N counts all documents
+    "tfidf_top_terms" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk WHERE len(term) > 0 GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |    ROUND(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0), 4) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS term_rank FROM s)
+        |SELECT doc_id, term_rank, term, tf, df, score
+        |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
 
     // concat-then-chunk packing: running token total per (source,
     // 100k-doc id-range shard) in doc_id order, a doc lands in the

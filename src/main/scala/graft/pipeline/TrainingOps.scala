@@ -142,6 +142,114 @@ object TrainingOps {
           .otherwise("tail"))
   }
 
+  /** [[decontaminate]] behind a Bloom-filter prefilter — the shape that
+    * survives a benchmark gram set too large to broadcast raw. The
+    * sketch is built with one `stat.bloomFilter` pass (treeAggregate;
+    * ~1.2 bytes/gram at 1% FPP vs tens of bytes for the string set),
+    * every training-side gram is pre-screened against the broadcast
+    * sketch BEFORE anything shuffles, and the surviving ~fpp fraction
+    * plus true hits goes through an exact semi-join that removes the
+    * false positives — so the output is bit-identical to
+    * [[decontaminate]] (the gate shares decontaminate_ngram's oracle).
+    * The screen is a Scala UDF by necessity: Spark's own
+    * BloomFilterMightContain expression is internal (used by
+    * InjectRuntimeFilter), not public API — and the UDF sits on the
+    * already-exploded gram stream where it DELETES the downstream
+    * shuffle rather than sitting inside one.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         isBenchmark: Column, n: Int = 4,
+                         expectedGrams: Long = 1L << 20,
+                         fpp: Double = 0.01): DataFrame = {
+    val grams = array_distinct(TextFunctions.wordNgramsFast(n)(col(textCol)))
+    val bench = docs.where(isBenchmark)
+      .select(explode(grams).as("gram")).distinct()
+    val bloom = bench.stat.bloomFilter("gram", expectedGrams, fpp)
+    val bb = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf { (g: String) => g != null && bb.value.mightContain(g) }
+    docs.where(!isBenchmark)
+      .select(col(idCol), explode(grams).as("gram"))
+      .where(mightContain(col("gram")))
+      // exact verify on the bloom survivors only — no broadcast hint;
+      // the surviving side is ~fpp of the corpus grams and AQE picks
+      // the join strategy from its actual runtime size
+      .join(bench, "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** TF-IDF top-`k` terms per document (sklearn's smooth-idf variant:
+    * idf = ln((N+1)/(df+1)) + 1, score = tf * idf rounded to 4 dp;
+    * ties broken by term so the cut is deterministic). Skew-safe by
+    * construction: term frequencies are pre-aggregated to distinct
+    * (doc, term) rows before anything is keyed by raw term, so the
+    * df join shuffles at most one row per document per term — the
+    * same shape [[unigramSurprisal]] uses. The per-document top-k
+    * window partitions by document id (high cardinality), never
+    * globally.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double"))
+            + 1.0), 4))
+      .withColumn("term_rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))))
+      .where(col("term_rank") <= k)
+      .select(col(idCol), col("term_rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  /** Cluster-balanced resampling (the SemDeDup/topic-balancing shape):
+    * vectors are assigned to their nearest trained centroid and each
+    * cluster is downsampled toward the uniform share `total/k` with
+    * the same RNG-free splitmix64 rule as [[stratifiedKept]] — the
+    * keep decision is a pure function of the id, reproducible across
+    * cluster sizes. `centers` comes from a seeded MLlib KMeans fit
+    * (driver-side KBs); ASSIGNMENT is pure Column math against the
+    * inlined centroids — `aggregate`/`zip_with` squared-L2 per center,
+    * `array_min` over (dist, cid) structs for the first-min tie-break
+    * — so the serving pass is codegen'd and never calls into MLlib.
+    * Output per cluster: size, integer keep rate (floor-div percent),
+    * kept count and kept-id checksum.
+    */
+  def clusterBalance(emb: DataFrame, idCol: String, vecCol: String,
+                     centers: Array[Array[Double]]): DataFrame = {
+    val dists = centers.zipWithIndex.map { case (c, cid) =>
+      struct(
+        aggregate(
+          zip_with(col(vecCol), typedLit(c.toSeq),
+            (x, y) => { val d = x.cast("double") - y; d * d }),
+          lit(0.0), (acc, v) => acc + v).as("dist"),
+        lit(cid).as("cid"))
+    }
+    val k = centers.length
+    val assigned = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol),
+        array_min(array(dists: _*)).getField("cid").cast("long").as("cluster_id"))
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val totals = sizes.agg(sum(col("n_vecs")).as("total"))
+    val rates = sizes.crossJoin(broadcast(totals))
+      .withColumn("rate_pct",
+        least(lit(100L), expr(s"(100 * (total div $k)) div n_vecs")))
+      .select(col("cluster_id"), col("n_vecs"), col("rate_pct"))
+    assigned.join(broadcast(rates), "cluster_id")
+      .withColumn("kept",
+        TextFunctions.samplingBucket(100)(col(idCol)) < col("rate_pct"))
+      .groupBy(col("cluster_id"), col("n_vecs"), col("rate_pct"))
+      .agg(count(when(col("kept"), 1)).as("n_kept"),
+        sum(when(col("kept"), col(idCol))).as("kept_id_sum"))
+  }
+
   /** Domain-mixture weights: per stratum, token counts, corpus share,
     * and the uniform-rebalance sampling weight min(1, min_stratum /
     * stratum) — apply the weight and every stratum contributes equal

@@ -58,6 +58,69 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(packed.map(_._3).sum == 33L)
   }
 
+  test("decontaminateBloom equals the exact operator even when the sketch false-positives") {
+    val exact = TrainingOps.decontaminate(corpus, "id", "body",
+        isBenchmark = col("id") === 100L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // deliberately undersized sketch at 50% FPP: screen false
+    // positives are likely, and the exact verify join must remove
+    // every one — the output is bit-identical to the exact operator
+    val bloomed = TrainingOps.decontaminateBloom(corpus, "id", "body",
+        isBenchmark = col("id") === 100L, expectedGrams = 8L, fpp = 0.5)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(bloomed == exact)
+    assert(bloomed.map(_._1) == Seq(101L, 104L))
+  }
+
+  test("tfIdfTopK matches a plain-Scala smooth-idf recomputation") {
+    val rows = corpus.select($"id", $"body").as[(Long, String)].collect().toSeq
+    val n = rows.length
+    val tf = rows.flatMap { case (id, b) =>
+        b.trim.split(" +").filter(_.nonEmpty).map(t => (id, t))
+      }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val dfq = tf.keys.toSeq.groupBy(_._2).map { case (t, ks) => (t, ks.size.toLong) }
+    val expected = tf.toSeq
+      .map { case ((id, t), f) =>
+        val s = BigDecimal(f * (math.log((n + 1).toDouble / (dfq(t) + 1).toDouble) + 1.0))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, t, f, dfq(t), s)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, ts) =>
+        ts.sortBy { case (_, t, _, _, s) => (-s, t) }.take(3).zipWithIndex
+          .map { case ((id, t, f, d, s), i) => (id, i + 1, t, f, d, s) }
+      }.sortBy(r => (r._1, r._2))
+    val got = TrainingOps.tfIdfTopK(corpus, "id", "body", k = 3)
+      .orderBy("id", "term_rank")
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("clusterBalance: argmin-L2 assignment, first-min tie-break, floor-div rates, splitmix keeps") {
+    def smix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def bucket(id: Long): Long = { val m = smix(id) % 100; if (m < 0) m + 100 else m }
+    val vecs = Seq(
+      (0L, Array(0.1f, 0.0f)), (1L, Array(-0.2f, 0.1f)), (2L, Array(0.0f, 0.2f)),
+      (3L, Array(9.8f, 10.1f)),        // near center 1
+      (4L, Array(5.0f, 5.0f)),         // EXACTLY equidistant → first-min picks cid 0
+      (5L, null.asInstanceOf[Array[Float]])) // skipped
+      .toDF("vid", "v")
+    val centers = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val got = TrainingOps.clusterBalance(vecs, "vid", "v", centers)
+      .orderBy("cluster_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // sizes: c0 = {0,1,2,4}, c1 = {3}; total 5, k=2 → target 2;
+    // rates: c0 = (100*2) div 4 = 50, c1 = min(100, 200) = 100
+    val kept0 = Seq(0L, 1L, 2L, 4L).filter(bucket(_) < 50L)
+    assert(got == Seq(
+      (0L, 4L, 50L, kept0.size.toLong, kept0.sum),
+      (1L, 1L, 100L, 1L, 3L)))
+  }
+
   test("mixtureWeights: min stratum gets weight 1.0, weights equalize token volume") {
     val w = TrainingOps.mixtureWeights(corpus, "domain", "body")
       .as[(String, Long, Long, Double, Double)].collect()
