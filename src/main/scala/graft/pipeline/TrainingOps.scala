@@ -232,22 +232,33 @@ object TrainingOps {
         lit(cid).as("cid"))
     }
     val k = centers.length
-    val assigned = emb.where(col(vecCol).isNotNull)
+    // ONE corpus pass: aggregate (count, id-sum) per (cluster,
+    // sampling-bucket) — at most k x 100 rows, bounded by construction
+    // — then sizes, rates and keep decisions all derive from that tiny
+    // table. A join-back shape would scan the corpus twice AND
+    // re-evaluate the k x dim assignment expression inside the join's
+    // injected isnotnull(key) filter. The windows below run over the
+    // aggregated k x 100 rows, not the corpus, so the
+    // single-partition global frame is bounded, never a scale hazard.
+    val perBucket = emb.where(col(vecCol).isNotNull)
       .select(col(idCol),
-        array_min(array(dists: _*)).getField("cid").cast("long").as("cluster_id"))
-    val sizes = assigned.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_vecs"))
-    val totals = sizes.agg(sum(col("n_vecs")).as("total"))
-    val rates = sizes.crossJoin(broadcast(totals))
+        array_min(array(dists: _*)).getField("cid").cast("long").as("cluster_id"),
+        TextFunctions.samplingBucket(100)(col(idCol)).as("bucket"))
+      .groupBy(col("cluster_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col(idCol)).as("id_sum"))
+    val perCluster = Window.partitionBy(col("cluster_id"))
+    val overall = Window.partitionBy()
+    perBucket
+      .withColumn("n_vecs", sum(col("n")).over(perCluster))
+      .withColumn("total", sum(col("n")).over(overall))
       .withColumn("rate_pct",
         least(lit(100L), expr(s"(100 * (total div $k)) div n_vecs")))
-      .select(col("cluster_id"), col("n_vecs"), col("rate_pct"))
-    assigned.join(broadcast(rates), "cluster_id")
-      .withColumn("kept",
-        TextFunctions.samplingBucket(100)(col(idCol)) < col("rate_pct"))
       .groupBy(col("cluster_id"), col("n_vecs"), col("rate_pct"))
-      .agg(count(when(col("kept"), 1)).as("n_kept"),
-        sum(when(col("kept"), col(idCol))).as("kept_id_sum"))
+      .agg(
+        sum(when(col("bucket") < col("rate_pct"), col("n")).otherwise(lit(0L)))
+          .as("n_kept"),
+        sum(when(col("bucket") < col("rate_pct"), col("id_sum")))
+          .as("kept_id_sum"))
   }
 
   /** Domain-mixture weights: per stratum, token counts, corpus share,
