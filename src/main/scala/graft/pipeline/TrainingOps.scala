@@ -185,7 +185,15 @@ object TrainingOps {
     * df join shuffles at most one row per document per term — the
     * same shape [[unigramSurprisal]] uses. The per-document top-k
     * window partitions by document id (high cardinality), never
-    * globally.
+    * globally — and Spark's WindowGroupLimit cuts each partition to k
+    * BEFORE the shuffle. Known trade: `tf` is evaluated twice (join
+    * input + df derivation; column pruning makes the subtrees differ,
+    * so exchanges don't reuse). The one-scan alternative — df as a
+    * count over a term-partitioned window — puts every document that
+    * contains a stopword into ONE window partition, a straggler far
+    * worse at 100 TB than a second tokenize pass; a production run
+    * would persist/stage the (doc, term) counts instead, which are
+    * ~10x smaller than the raw token stream.
     */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 3): DataFrame = {
