@@ -530,6 +530,32 @@ object OracleHashSql {
        |GROUP BY r.cluster_id, r.n_vecs, r.rate_pct
        |ORDER BY r.cluster_id""".stripMargin
 
+  // ---- dedup_semantic ---------------------------------------------
+  // TrainingOps.semDedup off the same inlined centroids: argmin-L2
+  // assignment (identical CTEs to cluster_balance), within-cluster
+  // pairing with id_a < id_b, raw-cosine threshold, 4-dp output round.
+  private def dedupSemanticSql: String =
+    s"""WITH __KMEANS_CENTROIDS_CTE__,
+       |$corpusCte,
+       |comps AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1)::BIGINT AS i FROM corpus),
+       |dist AS (SELECT v.vec_id, k.cid,
+       |    SUM((CAST(v.x AS DOUBLE) - k.c) * (CAST(v.x AS DOUBLE) - k.c)) AS d
+       |  FROM comps v JOIN kc k ON k.i = v.i GROUP BY v.vec_id, k.cid),
+       |asg AS (SELECT vec_id, cid AS cluster_id FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dist)
+       |  WHERE rn = 1),
+       |pv AS (SELECT a.cluster_id, a.vec_id AS ia, b.vec_id AS ib
+       |       FROM asg a JOIN asg b ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id),
+       |pu AS (SELECT p.cluster_id, p.ia, p.ib, ca.x AS xa, cb.x AS xb
+       |       FROM pv p JOIN comps ca ON ca.vec_id = p.ia JOIN comps cb ON cb.vec_id = p.ib AND cb.i = ca.i),
+       |cs AS (SELECT cluster_id, ia, ib,
+       |    CASE WHEN SUM(CAST(xa AS DOUBLE)*CAST(xa AS DOUBLE)) = 0 OR SUM(CAST(xb AS DOUBLE)*CAST(xb AS DOUBLE)) = 0 THEN 0.0
+       |         ELSE SUM(CAST(xa AS DOUBLE)*CAST(xb AS DOUBLE)) /
+       |              (SQRT(SUM(CAST(xa AS DOUBLE)*CAST(xa AS DOUBLE))) * SQRT(SUM(CAST(xb AS DOUBLE)*CAST(xb AS DOUBLE)))) END AS cos
+       |  FROM pu GROUP BY cluster_id, ia, ib)
+       |SELECT cluster_id, ia AS id_a, ib AS id_b, ROUND(cos, 4) AS cos
+       |FROM cs WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
   def pqCodebookCte(cb: index.PqKnn.Codebooks): String = {
     val parts = cb.cents.indices.map { s =>
       val flat = cb.cents(s).flatten
@@ -742,5 +768,6 @@ object OracleHashSql {
     // trained-constants replay; Verify inlines the fitted centroids
     // into __KMEANS_CENTROIDS_CTE__ before the SQL reaches DuckDB
     "cluster_balance" -> clusterBalanceSql,
+    "dedup_semantic" -> dedupSemanticSql,
   )
 }

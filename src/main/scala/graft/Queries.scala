@@ -186,6 +186,22 @@ object Queries {
         balanceCenters(spark, sfDir))
       .orderBy(col("cluster_id"))
 
+  /** SemDeDup over the embedding corpus
+    * ([[graft.pipeline.TrainingOps.semDedup]], Abbas et al. 2023):
+    * cosine near-duplicate pairs found WITHIN the k=8 trained
+    * clusters — candidate generation is a cluster-keyed shuffle join
+    * (Σ|cluster|² pairs, never N²), and cross-cluster pairs are
+    * deliberately never compared, the approximation that defines the
+    * method. Shares [[clusterBalance]]'s cached centroids, so the
+    * oracle replays the same inlined constants: assignment, pairing
+    * and cosine all recompute in DuckDB.
+    */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.TrainingOps.semDedup(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        balanceCenters(spark, sfDir), tau = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Runtime substitutions for oracle SQL placeholders — values only a
     * live session can produce (trained constants the engine itself
     * broadcasts). Verify applies these to [[SparkEntry.oracleSql]]
@@ -1867,5 +1883,6 @@ object Queries {
     "decontaminate_bloom" -> (decontaminateBloom _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "cluster_balance" -> (clusterBalance _),
+    "dedup_semantic" -> (dedupSemantic _),
   )
 }

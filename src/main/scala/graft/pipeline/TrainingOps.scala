@@ -229,16 +229,61 @@ object TrainingOps {
     * Output per cluster: size, integer keep rate (floor-div percent),
     * kept count and kept-id checksum.
     */
-  def clusterBalance(emb: DataFrame, idCol: String, vecCol: String,
-                     centers: Array[Array[Double]]): DataFrame = {
+  /** Nearest-centroid id as a pure Column against inlined `centers`:
+    * per-center squared-L2 via `zip_with`/`aggregate`, `array_min`
+    * over (dist, cid) structs — lexicographic struct ordering makes
+    * the tie-break first-min (lowest cid), deterministic on both
+    * engines. No MLlib call in the serving path.
+    */
+  def nearestCentroid(vecCol: Column, centers: Array[Array[Double]]): Column = {
     val dists = centers.zipWithIndex.map { case (c, cid) =>
       struct(
         aggregate(
-          zip_with(col(vecCol), typedLit(c.toSeq),
+          zip_with(vecCol, typedLit(c.toSeq),
             (x, y) => { val d = x.cast("double") - y; d * d }),
           lit(0.0), (acc, v) => acc + v).as("dist"),
         lit(cid).as("cid"))
     }
+    array_min(array(dists: _*)).getField("cid").cast("long")
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
+    * found WITHIN k-means clusters — the cluster blocking is the
+    * method: candidate generation drops from N² to Σ|cluster|², and
+    * cross-cluster pairs are deliberately never compared (the
+    * approximation that makes the method scale; pinned by spec).
+    * Norms are computed once per row in the projections under the
+    * join, so each surviving pair costs one codegen'd dot — the
+    * [[graft.dedup.Dedup.embeddingNearDupsExact]] shape with the
+    * broadcast replaced by a cluster-keyed shuffle join: both sides
+    * co-partition on cluster_id, so no replication and no cartesian.
+    * At 100 TB, k grows with the corpus (the paper's regime), keeping
+    * per-cluster membership — and the per-task pair expansion —
+    * bounded. Threshold compares the RAW cosine; output rounds to
+    * 4 dp.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               centers: Array[Array[Double]], tau: Double): DataFrame = {
+    import graft.expressions.DotProduct
+    val asg = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        nearestCentroid(col(vecCol), centers).as("cluster_id"))
+    val a = asg.select(col("cluster_id"), col("id").as("id_a"), col("v").as("va"),
+      sqrt(DotProduct(col("v"), col("v"))).as("norm_a"))
+    val b = asg.select(col("cluster_id"), col("id").as("id_b"), col("v").as("vb"),
+      sqrt(DotProduct(col("v"), col("v"))).as("norm_b"))
+    a.join(b, Seq("cluster_id"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        when(col("norm_a") === 0.0 || col("norm_b") === 0.0, 0.0)
+          .otherwise(DotProduct(col("va"), col("vb")) / (col("norm_a") * col("norm_b"))))
+      .where(col("cos") >= tau)
+      .select(col("cluster_id"), col("id_a"), col("id_b"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  def clusterBalance(emb: DataFrame, idCol: String, vecCol: String,
+                     centers: Array[Array[Double]]): DataFrame = {
     val k = centers.length
     // ONE corpus pass: aggregate (count, id-sum) per (cluster,
     // sampling-bucket) — at most k x 100 rows, bounded by construction
@@ -250,7 +295,7 @@ object TrainingOps {
     // single-partition global frame is bounded, never a scale hazard.
     val perBucket = emb.where(col(vecCol).isNotNull)
       .select(col(idCol),
-        array_min(array(dists: _*)).getField("cid").cast("long").as("cluster_id"),
+        nearestCentroid(col(vecCol), centers).as("cluster_id"),
         TextFunctions.samplingBucket(100)(col(idCol)).as("bucket"))
       .groupBy(col("cluster_id"), col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col(idCol)).as("id_sum"))

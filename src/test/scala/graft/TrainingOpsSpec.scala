@@ -121,6 +121,36 @@ class TrainingOpsSpec extends AnyFunSuite {
       (1L, 1L, 100L, 1L, 3L)))
   }
 
+  test("semDedup finds within-cluster cosine pairs and never compares across clusters") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),    // c0
+      (1L, Array(0.9f, 0.1f)),    // c0; cos(0,1) ≈ 0.9939
+      (2L, Array(0.0f, 1.0f)),    // c0; orthogonal to 0
+      (3L, Array(5.1f, 5.1f)),    // c1 (48.02 vs 52.02 beyond midpoint)
+      (4L, Array(9.0f, 9.0f)),    // c1; cos(3,4) = 1.0
+      (5L, Array(4.9f, 4.9f)))    // c0 — cos(3,5) = 1.0 but CROSS-cluster
+      .toDF("vid", "v")
+    val centers = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TrainingOps.semDedup(vecs, "vid", "v", centers, tau = 0.9)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val v = vecs.as[(Long, Array[Float])].collect().toMap
+    assert(got == Seq(
+      (0L, 0L, 1L, r4(cos(v(0L), v(1L)))),
+      (1L, 3L, 4L, r4(cos(v(3L), v(4L))))))
+    // the defining approximation: (3,5) has cosine 1.0 but lives in
+    // different clusters, so SemDeDup never emits it
+    assert(!got.exists(p => p._2 == 3L && p._3 == 5L))
+  }
+
   test("mixtureWeights: min stratum gets weight 1.0, weights equalize token volume") {
     val w = TrainingOps.mixtureWeights(corpus, "domain", "body")
       .as[(String, Long, Long, Double, Double)].collect()
