@@ -72,6 +72,42 @@ object DedupProbe {
     time("unigram surprisal (freq join + per-doc mean)") {
       TrainingOps.unigramSurprisal(corpus, "doc_id", "text").count()
     }
+    // with every doc copied 10x, the benchmark gram set is the same
+    // but the training-side gram stream is 10x wider — the regime
+    // where the bloom screen (applied before any shuffle) pays
+    time("decontaminate via bloom screen (sketch + exact verify)") {
+      TrainingOps.decontaminateBloom(corpus, "doc_id", "text",
+        isBenchmark = col("doc_id") % 50 === 0).count()
+    }
+    time("tf-idf top-3 terms (pre-agg df join + WindowGroupLimit)") {
+      TrainingOps.tfIdfTopK(corpus, "doc_id", "text").count()
+    }
+
+    // embedding tier at 10x: every vector appears `copies` times with
+    // distinct ids, so semantic dedup faces ~N*C(copies,2) true
+    // within-cluster pairs. k=64, not the gate's k=8: SemDeDup's
+    // regime scales the cluster count with the corpus so per-cluster
+    // membership (and the quadratic pair expansion) stays bounded —
+    // this probe exercises exactly that knob.
+    val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .where(col("embedding").isNotNull)
+    val vecBase = embBase.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val bigEmbPath = "target/dedup-probe/emb"
+    embBase.crossJoin(spark.range(copies).select(col("id").as("copy")))
+      .select((col("vec_id") + col("copy") * vecBase).as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(bigEmbPath)
+    val embCorpus = spark.read.parquet(bigEmbPath)
+    println(s"DEDUP emb rows=${embCorpus.count()}")
+    val t0 = System.nanoTime()
+    val centers = graft.index.MllibIndexes
+      .kmeansIvfWithCenters(embCorpus, "embedding", k = 64, maxIter = 3)._2
+    println(f"DEDUP kmeans fit (k=64, 3 iters): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    time("cluster balance (1-pass bucket histogram off inlined centroids)") {
+      TrainingOps.clusterBalance(embCorpus, "vec_id", "embedding", centers).count()
+    }
+    time("semantic dedup (within-cluster pairs, tau 0.4)") {
+      TrainingOps.semDedup(embCorpus, "vec_id", "embedding", centers, tau = 0.4).count()
+    }
     spark.stop()
   }
 }

@@ -229,23 +229,17 @@ object TrainingOps {
     * Output per cluster: size, integer keep rate (floor-div percent),
     * kept count and kept-id checksum.
     */
-  /** Nearest-centroid id as a pure Column against inlined `centers`:
-    * per-center squared-L2 via `zip_with`/`aggregate`, `array_min`
-    * over (dist, cid) structs — lexicographic struct ordering makes
-    * the tie-break first-min (lowest cid), deterministic on both
-    * engines. No MLlib call in the serving path.
+  /** Nearest-centroid id against inlined `centers`: a codegen'd
+    * Catalyst expression ([[graft.expressions.NearestCentroid]]) —
+    * per-center squared-L2 in doubles, first-min (lowest cid)
+    * tie-break, deterministic on both engines and bit-identical to
+    * the `zip_with`/`aggregate`/`array_min` Column stack it replaced
+    * (which never entered WholeStageCodegen and dominated the
+    * cluster-blocked operators once k grew past 8). No MLlib call in
+    * the serving path.
     */
-  def nearestCentroid(vecCol: Column, centers: Array[Array[Double]]): Column = {
-    val dists = centers.zipWithIndex.map { case (c, cid) =>
-      struct(
-        aggregate(
-          zip_with(vecCol, typedLit(c.toSeq),
-            (x, y) => { val d = x.cast("double") - y; d * d }),
-          lit(0.0), (acc, v) => acc + v).as("dist"),
-        lit(cid).as("cid"))
-    }
-    array_min(array(dists: _*)).getField("cid").cast("long")
-  }
+  def nearestCentroid(vecCol: Column, centers: Array[Array[Double]]): Column =
+    graft.expressions.NearestCentroid(vecCol, centers)
 
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
     * found WITHIN k-means clusters — the cluster blocking is the

@@ -151,6 +151,37 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!got.exists(p => p._2 == 3L && p._3 == 5L))
   }
 
+  test("nearestCentroid is a codegen Expression agreeing with the HOF Column formula") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where(col("embedding").isNotNull)
+    val centers = Array.tabulate(16, 64)((c, i) => math.sin(c * 64 + i))
+    // the zip_with/aggregate/array_min stack the expression replaced —
+    // kept here as the independent reference formula
+    val dists = centers.zipWithIndex.map { case (carr, cid) =>
+      struct(
+        aggregate(zip_with(col("embedding"), typedLit(carr.toSeq),
+            (x, y) => { val d = x.cast("double") - y; d * d }),
+          lit(0.0), (a, v) => a + v).as("dist"),
+        lit(cid).as("cid"))
+    }
+    val hof = array_min(array(dists: _*)).getField("cid").cast("long")
+    val df = emb.select(
+      TrainingOps.nearestCentroid(col("embedding"), centers).as("fast"), hof.as("slow"))
+    assert(df.where(col("fast") =!= col("slow")).count() == 0)
+    // the assignment stays inside WholeStageCodegen over a file scan
+    val plan = emb.select(TrainingOps.nearestCentroid(col("embedding"), centers).as("c"))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+    // exact tie -> FIRST minimum (lowest cid)
+    val tie = Seq((0L, Array(1.0f, 1.0f))).toDF("id", "v")
+      .select(TrainingOps.nearestCentroid(col("v"),
+        Array(Array(0.0, 0.0), Array(2.0, 2.0))).as("c"))
+      .as[Long].head()
+    assert(tie == 0L)
+  }
+
   test("mixtureWeights: min stratum gets weight 1.0, weights equalize token volume") {
     val w = TrainingOps.mixtureWeights(corpus, "domain", "body")
       .as[(String, Long, Long, Double, Double)].collect()
