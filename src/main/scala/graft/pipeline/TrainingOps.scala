@@ -151,6 +151,10 @@ object TrainingOps {
     * plus true hits goes through an exact semi-join that removes the
     * false positives — so the output is bit-identical to
     * [[decontaminate]] (the gate shares decontaminate_ngram's oracle).
+    * The benchmark gram set is computed twice (sketch build + verify
+    * join) — it is the SMALL side by assumption (the method exists
+    * because the TRAINING side outgrew everything); a production run
+    * with an expensive benchmark projection would persist it.
     * The screen is a Scala UDF by necessity: Spark's own
     * BloomFilterMightContain expression is internal (used by
     * InjectRuntimeFilter), not public API — and the UDF sits on the
@@ -253,8 +257,11 @@ object TrainingOps {
     * co-partition on cluster_id, so no replication and no cartesian.
     * At 100 TB, k grows with the corpus (the paper's regime), keeping
     * per-cluster membership — and the per-task pair expansion —
-    * bounded. Threshold compares the RAW cosine; output rounds to
-    * 4 dp.
+    * bounded. The two join inputs are projections of the same
+    * assignment (the corpus is scanned twice, as in any self-join);
+    * at scale persist the (id, vec, cluster_id, norm) projection once
+    * and join it with itself. Threshold compares the RAW cosine;
+    * output rounds to 4 dp.
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                centers: Array[Array[Double]], tau: Double): DataFrame = {
