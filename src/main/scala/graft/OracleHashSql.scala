@@ -504,20 +504,32 @@ object OracleHashSql {
   // engine's (dist, cid) struct-min first-min tie-break, uniform
   // target total//8, integer floor-div percent rate clamped at 100,
   // keep iff re-signed splitmix64(vec_id) floorMod 100 < rate.
-  private def clusterBalanceSql: String =
-    s"""WITH __KMEANS_CENTROIDS_CTE__,
-       |$corpusCte,
-       |comps AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1)::BIGINT AS i FROM corpus),
+  /** Shared argmin-L2 assignment replay off the inlined `kc` CTE:
+    * RAW (un-normalized) components, first-min (lowest cid) tie-break
+    * — `comps`/`dist`/`asg`. One definition serves cluster_balance
+    * AND dedup_semantic so the two oracles can never disagree on
+    * cluster membership.
+    */
+  private val assignCtes =
+    s"""comps AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1)::BIGINT AS i FROM corpus),
        |dist AS (SELECT v.vec_id, k.cid,
        |    SUM((CAST(v.x AS DOUBLE) - k.c) * (CAST(v.x AS DOUBLE) - k.c)) AS d
        |  FROM comps v JOIN kc k ON k.i = v.i GROUP BY v.vec_id, k.cid),
        |asg AS (SELECT vec_id, cid AS cluster_id FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dist)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  private def clusterBalanceSql: String =
+    s"""WITH __KMEANS_CENTROIDS_CTE__,
+       |$corpusCte,
+       |$assignCtes,
        |sizes AS (SELECT cluster_id, count(*) AS n_vecs FROM asg GROUP BY cluster_id),
-       |tot AS (SELECT SUM(n_vecs) AS total FROM sizes),
+       |-- k derives from the inlined CTE itself, so the oracle tracks
+       |-- whatever centroid count Verify substitutes (never a stale
+       |-- literal coupled to the engine's k)
+       |tot AS (SELECT SUM(n_vecs) AS total, (SELECT max(cid) + 1 FROM kc) AS k FROM sizes),
        |rates AS (SELECT cluster_id, n_vecs,
-       |    CAST(LEAST(100, (100 * (total // 8)) // n_vecs) AS BIGINT) AS rate_pct
+       |    CAST(LEAST(100, (100 * (total // k)) // n_vecs) AS BIGINT) AS rate_pct
        |  FROM sizes CROSS JOIN tot),
        |h0 AS (SELECT vec_id, cluster_id, (${smix("vec_id::HUGEINT")})::HUGEINT AS h FROM asg),
        |k AS (SELECT vec_id, cluster_id,
@@ -537,13 +549,7 @@ object OracleHashSql {
   private def dedupSemanticSql: String =
     s"""WITH __KMEANS_CENTROIDS_CTE__,
        |$corpusCte,
-       |comps AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1)::BIGINT AS i FROM corpus),
-       |dist AS (SELECT v.vec_id, k.cid,
-       |    SUM((CAST(v.x AS DOUBLE) - k.c) * (CAST(v.x AS DOUBLE) - k.c)) AS d
-       |  FROM comps v JOIN kc k ON k.i = v.i GROUP BY v.vec_id, k.cid),
-       |asg AS (SELECT vec_id, cid AS cluster_id FROM (
-       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dist)
-       |  WHERE rn = 1),
+       |$assignCtes,
        |pv AS (SELECT a.cluster_id, a.vec_id AS ia, b.vec_id AS ib
        |       FROM asg a JOIN asg b ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id),
        |pu AS (SELECT p.cluster_id, p.ia, p.ib, ca.x AS xa, cb.x AS xb
@@ -586,7 +592,11 @@ object OracleHashSql {
     // vector with the centroid, summed over the vector's 8 codes.
     val pqCtes = if (!withPq) "" else
       s"""|__PQ_CODEBOOK_CTE__,
-         |pqsub AS (SELECT vec_id, (i - 1) // 8 AS s, (i - 1) % 8 AS si, CAST(x AS DOUBLE) AS x FROM vn),
+         |-- sub-space width derives from the inlined codebook itself
+         |-- (max within-sub index + 1), so the replay tracks whatever
+         |-- m/dim the substituted Codebooks were trained with
+         |pqw AS (SELECT max(si) + 1 AS w FROM pqcb),
+         |pqsub AS (SELECT vec_id, (i - 1) // w AS s, (i - 1) % w AS si, CAST(x AS DOUBLE) AS x FROM vn CROSS JOIN pqw),
          |pqdist AS (SELECT v.vec_id, v.s, cb.c,
          |    SUM((v.x - CAST(cb.x AS DOUBLE)) * (v.x - CAST(cb.x AS DOUBLE))) AS d
          |  FROM pqsub v JOIN pqcb cb ON cb.s = v.s AND cb.si = v.si

@@ -608,8 +608,10 @@ object Queries {
       val result = present(spark.read.parquet(outDir))
       val rows = result.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-    rmTree(base)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      rmTree(base) // also on failure — no orphaned checkpoint/sink trees
+    }
     out
   }
 
@@ -825,8 +827,10 @@ object Queries {
         }
         .start()
       try { q.processAllAvailable() } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-    rmTree(base)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      rmTree(base) // also on failure — no orphaned checkpoint trees
+    }
     import scala.jdk.CollectionConverters._
     val rows = store.asScala.toSeq
       .filter { case ((_, tpe), _) => tpe != "sentinel" }

@@ -35,9 +35,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Inline runtime-trained constants (the PQ codebook) into their
-    // oracle-SQL placeholders so the dumped SQL is self-contained.
-    val subs = Queries.oracleSubstitutions(spark, sfDir)
+    // Inline runtime-trained constants (the PQ codebook, kmeans
+    // centroids) into their oracle-SQL placeholders so the dumped SQL
+    // is self-contained. Guarded like the per-query loop: a failed
+    // training pass must cost only the placeholder-bearing oracles
+    // (their SQL keeps the placeholder and fails individually), never
+    // the whole oracle_sql.json dump.
+    val subs =
+      try Queries.oracleSubstitutions(spark, sfDir)
+      catch {
+        case e: Exception =>
+          println(s"[verify] oracle substitutions failed: ${e.getMessage}")
+          Map.empty[String, String]
+      }
     val json = SparkEntry.oracleSql
       .map { case (k, v0) =>
         val v = subs.foldLeft(v0) { case (s, (p, r)) => s.replace(p, r) }

@@ -20,9 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * Bit-identical semantics to the Column form it replaces: per center
   * (ascending cid), squared-L2 accumulated in doubles over ascending
   * component index; strict `<` keeps the FIRST minimum, matching the
-  * (dist, cid) struct-min lexicographic tie-break. NULL elements
-  * contribute x = 0.0 (fixture vectors carry none); a NULL array
-  * yields NULL (callers filter `isNotNull` first).
+  * (dist, cid) struct-min lexicographic tie-break. A NULL element
+  * SKIPS its term entirely — the same semantics as the DuckDB
+  * replay, where the unnested NULL component makes its (x-c)^2 term
+  * NULL and SUM drops it (fixture vectors carry no NULL elements,
+  * but the type checker admits containsNull arrays, so the two
+  * engines must agree on them). A NULL array yields NULL (callers
+  * filter `isNotNull` first).
   */
 case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
     extends UnaryExpression {
@@ -65,9 +69,12 @@ object NearestCentroid {
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val x = if (v.isNullAt(i)) 0.0 else v.getFloat(i).toDouble
-        val d = x - cen(i)
-        acc += d * d
+        // NULL element -> term skipped, matching the SQL replay where
+        // SUM drops the NULL (x - c)^2 row
+        if (!v.isNullAt(i)) {
+          val d = v.getFloat(i).toDouble - cen(i)
+          acc += d * d
+        }
         i += 1
       }
       if (acc < best) { best = acc; bestC = c }

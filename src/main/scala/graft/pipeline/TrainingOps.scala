@@ -169,6 +169,10 @@ object TrainingOps {
     val bench = docs.where(isBenchmark)
       .select(explode(grams).as("gram")).distinct()
     val bloom = bench.stat.bloomFilter("gram", expectedGrams, fpp)
+    // per-call broadcast; Spark's ContextCleaner reclaims it once the
+    // returned plan (whose UDF closure holds the only reference) is
+    // garbage-collected — repeated calls don't pin sketches for the
+    // session's lifetime
     val bb = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf { (g: String) => g != null && bb.value.mightContain(g) }
     docs.where(!isBenchmark)

@@ -180,6 +180,15 @@ class TrainingOpsSpec extends AnyFunSuite {
         Array(Array(0.0, 0.0), Array(2.0, 2.0))).as("c"))
       .as[Long].head()
     assert(tie == 0L)
+    // NULL element SKIPS its term (the DuckDB-replay semantics where
+    // SUM drops the NULL (x-c)^2 row): [5, NULL] vs c0=[5,9] scores 0
+    // (not 81 as a zero-filled element would), tying c1=[5,0] at 0 ->
+    // first-min keeps cid 0
+    val nullElem = Seq((0L, Seq[Option[Float]](Some(5.0f), None))).toDF("id", "v")
+      .select(TrainingOps.nearestCentroid(col("v"),
+        Array(Array(5.0, 9.0), Array(5.0, 0.0))).as("c"))
+      .as[Long].head()
+    assert(nullElem == 0L)
   }
 
   test("mixtureWeights: min stratum gets weight 1.0, weights equalize token volume") {
