@@ -541,6 +541,24 @@ object OracleSql {
         |  CAST(SUM(v) % 997 AS BIGINT) AS checksum
         |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // GV01 synthetic video: 4 + n%5 frames of (8 + n%8) x (8 + n%4)
+    // P5 pixels, frame k = text bytes cycled with offset k; every 2nd
+    // frame sampled, checksum = SUM(pixel) % 997 recomputed per cell
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, text, n_chars AS n,
+        |             4 + (n_chars % 5) AS f, 8 + (n_chars % 8) AS w, 8 + (n_chars % 4) AS h
+        |           FROM documents),
+        |fr AS (SELECT doc_id, text, n, w, h, k.g AS frame_idx
+        |       FROM m, generate_series(0, 7) AS k(g) WHERE k.g < f AND k.g % 2 = 0),
+        |cells AS (SELECT doc_id, frame_idx, w, h,
+        |            unicode(substr(text, CAST((i.g + frame_idx) % n AS INT) + 1, 1)) AS v
+        |          FROM fr, generate_series(0, 164) AS i(g) WHERE i.g < w * h)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(v) % 997 AS BIGINT) AS checksum
+        |FROM cells GROUP BY doc_id, frame_idx, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "q5_local_supplier_revenue" ->
       """SELECT r_name, n_name,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,

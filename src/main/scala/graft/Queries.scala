@@ -1476,6 +1476,22 @@ object Queries {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Video frame sampling over a binary column: each doc becomes a
+    * GV01 container of 4–8 real P5 frames; the pass parses the
+    * container, decodes every 2nd frame with the real codec, and
+    * emits per-frame geometry + a pixel checksum the oracle
+    * reproduces cell-by-cell in SQL — the frame-sample member of the
+    * multimodal tier (decode / resize / frame-sample), same
+    * partition-local batch shape as the rest.
+    */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.sampleFrames(spark,
+        Tables.documents(spark, sfDir)
+          .withColumn("blob", Multimodal.syntheticVideoUdf(col("text"))),
+        "doc_id", "blob", stride = 2)
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   // ---- relational coverage round 3 ----
 
   /** TPC-H Q5 shape: the one fact-fact shuffle (lineitem⋈orders on the
@@ -1888,5 +1904,6 @@ object Queries {
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "cluster_balance" -> (clusterBalance _),
     "dedup_semantic" -> (dedupSemantic _),
+    "multimodal_frames" -> (multimodalFrames _),
   )
 }

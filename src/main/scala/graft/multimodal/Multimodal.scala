@@ -116,6 +116,99 @@ object Multimodal {
       })
   }
 
+  // ---- video path: container parse + frame sampling ----
+
+  /** Per-sampled-frame metadata from the video frame-sample pass. */
+  case class FrameMeta(doc_id: Long, frame_idx: Long, width: Long,
+                       height: Long, checksum: Long)
+
+  /** Deterministic synthetic "video": a `GV01` container — magic line,
+    * frame-count line, then per frame a byte-length line followed by a
+    * COMPLETE P5 PGM (4–8 frames, dims from the text length, frame k's
+    * pixels = the ASCII text bytes cycled with offset k). Every
+    * sampled frame's checksum is SQL-reproducible for the oracle while
+    * the pass itself exercises real container + frame parsing.
+    */
+  def syntheticVideo(text: String): Array[Byte] = {
+    val bytes = text.getBytes("US-ASCII")
+    val n = math.max(bytes.length, 1)
+    val frames = 4 + n % 5
+    val w = 8 + n % 8
+    val h = 8 + n % 4
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"GV01\n$frames\n".getBytes("US-ASCII"))
+    var k = 0
+    while (k < frames) {
+      val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = Array.tabulate(w * h)(i =>
+        if (bytes.isEmpty) 0.toByte else bytes((i + k) % n))
+      val frame = header ++ px
+      bos.write(s"${frame.length}\n".getBytes("US-ASCII"))
+      bos.write(frame, 0, frame.length)
+      k += 1
+    }
+    bos.toByteArray
+  }
+
+  val syntheticVideoUdf = udf { (text: String) =>
+    if (text == null) null else syntheticVideo(text)
+  }
+
+  /** Parse a `GV01` container into (frame_idx, frame_bytes) slices;
+    * malformed containers yield no frames (quarantine path). */
+  def parseVideoFrames(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    def line(off: Int): (String, Int) = {
+      var i = off
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      (new String(bytes, off, i - off, "US-ASCII"), i + 1)
+    }
+    try {
+      val (magic, o1) = line(0)
+      if (magic != "GV01") return Seq.empty
+      val (nfS, o2) = line(o1)
+      val nf = nfS.toInt
+      val out = Seq.newBuilder[(Int, Array[Byte])]
+      var off = o2
+      var k = 0
+      while (k < nf) {
+        val (lenS, oh) = line(off)
+        val len = lenS.toInt
+        if (oh + len > bytes.length) return Seq.empty
+        out += ((k, java.util.Arrays.copyOfRange(bytes, oh, oh + len)))
+        off = oh + len
+        k += 1
+      }
+      out.result()
+    } catch { case _: NumberFormatException => Seq.empty }
+  }
+
+  /** Frame sampling over a video binary column: parse the container,
+    * decode every `stride`-th frame with the REAL image codec, emit
+    * per-frame geometry + a pixel checksum (proof actual pixels moved
+    * through the decode, not just headers). One partition-local pass —
+    * the `mapInPandas` batch shape; frames that fail to decode are
+    * dropped (quarantine path at scale).
+    */
+  def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
+                   binCol: String, stride: Int): Dataset[FrameMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseVideoFrames(bytes).iterator
+          .filter { case (k, _) => k % stride == 0 }
+          .flatMap { case (k, frameBytes) =>
+            ImageCodec.decode(frameBytes).map { img =>
+              val gray = ImageCodec.toGray(img)
+              var acc = 0L
+              var i = 0
+              while (i < gray.pixels.length) { acc += gray.pixels(i) & 0xFF; i += 1 }
+              FrameMeta(id, k.toLong, img.width, img.height, acc % 997L)
+            }
+          }
+      })
+  }
+
   /** Luma-histogram feature vectors — image "embeddings" that plug into
     * the cosine ANN / near-dup operators unchanged. */
   def featureVectors(spark: SparkSession, df: DataFrame, idCol: String, binCol: String,

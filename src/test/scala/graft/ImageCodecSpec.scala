@@ -95,4 +95,27 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(pairs.columns.toSeq == Seq("id_a", "id_b", "cos"))
     pairs.collect() // executes the full broadcast + mapPartitions path
   }
+
+  test("video frame-sample: container parse + per-frame decode match a plain recomputation") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog"
+    val n = text.length                       // 43
+    val frames = 4 + n % 5                    // 7
+    val w = 8 + n % 8; val h = 8 + n % 4      // 11 x 11
+    val df = Seq((7L, text)).toDF("doc_id", "t")
+      .withColumn("blob", Multimodal.syntheticVideoUdf(col("t")))
+    val got = Multimodal.sampleFrames(spark, df, "doc_id", "blob", stride = 2)
+      .collect().sortBy(_.frame_idx)
+    // stride 2 over 7 frames -> indices 0, 2, 4, 6
+    assert(got.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L, 6L))
+    assert(got.forall(f => f.width == w && f.height == h))
+    val bytes = text.getBytes("US-ASCII")
+    def checksum(k: Int): Long =
+      (0 until w * h).map(i => (bytes((i + k) % n) & 0xFF).toLong).sum % 997L
+    assert(got.map(f => f.frame_idx -> f.checksum).toMap ==
+      Seq(0, 2, 4, 6).map(k => k.toLong -> checksum(k)).toMap)
+    // malformed container -> no frames (quarantine, not an exception)
+    val bad = Seq((8L, Array[Byte](1, 2, 3))).toDF("doc_id", "blob")
+    assert(Multimodal.sampleFrames(spark, bad, "doc_id", "blob", 2).count() == 0)
+  }
 }
