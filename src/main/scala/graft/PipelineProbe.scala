@@ -71,6 +71,17 @@ object PipelineProbe {
         .where(col("kept")).count()
     }
 
+    // the round-6 operators at the same ~500k scale: the bloom
+    // screen's regime (training gram stream 100x the benchmark's) and
+    // the tf-idf df join against a 100x-duplicated corpus
+    time("stage decontaminate via bloom screen") {
+      TrainingOps.decontaminateBloom(corpus, "doc_id", "text",
+        isBenchmark = col("doc_id") % 50 === 0).count()
+    }
+    time("stage tf-idf top-3 terms") {
+      TrainingOps.tfIdfTopK(corpus, "doc_id", "text").count()
+    }
+
     // ---- the composition, end-to-end ----------------------------
     time("COMPOSED survivors (quality -> dedup -> decontaminate -> sample -> agg)") {
       val clean = dedupFirst(quality(corpus))
