@@ -78,8 +78,8 @@ object PipelineProbe {
       TrainingOps.decontaminateBloom(corpus, "doc_id", "text",
         isBenchmark = col("doc_id") % 50 === 0).count()
     }
-    time("stage tf-idf top-3 terms") {
-      TrainingOps.tfIdfTopK(corpus, "doc_id", "text").count()
+    time("stage tf-idf top-3 terms (persistTf — the 500k regime)") {
+      TrainingOps.tfIdfTopK(corpus, "doc_id", "text", persistTf = true).count()
     }
 
     // ---- the composition, end-to-end ----------------------------

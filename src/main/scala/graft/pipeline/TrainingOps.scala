@@ -199,16 +199,29 @@ object TrainingOps {
     * so exchanges don't reuse). The one-scan alternative — df as a
     * count over a term-partitioned window — puts every document that
     * contains a stopword into ONE window partition, a straggler far
-    * worse at 100 TB than a second tokenize pass; a production run
-    * would persist/stage the (doc, term) counts instead, which are
-    * ~10x smaller than the raw token stream.
+    * worse at 100 TB than a second tokenize pass; `persistTf` is the
+    * production lever instead: cache the (doc, term) counts, ~10x
+    * smaller than the raw token stream (2x end-to-end at the 500k
+    * probe, a loss at 5k-doc corpora — caller's choice).
     */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
-                k: Int = 3): DataFrame = {
-    val tf = docs
+                k: Int = 3, persistTf: Boolean = false): DataFrame = {
+    // The plan references tf twice (join input + df derivation) and
+    // column pruning makes the subtrees differ, so exchange reuse
+    // never fires: without a persist the corpus is tokenized twice
+    // per action. `persistTf` caches the (doc, term, count) rows —
+    // ~10x smaller than the token stream, MEMORY_AND_DISK so it
+    // spills rather than OOMs — which measured 54 s -> 27 s at the
+    // 500k probe but LOSES at small corpora (cache write costs more
+    // than re-tokenizing 5k docs), so the caller picks: set it when
+    // the tokenize pass, not the cache, is the expensive side.
+    val tf0 = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = if (persistTf)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfq, "term")

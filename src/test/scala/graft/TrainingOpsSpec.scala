@@ -93,6 +93,11 @@ class TrainingOpsSpec extends AnyFunSuite {
       .orderBy("id", "term_rank")
       .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
     assert(got == expected)
+    // the persistTf scale lever changes the physical plan only
+    val persisted = TrainingOps.tfIdfTopK(corpus, "id", "body", k = 3, persistTf = true)
+      .orderBy("id", "term_rank")
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+    assert(persisted == expected)
   }
 
   test("clusterBalance: argmin-L2 assignment, first-min tie-break, floor-div rates, splitmix keeps") {
