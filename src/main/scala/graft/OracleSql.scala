@@ -543,15 +543,22 @@ object OracleSql {
 
     // GV01 synthetic video: 4 + n%5 frames of (8 + n%8) x (8 + n%4)
     // P5 pixels, frame k = text bytes cycled with offset k; every 2nd
-    // frame sampled, checksum = SUM(pixel) % 997 recomputed per cell
+    // frame sampled, checksum = SUM(pixel) % 997 recomputed per cell.
+    // GREATEST(n_chars, 1) mirrors the engine's max(bytes.length, 1)
+    // clamp so an empty document can never divide by zero; like the
+    // thumbnail oracle, unicode(char) == byte assumes ASCII text
+    // (true of the fixtures; a non-ASCII corpus needs a bytes-level
+    // replay instead)
     "multimodal_frames" ->
-      """WITH m AS (SELECT doc_id, text, n_chars AS n,
-        |             4 + (n_chars % 5) AS f, 8 + (n_chars % 8) AS w, 8 + (n_chars % 4) AS h
+      """WITH m AS (SELECT doc_id, text, GREATEST(n_chars, 1) AS n,
+        |             4 + (GREATEST(n_chars, 1) % 5) AS f,
+        |             8 + (GREATEST(n_chars, 1) % 8) AS w, 8 + (GREATEST(n_chars, 1) % 4) AS h
         |           FROM documents),
         |fr AS (SELECT doc_id, text, n, w, h, k.g AS frame_idx
         |       FROM m, generate_series(0, 7) AS k(g) WHERE k.g < f AND k.g % 2 = 0),
         |cells AS (SELECT doc_id, frame_idx, w, h,
-        |            unicode(substr(text, CAST((i.g + frame_idx) % n AS INT) + 1, 1)) AS v
+        |            CASE WHEN text = '' THEN 0
+        |                 ELSE unicode(substr(text, CAST((i.g + frame_idx) % n AS INT) + 1, 1)) END AS v
         |          FROM fr, generate_series(0, 164) AS i(g) WHERE i.g < w * h)
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,

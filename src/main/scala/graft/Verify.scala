@@ -44,7 +44,7 @@ object Verify {
     val subs =
       try Queries.oracleSubstitutions(spark, sfDir)
       catch {
-        case e: Exception =>
+        case e: Throwable => // same breadth as the per-query guard above
           println(s"[verify] oracle substitutions failed: ${e.getMessage}")
           Map.empty[String, String]
       }

@@ -66,6 +66,16 @@ object Multimodal {
   case class ThumbMeta(doc_id: Long, thumb_w: Long, thumb_h: Long,
                        n_thumb_bytes: Long, checksum: Long)
 
+  /** The oracle-replayed pixel checksum: gray pixel sum mod 997 — one
+    * definition for thumbnails and frame sampling. */
+  private def pixelChecksum(img: RasterImage): Long = {
+    val gray = ImageCodec.toGray(img)
+    var acc = 0L
+    var i = 0
+    while (i < gray.pixels.length) { acc += gray.pixels(i) & 0xFF; i += 1 }
+    acc % 997L
+  }
+
   /** Deterministic synthetic PGM: a real P5 image whose dimensions
     * derive from the text length and whose pixels are the ASCII text
     * bytes cycled row-major — so every decoded property is
@@ -108,10 +118,8 @@ object Multimodal {
         ImageCodec.decode(bytes).map { img =>
           val thumb = ImageCodec.resizeNearest(img, tw, th)
           val encoded = ImageCodec.encodePgm(thumb)
-          val gray = ImageCodec.toGray(thumb)
-          var acc = 0L; var i = 0
-          while (i < gray.pixels.length) { acc += gray.pixels(i) & 0xFF; i += 1 }
-          ThumbMeta(id, thumb.width, thumb.height, encoded.length.toLong, acc % 997L)
+          ThumbMeta(id, thumb.width, thumb.height, encoded.length.toLong,
+            pixelChecksum(thumb))
         }
       })
   }
@@ -139,10 +147,11 @@ object Multimodal {
     bos.write(s"GV01\n$frames\n".getBytes("US-ASCII"))
     var k = 0
     while (k < frames) {
-      val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
       val px = Array.tabulate(w * h)(i =>
         if (bytes.isEmpty) 0.toByte else bytes((i + k) % n))
-      val frame = header ++ px
+      // the real encoder, not a hand-built header — frame framing can
+      // never drift from what ImageCodec.decode parses
+      val frame = ImageCodec.encodePgm(RasterImage(w, h, 1, 255, px, "pgm"))
       bos.write(s"${frame.length}\n".getBytes("US-ASCII"))
       bos.write(frame, 0, frame.length)
       k += 1
@@ -173,7 +182,10 @@ object Multimodal {
       while (k < nf) {
         val (lenS, oh) = line(off)
         val len = lenS.toInt
-        if (oh + len > bytes.length) return Seq.empty
+        // Long bounds math (the decodePnm overflow-bypass lesson): a
+        // negative or Int-overflowing declared length must quarantine,
+        // not crash the task
+        if (len < 0 || oh.toLong + len > bytes.length) return Seq.empty
         out += ((k, java.util.Arrays.copyOfRange(bytes, oh, oh + len)))
         off = oh + len
         k += 1
@@ -199,11 +211,7 @@ object Multimodal {
           .filter { case (k, _) => k % stride == 0 }
           .flatMap { case (k, frameBytes) =>
             ImageCodec.decode(frameBytes).map { img =>
-              val gray = ImageCodec.toGray(img)
-              var acc = 0L
-              var i = 0
-              while (i < gray.pixels.length) { acc += gray.pixels(i) & 0xFF; i += 1 }
-              FrameMeta(id, k.toLong, img.width, img.height, acc % 997L)
+              FrameMeta(id, k.toLong, img.width, img.height, pixelChecksum(img))
             }
           }
       })

@@ -215,6 +215,11 @@ object TrainingOps {
     // 500k probe but LOSES at small corpora (cache write costs more
     // than re-tokenizing 5k docs), so the caller picks: set it when
     // the tokenize pass, not the cache, is the expensive side.
+    // CACHE LIFETIME: the entry lives until session end (no handle to
+    // unpersist an internal DF; Spark evicts LRU under pressure) —
+    // the lever is meant for batch jobs that end with the action, not
+    // per-request use in a long-lived server (manage the cache
+    // externally there, or leave the flag off).
     val tf0 = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .where(length(col("term")) > 0)

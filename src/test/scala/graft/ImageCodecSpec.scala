@@ -114,8 +114,12 @@ class ImageCodecSpec extends AnyFunSuite {
       (0 until w * h).map(i => (bytes((i + k) % n) & 0xFF).toLong).sum % 997L
     assert(got.map(f => f.frame_idx -> f.checksum).toMap ==
       Seq(0, 2, 4, 6).map(k => k.toLong -> checksum(k)).toMap)
-    // malformed container -> no frames (quarantine, not an exception)
+    // malformed containers -> no frames (quarantine, not an exception):
+    // garbage magic, a NEGATIVE declared frame length, and an
+    // Int-overflowing one (the Long-bounds-math case)
     val bad = Seq((8L, Array[Byte](1, 2, 3))).toDF("doc_id", "blob")
     assert(Multimodal.sampleFrames(spark, bad, "doc_id", "blob", 2).count() == 0)
+    assert(Multimodal.parseVideoFrames("GV01\n1\n-5\nAAAAAAAA".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseVideoFrames("GV01\n1\n2147483640\nxx".getBytes("US-ASCII")).isEmpty)
   }
 }
