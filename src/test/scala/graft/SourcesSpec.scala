@@ -45,6 +45,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.except(base).isEmpty && base.except(back).isEmpty)
   }
 
+  test("ORC round-trip preserves rows, columns and pushes filters to the scan") {
+    val path = "target/test-sources/docs-orc"
+    base.write.mode("overwrite").orc(path)
+    val back = spark.read.schema(schema).orc(path)
+    assert(back.schema == schema)
+    assert(back.except(base).isEmpty && base.except(back).isEmpty)
+    // columnar sources must receive predicate pushdown, same as parquet
+    val plan = back.where(col("doc_id") < 100).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(doc_id,100)"),
+      s"expected pushed filter in ORC scan plan:\n$plan")
+  }
+
   test("a query runs identically over parquet, json and csv sources") {
     val jf = spark.read.schema(schema).json(writeJson())
     val expected = base.groupBy(col("lang")).agg(count(lit(1)).as("n"))
