@@ -969,7 +969,14 @@ object Queries {
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        // rsd = 0.01, not the 0.05 default: the gate asserts the
+        // estimate within 5% of exact, and with default rsd that
+        // bound is ONE standard deviation — a ~32% per-group chance
+        // of a red gate on any given dataset (observed at sf0.1). At
+        // 0.01 the same bound is 5 sigma. Cost: ~16 KB of registers
+        // per group instead of ~1 KB — per-GROUP state, irrelevant at
+        // any scale.
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
         expr("percentile(value, 0.5)").as("exact_p50"),
