@@ -543,15 +543,27 @@ object OracleHashSql {
        |ORDER BY r.cluster_id""".stripMargin
 
   // ---- dedup_semantic ---------------------------------------------
-  // TrainingOps.semDedup off the same inlined centroids: argmin-L2
-  // assignment (identical CTEs to cluster_balance), within-cluster
-  // pairing with id_a < id_b, raw-cosine threshold, 4-dp output round.
+  // TrainingOps.semDedup(maxBlock=64) off the same inlined centroids:
+  // argmin-L2 assignment (identical CTEs to cluster_balance), then the
+  // skew bound — clusters split into nb = ceil(n/64) sub-blocks by
+  // floorMod(splitmix64(vec_id), nb) (re-signed HUGEINT splitmix, the
+  // cluster_balance bucket pattern), a pair compared iff its block
+  // distance mod nb is in {0, 1, nb-1} — then id_a < id_b pairing,
+  // raw-cosine threshold, 4-dp output round. The adjacency predicate
+  // is replayed directly on the naive join (DuckDB doesn't need the
+  // engine's explode-key plan, only its semantics).
   private def dedupSemanticSql: String =
     s"""WITH __KMEANS_CENTROIDS_CTE__,
        |$corpusCte,
        |$assignCtes,
+       |nbs AS (SELECT cluster_id, (count(*) + 63) // 64 AS nb FROM asg GROUP BY cluster_id),
+       |bh AS (SELECT vec_id, cluster_id, (${smix("vec_id::HUGEINT")})::HUGEINT AS h FROM asg),
+       |blk AS (SELECT vec_id, cluster_id, nb,
+       |    ((((h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) % nb) + nb) % nb) AS block
+       |  FROM bh JOIN nbs USING (cluster_id)),
        |pv AS (SELECT a.cluster_id, a.vec_id AS ia, b.vec_id AS ib
-       |       FROM asg a JOIN asg b ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id),
+       |       FROM blk a JOIN blk b ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id
+       |        AND ((((a.block - b.block) % a.nb) + a.nb) % a.nb) IN (0, 1, a.nb - 1)),
        |pu AS (SELECT p.cluster_id, p.ia, p.ib, ca.x AS xa, cb.x AS xb
        |       FROM pv p JOIN comps ca ON ca.vec_id = p.ia JOIN comps cb ON cb.vec_id = p.ib AND cb.i = ca.i),
        |cs AS (SELECT cluster_id, ia, ib,

@@ -192,14 +192,21 @@ object Queries {
     * clusters — candidate generation is a cluster-keyed shuffle join
     * (Σ|cluster|² pairs, never N²), and cross-cluster pairs are
     * deliberately never compared, the approximation that defines the
-    * method. Shares [[clusterBalance]]'s cached centroids, so the
-    * oracle replays the same inlined constants: assignment, pairing
-    * and cosine all recompute in DuckDB.
+    * method. maxBlock=64 keeps the gate on the sub-blocked path at
+    * every SF (sf0.1's ~250-row clusters split into nb=4 blocks, so
+    * the skew bound — not just the exhaustive small-cluster fast path
+    * — is what the hash checks): oversized clusters compare only
+    * same-or-adjacent splitmix64 sub-blocks, bounding any one join
+    * key to 3·maxBlock² rows however degenerate the clustering.
+    * Shares [[clusterBalance]]'s cached centroids, so the oracle
+    * replays the same inlined constants: assignment, sizes, block
+    * assignment, adjacency predicate and cosine all recompute in
+    * DuckDB.
     */
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
     graft.pipeline.TrainingOps.semDedup(
         Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-        balanceCenters(spark, sfDir), tau = 0.4)
+        balanceCenters(spark, sfDir), tau = 0.4, maxBlock = 64)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Runtime substitutions for oracle SQL placeholders — values only a

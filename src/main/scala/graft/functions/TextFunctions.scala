@@ -188,6 +188,18 @@ object TextFunctions {
     if (m < 0) m + buckets else m
   }
 
+  /** [[samplingBucket]] with a per-row modulus: floorMod(splitmix64(id),
+    * nb) for a column-supplied block count. The sub-blocking primitive
+    * for bounding per-key join expansion (e.g.
+    * [[graft.pipeline.TrainingOps.semDedup]]'s oversized-cluster
+    * split) — deterministic in the id, replayed bit-exactly by the
+    * DuckDB oracle's HUGEINT splitmix. Returns null block for null
+    * inputs; nb must be >= 1.
+    */
+  def subBlock = udf { (id: Long, nb: Long) =>
+    java.lang.Math.floorMod(splitmix64(id), nb)
+  }
+
   /** Content-defined chunk stats (FastCDC's boundary idea at token
     * granularity): a chunk CLOSES after any token whose splitmix64
     * char-fold has its low 4 bits zero (expected chunk length 16

@@ -163,9 +163,15 @@ object Multimodal {
     if (text == null) null else syntheticVideo(text)
   }
 
-  /** Parse a `GV01` container into (frame_idx, frame_bytes) slices;
-    * malformed containers yield no frames (quarantine path). */
-  def parseVideoFrames(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+  /** Index a `GV01` container WITHOUT copying any frame bytes: the
+    * frame table as (frame_idx, offset, len). This is the only pass
+    * that walks the container, so skipped frames at sampling time cost
+    * exactly the header scan — at a production stride (every 30th
+    * frame) ~97% of the payload bytes are never touched beyond the
+    * length lines. Malformed containers (and null blobs) yield an
+    * empty table (quarantine path). */
+  def indexVideoFrames(bytes: Array[Byte]): Seq[(Int, Int, Int)] = {
+    if (bytes == null) return Seq.empty
     def line(off: Int): (String, Int) = {
       var i = off
       while (i < bytes.length && bytes(i) != '\n') i += 1
@@ -176,7 +182,7 @@ object Multimodal {
       if (magic != "GV01") return Seq.empty
       val (nfS, o2) = line(o1)
       val nf = nfS.toInt
-      val out = Seq.newBuilder[(Int, Array[Byte])]
+      val out = Seq.newBuilder[(Int, Int, Int)]
       var off = o2
       var k = 0
       while (k < nf) {
@@ -186,7 +192,7 @@ object Multimodal {
         // negative or Int-overflowing declared length must quarantine,
         // not crash the task
         if (len < 0 || oh.toLong + len > bytes.length) return Seq.empty
-        out += ((k, java.util.Arrays.copyOfRange(bytes, oh, oh + len)))
+        out += ((k, oh, len))
         off = oh + len
         k += 1
       }
@@ -194,22 +200,35 @@ object Multimodal {
     } catch { case _: NumberFormatException => Seq.empty }
   }
 
-  /** Frame sampling over a video binary column: parse the container,
+  /** Parse a `GV01` container into (frame_idx, frame_bytes) slices —
+    * [[indexVideoFrames]] plus a copy per frame. Null/malformed
+    * containers yield no frames (quarantine path). */
+  def parseVideoFrames(bytes: Array[Byte]): Seq[(Int, Array[Byte])] =
+    indexVideoFrames(bytes).map { case (k, off, len) =>
+      (k, java.util.Arrays.copyOfRange(bytes, off, off + len))
+    }
+
+  /** Frame sampling over a video binary column: index the container
+    * ([[indexVideoFrames]] — offsets only, no copies), slice and
     * decode every `stride`-th frame with the REAL image codec, emit
     * per-frame geometry + a pixel checksum (proof actual pixels moved
     * through the decode, not just headers). One partition-local pass —
     * the `mapInPandas` batch shape; frames that fail to decode are
-    * dropped (quarantine path at scale).
+    * dropped (quarantine path at scale). Skipped frames are never
+    * copied: the stride filter runs on the (idx, offset, len) table
+    * before any slice is materialized.
     */
   def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
                    binCol: String, stride: Int): Dataset[FrameMeta] = {
+    require(stride >= 1, "stride must be >= 1")
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        parseVideoFrames(bytes).iterator
-          .filter { case (k, _) => k % stride == 0 }
-          .flatMap { case (k, frameBytes) =>
+        indexVideoFrames(bytes).iterator
+          .filter { case (k, _, _) => k % stride == 0 }
+          .flatMap { case (k, off, len) =>
+            val frameBytes = java.util.Arrays.copyOfRange(bytes, off, off + len)
             ImageCodec.decode(frameBytes).map { img =>
               FrameMeta(id, k.toLong, img.width, img.height, pixelChecksum(img))
             }

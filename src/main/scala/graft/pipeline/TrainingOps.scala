@@ -278,24 +278,60 @@ object TrainingOps {
     * broadcast replaced by a cluster-keyed shuffle join: both sides
     * co-partition on cluster_id, so no replication and no cartesian.
     * At 100 TB, k grows with the corpus (the paper's regime), keeping
-    * per-cluster membership — and the per-task pair expansion —
-    * bounded. The two join inputs are projections of the same
-    * assignment (the corpus is scanned twice, as in any self-join);
-    * at scale persist the (id, vec, cluster_id, norm) projection once
-    * and join it with itself. Threshold compares the RAW cosine;
-    * output rounds to 4 dp.
+    * the TYPICAL per-cluster membership bounded — but nothing about
+    * k-means enforces balance, and the data this operator exists for
+    * (near-duplicate-saturated crawl slices) is exactly what produces
+    * one degenerate giant cluster whose single join key would do
+    * |cluster|²/2 dots in one task. `maxBlock` bounds that: clusters
+    * larger than `maxBlock` are split into nb = ceil(n / maxBlock)
+    * deterministic sub-blocks by floorMod(splitmix64(id), nb), and a
+    * pair is compared iff its block distance mod nb is in {0, 1,
+    * nb-1} (same block or cyclically adjacent) — the
+    * [[graft.dedup.Dedup]] `maxDocFreq` posting-cap precedent applied
+    * to cluster membership. Join fan-out per (cluster, block) key is
+    * ≤ 3·maxBlock² rows, so a giant cluster costs ~3·n·maxBlock dots
+    * (linear in n) instead of n²/2, at the price of skipping
+    * non-adjacent cross-block pairs — compared coverage of a
+    * cluster's pairs is ~3/nb once nb > 3, a documented recall trade
+    * the same way cross-CLUSTER pairs are already skipped by design.
+    * Clusters with n ≤ maxBlock have nb = 1 and are compared
+    * exhaustively, so small-k results are unchanged. The blocking is
+    * a pure function of (id, cluster sizes): deterministic across
+    * runs and partitionings, and replayed bit-exactly by the DuckDB
+    * oracle. Each qualifying pair is emitted exactly once: the
+    * smaller-id side keeps its own block as the join key while the
+    * other side explodes its distinct {block-1, block, block+1} mod
+    * nb, and at most one of those three can equal the probe block.
+    *
+    * The two join inputs are projections of the same assignment (the
+    * corpus is scanned twice, as in any self-join); at scale persist
+    * the (id, vec, cluster_id, norm, block) projection once and join
+    * it with itself. Threshold compares the RAW cosine; output rounds
+    * to 4 dp.
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-               centers: Array[Array[Double]], tau: Double): DataFrame = {
+               centers: Array[Array[Double]], tau: Double,
+               maxBlock: Int = 4096): DataFrame = {
+    require(maxBlock >= 1, "maxBlock must be >= 1")
     import graft.expressions.DotProduct
     val asg = emb.where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         nearestCentroid(col(vecCol), centers).as("cluster_id"))
-    val a = asg.select(col("cluster_id"), col("id").as("id_a"), col("v").as("va"),
+    // per-cluster sizes: k rows, broadcast back for the block count
+    val sizes = asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+    val blocked = asg.join(broadcast(sizes), Seq("cluster_id"))
+      .withColumn("nb", expr(s"(n + ${maxBlock - 1}) div $maxBlock"))
+      .withColumn("block", TextFunctions.subBlock(col("id"), col("nb")))
+    val a = blocked.select(col("cluster_id"), col("block").as("bk"),
+      col("id").as("id_a"), col("v").as("va"),
       sqrt(DotProduct(col("v"), col("v"))).as("norm_a"))
-    val b = asg.select(col("cluster_id"), col("id").as("id_b"), col("v").as("vb"),
+    val b = blocked.select(col("cluster_id"),
+      explode(array_distinct(array(col("block"),
+        pmod(col("block") + 1, col("nb")),
+        pmod(col("block") - 1, col("nb"))))).as("bk"),
+      col("id").as("id_b"), col("v").as("vb"),
       sqrt(DotProduct(col("v"), col("v"))).as("norm_b"))
-    a.join(b, Seq("cluster_id"))
+    a.join(b, Seq("cluster_id", "bk"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos",
         when(col("norm_a") === 0.0 || col("norm_b") === 0.0, 0.0)

@@ -121,5 +121,39 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(spark, bad, "doc_id", "blob", 2).count() == 0)
     assert(Multimodal.parseVideoFrames("GV01\n1\n-5\nAAAAAAAA".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.parseVideoFrames("GV01\n1\n2147483640\nxx".getBytes("US-ASCII")).isEmpty)
+    // a NULL blob quarantines like any malformed container (and the
+    // distributed path tolerates a null binary cell)
+    assert(Multimodal.parseVideoFrames(null).isEmpty)
+    val withNull = Seq((9L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "blob")
+    assert(Multimodal.sampleFrames(spark, withNull, "doc_id", "blob", 2).count() == 0)
+    // stride must be a real sampling rate, not a modulus accident
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(spark, df, "doc_id", "blob", stride = 0)
+    }
+  }
+
+  test("indexVideoFrames returns the frame table without copying; sampling slices only kept frames") {
+    val text = "stride three container with nine frames padding!!"  // len 50
+    val blob = Multimodal.syntheticVideo(text)
+    val idx = Multimodal.indexVideoFrames(blob)
+    val parsed = Multimodal.parseVideoFrames(blob)
+    assert(idx.size == parsed.size && idx.nonEmpty)
+    // the index IS the parse, minus the copy: each (off, len) slice
+    // reproduces the parsed frame bytes exactly
+    idx.zip(parsed).foreach { case ((ki, off, len), (kp, frame)) =>
+      assert(ki == kp)
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(blob, off, off + len), frame))
+    }
+    // frame payloads are back-to-back in the container: each frame's
+    // offset sits AFTER the previous frame's end (its own length line
+    // in between), so slicing k % 3 == 0 provably never touches the
+    // dropped frames' byte ranges
+    idx.sliding(2).foreach {
+      case Seq((_, o1, l1), (_, o2, _)) => assert(o2 > o1 + l1)
+      case _ =>
+    }
+    val sampled = idx.filter(_._1 % 3 == 0).map(_._1)
+    assert(sampled == idx.map(_._1).filter(_ % 3 == 0))
   }
 }

@@ -156,6 +156,42 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!got.exists(p => p._2 == 3L && p._3 == 5L))
   }
 
+  test("semDedup maxBlock sub-blocks an oversized cluster: adjacency predicate, exactly-once pairs") {
+    def smix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    // one giant cluster: 12 near-identical vectors, every pair's cosine
+    // clears tau — so output is governed purely by the block predicate
+    val n = 12
+    val vecs = (0 until n).map(i => (i.toLong, Array(1.0f, 0.001f * i)))
+      .toDF("vid", "v")
+    val centers = Array(Array(1.0, 0.0))
+    // maxBlock=3 → nb = ceil(12/3) = 4: distance-2 block pairs dropped
+    val nb = 4L
+    def block(id: Long): Long = java.lang.Math.floorMod(smix(id), nb)
+    def adjacent(x: Long, y: Long): Boolean = {
+      val d = java.lang.Math.floorMod(block(x) - block(y), nb)
+      d == 0L || d == 1L || d == nb - 1
+    }
+    val got = TrainingOps.semDedup(vecs, "vid", "v", centers, tau = 0.9, maxBlock = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    // exactly-once: the explode-key join must never emit a pair twice
+    assert(got.size == got.distinct.size)
+    val expected = (for {
+      x <- 0L until n; y <- (x + 1) until n; if adjacent(x, y)
+    } yield (x, y)).toSeq
+    assert(got.sorted == expected.sorted)
+    // the bound genuinely drops non-adjacent pairs here...
+    assert(expected.size < n * (n - 1) / 2)
+    // ...and the default maxBlock leaves a small cluster exhaustive
+    val all = TrainingOps.semDedup(vecs, "vid", "v", centers, tau = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(all.sorted == (for { x <- 0L until n; y <- (x + 1) until n } yield (x, y)).sorted)
+  }
+
   test("nearestCentroid is a codegen Expression agreeing with the HOF Column formula") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .where(col("embedding").isNotNull)
