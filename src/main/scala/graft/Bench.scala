@@ -13,6 +13,7 @@ private final class BenchListener extends SparkListener {
   val stages = new AtomicLong
   val shuffleRead = new AtomicLong
   val shuffleWrite = new AtomicLong
+  val gcMillis = new AtomicLong
   override def onJobStart(e: SparkListenerJobStart): Unit = jobs.incrementAndGet()
   override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
     stages.incrementAndGet()
@@ -20,10 +21,11 @@ private final class BenchListener extends SparkListener {
     if (m != null) {
       shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
       shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      gcMillis.addAndGet(m.jvmGCTime)
     }
   }
-  def snap: (Long, Long, Long) =
-    (jobs.get, stages.get, shuffleRead.get + shuffleWrite.get)
+  def snap: (Long, Long, Long, Long) =
+    (jobs.get, stages.get, shuffleRead.get + shuffleWrite.get, gcMillis.get)
 }
 
 /** Headline bench: every SparkEntry query at the env-selected SF,
@@ -112,17 +114,27 @@ object Bench {
         drainBus(spark)
         val after = listener.snap
         val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        (sec, after._1 - before._1, after._2 - before._2, after._3 - before._3)
+        (sec, after._1 - before._1, after._2 - before._2, after._3 - before._3,
+          after._4 - before._4)
       }
       // median by wall time; report the median run's metric deltas
       val med = runs.sortBy(_._1).apply(1)
-      (name, med, runs.map(_._1))
+      (name, med, runs)
     }
     val qs = results.map { case (k, med, _) => s"\"" + k + "\":" + med._1 }
       .mkString("{", ",", "}")
-    val metrics = results.map { case (k, med, times) =>
-      val runsJson = times.map(t => f"$t%.4f").mkString("[", ",", "]")
-      f""""$k":{"runs_sec":$runsJson,"jobs":${med._2},"stages":${med._3},"shuffle_mb":${med._4 / 1e6}%.2f}"""
+    val metrics = results.map { case (k, med, runs) =>
+      val runsJson = runs.map(_._1).map(t => f"$t%.4f").mkString("[", ",", "]")
+      // per-RUN forensics: an outlier run (e.g. r6's 9.5 s third run of
+      // range_join_events_orders vs 0.8-0.9 for runs 1-2) is
+      // adjudicable from the artifact — same jobs/stages/shuffle but
+      // inflated gc_ms or just wall time ⇒ ambient; a different
+      // job/stage profile ⇒ a plan change. Median-run keys stay for
+      // round-over-round comparability.
+      val perRun = runs.map { r =>
+        f"""{"sec":${r._1}%.4f,"jobs":${r._2},"stages":${r._3},"shuffle_mb":${r._4 / 1e6}%.2f,"gc_ms":${r._5}}"""
+      }.mkString("[", ",", "]")
+      f""""$k":{"runs_sec":$runsJson,"jobs":${med._2},"stages":${med._3},"shuffle_mb":${med._4 / 1e6}%.2f,"gc_ms":${med._5},"runs":$perRun}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"$sfDir"}""")

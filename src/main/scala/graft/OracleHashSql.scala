@@ -537,7 +537,7 @@ object OracleHashSql {
        |  FROM h0)
        |SELECT r.cluster_id, r.n_vecs, r.rate_pct,
        |  CAST(SUM(CASE WHEN k.bucket < r.rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |  CAST(SUM(CASE WHEN k.bucket < r.rate_pct THEN k.vec_id END) AS BIGINT) AS kept_id_sum
+       |  CAST(SUM(CASE WHEN k.bucket < r.rate_pct THEN k.vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
        |FROM k JOIN rates r USING (cluster_id)
        |GROUP BY r.cluster_id, r.n_vecs, r.rate_pct
        |ORDER BY r.cluster_id""".stripMargin

@@ -603,7 +603,12 @@ object Queries {
     // checkpoint is per-call, so the choice never conflicts with a
     // prior run's state layout) and restore the session's setting
     // after. At production scale this knob is sized to state volume,
-    // not set globally.
+    // not set globally. NOT REENTRANT: the set/restore mutates
+    // session-global conf, which is safe for the sequential gate
+    // runner (and Verify/Bench, which run queries one at a time) but
+    // would race if gates ever executed concurrently on a shared
+    // session — scope a dedicated spark.newSession() per query before
+    // introducing that.
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val out = try {

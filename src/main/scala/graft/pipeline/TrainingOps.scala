@@ -185,6 +185,20 @@ object TrainingOps {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** The (doc, term, tf) pre-aggregation [[tfIdfTopK]] is built on —
+    * exposed so a caller can materialize it ONCE with a lifetime it
+    * owns: `val tf = termFrequencies(docs, id, text).persist(); try
+    * tfIdfTopK(docs, id, text, tf = Some(tf)) ... finally
+    * tf.unpersist()`. This is the long-lived-server shape the
+    * `persistTf` flag can't offer (its internal cache has no handle
+    * and lives until session end). Schema: (idCol, term, tf).
+    */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
   /** TF-IDF top-`k` terms per document (sklearn's smooth-idf variant:
     * idf = ln((N+1)/(df+1)) + 1, score = tf * idf rounded to 4 dp;
     * ties broken by term so the cut is deterministic). Skew-safe by
@@ -199,13 +213,17 @@ object TrainingOps {
     * so exchanges don't reuse). The one-scan alternative — df as a
     * count over a term-partitioned window — puts every document that
     * contains a stopword into ONE window partition, a straggler far
-    * worse at 100 TB than a second tokenize pass; `persistTf` is the
-    * production lever instead: cache the (doc, term) counts, ~10x
-    * smaller than the raw token stream (2x end-to-end at the 500k
-    * probe, a loss at 5k-doc corpora — caller's choice).
+    * worse at 100 TB than a second tokenize pass. The production
+    * levers instead: `persistTf` (session-lifetime internal cache of
+    * the (doc, term) counts, ~10x smaller than the raw token stream —
+    * 2x end-to-end at the 500k probe, a loss at 5k-doc corpora), or
+    * for a caller that must own the cache lifetime, pass `tf =
+    * Some([[termFrequencies]](...).persist(...))` and unpersist it
+    * when done.
     */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
-                k: Int = 3, persistTf: Boolean = false): DataFrame = {
+                k: Int = 3, persistTf: Boolean = false,
+                tf: Option[DataFrame] = None): DataFrame = {
     // The plan references tf twice (join input + df derivation) and
     // column pruning makes the subtrees differ, so exchange reuse
     // never fires: without a persist the corpus is tokenized twice
@@ -215,21 +233,23 @@ object TrainingOps {
     // 500k probe but LOSES at small corpora (cache write costs more
     // than re-tokenizing 5k docs), so the caller picks: set it when
     // the tokenize pass, not the cache, is the expensive side.
-    // CACHE LIFETIME: the entry lives until session end (no handle to
-    // unpersist an internal DF; Spark evicts LRU under pressure) —
-    // the lever is meant for batch jobs that end with the action, not
-    // per-request use in a long-lived server (manage the cache
-    // externally there, or leave the flag off).
-    val tf0 = docs
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .where(length(col("term")) > 0)
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val tf = if (persistTf)
-      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else tf0
-    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // CACHE LIFETIME: the `persistTf` entry lives until session end
+    // (no handle to unpersist an internal DF; Spark evicts LRU under
+    // pressure) — a convenience for batch jobs that end with the
+    // action. A long-lived server should pass `tf =
+    // Some(termFrequencies(...).persist(...))` instead and unpersist
+    // on its own schedule; a supplied `tf` (schema (idCol, term, tf),
+    // normally from [[termFrequencies]]) is used as-is and `persistTf`
+    // is ignored — this function never persists what it doesn't own.
+    val tfDf = tf.getOrElse {
+      val tf0 = termFrequencies(docs, idCol, textCol)
+      if (persistTf)
+        tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tf0
+    }
+    val dfq = tfDf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfq, "term")
+    tfDf.join(dfq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf").cast("double") *
@@ -369,7 +389,11 @@ object TrainingOps {
       .agg(
         sum(when(col("bucket") < col("rate_pct"), col("n")).otherwise(lit(0L)))
           .as("n_kept"),
-        sum(when(col("bucket") < col("rate_pct"), col("id_sum")))
+        // otherwise(0): a cluster whose rate floors to 0 keeps nothing
+        // and reports (n_kept=0, kept_id_sum=0) — without it SUM over
+        // no matching buckets is NULL and consumers see a 0/NULL
+        // asymmetry between the two columns
+        sum(when(col("bucket") < col("rate_pct"), col("id_sum")).otherwise(lit(0L)))
           .as("kept_id_sum"))
   }
 

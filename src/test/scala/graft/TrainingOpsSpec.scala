@@ -98,6 +98,20 @@ class TrainingOpsSpec extends AnyFunSuite {
       .orderBy("id", "term_rank")
       .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
     assert(persisted == expected)
+    // caller-managed cache: materialize termFrequencies under a
+    // lifetime the CALLER owns, pass it in, unpersist afterward —
+    // the long-lived-server contract persistTf can't offer
+    val tfOwned = TrainingOps.termFrequencies(corpus, "id", "body")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val supplied = TrainingOps.tfIdfTopK(corpus, "id", "body", k = 3, tf = Some(tfOwned))
+        .orderBy("id", "term_rank")
+        .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+      assert(supplied == expected)
+    } finally {
+      tfOwned.unpersist(blocking = true)
+      assert(tfOwned.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    }
   }
 
   test("clusterBalance: argmin-L2 assignment, first-min tie-break, floor-div rates, splitmix keeps") {
