@@ -566,6 +566,31 @@ object OracleSql {
         |FROM cells GROUP BY doc_id, frame_idx, w, h
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // Synthetic WAV: 192 + n%64 16-bit samples, sample k =
+    // (byte(k mod n) - 79) * 257; 64-sample windows. Sum-of-squares
+    // stays integer (BIGINT cast dodges DuckDB's HUGEINT SUM) so the
+    // one division + sqrt is bit-identical to the engine's; strict
+    // zero crossings via lead() within the window. GREATEST(n_chars,1)
+    // mirrors the engine's max(bytes.length,1) clamp; unicode(char) ==
+    // byte assumes ASCII fixtures like the other media oracles.
+    "multimodal_audio" ->
+      """WITH m AS (SELECT doc_id, text, GREATEST(n_chars, 1) AS n,
+        |             192 + (GREATEST(n_chars, 1) % 64) AS nsamp FROM documents),
+        |s AS (SELECT doc_id, i.g AS k, i.g // 64 AS widx,
+        |        (CASE WHEN text = '' THEN 0
+        |              ELSE unicode(substr(text, CAST(i.g % n AS INT) + 1, 1)) END - 79) * 257 AS v
+        |      FROM m, generate_series(0, 254) AS i(g) WHERE i.g < nsamp),
+        |z AS (SELECT doc_id, widx, v,
+        |        lead(v) OVER (PARTITION BY doc_id, widx ORDER BY k) AS nv
+        |      FROM s)
+        |SELECT doc_id, CAST(widx AS BIGINT) AS window_idx,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  ROUND(sqrt(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / count(*)), 4) AS rms,
+        |  CAST(SUM(CASE WHEN nv IS NOT NULL AND v * nv < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak
+        |FROM z GROUP BY doc_id, widx
+        |ORDER BY doc_id, window_idx""".stripMargin,
+
     "q5_local_supplier_revenue" ->
       """SELECT r_name, n_name,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,

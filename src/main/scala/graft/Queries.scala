@@ -1511,6 +1511,24 @@ object Queries {
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Audio feature extraction over a binary column: each doc becomes a
+    * real RIFF/WAV container (16-bit PCM samples derived from the
+    * text, a junk LIST chunk exercising the chunk walker); the pass
+    * decodes with the real parser and emits per-64-sample-window RMS /
+    * zero-crossings / peak, each replayed sample-by-sample by the
+    * oracle — the audio member of the multimodal tier (image decode /
+    * resize / video frame-sample / audio features), same
+    * partition-local batch shape as the rest.
+    */
+  def multimodalAudio(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.audioFeatures(spark,
+        Tables.documents(spark, sfDir)
+          .withColumn("blob", Multimodal.syntheticWavUdf(col("text"))),
+        "doc_id", "blob", winSize = 64)
+      .toDF()
+      .withColumn("rms", round(col("rms"), 4))
+      .orderBy(col("doc_id"), col("window_idx"))
+
   // ---- relational coverage round 3 ----
 
   /** TPC-H Q5 shape: the one fact-fact shuffle (lineitem⋈orders on the
@@ -1924,5 +1942,6 @@ object Queries {
     "cluster_balance" -> (clusterBalance _),
     "dedup_semantic" -> (dedupSemantic _),
     "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_audio" -> (multimodalAudio _),
   )
 }

@@ -236,6 +236,108 @@ object Multimodal {
       })
   }
 
+  // ---- audio path: RIFF/WAV parse + windowed signal features ----
+
+  /** Per-window signal features from the audio feature pass. `rms` is
+    * emitted unrounded — gate queries round via Spark's `round(_, 4)`
+    * so the engine/oracle rounding pairing is the same proven one the
+    * knn scores use. */
+  case class AudioWindow(doc_id: Long, window_idx: Long, n_samples: Long,
+                         rms: Double, zero_crossings: Long, peak: Long)
+
+  /** Deterministic synthetic audio: a REAL RIFF/WAVE container (16-bit
+    * mono PCM, 8 kHz) whose 192 + n%64 samples derive from the ASCII
+    * text — sample k = (byte(k mod n) − 79) · 257, spanning negative
+    * and positive so zero crossings are meaningful (bytes < 'O' dip
+    * below zero, bytes above rise over it). A LIST junk chunk sits
+    * between fmt and data — often odd-length, so the decoder's
+    * chunk-skip AND word-alignment padding are exercised on every row.
+    * Every decoded sample is SQL-reproducible for the DuckDB oracle
+    * while the pass itself exercises the real chunk walker.
+    */
+  def syntheticWav(text: String): Array[Byte] = {
+    val bytes = text.getBytes("US-ASCII")
+    val n = math.max(bytes.length, 1)
+    val nsamp = 192 + n % 64
+    val samples = Array.tabulate(nsamp)(k =>
+      ((if (bytes.isEmpty) 0 else bytes(k % n) & 0xFF) - 79) * 257)
+    AudioCodec.encodeWav(
+      AudioClip(8000, 1, 16, samples, "wav"),
+      junk = s"meta$n".getBytes("US-ASCII"))
+  }
+
+  val syntheticWavUdf = udf { (text: String) =>
+    if (text == null) null else syntheticWav(text)
+  }
+
+  /** Windowed audio features over a WAV binary column: decode with the
+    * REAL RIFF parser, split the signal into `winSize`-sample windows,
+    * and per window emit RMS, strict zero crossings (adjacent pairs
+    * within the window whose product is negative — boundary-straddling
+    * pairs belong to no window), and peak |amplitude|. One
+    * partition-local pass, same `mapInPandas` batch shape as the image
+    * and video tiers; undecodable blobs are dropped (quarantine path).
+    * Integer accumulation (Long sum of squares) keeps the per-window
+    * math exact until the single final division + sqrt, so the oracle
+    * reproduces the double bit-for-bit.
+    */
+  def audioFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                    binCol: String, winSize: Int = 64): Dataset[AudioWindow] = {
+    require(winSize >= 2, "winSize must be >= 2")
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.decode(bytes).toSeq.flatMap { clip =>
+          val s = clip.samples
+          (0 until s.length by winSize).map { start =>
+            val end = math.min(start + winSize, s.length)
+            var sumSq = 0L; var zc = 0L; var peak = 0L
+            var k = start
+            while (k < end) {
+              val v = s(k)
+              sumSq += v.toLong * v
+              if (math.abs(v).toLong > peak) peak = math.abs(v).toLong
+              if (k + 1 < end && v.toLong * s(k + 1) < 0) zc += 1
+              k += 1
+            }
+            val cnt = end - start
+            AudioWindow(id, (start / winSize).toLong, cnt.toLong,
+              math.sqrt(sumSq.toDouble / cnt), zc, peak)
+          }
+        }
+      })
+  }
+
+  /** Per-clip RMS-per-window feature vectors — audio "embeddings" that
+    * plug into the cosine ANN / near-dup operators exactly like the
+    * image `featureVectors`. Fixed dimensionality `dim` (windows past
+    * the clip pad with 0), L2-normalization left to the consumer. */
+  def audioFeatureVectors(spark: SparkSession, df: DataFrame, idCol: String,
+                          binCol: String, winSize: Int = 64, dim: Int = 4): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.decode(bytes).map { clip =>
+          val s = clip.samples
+          val feats = Array.tabulate(dim) { w =>
+            val start = w * winSize
+            val end = math.min(start + winSize, s.length)
+            if (start >= end) 0f
+            else {
+              var sumSq = 0L
+              var k = start
+              while (k < end) { sumSq += s(k).toLong * s(k); k += 1 }
+              math.sqrt(sumSq.toDouble / (end - start)).toFloat
+            }
+          }
+          (id, feats)
+        }
+      })
+      .toDF(idCol, "features")
+  }
+
   /** Luma-histogram feature vectors — image "embeddings" that plug into
     * the cosine ANN / near-dup operators unchanged. */
   def featureVectors(spark: SparkSession, df: DataFrame, idCol: String, binCol: String,
