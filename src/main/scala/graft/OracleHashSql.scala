@@ -498,6 +498,75 @@ object OracleHashSql {
        |       FROM (SELECT unnest($lit) AS w, unnest(range(0, ${flat.length})) AS f))""".stripMargin
   }
 
+  // ---- ann_hnsw_walk ----------------------------------------------
+  // Replay of graft.index.HnswWalk over the PERSISTED HnswIndexStore
+  // adjacency: Verify inlines the examined neighbor lists — the rows
+  // the stored graph actually served to the walk — as VALUES into
+  // __HNSW_WALK_ADJ__ (the kmeans-centroids trust model: the trained /
+  // built artifact is input, every DECISION is re-made here). The
+  // recursive CTE starts at the stored entry point (node_idx 0 = the
+  // smallest held-in vec_id), takes the argmax-cosine neighbor of the
+  // current node on the current layer (ties to the smaller id), moves
+  // if it beats the current node (strictly, or equal-score smaller
+  // id), else descends one layer carrying the node, and stops at
+  // layer 0 with no improvement. Cosines are recomputed from the
+  // embeddings table with the same index-ordered unnest sums as the
+  // knn oracles — bit-identical doubles, so the strict comparisons the
+  // walk branches on agree with the engine's. A buggy engine walk
+  // diverges here, hits adjacency the CTE does not carry, and the
+  // traces mismatch: disagreement is always visible. 4 = Hnsw.MaxLevel.
+
+  def hnswWalkAdjValues(rows: Seq[index.HnswWalk.WalkRow]): String = {
+    val triples = rows
+      .flatMap(r => r.nb_ids.map(nb => (r.node_id, r.layer, nb)))
+      .distinct.sorted
+    if (triples.isEmpty)
+      // a graph can only serve an empty neighbor list if every layer of
+      // every visited node is edgeless; keep the CTE well-formed — the
+      // NULL row joins nothing, so the replay walk just descends
+      "VALUES (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))"
+    else triples
+      .map { case (n, l, b) => s"($n::BIGINT, $l::BIGINT, $b::BIGINT)" }
+      .mkString("VALUES ", ", ", "")
+  }
+
+  private val annHnswWalkSql =
+    """WITH RECURSIVE
+      |adj(node_id, layer, nb_id) AS (__HNSW_WALK_ADJ__),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |entry AS (SELECT MIN(vec_id) AS vid FROM embeddings
+      |          WHERE vec_id <> 0 AND embedding IS NOT NULL),
+      |nodes AS (SELECT node_id AS vid FROM adj UNION SELECT nb_id FROM adj
+      |          UNION SELECT vid FROM entry),
+      |pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+      |          FROM embeddings e, q WHERE e.vec_id IN (SELECT vid FROM nodes)),
+      |sc AS (SELECT vec_id,
+      |         SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+      |         (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+      |       FROM pairs GROUP BY vec_id),
+      |best AS (SELECT node_id, layer, nb_id, s FROM (
+      |           SELECT a.node_id, a.layer, a.nb_id, sc.s,
+      |             row_number() OVER (PARTITION BY a.node_id, a.layer
+      |                                ORDER BY sc.s DESC, a.nb_id) AS rn
+      |           FROM adj a JOIN sc ON sc.vec_id = a.nb_id) WHERE rn = 1),
+      |walk(step, layer, node, s) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST(4 AS BIGINT), e.vid, sc.s
+      |  FROM entry e JOIN sc ON sc.vec_id = e.vid
+      |  UNION ALL
+      |  SELECT w.step + 1,
+      |    CASE WHEN b.s > w.s OR (b.s = w.s AND b.nb_id < w.node)
+      |         THEN w.layer ELSE w.layer - 1 END,
+      |    CASE WHEN b.s > w.s OR (b.s = w.s AND b.nb_id < w.node)
+      |         THEN b.nb_id ELSE w.node END,
+      |    CASE WHEN b.s > w.s OR (b.s = w.s AND b.nb_id < w.node)
+      |         THEN b.s ELSE w.s END
+      |  FROM walk w LEFT JOIN best b ON b.node_id = w.node AND b.layer = w.layer
+      |  WHERE w.layer > 0
+      |     OR (b.s IS NOT NULL AND (b.s > w.s OR (b.s = w.s AND b.nb_id < w.node)))
+      |)
+      |SELECT step, layer, node AS node_id, ROUND(s, 4) AS score
+      |FROM walk ORDER BY step""".stripMargin
+
   // ---- cluster_balance --------------------------------------------
   // TrainingOps.clusterBalance over the inlined trained centroids:
   // argmin squared-L2 over RAW (un-normalized) components with the
@@ -778,6 +847,9 @@ object OracleHashSql {
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     "ann_sq" -> annSqSql,
     "ann_ivf" -> annIvfSql,
+    // persisted-adjacency walk replay; Verify inlines the examined
+    // neighbor lists into __HNSW_WALK_ADJ__ before DuckDB sees the SQL
+    "ann_hnsw_walk" -> annHnswWalkSql,
     "ann_recall_exact" -> annRecallExactSql,
     // full-method replay incl. PQ; Verify inlines the trained codebook
     // into __PQ_CODEBOOK_CTE__ before the SQL reaches DuckDB

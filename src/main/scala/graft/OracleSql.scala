@@ -50,7 +50,10 @@ object OracleSql {
     * rerank + recall 1.0), ann_pq (ADC shortlist + exact-rerank tail),
     * ann_ivf_kmeans (recall-driven probe width). The equivalence is
     * pinned Spark-side at the gate SFs by AnnEquivalenceSpec; here the
-    * oracle checks the actual values independently.
+    * oracle checks the actual values independently. The hierarchical
+    * graph machinery itself is additionally hash-exact via
+    * `ann_hnsw_walk` ([[OracleHashSql]]): a recursive-CTE replay of the
+    * greedy-descent walk over the PERSISTED HnswIndexStore adjacency.
     */
   private val knnBruteSql =
     s"""${knnScores("")}

@@ -222,7 +222,51 @@ object Queries {
     Map(
       "__PQ_CODEBOOK_CTE__" -> OracleHashSql.pqCodebookCte(cb),
       "__KMEANS_CENTROIDS_CTE__" ->
-        OracleHashSql.kmeansCentroidsCte(balanceCenters(spark, sfDir)))
+        OracleHashSql.kmeansCentroidsCte(balanceCenters(spark, sfDir)),
+      "__HNSW_WALK_ADJ__" ->
+        OracleHashSql.hnswWalkAdjValues(hnswWalkRows(spark, sfDir)))
+  }
+
+  private val hnswWalkCache = new SessionCache[String, Seq[graft.index.HnswWalk.WalkRow]]
+
+  /** The persisted-graph walk trace, built once per (session, sfDir):
+    * write a single-shard [[graft.index.HnswIndexStore]] over the
+    * embeddings with the query vector (vec_id 0) HELD OUT — a query
+    * already in the index terminates the walk at cosine 1.0
+    * immediately — then argmax-greedy-descend the adjacency read back
+    * from parquet. The store directory is deleted after the walk (the
+    * trace and examined adjacency are all the gate and its oracle
+    * need); durable serving over a kept store is [[annHnsw]]'s
+    * searchMany path. */
+  private def hnswWalkRows(spark: SparkSession, sfDir: String): Seq[graft.index.HnswWalk.WalkRow] =
+    hnswWalkCache.getOrElseUpdate(spark, sfDir) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-walk-").toFile
+      try
+        graft.index.HnswWalk.persistedWalk(spark,
+          Tables.embeddings(spark, sfDir).where(col("vec_id") =!= 0),
+          "vec_id", "embedding", queryVec(spark, sfDir), dir.toString)
+      finally rmTree(dir)
+    }
+
+  /** Hash-exact verification walk over the PERSISTED hierarchical
+    * index ([[graft.index.HnswWalk]]): the full greedy-descent trace —
+    * every within-layer argmax move and every layer-arrival state —
+    * over adjacency read back from the stored parquet. The DuckDB
+    * oracle re-makes every decision independently (recursive CTE over
+    * the examined adjacency, inlined like the kmeans centroids;
+    * cosines recomputed from the embeddings table), so ann_hnsw's
+    * stored-graph machinery is hash-checked, not just
+    * equivalence-bounded. ≤ a few dozen rows by construction (walk
+    * length ≤ layers × max improvement chain), so the driver-local
+    * trace is a bounded verification artifact, not a data path.
+    */
+  def annHnswWalk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    hnswWalkRows(spark, sfDir)
+      .map(r => (r.step, r.layer, r.node_id, r.score))
+      .toDF("step", "layer", "node_id", "score")
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("step"))
   }
 
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1850,6 +1894,7 @@ object Queries {
     "ann_ivf" -> (annIvf _),
     "ann_nsw" -> (annNsw _),
     "ann_hnsw" -> (annHnsw _),
+    "ann_hnsw_walk" -> (annHnswWalk _),
     "ann_recall" -> (annRecall _),
     "ann_recall_exact" -> (annRecallExact _),
     "neardup_embedding" -> (neardupEmbedding _),

@@ -44,7 +44,7 @@ object Hnsw {
       l
     }
 
-  private def cos(a: Array[Float], b: Array[Float]): Double = {
+  private[index] def cos(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) {
@@ -366,6 +366,93 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
       .toDF("id", "score")
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+  }
+}
+
+/** A deterministic, SQL-replayable walk over a PERSISTED
+  * [[HnswIndexStore]] graph — the hash-exact verification surface for
+  * the hierarchical index (`ann_hnsw_walk`). The production beam
+  * ([[Hnsw.searchShard]]: sweep-order greedy descent + ef-bounded
+  * priority-queue beam) is covered by spec + brute-equivalence; its
+  * visited set depends on queue/sweep order, which no independent SQL
+  * replay can follow. This walk pins what CAN be replayed exactly:
+  * from the stored entry point (node_idx 0), at each state take the
+  * argmax-cosine neighbor of the current node on the current layer
+  * (ties to the smaller id), move if it beats the current node
+  * (strictly, or equal-score-smaller-id), else descend one layer
+  * carrying the node; stop at layer 0 with no improvement. Every
+  * state — including per-layer arrival rows — is emitted with the
+  * neighbor list it examined, so the DuckDB oracle can re-make every
+  * decision from the stored adjacency + the embeddings table alone
+  * (recursive CTE; adjacency inlined via oracle substitution like the
+  * kmeans centroids). A divergent oracle walk hits a missing
+  * adjacency row and mismatches — disagreement is always visible.
+  */
+object HnswWalk {
+
+  /** One walk state: the node examined `nb_ids` (its stored neighbor
+    * list on `layer`) to decide the next transition. */
+  final case class WalkRow(step: Long, layer: Long, node_id: Long,
+                           score: Double, nb_ids: Array[Long])
+
+  /** Argmax greedy descent over one reconstructed shard graph. */
+  def walkGraph(g: Hnsw.ShardGraph, query: Array[Float]): Seq[WalkRow] = {
+    val n = g.ids.length
+    require(n > 0, "cannot walk an empty graph")
+    def nbs(l: Int, i: Int): Array[Int] = {
+      val a = g.layers(l)(i); if (a == null) Array.empty else a
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[WalkRow]
+    var step = 0L
+    var cur = 0
+    var curS = Hnsw.cos(g.vecs(cur), query)
+    var l = Hnsw.MaxLevel
+    out += WalkRow(step, l.toLong, g.ids(cur), curS, nbs(l, cur).map(g.ids(_)))
+    while (l >= 0) {
+      var moved = true
+      while (moved) {
+        moved = false
+        val cand = nbs(l, cur)
+        if (cand.nonEmpty) {
+          var bi = -1; var bs = 0.0
+          cand.foreach { nb =>
+            val s = Hnsw.cos(g.vecs(nb), query)
+            if (bi < 0 || s > bs || (s == bs && nb < bi)) { bi = nb; bs = s }
+          }
+          if (bs > curS || (bs == curS && bi < cur)) {
+            cur = bi; curS = bs; step += 1; moved = true
+            out += WalkRow(step, l.toLong, g.ids(cur), curS, nbs(l, cur).map(g.ids(_)))
+          }
+        }
+      }
+      l -= 1
+      if (l >= 0) {
+        step += 1
+        out += WalkRow(step, l.toLong, g.ids(cur), curS, nbs(l, cur).map(g.ids(_)))
+      }
+    }
+    out.toSeq
+  }
+
+  /** Build a single-shard store at `path` from `emb`, then walk the
+    * adjacency READ BACK from the parquet — the walk checks what was
+    * persisted, not the in-memory build. Single shard so there is one
+    * graph to walk (the distributed serving path is [[HnswIndexStore
+    * .searchMany]]; this is a verification surface, ≤ a few dozen
+    * output rows). Callers hold the query vector out of `emb` so the
+    * walk has somewhere to go. */
+  def persistedWalk(spark: SparkSession, emb: DataFrame, idCol: String, embCol: String,
+                    query: Array[Float], path: String): Seq[WalkRow] = {
+    import spark.implicits._
+    HnswIndexStore().write(emb, idCol, embCol, path, numShards = 1)
+    spark.read.parquet(path)
+      .select(col("shard"), col("node_idx"), col("id"), col("embedding"), col("neighbors"))
+      .as[HnswNodeRow]
+      .repartition(1) // one task sees the whole (single) shard
+      .mapPartitions(it => HnswIndexStore.reconstruct(it).flatMap(g => walkGraph(g, query).iterator))
+      .collect()
+      .sortBy(_.step)
+      .toSeq
   }
 }
 
