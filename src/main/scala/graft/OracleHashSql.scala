@@ -776,6 +776,27 @@ object OracleHashSql {
        |  ROUND(SUM(kept) / CAST(count(*) AS DOUBLE), 4) AS kept_rate
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- shuffle_shard ----------------------------------------------
+  // TrainingOps.shuffleShard: shard = floorMod(splitmix64(doc_id), 16)
+  // (the engine's pmod over the SIGNED long — the unsigned smix result
+  // is re-signed first, same pattern as sample_stratified), position =
+  // dense 0-based rank by (skey, doc_id) within the shard. The
+  // position-weighted checksum replays the ORDER, not just membership.
+  private def shuffleShardSql: String =
+    s"""WITH h0 AS (SELECT doc_id, (${smix("doc_id::HUGEINT")})::HUGEINT AS h FROM documents),
+       |s AS (SELECT doc_id,
+       |    (h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) AS skey
+       |  FROM h0),
+       |p AS (SELECT doc_id, skey,
+       |    (((skey % 16) + 16) % 16) AS shard,
+       |    row_number() OVER (PARTITION BY (((skey % 16) + 16) % 16)
+       |                       ORDER BY skey, doc_id) - 1 AS pos
+       |  FROM s)
+       |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+       |  CAST(MAX(CASE WHEN pos = 0 THEN doc_id END) AS BIGINT) AS head_id,
+       |  CAST(SUM((pos + 1) * doc_id) AS BIGINT) AS ord_checksum
+       |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+
   // ---- mix_resample -----------------------------------------------
   // mixture weights as integer keep-thresholds (round half-up on both
   // engines), applied via the same re-signed splitmix64 floorMod
@@ -832,6 +853,7 @@ object OracleHashSql {
   val all: Map[String, String] = Map(
     "fingerprint_winnow" -> fingerprintWinnowSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "shuffle_shard" -> shuffleShardSql,
     "pipeline_survivors" -> pipelineSurvivorsSql,
     "mix_resample" -> mixResampleSql,
     "embed_knn_text" -> embedKnnTextSql,

@@ -372,6 +372,56 @@ object OracleSql {
         |       ELSE 0.0 END AS dup_bigram_ratio
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // TrainingOps.qualityLogit: the identical IEEE multiply-add chain
+    // in the identical operand order — bit-identical doubles, so the
+    // strict logit > 0.0 keep decision and the floor-e4 checksum agree
+    // by construction (the knn-score trust model; no exp anywhere).
+    "quality_logistic" ->
+      """WITH t AS (SELECT doc_id, lang, trim(text) AS tt, string_split_regex(trim(text), ' +') AS w FROM documents),
+        |m AS (SELECT doc_id, lang, CAST(len(w) AS DOUBLE) AS nt,
+        |  CASE WHEN len(w) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(tt, ' +', '', 'g')) AS DOUBLE) / len(w) END AS atl,
+        |  CASE WHEN len(w) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(w, x -> x IN ('the','is','and','of','to','a','in'))) AS DOUBLE) / len(w) END AS sr,
+        |  CASE WHEN len(w) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS dup
+        |  FROM t),
+        |l AS (SELECT doc_id, lang,
+        |  0.05 * (nt - 56.0) + 2.0 * (atl - 4.5) - 6.0 * (sr - 0.06) - 3.0 * (dup - 0.54) AS logit
+        |  FROM m)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE logit > 0.0) AS n_kept,
+        |  CAST(SUM(doc_id) FILTER (WHERE logit > 0.0) AS BIGINT) AS kept_id_sum,
+        |  CAST(SUM(CAST(floor(logit * 10000.0) AS BIGINT)) AS BIGINT) AS sum_logit_e4
+        |FROM l GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Queries.textPiiRedact: inject the same deterministic synthetic
+    // PII (pure functions of doc_id), redact with the same three
+    // ordered patterns (Java-regex ∩ RE2 dialect; 'g' = Spark's
+    // always-global regexp_replace), pin the redacted text via the
+    // same md5-prefix sum (DuckDB hex-literal cast == Spark conv base
+    // 16 → 10 on the lowercase hex both engines emit).
+    "text_pii_redact" ->
+      """WITH aug AS (SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id // 256) % 256) || '.' || ((doc_id // 65536) % 256) ELSE '' END
+        |    AS itext
+        |  FROM documents),
+        |red AS (SELECT doc_id, source, itext,
+        |    regexp_replace(regexp_replace(regexp_replace(itext,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b555-[0-9]{4}\b', '[PHONE]', 'g'),
+        |      '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS rtext
+        |  FROM aug)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(itext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+        |  CAST(SUM(len(regexp_extract_all(itext, '\b555-[0-9]{4}\b'))) AS BIGINT) AS n_phones,
+        |  CAST(SUM(len(regexp_extract_all(itext, '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS n_ips,
+        |  CAST(SUM(length(rtext)) AS BIGINT) AS red_len_sum,
+        |  CAST(SUM(('0x' || substr(md5(rtext), 1, 8))::BIGINT) AS BIGINT) AS red_md5_sum
+        |FROM red GROUP BY source ORDER BY source""".stripMargin,
+
     "quality_gate" ->
       """WITH t AS (SELECT lang, trim(text) AS tt, string_split_regex(trim(text), ' +') AS w FROM documents),
         |m AS (SELECT lang, len(w) AS nt,

@@ -82,6 +82,29 @@ object PipelineProbe {
       TrainingOps.tfIdfTopK(corpus, "doc_id", "text", persistTf = true).count()
     }
 
+    // the round-7 operators at the same ~500k scale: the training-
+    // order shuffle (one hash exchange + per-shard sort — 512 shards
+    // keeps each window partition ~1k rows, the task-sized unit the
+    // operator's scaladoc prescribes), and the two map-only passes
+    // (logistic filter, PII scrub) whose cost should be scan-bound
+    time("stage shuffle into 512 training shards (SplitMix64 order)") {
+      TrainingOps.shuffleShard(corpus, "doc_id", numShards = 512)
+        .groupBy(col("shard")).agg(max(col("pos"))).count()
+    }
+    time("stage logistic quality filter") {
+      TrainingOps.qualityLogit(corpus, "text").where(col("kept")).count()
+    }
+    time("stage PII scrub (3 ordered regex passes + match counts)") {
+      // head().getLong forces the sums — a count() over a global agg
+      // lets Catalyst prune the aggregate expressions entirely (the
+      // regexes would never run and the stage would time the no-op)
+      corpus.select(
+          TextFunctions.piiRedact(col("text")).as("red"),
+          TextFunctions.piiCount(col("text"), TextFunctions.EmailRx).cast("long").as("ne"))
+        .agg(sum(length(col("red"))).as("l"), sum(col("ne")).as("e"))
+        .head().getLong(0)
+    }
+
     // ---- the composition, end-to-end ----------------------------
     time("COMPOSED survivors (quality -> dedup -> decontaminate -> sample -> agg)") {
       val clean = dedupFirst(quality(corpus))

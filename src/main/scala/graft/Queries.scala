@@ -1217,6 +1217,89 @@ object Queries {
       .withColumn("kept_rate", round(col("n_kept").cast("double") / col("n_docs"), 4))
       .orderBy(col("lang"))
 
+  /** Deterministic global corpus shuffle into training shards
+    * ([[graft.pipeline.TrainingOps.shuffleShard]]): shard and
+    * in-shard position are pure functions of splitmix64(doc_id) — the
+    * codegen'd [[graft.expressions.SplitMix64]], no RNG state — so
+    * the training order is reproducible bit-for-bit across runs and
+    * cluster sizes, for one hash exchange + per-shard local sort
+    * (never a global range sort). The gate pins the ORDER, not just
+    * membership: head_id is the first document of each shard and
+    * ord_checksum is position-weighted (Σ (pos+1)·doc_id), so any
+    * reordering anywhere shifts a shard's row. 16 shards here;
+    * at 100 TB, numShards scales to 1e5–1e6 so each shard is a
+    * task-sized training-file unit (see the operator's Scaladoc).
+    */
+  def shuffleShardQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.TrainingOps.shuffleShard(
+        Tables.documents(spark, sfDir), "doc_id", numShards = 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("pos") === 0, col("doc_id"))).as("head_id"),
+        sum((col("pos") + 1) * col("doc_id")).as("ord_checksum"))
+      .orderBy(col("shard"))
+
+  /** Model-based quality filtering
+    * ([[graft.pipeline.TrainingOps.qualityLogit]]): a fixed linear
+    * model over four per-document text features, thresholded on the
+    * LOGIT (monotone in the sigmoid, so no cross-engine `exp` enters
+    * the comparison). ~52% of the fixture corpus passes — the filter
+    * discriminates rather than rubber-stamps. The e4-scaled
+    * floor-sum checksum (Σ ⌊logit·10⁴⌋ as BIGINT) is
+    * summation-order-independent, unlike a rounded AVG of doubles,
+    * and the per-row doubles are bit-identical across engines by
+    * construction (same IEEE multiply-add chain, same operand order —
+    * the knn-score trust model).
+    */
+  def qualityLogistic(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.TrainingOps.qualityLogit(Tables.documents(spark, sfDir), "text")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"),
+        sum(floor(col("logit") * lit(10000.0)).cast("long")).as("sum_logit_e4"))
+      .orderBy(col("lang"))
+
+  /** PII scrubbing ([[TextFunctions.piiRedact]]): the fixture corpus
+    * contains no PII, so deterministic synthetic PII is INJECTED
+    * first — an email for doc_id ≡ 0 (mod 3), a phone for ≡ 0 (mod
+    * 5), an RFC-1918 IP for ≡ 0 (mod 7), each derived from doc_id and
+    * constructed identically by the oracle (the audio/video
+    * synthetic-fixture pattern: the plumbing is real, the fixture is
+    * replayable). Redaction is three ordered global regexp_replace
+    * passes — pure Column, map-only, zero shuffle before the 20-group
+    * agg — with patterns restricted to the Java-regex ∩ RE2 common
+    * dialect (TextFunctions scaladoc). The md5-prefix sum pins the
+    * exact redacted TEXT per source, not just match counts: a
+    * scrubber that mangled a byte anywhere shifts red_md5_sum.
+    */
+  def textPiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val did = col("doc_id")
+    val injected = concat(col("text"),
+      when(did % 3 === 0,
+        concat(lit(" contact u"), did.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(did % 5 === 0,
+        concat(lit(" call 555-"), lpad((did % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(did % 7 === 0,
+        concat(lit(" from 10."), (did % 256).cast("string"), lit("."),
+          expr("(doc_id div 256) % 256").cast("string"), lit("."),
+          expr("(doc_id div 65536) % 256").cast("string")))
+        .otherwise(lit("")))
+    Tables.documents(spark, sfDir)
+      .withColumn("itext", injected)
+      .withColumn("rtext", TextFunctions.piiRedact(col("itext")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.piiCount(col("itext"), TextFunctions.EmailRx).cast("long")).as("n_emails"),
+        sum(TextFunctions.piiCount(col("itext"), TextFunctions.PhoneRx).cast("long")).as("n_phones"),
+        sum(TextFunctions.piiCount(col("itext"), TextFunctions.Ipv4Rx).cast("long")).as("n_ips"),
+        sum(length(col("rtext")).cast("long")).as("red_len_sum"),
+        sum(conv(substring(md5(col("rtext")), 1, 8), 16, 10).cast("long")).as("red_md5_sum"))
+      .orderBy(col("source"))
+  }
+
   /** Sequence packing (concat-then-chunk, the GPT-style training-data
     * layout): per (source, 100k-doc id-range shard), documents are
     * concatenated in doc_id order and cut into 512-token bins; a
@@ -1924,6 +2007,9 @@ object Queries {
     "events_session_window_stream" -> (eventsSessionWindowStream _),
     "decontaminate_ngram" -> (decontaminateNgram _),
     "sample_stratified" -> (sampleStratified _),
+    "shuffle_shard" -> (shuffleShardQ _),
+    "quality_logistic" -> (qualityLogistic _),
+    "text_pii_redact" -> (textPiiRedact _),
     "pack_sequences" -> (packSequences _),
     "mix_weights" -> (mixWeights _),
     "pipeline_survivors" -> (pipelineSurvivors _),

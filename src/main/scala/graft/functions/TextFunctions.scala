@@ -107,6 +107,40 @@ object TextFunctions {
     lit(0.5) * lenScore + lit(0.5) * (lit(1.0) - stopPenalty)
   }
 
+  /** PII scrub patterns — deliberately restricted to constructs with
+    * identical semantics in java.util.regex (the engine) and RE2 (the
+    * DuckDB oracle): character classes, bounded repetition, `\b`. No
+    * backreferences, no lookaround (RE2 has neither). The IPv4
+    * pattern is scoped to the RFC-1918 10/8 block the fixtures
+    * inject — a production scrubber would widen it; the machinery
+    * (ordered global replace + per-pattern counts) is what's under
+    * test. Kept `String` (not Column) so specs can replay them with
+    * plain `java.util.regex` against the engine output.
+    */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRx = "\\b555-[0-9]{4}\\b"
+  val Ipv4Rx = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Count of matches of one scrub pattern — codegen'd
+    * `regexp_count`, no UDF. */
+  def piiCount(text: Column, rx: String): Column = regexp_count(text, lit(rx))
+
+  /** Redact all email / phone / IPv4 matches with typed tags, in that
+    * fixed order (the order is part of the contract — a later pattern
+    * never sees text a earlier one replaced, on either engine). All
+    * three replacements are global on both engines (Spark
+    * `regexp_replace` always is; the oracle passes the `g` flag).
+    * Pure Column — the whole scrub stays inside whole-stage codegen,
+    * which is what lets it run as a map-only pass over a 100 TB
+    * corpus with no shuffle at all.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRx), lit("[EMAIL]")),
+        lit(PhoneRx), lit("[PHONE]")),
+      lit(Ipv4Rx), lit("[IP]"))
+
   /** BPE-pre-tokenizer-style token count: letter runs, digit runs and
     * individual punctuation marks each count as one token (the shape a
     * byte-pair encoder's pre-tokenizer produces, minus merges). Pure

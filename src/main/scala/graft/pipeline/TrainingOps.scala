@@ -47,6 +47,84 @@ object TrainingOps {
     docs.withColumn("kept",
       TextFunctions.samplingBucket(100)(col(idCol)) < ratePct)
 
+  /** Deterministic global corpus shuffle for training order: rows are
+    * scattered across `numShards` shards and totally ordered within
+    * each by the codegen'd splitmix64 of their id
+    * ([[graft.expressions.SplitMix64]]) — the GPT-style "shuffle the
+    * corpus once, then read shards sequentially" layout, with no RNG
+    * state anywhere: shard and position are pure functions of the id,
+    * so a re-run (or a different cluster size / partition order)
+    * reproduces the exact training order bit-for-bit. This is the
+    * property a global `orderBy(rand())` cannot give, and it costs ONE
+    * hash-partitioned exchange + per-shard local sort instead of a
+    * global range sort: shard = floorMod(splitmix64(id), numShards)
+    * co-partitions the window with no second exchange. Size
+    * `numShards` to the corpus (rows / numShards must fit a task's
+    * sort buffer — at 100 TB that means 1e5–1e6 shards, which also
+    * makes each output shard a sensible training-file unit); ties are
+    * impossible within a shard unless two ids collide in splitmix64,
+    * and the (skey, id) sort key keeps even that deterministic.
+    *
+    * RESERVED OUTPUT COLUMNS: `skey`, `shard`, `pos` — caller columns
+    * of those names are overwritten.
+    */
+  def shuffleShard(docs: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col(idCol))
+    docs
+      .withColumn("skey", graft.expressions.SplitMix64(col(idCol)))
+      .withColumn("shard", pmod(col("skey"), lit(numShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Model-based quality filtering (the CCNet / fastText-classifier
+    * step of a training pipeline, with a fixed linear model standing
+    * in for the trained weights): a per-document logistic-regression
+    * logit over four deterministic text features — token count, mean
+    * token length, stopword ratio, duplicate-word ratio — all pure
+    * Column expressions that stay inside whole-stage codegen. The
+    * sigmoid is monotone, so keep/drop is decided on the LOGIT
+    * (`> 0.0` ⇔ probability > 0.5) and no cross-engine `exp` ever
+    * enters the oracle comparison; the oracle replays the identical
+    * IEEE multiply-add chain (same operand order ⇒ bit-identical
+    * doubles, the knn-score trust model). Weights are centered on the
+    * corpus medians so the filter genuinely discriminates (~52% kept
+    * on the fixture corpus, not 0%/100%).
+    *
+    * Returns the input plus `logit` and `kept` columns (filter or
+    * aggregate downstream). RESERVED OUTPUT COLUMNS: `logit`, `kept`.
+    */
+  def qualityLogit(docs: DataFrame, textCol: String): DataFrame = {
+    // All four features come from ONE code-point scan
+    // ([[graft.expressions.TextQualityFeatures]]): the naive Column
+    // form (tokenCount + avgTokenLength + stopwordRatio + distinct
+    // ratio) runs a regex tokenize per feature because the stopword
+    // HOF blocks codegen subexpression elimination — measured 41 s
+    // over the 500k probe corpus even with a materialized token
+    // array, vs ~4 s single-pass. The feature struct lands in its own
+    // projection so the scan runs once however many fields read it
+    // (CollapseProject keeps non-cheap producers used more than once).
+    val f = col("__q_feat")
+    val n = f.getField("n_tok")
+    val nt = n.cast("double")
+    val atl = when(n === 0, 0.0)
+      .otherwise(f.getField("n_char").cast("double") / nt)
+    val sr = when(n === 0, 0.0)
+      .otherwise(f.getField("stop_hits").cast("double") / nt)
+    val dup = when(n === 0, 0.0)
+      .otherwise(lit(1.0) - f.getField("n_distinct").cast("double") / nt)
+    val logit = lit(0.05) * (nt - lit(56.0)) +
+      lit(2.0) * (atl - lit(4.5)) -
+      lit(6.0) * (sr - lit(0.06)) -
+      lit(3.0) * (dup - lit(0.54))
+    docs.withColumn("__q_feat",
+        graft.expressions.TextQualityFeatures(col(textCol),
+          Seq("the", "is", "and", "of", "to", "a", "in")))
+      .withColumn("logit", logit)
+      .withColumn("kept", col("logit") > lit(0.0))
+      .drop("__q_feat")
+  }
+
   /** Concat-then-chunk sequence packing: within each (shard) group,
     * documents are concatenated in id order and cut into
     * `binTokens`-token bins; a document lands in the bin where it

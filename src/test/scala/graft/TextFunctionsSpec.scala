@@ -69,4 +69,41 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(meta.doc_id == 7L && meta.n_bytes == 6L)
     assert(meta.width == 64 + (6 % 57) * 16 && meta.format == "png")
   }
+
+  test("piiRedact: ordered typed tags, counts, and java.util.regex replay agreement") {
+    val cases = Seq(
+      (0L, "mail me at alice.smith+x@sub.example.co.uk today"),
+      (1L, "call 555-0142 or 555-9999 now"),
+      (2L, "server at 10.0.12.255 and 10.255.1.2"),
+      (3L, "a@b.io then 555-1234 then 10.1.2.3 all three"),
+      (4L, "no pii here at all"),
+      (5L, "not-a-phone 1555-12345 and not-an-ip 110.1.2.3 stay"), // \b guards
+      (6L, ""))
+    val df = cases.toDF("id", "t")
+      .select($"id", $"t",
+        TextFunctions.piiRedact($"t").as("red"),
+        TextFunctions.piiCount($"t", TextFunctions.EmailRx).as("ne"),
+        TextFunctions.piiCount($"t", TextFunctions.PhoneRx).as("np"),
+        TextFunctions.piiCount($"t", TextFunctions.Ipv4Rx).as("ni"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+
+    assert(df(0L) == (("mail me at [EMAIL] today", 1, 0, 0)))
+    assert(df(1L) == (("call [PHONE] or [PHONE] now", 0, 2, 0)))
+    assert(df(2L) == (("server at [IP] and [IP]", 0, 0, 2)))
+    assert(df(3L) == (("[EMAIL] then [PHONE] then [IP] all three", 1, 1, 1)))
+    assert(df(4L) == (("no pii here at all", 0, 0, 0)))
+    // \b keeps 1555-12345 (digit before 555) and 110.1.2.3 (digit before 10.)
+    assert(df(5L) == (("not-a-phone 1555-12345 and not-an-ip 110.1.2.3 stay", 0, 0, 0)))
+    assert(df(6L) == (("", 0, 0, 0)))
+
+    // the engine's redaction == plain java.util.regex applied in the
+    // same order (the patterns are the shared-dialect contract)
+    cases.foreach { case (id, t) =>
+      val want = t.replaceAll(TextFunctions.EmailRx, "[EMAIL]")
+        .replaceAll(TextFunctions.PhoneRx, "[PHONE]")
+        .replaceAll(TextFunctions.Ipv4Rx, "[IP]")
+      assert(df(id)._1 == want, s"case $id")
+    }
+  }
 }

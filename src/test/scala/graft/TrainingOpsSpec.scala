@@ -254,4 +254,119 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(bookTok < webTok && bookW == 1.0)
     assert(math.abs(webW * webTok - bookTok) <= 0.0001 * webTok)
   }
+
+  // plain-Scala splitmix64, the independent reference for shuffleShard
+  private def smix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  test("shuffleShard: a deterministic permutation into shards, ordered by splitmix64") {
+    val ids = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id").as[Long].collect().toSeq
+    val out = TrainingOps.shuffleShard(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", numShards = 8)
+      .select($"doc_id", $"skey", $"shard", $"pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    // a permutation: every doc exactly once, nothing invented
+    assert(out.map(_._1).sorted == ids.sorted)
+    // skey/shard are the plain-Scala splitmix64 of the id
+    out.foreach { case (id, skey, shard, _) =>
+      assert(skey == smix(id))
+      assert(shard == java.lang.Math.floorMod(smix(id), 8L))
+    }
+    // positions are contiguous 0..n-1 within each shard, in (skey, id) order
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      assert(sorted.map(_._4) == sorted.indices.map(_.toLong))
+    }
+    // bit-for-bit reproducible across runs
+    val again = TrainingOps.shuffleShard(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", numShards = 8)
+      .select($"doc_id", $"shard", $"pos")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(again == out.map(r => (r._1, r._3, r._4)).sorted)
+  }
+
+  test("SplitMix64 expression: codegen over a file scan, agrees with eval and the UDF path") {
+    val emb = Tables.documents(spark, "/root/testdata/sf0.001")
+    // interpreted eval == codegen'd column == plain Scala
+    val vals = emb.select($"doc_id",
+        graft.expressions.SplitMix64($"doc_id").as("h"))
+      .as[(Long, Long)].collect()
+    vals.foreach { case (id, h) => assert(h == smix(id)) }
+    // stays inside WholeStageCodegen over the parquet scan
+    val plan = emb.select(graft.expressions.SplitMix64($"doc_id").as("h"))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+    // null in, null out
+    val n = Seq[Option[Long]](None, Some(7L)).toDF("x")
+      .select(graft.expressions.SplitMix64($"x").as("h")).collect()
+    assert(n(0).isNullAt(0) && n(1).getLong(0) == smix(7L))
+  }
+
+  test("TextQualityFeatures: single-pass features == the Column regex stack, codegen, edges") {
+    val stop = Seq("the", "is", "and", "of", "to", "a", "in")
+    val cases = Seq(
+      (0L, "the quick the fox is a a fox"),
+      (1L, "   leading and trailing   "),
+      (2L, "one"),
+      (3L, ""),
+      (4L, "   "),
+      (5L, "a  b   a")) // multi-space runs, dup token
+    val df = cases.toDF("id", "t")
+    // independent reference: the exact Column formulas the expression replaced
+    val toks = split(trim($"t"), " +")
+    val ref = df.select($"id",
+      size(toks).cast("long").as("n_tok"),
+      length(regexp_replace(trim($"t"), " +", "")).cast("long").as("n_char"),
+      size(filter(toks, x => x.isInCollection(stop))).cast("long").as("stop_hits"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val got = df.select($"id",
+      graft.expressions.TextQualityFeatures($"t", stop).as("f"))
+      .select($"id", $"f.n_tok", $"f.n_char", $"f.stop_hits", $"f.n_distinct")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == ref)
+    // stays inside WholeStageCodegen over a file scan
+    val plan = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(graft.expressions.TextQualityFeatures($"text", stop).as("f"))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+    // null in, null out
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(graft.expressions.TextQualityFeatures($"t", stop).as("f")).collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("qualityLogit: logit matches a plain-Scala feature recomputation, kept == logit > 0") {
+    val stop = Set("the", "is", "and", "of", "to", "a", "in")
+    val got = TrainingOps.qualityLogit(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "text")
+      .select($"text", $"logit", $"kept")
+      .as[(String, Double, Boolean)].collect()
+    assert(got.length > 100)
+    var keptN = 0
+    got.foreach { case (text, logit, kept) =>
+      val w = text.trim.split(" +").filter(_.nonEmpty)
+      val nt = w.length.toDouble
+      val atl = if (w.isEmpty) 0.0 else w.map(_.length).sum / nt
+      val sr = if (w.isEmpty) 0.0 else w.count(stop) / nt
+      val dup = if (w.isEmpty) 0.0 else 1.0 - w.distinct.length / nt
+      val want = 0.05 * (nt - 56.0) + 2.0 * (atl - 4.5) -
+        6.0 * (sr - 0.06) - 3.0 * (dup - 0.54)
+      assert(logit == want, s"text=${text.take(40)}")
+      assert(kept == (logit > 0.0))
+      if (kept) keptN += 1
+    }
+    // the model discriminates on the fixture corpus: neither 0% nor 100%
+    assert(keptN > got.length / 5 && keptN < got.length * 4 / 5)
+  }
 }
