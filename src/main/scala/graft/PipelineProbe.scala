@@ -88,8 +88,13 @@ object PipelineProbe {
     // operator's scaladoc prescribes), and the two map-only passes
     // (logistic filter, PII scrub) whose cost should be scan-bound
     time("stage shuffle into 512 training shards (SplitMix64 order)") {
+      // global max(pos) read via head() — the value is consumed, so
+      // Catalyst cannot prune the row_number Window and its per-shard
+      // sort the stage exists to measure (a grouped agg + count()
+      // DOES prune them: count only needs group existence, max(pos)
+      // is unreferenced, and the window feeding it folds away)
       TrainingOps.shuffleShard(corpus, "doc_id", numShards = 512)
-        .groupBy(col("shard")).agg(max(col("pos"))).count()
+        .agg(max(col("pos"))).head().getLong(0)
     }
     time("stage logistic quality filter") {
       TrainingOps.qualityLogit(corpus, "text").where(col("kept")).count()

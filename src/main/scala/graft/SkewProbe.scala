@@ -55,12 +55,10 @@ object SkewProbe {
   private val centers: Array[Array[Double]] =
     Array.tabulate(k, dim)((c, j) => if (j == c % dim) 8.0 * (c / dim + 1) else 0.0)
 
-  private def smix(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
+  // the shared scrambler — a local copy could silently drift from the
+  // operator's block/cluster assignment it must agree with
+  private def smix(x0: Long): Long =
+    graft.functions.TextFunctions.splitmix64(x0)
 
   /** 50% of ids to cluster 0, the rest uniform over clusters 1..63;
     * vector = center + deterministic per-coordinate noise so every

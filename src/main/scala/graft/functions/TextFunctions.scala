@@ -202,7 +202,11 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
 
-  private def splitmix64(x0: Long): Long = {
+  /** Widened to the package so driver-side probes (SkewProbe input
+    * synthesis) share the one scrambler instead of keeping a copy
+    * whose constants could silently drift; spec copies stay
+    * independent on purpose. */
+  private[graft] def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
@@ -227,12 +231,16 @@ object TextFunctions {
     * for bounding per-key join expansion (e.g.
     * [[graft.pipeline.TrainingOps.semDedup]]'s oversized-cluster
     * split) — deterministic in the id, replayed bit-exactly by the
-    * DuckDB oracle's HUGEINT splitmix. Returns null block for null
-    * inputs; nb must be >= 1.
+    * DuckDB oracle's HUGEINT splitmix. Null id or nb yields a null
+    * block; nb must be >= 1. `pmod` over the codegen'd
+    * [[graft.expressions.SplitMix64]] is bit-identical to
+    * `Math.floorMod` for positive moduli and, unlike the Scala UDF
+    * this replaced, stays inside the whole-stage-codegen span with no
+    * per-row boxing — semDedup's block assignment runs once per
+    * corpus row, the regime the expression exists for.
     */
-  def subBlock = udf { (id: Long, nb: Long) =>
-    java.lang.Math.floorMod(splitmix64(id), nb)
-  }
+  def subBlock(id: Column, nb: Column): Column =
+    pmod(graft.expressions.SplitMix64(id), nb)
 
   /** Content-defined chunk stats (FastCDC's boundary idea at token
     * granularity): a chunk CLOSES after any token whose splitmix64

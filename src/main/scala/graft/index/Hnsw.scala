@@ -414,12 +414,17 @@ object HnswWalk {
         moved = false
         val cand = nbs(l, cur)
         if (cand.nonEmpty) {
+          // ties break on the node ID (the contract the oracle
+          // replays), NOT the graph index — the two orders coincide
+          // only when nodes were inserted in ascending-id order, a
+          // property of HnswIndexStore.writeLayout that walkGraph,
+          // as a public API over any ShardGraph, must not assume
           var bi = -1; var bs = 0.0
           cand.foreach { nb =>
             val s = Hnsw.cos(g.vecs(nb), query)
-            if (bi < 0 || s > bs || (s == bs && nb < bi)) { bi = nb; bs = s }
+            if (bi < 0 || s > bs || (s == bs && g.ids(nb) < g.ids(bi))) { bi = nb; bs = s }
           }
-          if (bs > curS || (bs == curS && bi < cur)) {
+          if (bs > curS || (bs == curS && g.ids(bi) < g.ids(cur))) {
             cur = bi; curS = bs; step += 1; moved = true
             out += WalkRow(step, l.toLong, g.ids(cur), curS, nbs(l, cur).map(g.ids(_)))
           }

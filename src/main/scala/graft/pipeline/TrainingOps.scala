@@ -92,7 +92,10 @@ object TrainingOps {
     * on the fixture corpus, not 0%/100%).
     *
     * Returns the input plus `logit` and `kept` columns (filter or
-    * aggregate downstream). RESERVED OUTPUT COLUMNS: `logit`, `kept`.
+    * aggregate downstream). RESERVED COLUMNS: `logit`, `kept`
+    * (overwritten in the output) and the working column `__q_feat`,
+    * which is DROPPED from the output — a caller column of that name
+    * would vanish; rename before calling.
     */
   def qualityLogit(docs: DataFrame, textCol: String): DataFrame = {
     // All four features come from ONE code-point scan
