@@ -77,6 +77,23 @@ object TrainingOps {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
 
+  /** Materialize the [[shuffleShard]] training order on disk: one
+    * `shard=N` parquet directory per shard, rows inside each file in
+    * exact `pos` order — the layout a training job consumes by
+    * reading shard files sequentially. Costs exactly the
+    * [[shuffleShard]] exchange plus one in-partition sort (the window
+    * already co-partitioned rows by shard; `sortWithinPartitions`
+    * orders the shards a task holds back-to-back, so each
+    * `partitionBy` directory receives its rows from one task in one
+    * ordered run — no second exchange, no global sort). Reading any
+    * shard file back yields the bit-reproducible order the id alone
+    * determines.
+    */
+  def writeShards(docs: DataFrame, idCol: String, numShards: Int, path: String): Unit =
+    shuffleShard(docs, idCol, numShards)
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** Model-based quality filtering (the CCNet / fastText-classifier
     * step of a training pipeline, with a fixed linear model standing
     * in for the trained weights): a per-document logistic-regression

@@ -128,6 +128,39 @@ object GraftProperties extends Properties("graft") {
       got == expected
     }
 
+  property("TextQualityFeatures == the Column regex stack on arbitrary text") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.oneOf("the", "a", "of", "zz", "q1", " ", "  ",
+        "\t", "the", "€é", "a b", "")).map(_.mkString(" "))) { text =>
+      val stop = Seq("the", "is", "and", "of", "to", "a", "in")
+      val toks = split(trim(col("t")), " +")
+      val rows = Seq(Tuple1(text)).toDF("t")
+        .select(
+          graft.expressions.TextQualityFeatures(col("t"), stop).as("f"),
+          size(toks).cast("long").as("n_tok"),
+          length(regexp_replace(trim(col("t")), " +", "")).cast("long").as("n_char"),
+          size(filter(toks, x => x.isInCollection(stop))).cast("long").as("stop_hits"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .select(col("f.n_tok") === col("n_tok"),
+          col("f.n_char") === col("n_char"),
+          col("f.stop_hits") === col("stop_hits"),
+          col("f.n_distinct") === col("n_distinct"))
+        .head()
+      (0 until 4).forall(rows.getBoolean)
+    }
+
+  property("splitmix64: expression == UDF scrambler == oracle floorMod bucketing on any id") =
+    Prop.forAll(Gen.oneOf(Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(0L, -1L, 1L, Long.MinValue, Long.MaxValue))) { id =>
+      val exprVal = Seq(Tuple1(id)).toDF("x")
+        .select(graft.expressions.SplitMix64(col("x")).as("h")).as[Long].head()
+      val shared = graft.functions.TextFunctions.splitmix64(id)
+      val bucket = Seq(Tuple1(id)).toDF("x")
+        .select(graft.functions.TextFunctions.samplingBucket(100)(col("x")).as("b"))
+        .as[Long].head()
+      exprVal == shared && bucket == java.lang.Math.floorMod(shared, 100L)
+    }
+
   property("SQ8 per-component reconstruction error is within half a quantization step") =
     Prop.forAll(dimGen.flatMap(d => vecGen(d))) { v =>
       val vn = VectorFunctions.l2NormalizeArr(v)

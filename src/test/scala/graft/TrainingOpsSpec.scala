@@ -291,6 +291,36 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(again == out.map(r => (r._1, r._3, r._4)).sorted)
   }
 
+  test("writeShards: each shard file holds its full shard in exact pos order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-").toFile
+    try {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      TrainingOps.writeShards(docs, "doc_id", numShards = 8, dir.toString)
+      val want = TrainingOps.shuffleShard(docs, "doc_id", numShards = 8)
+        .select($"shard", $"pos", $"doc_id")
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (s, rows) =>
+          s -> rows.sortBy(_._2).map(_._3).toSeq
+        }
+      (0 until 8).foreach { s =>
+        val files = new java.io.File(dir, s"shard=$s").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"shard $s: one task writes one ordered run")
+        // file order IS the training order: read back without any sort
+        val got = spark.read.parquet(files.head.toString)
+          .select($"doc_id").as[Long].collect().toSeq
+        assert(got == want(s.toLong), s"shard $s order")
+      }
+      assert(want.values.map(_.size).sum == docs.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(rm) }
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("SplitMix64 expression: codegen over a file scan, agrees with eval and the UDF path") {
     val emb = Tables.documents(spark, "/root/testdata/sf0.001")
     // interpreted eval == codegen'd column == plain Scala
