@@ -81,17 +81,29 @@ object TrainingOps {
     * `shard=N` parquet directory per shard, rows inside each file in
     * exact `pos` order — the layout a training job consumes by
     * reading shard files sequentially. Costs exactly the
-    * [[shuffleShard]] exchange plus one in-partition sort (the window
-    * already co-partitioned rows by shard; `sortWithinPartitions`
-    * orders the shards a task holds back-to-back, so each
-    * `partitionBy` directory receives its rows from one task in one
-    * ordered run — no second exchange, no global sort). Reading any
-    * shard file back yields the bit-reproducible order the id alone
-    * determines.
+    * [[shuffleShard]] exchange: the sort key here is (shard, skey,
+    * id) — the very ordering the window already established — so the
+    * planner ELIDES the sort (a `pos`-keyed sort would be semantically
+    * identical but unprovably so, and would re-sort the whole corpus);
+    * it stays in the plan only as a guard if the upstream ordering
+    * ever changes. Each `partitionBy` directory then receives its
+    * rows from one task in one ordered run — no second exchange, no
+    * global sort. The internal `skey` helper is dropped before the
+    * write: it is derivable from the id, and at the 1e5–1e6-shard
+    * regime an extra 8-byte column is terabytes of stored noise.
+    *
+    * ORDER CONTRACT: the on-disk FILE order is the training order.
+    * That is what a sequential reader (a data loader streaming the
+    * shard) sees. A SPARK read of a shard file bigger than
+    * `spark.sql.files.maxPartitionBytes` splits it and returns split
+    * order — Spark consumers must `.orderBy("pos")` (or size shards
+    * under the split threshold, which the task-sized-shard guidance
+    * above already implies).
     */
   def writeShards(docs: DataFrame, idCol: String, numShards: Int, path: String): Unit =
     shuffleShard(docs, idCol, numShards)
-      .sortWithinPartitions(col("shard"), col("pos"))
+      .sortWithinPartitions(col("shard"), col("skey"), col(idCol))
+      .drop("skey")
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 
   /** Model-based quality filtering (the CCNet / fastText-classifier

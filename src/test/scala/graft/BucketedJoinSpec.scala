@@ -7,16 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class BucketedJoinSpec extends AnyFunSuite {
   val spark = TestSpark.spark
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-  }
-
   test("bucketed tables join without any Exchange (co-located sort-merge join)") {
     val sfDir = "/root/testdata/sf0.001"
     Seq("b_orders", "b_lineitem").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      deleteRecursively(new java.io.File(s"spark-warehouse/$t"))
+      TestSpark.rmTree(new java.io.File(s"spark-warehouse/$t"))
     }
     BucketedTables.writeBucketed(
       Tables.orders(spark, sfDir), "b_orders", "o_orderkey", 8, sortBy = Some("o_orderkey"))

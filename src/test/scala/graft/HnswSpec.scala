@@ -41,8 +41,7 @@ class HnswSpec extends AnyFunSuite {
 
   test("persisted graph store: build once, serve repeatedly, same answers as transient") {
     val path = "target/test-index/hnsw-store"
-    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
-    rm(new java.io.File(path))
+    TestSpark.rmTree(new java.io.File(path))
     val store = HnswIndexStore()
     store.write(emb, "vec_id", "embedding", path, numShards = 4)
 
@@ -66,8 +65,7 @@ class HnswSpec extends AnyFunSuite {
 
   test("segment append: delta searchable without touching existing shards") {
     val path = "target/test-index/hnsw-append"
-    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
-    rm(new java.io.File(path))
+    TestSpark.rmTree(new java.io.File(path))
     val store = HnswIndexStore()
     // base store WITHOUT vec 0 — the delta will add the exact query vector
     store.write(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", path, numShards = 4)
@@ -91,8 +89,7 @@ class HnswSpec extends AnyFunSuite {
   test("streaming segment ingest: micro-batches become searchable segments") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val path = "target/test-index/hnsw-stream"
-    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
-    rm(new java.io.File(path))
+    TestSpark.rmTree(new java.io.File(path))
     val store = HnswIndexStore()
     store.write(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", path, numShards = 4)
     val src = MemoryStream[(Long, Array[Float])](spark)

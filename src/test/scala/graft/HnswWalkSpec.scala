@@ -71,11 +71,7 @@ class HnswWalkSpec extends AnyFunSuite {
         assert(r.nb_ids.toSeq == want, s"state ${r.step}")
       }
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(rm) }
-        f.delete()
-      }
-      rm(dir)
+      TestSpark.rmTree(dir)
     }
   }
 
@@ -101,11 +97,7 @@ class HnswWalkSpec extends AnyFunSuite {
       // the walk visits every layer exactly once on the way down
       assert(rows.map(_.layer).distinct == (Hnsw.MaxLevel to 0 by -1).map(_.toLong))
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(rm) }
-        f.delete()
-      }
-      rm(dir)
+      TestSpark.rmTree(dir)
     }
   }
 

@@ -46,8 +46,7 @@ class IndexStoreSpec extends AnyFunSuite {
   test("incremental append: streamed delta rows become searchable in the existing layout") {
     val sfDir = "/root/testdata/sf0.001"
     val appendPath = "target/test-index/embeddings-lsh-append"
-    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
-    rm(new java.io.File(appendPath))
+    TestSpark.rmTree(new java.io.File(appendPath))
     val emb = Tables.embeddings(spark, sfDir)
     val store = LshIndexStore(RandomHyperplaneLsh(4, 8, 42L), dim = 64)
     // base layout from the first 400 vectors

@@ -11,11 +11,6 @@ class LshProbeRewriteSpec extends AnyFunSuite {
 
   private val indexPath = "target/test-index/rewrite-lsh"
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-  }
-
   private def withExtSession[A](f: SparkSession => A): A = {
     val prev = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
@@ -37,7 +32,7 @@ class LshProbeRewriteSpec extends AnyFunSuite {
   test("registered index: ORDER BY cosine DESC LIMIT k gets the bucket-probe filter injected") {
     // build the at-rest index with the base session (clean slate: layout
     // changes leave stale partition dirs behind otherwise)
-    deleteRecursively(new java.io.File(indexPath))
+    TestSpark.rmTree(new java.io.File(indexPath))
     val base = TestSpark.spark
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
     LshIndexStore(lsh, 64).write(

@@ -307,18 +307,32 @@ class TrainingOpsSpec extends AnyFunSuite {
           .filter(_.getName.endsWith(".parquet"))
         assert(files.length == 1, s"shard $s: one task writes one ordered run")
         // file order IS the training order: read back without any sort
-        val got = spark.read.parquet(files.head.toString)
-          .select($"doc_id").as[Long].collect().toSeq
+        val shardDf = spark.read.parquet(files.head.toString)
+        val got = shardDf.select($"doc_id").as[Long].collect().toSeq
         assert(got == want(s.toLong), s"shard $s order")
+        // the derivable skey helper is NOT persisted
+        assert(!shardDf.columns.contains("skey"))
       }
       assert(want.values.map(_.size).sum == docs.count())
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(rm) }
-        f.delete()
-      }
-      rm(dir)
-    }
+      // the writer's (shard, skey, id) sort is the ordering the window
+      // already established, so RemoveRedundantSorts elides it:
+      // exactly ONE SortExec (the window's own) in the physical plan.
+      // AQE wraps stages in leaf QueryStageExec nodes that hide their
+      // subtrees from collect(), so plan the query with AQE off for
+      // this one inspection (the physical preparation rules, including
+      // RemoveRedundantSorts, are the same either way)
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val sorts =
+        try {
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          TrainingOps.shuffleShard(docs, "doc_id", numShards = 8)
+            .sortWithinPartitions($"shard", $"skey", $"doc_id").drop("skey")
+            .queryExecution.executedPlan.collect {
+              case x: org.apache.spark.sql.execution.SortExec => x
+            }
+        } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      assert(sorts.length == 1, s"redundant writer sort not elided: $sorts")
+    } finally TestSpark.rmTree(dir)
   }
 
   test("SplitMix64 expression: codegen over a file scan, agrees with eval and the UDF path") {
