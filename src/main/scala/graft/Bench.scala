@@ -42,11 +42,15 @@ private final class BenchListener extends SparkListener {
   * already argues for, and the honest comparison to the reference,
   * which holds its corpus and indexes in process memory.
   *
-  * Output stays one JSON line; the driver-facing contract
-  * (`queries` = name→seconds) is unchanged — medians land there, and
-  * the evidence goes to a new `query_metrics` key:
-  * `{runs_sec:[...], jobs, stages, shuffle_mb}` per query, metrics
-  * sampled from the median run.
+  * Output contract: stdout carries ONE COMPACT JSON line — only the
+  * driver-facing fields (`metric/value/queries/sf` + run counts).
+  * The per-query forensics (`{runs_sec, jobs, stages, shuffle_mb,
+  * gc_ms, runs:[...]}`) go to a FILE (`docs/BENCH_FORENSICS.json`,
+  * overridable via SPARK_GRAFT_BENCH_OUT), not stdout: rounds 7-8
+  * proved that inlining them grows the line past the driver's output
+  * tail capture, and the driver then records `parsed: null` — an
+  * unparseable artifact is worse than a slim one. The committed
+  * per-round `docs/BENCH_FULL_r{N}.json` copies keep the evidence.
   */
 object Bench {
 
@@ -137,7 +141,15 @@ object Bench {
       f""""$k":{"runs_sec":$runsJson,"jobs":${med._2},"stages":${med._3},"shuffle_mb":${med._4 / 1e6}%.2f,"gc_ms":${med._5},"runs":$perRun}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"$sfDir"}""")
+    // Forensics to a file; stdout stays within the driver's tail capture.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/docs/BENCH_FORENSICS.json")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":3,"warmup_sec":$warmup,"sf":"$sfDir","forensics":"$outPath"}""")
     spark.stop()
   }
 }
