@@ -69,6 +69,18 @@ object Bench {
       else m.invoke(bus, java.lang.Long.valueOf(10000L))
     } catch { case _: Throwable => Thread.sleep(200) }
 
+  /** JSON string escape for env-sourced values (paths) interpolated
+    * into the stdout line — a quote or backslash in SPARK_GRAFT_BENCH_OUT
+    * or SPARK_GRAFT_SF_DIR must not yield an unparseable line.
+    */
+  private def jsonStr(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -142,14 +154,23 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     // Forensics to a file; stdout stays within the driver's tail capture.
+    // The stdout pointer must reflect REALITY: a failed write prints
+    // "forensics":null rather than aiming the pointer at a missing or
+    // stale file from a prior round.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/docs/BENCH_FORENSICS.json")
+      "docs/BENCH_FORENSICS.json")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":3,"warmup_sec":$warmup,"sf":"$sfDir","forensics":"$outPath"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}"}"""
+    val wrote =
+      try {
+        val p = java.nio.file.Paths.get(outPath).toAbsolutePath
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
+          full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        true
+      } catch { case _: Throwable => false }
+    val forensicsField = if (wrote) "\"" + jsonStr(outPath) + "\"" else "null"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}""")
     spark.stop()
   }
 }

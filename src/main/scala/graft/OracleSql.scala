@@ -121,8 +121,8 @@ object OracleSql {
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
         |  ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
-        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -559,7 +559,7 @@ object OracleSql {
 
     "parts_by_brand" ->
       """SELECT p_brand, count(*) AS n_parts, count(DISTINCT p_type) AS n_types,
-        |  ROUND(AVG(p_retailprice), 4) AS avg_price,
+        |  ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
         |  ROUND(MAX(p_retailprice), 2) AS max_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 

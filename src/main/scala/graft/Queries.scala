@@ -345,8 +345,19 @@ object Queries {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        // Money averages via EXACT decimal sums, not avg(double): a sum
+        // of 2-decimal values divided by a count can land exactly on a
+        // ROUND half-boundary (parts_by_brand hit avg = 950.59375 on
+        // real data), where double summation ORDER decides the 4th
+        // decimal and Spark and the oracle can disagree by 1 ulp.
+        // Decimal summation is order-independent and exact, so both
+        // engines round the identical value. (avg of integer-valued
+        // columns like l_quantity is safe: integer sums are exact in
+        // doubles.)
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 4).as("avg_price"),
+        round(sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -552,7 +563,9 @@ object Queries {
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_parts"),
         countDistinct(col("p_type")).as("n_types"),
-        round(avg(col("p_retailprice")), 4).as("avg_price"),
+        // exact decimal sum — see q1PricingSummary's avg_price note
+        round(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 4).as("avg_price"),
         round(max(col("p_retailprice")), 2).as("max_price"))
       .orderBy(col("p_brand"))
 
@@ -680,6 +693,21 @@ object Queries {
     */
   private val streamInputCache = new SessionCache[String, String]
 
+  /** Max event time as epoch millis, robust to the driver-side type the
+    * row extractor yields (`java.sql.Timestamp` for TimestampType,
+    * `LocalDateTime` if a TIMESTAMP_NTZ ever slips past the
+    * [[Tables.events]] chokepoint — session TZ is pinned UTC, so the
+    * NTZ wall-clock IS the UTC instant).
+    */
+  private def maxTsMillis(ev: DataFrame): Long =
+    ev.agg(max(col("ts"))).head().get(0) match {
+      case t: java.sql.Timestamp        => t.getTime
+      case ldt: java.time.LocalDateTime => ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case i: java.time.Instant         => i.toEpochMilli
+      case other => throw new IllegalStateException(
+        s"unexpected max(ts) driver type: ${other.getClass.getName}")
+    }
+
   private def stagedEventsReplayDir(spark: SparkSession, sfDir: String): String =
     streamInputCache.getOrElseUpdate(spark, sfDir) {
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_in_").toFile
@@ -687,13 +715,13 @@ object Queries {
       val inDir = dir.getAbsolutePath
       val ev = Tables.events(spark, sfDir)
       ev.coalesce(1).write.mode("overwrite").parquet(inDir)
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxMs = maxTsMillis(ev)
       def parts(): Array[java.io.File] =
         dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
       val before = parts().map(_.getName).toSet
       ev.limit(1).select(
           lit(-1L).as("event_id"),
-          lit(new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)).as("ts"),
+          lit(new java.sql.Timestamp(maxMs + 3L * 3600 * 1000)).as("ts"),
           lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
         .write.mode("append").parquet(inDir)
@@ -934,11 +962,11 @@ object Queries {
       val inDir = dir.getAbsolutePath
       val ev = Tables.events(spark, sfDir)
       ev.coalesce(1).write.mode("overwrite").parquet(inDir)
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxMs = maxTsMillis(ev)
       def parts(): Array[java.io.File] =
         dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
       val before = parts().map(_.getName).toSet
-      ev.where(col("ts") >= lit(new java.sql.Timestamp(maxTs.getTime - 3600L * 1000)))
+      ev.where(col("ts") >= lit(new java.sql.Timestamp(maxMs - 3600L * 1000)))
         .coalesce(1).write.mode("append").parquet(inDir)
       val dataMtime = parts().filter(f => before(f.getName)).map(_.lastModified).max
       parts().filterNot(f => before(f.getName))
@@ -1065,8 +1093,12 @@ object Queries {
           // too (its windows union when next_start <= prev_end,
           // inclusive). sf0.1 contains a real exactly-1800s gap, so the
           // agreement is load-bearing and pinned in
-          // SessionStreamingSpec's boundary test.
-          (col("ts").cast("double") - col("prev_ts").cast("double")) > 1800.0, 1).otherwise(0))
+          // SessionStreamingSpec's boundary test. The cast("timestamp")
+          // hop keeps this legal even for a TIMESTAMP_NTZ input (NTZ
+          // cannot cast straight to DOUBLE); it is a no-op for the
+          // normal TimestampType case.
+          (col("ts").cast("timestamp").cast("double") -
+            col("prev_ts").cast("timestamp").cast("double")) > 1800.0, 1).otherwise(0))
       .withColumn("sid", sum(col("new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"))

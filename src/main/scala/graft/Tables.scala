@@ -33,10 +33,15 @@ object Tables {
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark has no native
-    * type for — read it as raw nanos (legacy conf) and convert to a
-    * micros timestamp (the generator's values are micro-precision, so
-    * the DIV 1000 is lossless; verified ts % 1000 == 0 across the data).
+  /** events.parquet's `ts` encoding has varied across generator runs:
+    * TIMESTAMP(NANOS) (no native Spark type — read as raw nanos under
+    * the legacy conf and convert; the values are micro-precision so
+    * DIV 1000 is lossless) and TIMESTAMP(MICROS, isAdjustedToUTC=0)
+    * (read as TIMESTAMP_NTZ). This is the single chokepoint that
+    * normalizes every encoding to session-TZ TimestampType — the
+    * session TZ is pinned UTC everywhere, so the NTZ→TZ cast keeps
+    * the wall-clock values unchanged. Downstream code may assume
+    * `ts` is TimestampType.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -45,6 +50,10 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
