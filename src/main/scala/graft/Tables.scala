@@ -26,7 +26,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cached.getOrElseUpdate(spark, (sfDir, name))(
-      spark.read.parquet(s"$sfDir/$name.parquet").cache())
+      normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet")).cache())
+
+  /** The generator's timestamp encoding has flipped between rounds
+    * (TIMESTAMP(NANOS) → TIMESTAMP(MICROS, isAdjustedToUTC=0)); the
+    * round-9 regression was events-only, but orders.o_orderdate and
+    * lineitem.l_shipdate carry the same encoding and would break the
+    * same way. Normalize every NTZ column to session-TZ TimestampType
+    * at the one load chokepoint — the session TZ is pinned UTC, so the
+    * wall-clock values (and the DuckDB oracle hashes) are unchanged.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }
+      .foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
@@ -37,11 +52,8 @@ object Tables {
     * TIMESTAMP(NANOS) (no native Spark type — read as raw nanos under
     * the legacy conf and convert; the values are micro-precision so
     * DIV 1000 is lossless) and TIMESTAMP(MICROS, isAdjustedToUTC=0)
-    * (read as TIMESTAMP_NTZ). This is the single chokepoint that
-    * normalizes every encoding to session-TZ TimestampType — the
-    * session TZ is pinned UTC everywhere, so the NTZ→TZ cast keeps
-    * the wall-clock values unchanged. Downstream code may assume
-    * `ts` is TimestampType.
+    * (read as TIMESTAMP_NTZ, normalized by [[load]]). Downstream code
+    * may assume `ts` is TimestampType.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -50,10 +62,6 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts")
-            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -53,4 +53,42 @@ class TablesSpec extends AnyFunSuite {
     val got = out.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSS")).head().getString(0)
     assert(got === wallClock)
   }
+
+  /** Physical-type-drift canary: the round-9 breakage shipped silently
+    * because nothing asserted the loaded schemas. Every driver table's
+    * POST-normalization schema must match the FIXTURES.md §4 contract
+    * (timestamps as session-TZ TimestampType, embedding as
+    * array<float>); a generator encoding flip that the Tables
+    * chokepoint doesn't absorb turns this red with the actual type.
+    */
+  test("all driver tables load to the FIXTURES.md contract schema") {
+    val sfDir = "/root/testdata/sf0.001"
+    val contract = Map(
+      "region" -> "r_regionkey:int, r_name:string",
+      "nation" -> "n_nationkey:int, n_name:string, n_regionkey:int",
+      "customer" -> ("c_custkey:bigint, c_name:string, c_nationkey:int, " +
+        "c_acctbal:double, c_mktsegment:string"),
+      "supplier" -> "s_suppkey:bigint, s_name:string, s_nationkey:int, s_acctbal:double",
+      "part" -> ("p_partkey:bigint, p_name:string, p_brand:string, p_type:string, " +
+        "p_size:int, p_retailprice:double"),
+      "orders" -> ("o_orderkey:bigint, o_custkey:bigint, o_orderstatus:string, " +
+        "o_totalprice:double, o_orderdate:timestamp, o_orderpriority:string"),
+      "lineitem" -> ("l_orderkey:bigint, l_partkey:bigint, l_suppkey:bigint, " +
+        "l_linenumber:int, l_quantity:double, l_extendedprice:double, l_discount:double, " +
+        "l_tax:double, l_returnflag:string, l_linestatus:string, l_shipdate:timestamp"),
+      "events" -> ("event_id:bigint, ts:timestamp, user_id:bigint, event_type:string, " +
+        "value:double, props:string"),
+      "documents" -> "doc_id:bigint, text:string, lang:string, source:string, n_chars:bigint",
+      "embeddings" -> "vec_id:bigint, embedding:array<float>, label:int")
+    for ((name, want) <- contract) {
+      val df = if (name == "events") Tables.events(spark, sfDir)
+               else Tables.load(spark, sfDir, name)
+      // simpleString deliberately ignores nullability: the contract is
+      // about physical types, which is what the round-9 drift changed.
+      val got = df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+      assert(got === want, s"\ntable `$name` drifted from the FIXTURES.md contract" +
+        s"\n  expected: $want\n  loaded:   $got" +
+        "\n  (if the generator changed encodings again, absorb it in Tables.normalizeNtz/events)")
+    }
+  }
 }
