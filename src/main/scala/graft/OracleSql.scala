@@ -59,6 +59,20 @@ object OracleSql {
     s"""${knnScores("")}
        |SELECT vec_id, ROUND(s, 4) AS score FROM scores ORDER BY s DESC, vec_id LIMIT 5""".stripMargin
 
+  private val attributionSql =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, count(*) AS n_pairs,
+      |  count(DISTINCT c.click_id) AS n_clicks,
+      |  count(DISTINCT p.purchase_id) AS n_purchases,
+      |  ROUND(SUM(p.value), 2) AS sum_value
+      |FROM p JOIN c ON c.user_id = p.user_id
+      |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+      |  AND c.click_ts <= p.purchase_ts
+      |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+
   private val eventsSessionizeSql =
     """WITH flags AS (SELECT user_id, event_id, ts,
       |  CASE WHEN lag(ts) OVER w IS NULL
@@ -360,6 +374,12 @@ object OracleSql {
         |  count(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // interval self-join attribution: one oracle for the batch join and
+    // the stream-stream join — a pair dropped from streaming join state
+    // or duplicated across micro-batches flips n_pairs/sum_value
+    "events_attribution" -> attributionSql,
+    "events_attribution_stream" -> attributionSql,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),

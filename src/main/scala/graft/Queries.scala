@@ -799,6 +799,54 @@ object Queries {
       filesPerTrigger = 0)
   }
 
+  /** Batch twin of [[eventsAttributionStream]]: interval self-join of
+    * events — each purchase picks up the same user's clicks from the
+    * preceding hour, rolled up per user. Plan shape matches
+    * [[rangeJoinEventsOrders]]: the equi-key (user) carries the
+    * shuffle, the range predicate filters inside each key group — no
+    * cartesian anywhere, so the join scales with per-user activity,
+    * not corpus size.
+    */
+  def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    attributionRollup(
+      graft.streaming.EventStreams.clickAttribution(Tables.events(spark, sfDir)))
+
+  /** Shared per-user rollup of (purchase × click) attribution pairs —
+    * applied to the batch join directly and to the streaming sink, so
+    * both gates present identical columns for the one DuckDB oracle.
+    */
+  private def attributionRollup(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"))
+
+  /** Stream-stream interval join through the gate
+    * ([[graft.streaming.EventStreams.clickAttribution]]): the events
+    * replay feeds BOTH sides of a watermarked self-join — purchases
+    * match the same user's clicks within the trailing hour, the
+    * canonical streaming-attribution shape and the one streaming join
+    * kind the other gates don't cover (enrich is stream-static).
+    * Inner matches emit eagerly per micro-batch; the watermarks bound
+    * the join state. The per-user rollup of the sink must hash-match
+    * the plain batch interval self-join ([[eventsAttribution]]'s
+    * oracle) — a pair dropped from join state or duplicated across
+    * micro-batches flips the counts. The sentinel row joins nothing
+    * (event_type filters exclude it on both sides).
+    */
+  def eventsAttributionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    if (ev.isEmpty)
+      return ev.limit(0).select(col("user_id"), lit(0L).as("n_pairs"),
+        lit(0L).as("n_clicks"), lit(0L).as("n_purchases"), lit(0.0).as("sum_value"))
+    runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "attr",
+      graft.streaming.EventStreams.clickAttribution,
+      attributionRollup)
+  }
+
   /** Custom keyed state through the gate: the events replay runs the
     * flatMapGroupsWithState sessionizer
     * ([[graft.streaming.EventStreams.sessionize]], 30-min gap,
@@ -2037,6 +2085,8 @@ object Queries {
     "events_hourly_upsert_stream" -> (eventsHourlyUpsertStream _),
     "events_session_window_native" -> (eventsSessionWindowNative _),
     "events_session_window_stream" -> (eventsSessionWindowStream _),
+    "events_attribution" -> (eventsAttribution _),
+    "events_attribution_stream" -> (eventsAttributionStream _),
     "decontaminate_ngram" -> (decontaminateNgram _),
     "sample_stratified" -> (sampleStratified _),
     "shuffle_shard" -> (shuffleShardQ _),

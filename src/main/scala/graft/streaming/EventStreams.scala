@@ -83,6 +83,33 @@ object EventStreams {
       events("user_id") === col("c_custkey"), "left")
       .drop("c_custkey")
 
+  /** Watermarked stream-stream interval join: each purchase joins the
+    * same user's clicks from the preceding hour — streaming
+    * attribution, the canonical two-stream join shape (here a
+    * self-join: both sides derive from the one events stream). Both
+    * sides carry event-time watermarks and the join condition bounds
+    * the event-time distance, so the state store evicts rows once the
+    * watermark passes their reachable window — state is bounded by
+    * interval × arrival rate, not stream lifetime, which is what lets
+    * the join run indefinitely at 100 TB ingest. Inner-join matches
+    * are emitted eagerly in append mode; the watermark governs only
+    * state eviction and late-row drops.
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.withWatermark("ts", "2 hours")
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    val purchases = events.withWatermark("ts", "2 hours")
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    purchases.join(clicks,
+      col("click_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+  }
+
   /** Gap-based session windows (30 min inactivity) via
     * flatMapGroupsWithState with event-time timeout: the streaming twin
     * of [[graft.Queries.eventsSessionize]]. Emits one row per closed

@@ -43,7 +43,11 @@ class TablesSpec extends AnyFunSuite {
     assert(got === wallClock)
     // The post-normalization column must support what round 9 broke:
     // cast to double and driver-side java.sql.Timestamp extraction.
-    assert(out.select(col("ts").cast("double")).head().getDouble(0) > 0)
+    // The epoch value is pinned to the exact UTC instant so an encoding
+    // flip that silently SHIFTED the instant (rather than changing the
+    // type) would fail too — this is the same extraction DuckDB's
+    // epoch(ts) performs on the oracle side of the sessionize gate.
+    assert(out.select(col("ts").cast("double")).head().getDouble(0) === 1709296496.789)
     assert(out.agg(max(col("ts"))).head().getTimestamp(0) != null)
   }
 
