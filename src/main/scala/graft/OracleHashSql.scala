@@ -866,6 +866,10 @@ object OracleHashSql {
     // the at-rest/cached layout probes stored buckets but is candidate-
     // and rerank-identical to the transient probe — one oracle for both
     "knn_lsh_cached" -> knnLshSql,
+    // incremental append: base ∪ delta bucketed separately is
+    // bit-identical to one-pass bucketing (pure per-row hash), so the
+    // incrementally-maintained index answers the full-corpus oracle
+    "knn_lsh_append" -> knnLshSql,
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     "ann_sq" -> annSqSql,
     "ann_ivf" -> annIvfSql,

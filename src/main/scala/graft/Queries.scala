@@ -113,6 +113,31 @@ object Queries {
     hits.select(col("vec_id"), round(col("score"), 4).as("score"), lit(used).as("index_used"))
   }
 
+  /** Incremental index maintenance: the stored bucket table absorbs an
+    * append-only delta by hashing ONLY the new rows with the SAME
+    * seeded planes and unioning — no rebuild, no rehash of the base.
+    * Bucket assignment is a pure per-row function of (planes,
+    * embedding), so base ∪ delta bucketed separately is bit-identical
+    * to bucketing the full corpus in one pass (pinned by
+    * IndexAppendSpec); the query served from the incrementally-
+    * maintained index therefore shares knn_lsh's full-corpus DuckDB
+    * oracle. At 100 TB this is the difference between O(delta) ingest
+    * and an O(corpus) rebuild on every append — the reference rebuilds
+    * in-process per query (search_service.py:122-125).
+    */
+  def knnLshAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val lsh = RandomHyperplaneLsh(8, 12, 42L)
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    def bucketed(df: DataFrame): DataFrame =
+      lsh.withBuckets(df, VectorFunctions.l2Normalize(col("embedding")), 64)
+    val base  = bucketed(emb.where(col("vec_id") % 5 =!= 0))
+    val delta = bucketed(emb.where(col("vec_id") % 5 === 0)) // the new arrivals
+    val index = base.unionByName(delta)
+    val (hits, used) =
+      lsh.searchBucketed(index, col("embedding"), col("vec_id"), queryVec(spark, sfDir), 5)
+    hits.select(col("vec_id"), round(col("score"), 4).as("score"), lit(used).as("index_used"))
+  }
+
   /** Graph-ANN (partition-sharded NSW): per-partition navigable-small-
     * world beam search + global exact rerank. The rerank is exact
     * cosine and recall@10 is 1.0 at the gate SF (NswKnnSpec +
@@ -2054,6 +2079,7 @@ object Queries {
     "knn_lsh" -> (knnLsh _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "knn_lsh_cached" -> (knnLshCached _),
+    "knn_lsh_append" -> (knnLshAppend _),
     "ann_ivf" -> (annIvf _),
     "ann_nsw" -> (annNsw _),
     "ann_hnsw" -> (annHnsw _),
