@@ -73,6 +73,20 @@ object OracleSql {
       |  AND c.click_ts <= p.purchase_ts
       |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
 
+  private val attributionOuterSql =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, count(*) AS n_rows,
+      |  count(c.click_id) AS n_matched,
+      |  count(DISTINCT p.purchase_id) AS n_purchases,
+      |  CAST(SUM(CASE WHEN c.click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+      |  AND c.click_ts <= p.purchase_ts
+      |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+
   private val eventsSessionizeSql =
     """WITH flags AS (SELECT user_id, event_id, ts,
       |  CASE WHEN lag(ts) OVER w IS NULL
@@ -380,6 +394,13 @@ object OracleSql {
     // or duplicated across micro-batches flips n_pairs/sum_value
     "events_attribution" -> attributionSql,
     "events_attribution_stream" -> attributionSql,
+
+    // LEFT-OUTER variant: every purchasing user appears; the streaming
+    // side may only emit a null-click row once the watermark closes the
+    // purchase's match window — early emission double-counts, a missed
+    // release drops the user
+    "events_attribution_outer" -> attributionOuterSql,
+    "events_attribution_outer_stream" -> attributionOuterSql,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),

@@ -832,9 +832,24 @@ object Queries {
     * cartesian anywhere, so the join scales with per-user activity,
     * not corpus size.
     */
-  def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame =
-    attributionRollup(
-      graft.streaming.EventStreams.clickAttribution(Tables.events(spark, sfDir)))
+  def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    attributionRollup(graft.streaming.EventStreams.clickAttribution(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "purchase")))
+  }
+
+  /** The replay sides of the attribution stream gates: the watermark-
+    * release sentinel stays INSIDE both watermarked inputs (it must
+    * reach the EventTimeWatermark nodes to advance the watermark; see
+    * the clickAttribution Scaladoc for why a post-watermark filter
+    * can't be relied on). The sentinel self-matches as user −1 and is
+    * dropped by the rollup's `user_id >= 0` guard — the same
+    * presentation-side convention as the sessionize gates.
+    */
+  private def attributionSides(stream: DataFrame): (DataFrame, DataFrame) =
+    (stream.where(col("event_type").isin("click", "sentinel")),
+     stream.where(col("event_type").isin("purchase", "sentinel")))
 
   /** Shared per-user rollup of (purchase × click) attribution pairs —
     * applied to the batch join directly and to the streaming sink, so
@@ -842,6 +857,7 @@ object Queries {
     */
   private def attributionRollup(pairs: DataFrame): DataFrame =
     pairs
+      .where(col("user_id") >= 0) // drop the sentinel's self-match
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("click_id")).as("n_clicks"),
@@ -868,8 +884,58 @@ object Queries {
       return ev.limit(0).select(col("user_id"), lit(0L).as("n_pairs"),
         lit(0L).as("n_clicks"), lit(0L).as("n_purchases"), lit(0.0).as("sum_value"))
     runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "attr",
-      graft.streaming.EventStreams.clickAttribution,
+      stream => {
+        val (clicks, purchases) = attributionSides(stream)
+        graft.streaming.EventStreams.clickAttribution(clicks, purchases)
+      },
       attributionRollup)
+  }
+
+  /** Shared rollup for the OUTER attribution pair: every purchasing
+    * user appears; unmatched purchases are counted via the null click
+    * side. `count(col)` skips nulls on both engines, which is exactly
+    * the matched/unmatched split the gate pins.
+    */
+  private def attributionOuterRollup(pairs: DataFrame): DataFrame =
+    pairs
+      .where(col("user_id") >= 0) // drop the sentinel's self-match
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("click_id")).as("n_matched"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy(col("user_id"))
+
+  /** Batch twin of [[eventsAttributionOuterStream]]. */
+  def eventsAttributionOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    attributionOuterRollup(graft.streaming.EventStreams.clickAttributionOuter(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "purchase")))
+  }
+
+  /** LEFT-OUTER stream-stream join through the gate
+    * ([[graft.streaming.EventStreams.clickAttributionOuter]]): unlike
+    * the inner variant, an unmatched purchase emits its null-click row
+    * only once the watermark proves no qualifying click can still
+    * arrive — exercising the delayed outer-null path of the join state
+    * store (released by the sentinel's watermark push plus the no-data
+    * batch, exactly like append-mode windows). The rollup must
+    * hash-match the batch LEFT JOIN: a null row emitted early would
+    * double-count a later-matched purchase, one never emitted drops
+    * the user entirely.
+    */
+  def eventsAttributionOuterStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    if (ev.isEmpty)
+      return ev.limit(0).select(col("user_id"), lit(0L).as("n_rows"),
+        lit(0L).as("n_matched"), lit(0L).as("n_purchases"), lit(0L).as("n_unmatched"))
+    runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "attro",
+      stream => {
+        val (clicks, purchases) = attributionSides(stream)
+        graft.streaming.EventStreams.clickAttributionOuter(clicks, purchases)
+      },
+      attributionOuterRollup)
   }
 
   /** Custom keyed state through the gate: the events replay runs the
@@ -2113,6 +2179,8 @@ object Queries {
     "events_session_window_stream" -> (eventsSessionWindowStream _),
     "events_attribution" -> (eventsAttribution _),
     "events_attribution_stream" -> (eventsAttributionStream _),
+    "events_attribution_outer" -> (eventsAttributionOuter _),
+    "events_attribution_outer_stream" -> (eventsAttributionOuterStream _),
     "decontaminate_ngram" -> (decontaminateNgram _),
     "sample_stratified" -> (sampleStratified _),
     "shuffle_shard" -> (shuffleShardQ _),

@@ -94,21 +94,43 @@ object EventStreams {
     * the join run indefinitely at 100 TB ingest. Inner-join matches
     * are emitted eagerly in append mode; the watermark governs only
     * state eviction and late-row drops.
+    *
+    * The two sides are CALLER-FILTERED inputs, and the watermark is
+    * applied here, ABOVE whatever the caller passed. That ordering is
+    * load-bearing: a `.where` placed after `withWatermark` gets pushed
+    * below the EventTimeWatermark node by Catalyst (the predicate
+    * doesn't reference the event-time column), after which the
+    * watermark tracker only ever sees post-filter rows — a replay's
+    * out-of-band watermark-release row would silently stop advancing
+    * the watermark and delayed outer results would never emit.
     */
-  def clickAttribution(events: DataFrame): DataFrame = {
-    val clicks = events.withWatermark("ts", "2 hours")
-      .where(col("event_type") === "click")
+  def clickAttribution(clicks0: DataFrame, purchases0: DataFrame,
+                       joinType: String = "inner"): DataFrame = {
+    val clicks = clicks0
       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
         col("ts").as("click_ts"))
-    val purchases = events.withWatermark("ts", "2 hours")
-      .where(col("event_type") === "purchase")
+      .withWatermark("click_ts", "2 hours")
+    val purchases = purchases0
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
     purchases.join(clicks,
       col("click_user") === col("user_id") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
-        col("click_ts") <= col("purchase_ts"))
+        col("click_ts") <= col("purchase_ts"),
+      joinType)
   }
+
+  /** LEFT-OUTER variant of [[clickAttribution]]: purchases with no
+    * qualifying click still surface (click columns null) — but only
+    * once the watermark passes the end of their match window, since
+    * until then a matching click could still arrive. That delayed
+    * null-emission is the semantic the inner join never exercises: it
+    * rides the no-data micro-batch Spark schedules when the watermark
+    * advances, the same machinery that releases append-mode windows.
+    */
+  def clickAttributionOuter(clicks0: DataFrame, purchases0: DataFrame): DataFrame =
+    clickAttribution(clicks0, purchases0, "leftOuter")
 
   /** Gap-based session windows (30 min inactivity) via
     * flatMapGroupsWithState with event-time timeout: the streaming twin
