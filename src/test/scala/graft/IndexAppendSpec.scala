@@ -41,4 +41,30 @@ class IndexAppendSpec extends AnyFunSuite {
     assert(appended.nonEmpty)
     assert(appended === cached)
   }
+
+  /** IVF's append analog: the codebook is FROZEN at build time and a
+    * delta is assigned to the existing inverted lists — assignment is a
+    * pure per-row argmax against the broadcast centroids, so
+    * incremental assignment is bit-identical to a one-pass assignment
+    * with the same codebook. (Unlike LSH, appending does NOT equal a
+    * full rebuild: a rebuild would re-sample centroids from the grown
+    * corpus. Codebook refresh is a periodic rebuild decision — the
+    * classic IVF staleness trade — which is why the ingest path
+    * freezes it.)
+    */
+  test("IVF delta assignment to a frozen codebook equals one-pass assignment") {
+    import graft.index.IvfKnn
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val delta = emb.where(col("vec_id") % 5 === 0)
+    val cents = IvfKnn.centroids(base, col("vec_id"), col("embedding"), 53L)
+    assert(cents.nonEmpty)
+    def asgn(df: org.apache.spark.sql.DataFrame) =
+      IvfKnn.assign(df, col("embedding"), cents)
+        .select(col("vec_id"), col("cluster_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val onePass = asgn(emb)
+    val incremental = asgn(base) ++ asgn(delta)
+    assert(incremental === onePass)
+  }
 }

@@ -56,6 +56,49 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(rows === Set((2L, 1L), (3L, -1L)))
   }
 
+  /** The scale-critical property of the watermarked join: state is
+    * EVICTED once the watermark passes its reachable window, so a late
+    * row arriving after eviction cannot resurrect a match. (Spark
+    * deliberately does NOT guarantee that a late row is dropped while
+    * the other side's state still lingers — eviction runs lazily in
+    * the batch after the watermark advances — so the test lets a
+    * cleanup batch run before sending the late row.)
+    */
+  test("stream-stream join evicts state past the watermark: late rows cannot match") {
+    import graft.streaming.Event
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[Event](spark)
+    val df = mem.toDF()
+    val joined = graft.streaming.EventStreams.clickAttribution(
+      df.where(col("event_type") === "click"),
+      df.where(col("event_type") === "purchase"))
+    val q = joined.writeStream.format("memory").queryName("attr_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "purchase", 5.0))
+      q.processAllAvailable() // (2,1) matches
+      // BOTH sides must advance: each side carries its own watermark
+      // node and the global watermark is their min — the same reason
+      // the gate keeps the sentinel in both replay inputs
+      mem.addData(
+        Event(3, Timestamp.valueOf("2024-01-01 20:00:00"), 9, "click", 1.0),
+        Event(6, Timestamp.valueOf("2024-01-01 20:00:00"), 8, "purchase", 1.0))
+      q.processAllAvailable() // wm -> 18:00 after this batch
+      mem.addData(
+        Event(5, Timestamp.valueOf("2024-01-01 20:01:00"), 9, "click", 1.0),
+        Event(7, Timestamp.valueOf("2024-01-01 20:01:00"), 8, "purchase", 1.0))
+      q.processAllAvailable() // cleanup batch: purchase 2 evicted (10:30 < 18:00)
+      // arrives after eviction — would match purchase 2, but its state is gone
+      mem.addData(Event(4, Timestamp.valueOf("2024-01-01 10:20:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val pairs = spark.table("attr_late").select(col("purchase_id"), col("click_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(pairs === Set((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("outer streaming gate hash-matches the batch twin on sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = Queries.eventsAttributionOuter(spark, sfDir).collect().toSeq
