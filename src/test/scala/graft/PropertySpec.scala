@@ -161,6 +161,38 @@ object GraftProperties extends Properties("graft") {
       exprVal == shared && bucket == java.lang.Math.floorMod(shared, 100L)
     }
 
+  private val attrEventsGen: Gen[List[(Long, Long, String, Long, Double)]] = for {
+    n <- Gen.choose(0, 30)
+    rows <- Gen.listOfN(n, for {
+      user <- Gen.choose(1L, 4L)
+      typ <- Gen.oneOf("click", "purchase", "view")
+      mins <- Gen.choose(0L, 300L)
+      v <- Gen.choose(0.0, 10.0)
+    } yield (user, typ, mins, v))
+  } yield rows.zipWithIndex.map { case ((u, t, m, v), i) => (i.toLong, u, t, m, v) }
+
+  property("interval attribution join (inner + outer) == plain-Scala recomputation") =
+    Prop.forAll(attrEventsGen) { rows =>
+      val base = 1700000000000L
+      val df = rows.map { case (id, u, t, m, v) =>
+        (id, new java.sql.Timestamp(base + m * 60000), u, t, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val clicksDf = df.where(col("event_type") === "click")
+      val purchasesDf = df.where(col("event_type") === "purchase")
+      val gotInner = graft.streaming.EventStreams.clickAttribution(clicksDf, purchasesDf)
+        .select(col("purchase_id"), col("click_id")).as[(Long, Long)].collect().toSet
+      val clicks = rows.filter(_._3 == "click")
+      val purchases = rows.filter(_._3 == "purchase")
+      val want = (for {
+        p <- purchases; c <- clicks
+        if c._2 == p._2 && c._4 >= p._4 - 60 && c._4 <= p._4
+      } yield (p._1, c._1)).toSet
+      val gotOuterRows = graft.streaming.EventStreams
+        .clickAttributionOuter(clicksDf, purchasesDf).count()
+      val unmatched = purchases.count(p => !want.exists(_._1 == p._1))
+      gotInner == want && gotOuterRows == want.size + unmatched
+    }
+
   property("SQ8 per-component reconstruction error is within half a quantization step") =
     Prop.forAll(dimGen.flatMap(d => vecGen(d))) { v =>
       val vn = VectorFunctions.l2NormalizeArr(v)
