@@ -758,6 +758,17 @@ object OracleSql {
         |  ROUND(MAX(nrm), 4) AS max_norm
         |FROM norms GROUP BY label ORDER BY label""".stripMargin,
 
+    // element-wise mean pooled per label; Spark's posexplode is
+    // 0-based, DuckDB's generate_subscripts 1-based
+    "embedding_pool" ->
+      """WITH flat AS (SELECT label,
+        |  generate_subscripts(embedding, 1) - 1 AS pos,
+        |  unnest(embedding) AS x
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT label, pos, count(*) AS n_vecs,
+        |  ROUND(AVG(CAST(x AS DOUBLE)), 4) AS avg_x
+        |FROM flat GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
     "ngram_top20" ->
       """WITH toks AS (SELECT string_split_regex(trim(text), ' +') AS w FROM documents),
         |bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),

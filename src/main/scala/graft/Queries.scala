@@ -1932,6 +1932,25 @@ object Queries {
       .orderBy(col("label"))
   }
 
+  /** Mean-pool centroids per label — the class-mean / chunk→document
+    * pooling op every embedding pipeline needs (nearest-class-mean
+    * classifiers, SemDeDup cluster centers, doc vectors from chunk
+    * vectors). Element-wise mean expressed as posexplode + groupBy
+    * (label, pos): the explode is ×dim rows, but partial aggregation
+    * collapses each task to ≤ labels×dim rows before the one shuffle —
+    * at 100 TB the exchange carries n_labels × dim × n_tasks partial
+    * sums, never corpus×dim. Emitted as (label, pos, avg) scalar rows
+    * so the oracle hash-compares plain columns, not array formatting.
+    */
+  def embeddingPool(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .where(col("embedding").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("x").cast("double")), 4).as("avg_x"))
+      .orderBy(col("label"), col("pos"))
+
   /** Corpus-level n-gram frequency: top-20 word bigrams. The groupBy
     * count is the whole job — partial aggregation collapses each
     * partition's bigram counts before the single shuffle. */
@@ -2233,6 +2252,7 @@ object Queries {
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_filter_events" -> (aggFilterEvents _),
     "embedding_norm_stats" -> (embeddingNormStats _),
+    "embedding_pool" -> (embeddingPool _),
     "ngram_top20" -> (ngramTop20 _),
     "regex_extract_stats" -> (regexExtractStats _),
     "agg_salted_skew" -> (aggSaltedSkew _),
