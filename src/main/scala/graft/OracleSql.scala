@@ -758,6 +758,25 @@ object OracleSql {
         |  ROUND(MAX(nrm), 4) AS max_norm
         |FROM norms GROUP BY label ORDER BY label""".stripMargin,
 
+    // k-NN graph: every query row's top-3 cosine neighbors, ranked on
+    // the RAW double cosine (identical mult/add order both engines)
+    // with neighbor-id tiebreak, rounded only at output
+    "knn_join_graph" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 50 AND embedding IS NOT NULL),
+        |pairs AS (SELECT q.q_id, c.vec_id AS c_id,
+        |  unnest(q.qe) AS x, unnest(c.embedding) AS y
+        |  FROM q JOIN embeddings c
+        |  ON c.vec_id <> q.q_id AND c.embedding IS NOT NULL),
+        |scores AS (SELECT q_id, c_id,
+        |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+        |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+        |  FROM pairs GROUP BY q_id, c_id),
+        |ranked AS (SELECT q_id, c_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM scores)
+        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) AS score
+        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+
     // element-wise mean pooled per label; Spark's posexplode is
     // 0-based, DuckDB's generate_subscripts 1-based
     "embedding_pool" ->

@@ -1932,6 +1932,22 @@ object Queries {
       .orderBy(col("label"))
   }
 
+  /** k-NN GRAPH construction as a set-to-set join
+    * ([[graft.index.KnnJoin.exact]]): the 50 lowest-id vectors each
+    * retrieve their top-3 cosine neighbors from the whole corpus in
+    * ONE plan — broadcast query side, codegen dot per pair, per-query
+    * top-k via WindowGroupLimit. The batch form of what SemDeDup /
+    * NN-graph clustering consume; per-query gates (`knn_*`) cover the
+    * one-query serving path, this covers the corpus-scale build path.
+    */
+  def knnJoinGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    graft.index.KnnJoin.exact(
+        emb.where(col("vec_id") < 50), emb, "vec_id", "embedding", k = 3)
+      .select(col("q_id"), col("rn"), col("neighbor_id"), round(col("cos"), 4).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Mean-pool centroids per label — the class-mean / chunk→document
     * pooling op every embedding pipeline needs (nearest-class-mean
     * classifiers, SemDeDup cluster centers, doc vectors from chunk
@@ -2253,6 +2269,7 @@ object Queries {
     "agg_filter_events" -> (aggFilterEvents _),
     "embedding_norm_stats" -> (embeddingNormStats _),
     "embedding_pool" -> (embeddingPool _),
+    "knn_join_graph" -> (knnJoinGraph _),
     "ngram_top20" -> (ngramTop20 _),
     "regex_extract_stats" -> (regexExtractStats _),
     "agg_salted_skew" -> (aggSaltedSkew _),

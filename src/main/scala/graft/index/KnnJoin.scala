@@ -1,0 +1,45 @@
+package graft.index
+
+import graft.expressions.DotProduct
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Set-to-set k-NN join (k-NN GRAPH construction): for every query
+  * row, the top-k cosine neighbors among the corpus rows — the
+  * primitive behind SemDeDup neighbor lists, NN-graph clustering,
+  * k-NN classification and retrieval-set building. The reference has
+  * no set-to-set form at all (its search is one query vector per HTTP
+  * call, search_service.py:83-156).
+  *
+  * Exact path: broadcast the (smaller) query side against the corpus
+  * scan — one codegen'd dot per (query, corpus) pair with both norms
+  * precomputed per side, then per-query top-k as a row_number window,
+  * which Spark executes with WindowGroupLimit (per-partition group
+  * limits BEFORE the shuffle, so the exchange carries ≤ k·queries
+  * rows per task, not the full pair matrix). At 100 TB with a query
+  * side too big to broadcast, block both sides by LSH bucket first
+  * (the [[graft.dedup.Dedup.embeddingNearDupsLsh]] blocking) and run
+  * this same join inside buckets.
+  */
+object KnnJoin {
+
+  def exact(queries: DataFrame, corpus: DataFrame,
+            idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(
+      col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"),
+      sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm"))
+    val c = corpus.select(
+      col(idCol).cast("long").as("neighbor_id"), col(embCol).as("c_emb"),
+      sqrt(DotProduct(col(embCol), col(embCol))).as("c_norm"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        when(col("q_norm") === 0.0 || col("c_norm") === 0.0, 0.0)
+          .otherwise(DotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("neighbor_id"), col("cos"))
+  }
+}
