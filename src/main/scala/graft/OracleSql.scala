@@ -774,7 +774,7 @@ object OracleSql {
         |  FROM pairs GROUP BY q_id, c_id),
         |ranked AS (SELECT q_id, c_id, s,
         |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM scores)
-        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) AS score
+        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
 
     // element-wise mean pooled per label; Spark's posexplode is
@@ -785,7 +785,7 @@ object OracleSql {
         |  unnest(embedding) AS x
         |  FROM embeddings WHERE embedding IS NOT NULL)
         |SELECT label, pos, count(*) AS n_vecs,
-        |  ROUND(AVG(CAST(x AS DOUBLE)), 4) AS avg_x
+        |  ROUND(AVG(CAST(x AS DOUBLE)), 4) + 0 AS avg_x
         |FROM flat GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "ngram_top20" ->

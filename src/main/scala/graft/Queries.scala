@@ -1944,7 +1944,9 @@ object Queries {
     val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
     graft.index.KnnJoin.exact(
         emb.where(col("vec_id") < 50), emb, "vec_id", "embedding", k = 3)
-      .select(col("q_id"), col("rn"), col("neighbor_id"), round(col("cos"), 4).as("score"))
+      // + 0.0 collapses IEEE negative zero (see embeddingPool)
+      .select(col("q_id"), col("rn"), col("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"))
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -1964,7 +1966,10 @@ object Queries {
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(col("x").cast("double")), 4).as("avg_x"))
+        // + 0.0 collapses IEEE negative zero: a tiny negative mean
+        // rounds to -0.0, which string-compares unequal to the other
+        // engine's 0.0 (observed at sf0.001, dim 538's column)
+        (round(avg(col("x").cast("double")), 4) + lit(0.0)).as("avg_x"))
       .orderBy(col("label"), col("pos"))
 
   /** Corpus-level n-gram frequency: top-20 word bigrams. The groupBy
