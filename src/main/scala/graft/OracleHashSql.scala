@@ -375,6 +375,32 @@ object OracleHashSql {
        |FROM cand c JOIN scores s ON s.vec_id = c.vec_id
        |ORDER BY s.s DESC, c.vec_id LIMIT 5""".stripMargin
 
+  /** knn_join_graph_lsh: the 50-query LSH-blocked kNN graph. Reuses
+    * the plane/bucket CTEs (buckets exist for EVERY corpus vector);
+    * candidates are the (table, bucket) equi-join of the query subset
+    * against the corpus with DISTINCT as the multi-table set-union,
+    * then the exact-cosine rerank and per-query top-3 — the same
+    * ranking discipline as knn_join_graph's exact oracle.
+    */
+  private def knnJoinGraphLshSql: String =
+    s"""WITH $lshCtes,
+       |qset AS (SELECT vec_id AS q_id FROM embeddings
+       |  WHERE vec_id < 50 AND embedding IS NOT NULL),
+       |cpairs AS (SELECT DISTINCT qs.q_id, b.vec_id AS c_id
+       |  FROM qset qs JOIN buckets qb2 ON qb2.vec_id = qs.q_id
+       |  JOIN buckets b ON b.t = qb2.t AND b.bkt = qb2.bkt AND b.vec_id <> qs.q_id),
+       |px AS (SELECT cp.q_id, cp.c_id, unnest(a.embedding) AS x, unnest(bb.embedding) AS y
+       |  FROM cpairs cp JOIN embeddings a ON a.vec_id = cp.q_id
+       |  JOIN embeddings bb ON bb.vec_id = cp.c_id),
+       |ps AS (SELECT q_id, c_id,
+       |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+       |  FROM px GROUP BY q_id, c_id),
+       |rankedg AS (SELECT q_id, c_id, s,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM ps)
+       |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
+       |FROM rankedg WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
   private def knnLshMultiprobeSql: String =
     s"""WITH $lshCtes,
        |cand AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN qb ON qb.t = b.t
@@ -870,6 +896,9 @@ object OracleHashSql {
     // bit-identical to one-pass bucketing (pure per-row hash), so the
     // incrementally-maintained index answers the full-corpus oracle
     "knn_lsh_append" -> knnLshSql,
+    // the LSH-blocked kNN graph replays plane matrix, bucket equi-join,
+    // set-union and rerank independently
+    "knn_join_graph_lsh" -> knnJoinGraphLshSql,
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     "ann_sq" -> annSqSql,
     "ann_ivf" -> annIvfSql,

@@ -1950,6 +1950,25 @@ object Queries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** The 100 TB form of [[knnJoinGraph]]: same 50-query graph served
+    * from LSH-bucket blocking ([[graft.index.KnnJoin.lshBucketed]]) —
+    * candidates via a (table, bucket) equi-join instead of a
+    * broadcast, the shape that survives a query side too large to
+    * broadcast. Approximate at the LSH operating point; the oracle
+    * replays the plane matrix, bucket equi-join, set-union and rerank
+    * independently, so a candidate dropped or duplicated by the
+    * blocking flips the hash.
+    */
+  def knnJoinGraphLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    graft.index.KnnJoin.lshBucketed(
+        emb.where(col("vec_id") < 50), emb, "vec_id", "embedding", k = 3)
+      // + 0.0 collapses IEEE negative zero (see embeddingPool)
+      .select(col("q_id"), col("rn"), col("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Mean-pool centroids per label — the class-mean / chunk→document
     * pooling op every embedding pipeline needs (nearest-class-mean
     * classifiers, SemDeDup cluster centers, doc vectors from chunk
@@ -2275,6 +2294,7 @@ object Queries {
     "embedding_norm_stats" -> (embeddingNormStats _),
     "embedding_pool" -> (embeddingPool _),
     "knn_join_graph" -> (knnJoinGraph _),
+    "knn_join_graph_lsh" -> (knnJoinGraphLsh _),
     "ngram_top20" -> (ngramTop20 _),
     "regex_extract_stats" -> (regexExtractStats _),
     "agg_salted_skew" -> (aggSaltedSkew _),

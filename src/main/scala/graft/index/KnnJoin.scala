@@ -24,6 +24,48 @@ import org.apache.spark.sql.functions._
   */
 object KnnJoin {
 
+  /** The 100 TB path: LSH-bucket blocking instead of a broadcast.
+    * Both sides are bucketed with the same seeded planes
+    * ([[RandomHyperplaneLsh.withBuckets]] over float-normalized
+    * vectors), candidates come from a plain equi-join on (table,
+    * bucket) — a shuffle keyed by bucket, never a cartesian — and the
+    * multi-table set-union is a dropDuplicates on the pair key. Exact
+    * cosine rerank + per-query top-k exactly as [[exact]]. Recall
+    * follows the LSH operating point (tables × planes); the candidate
+    * generation is the proven knn_lsh machinery, so the gate's DuckDB
+    * oracle replays it plane-for-plane.
+    */
+  def lshBucketed(queries: DataFrame, corpus: DataFrame,
+                  idCol: String, embCol: String, k: Int,
+                  lsh: RandomHyperplaneLsh = RandomHyperplaneLsh(8, 12, 42L),
+                  dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions
+    def sides(df: DataFrame, id: String): DataFrame =
+      lsh.withBuckets(df, VectorFunctions.l2Normalize(col(embCol)), dim)
+        .select(col(idCol).cast("long").as(id), col(embCol).as(s"${id}_emb"),
+          sqrt(DotProduct(col(embCol), col(embCol))).as(s"${id}_norm"),
+          posexplode(col("buckets")).as(Seq(s"${id}_t", s"${id}_bkt")))
+    val q = sides(queries, "q_id")
+      .withColumnRenamed("q_id_emb", "q_emb").withColumnRenamed("q_id_norm", "q_norm")
+    val c = sides(corpus, "neighbor_id")
+      .withColumnRenamed("neighbor_id_emb", "c_emb")
+      .withColumnRenamed("neighbor_id_norm", "c_norm")
+    val cand = q.join(c,
+        col("q_id_t") === col("neighbor_id_t") && col("q_id_bkt") === col("neighbor_id_bkt") &&
+          col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), col("q_emb"), col("c_emb"),
+        col("q_norm"), col("c_norm"))
+      .dropDuplicates("q_id", "neighbor_id") // set-union across tables
+    cand
+      .withColumn("cos",
+        when(col("q_norm") === 0.0 || col("c_norm") === 0.0, 0.0)
+          .otherwise(DotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("neighbor_id"), col("cos"))
+  }
+
   def exact(queries: DataFrame, corpus: DataFrame,
             idCol: String, embCol: String, k: Int): DataFrame = {
     val q = queries.select(

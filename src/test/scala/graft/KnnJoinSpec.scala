@@ -34,6 +34,39 @@ class KnnJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH-blocked graph: scores exact, ranks contiguous, pairs bucket-certified") {
+    import graft.index.RandomHyperplaneLsh
+    val lsh = RandomHyperplaneLsh(8, 12, 42L)
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def buckets(v: Array[Float]): Array[Int] = {
+      val n = graft.functions.VectorFunctions.l2NormalizeArr(v)
+      lsh.planes(64).map(tp => lsh.hash(n.toSeq, tp))
+    }
+    val rows = graft.index.KnnJoin.lshBucketed(
+        emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", 3)
+      .select(col("q_id"), col("rn"), col("neighbor_id"), col("cos"))
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length)) // contiguous ranks
+    }
+    rows.foreach { case (q, _, n, cos) =>
+      // every emitted pair shares at least one bucket (blocking is real)
+      assert(buckets(vecs(q)).zip(buckets(vecs(n))).exists { case (a, b) => a == b },
+        s"pair ($q,$n) shares no bucket")
+      // and the rerank is the exact cosine, not an approximation
+      assert(math.abs(cos - cosine(vecs(q), vecs(n))) < 1e-9)
+    }
+  }
+
   test("per-query top-k runs as WindowGroupLimit") {
     val plan = Queries.knnJoinGraph(spark, sfDir)
       .queryExecution.executedPlan.toString
