@@ -161,15 +161,18 @@ object Bench {
       "docs/BENCH_FORENSICS.json")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}"}"""
-    val wrote =
+    // print the RESOLVED absolute path, not the raw input: with a
+    // cwd-relative default, the raw string resolved against a
+    // different directory aims the pointer at a stale file
+    val wrote: Option[String] =
       try {
         val p = java.nio.file.Paths.get(outPath).toAbsolutePath
         if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.write(p,
           full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        true
-      } catch { case _: Throwable => false }
-    val forensicsField = if (wrote) "\"" + jsonStr(outPath) + "\"" else "null"
+        Some(p.toString)
+      } catch { case _: Throwable => None }
+    val forensicsField = wrote.map(p => "\"" + jsonStr(p) + "\"").getOrElse("null")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}""")
     spark.stop()
   }

@@ -125,12 +125,19 @@ object Queries {
     * and an O(corpus) rebuild on every append — the reference rebuilds
     * in-process per query (search_service.py:122-125).
     */
+  // the AT-REST base layout: bucketed once per (session, sfDir) and
+  // Spark-cached, exactly like knnLshCached's full-corpus layout —
+  // without this the gate would re-run the bucket UDF over the base
+  // on every call and time an O(corpus) rebuild, the very cost the
+  // append path exists to avoid
+  private val lshAppendBaseCache = new SessionCache[String, DataFrame]
   def knnLshAppend(spark: SparkSession, sfDir: String): DataFrame = {
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
-    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    def emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
     def bucketed(df: DataFrame): DataFrame =
       lsh.withBuckets(df, VectorFunctions.l2Normalize(col("embedding")), 64)
-    val base  = bucketed(emb.where(col("vec_id") % 5 =!= 0))
+    val base = lshAppendBaseCache.getOrElseUpdate(spark, sfDir)(
+      bucketed(emb.where(col("vec_id") % 5 =!= 0)).cache())
     val delta = bucketed(emb.where(col("vec_id") % 5 === 0)) // the new arrivals
     val index = base.unionByName(delta)
     val (hits, used) =
@@ -875,8 +882,10 @@ object Queries {
     * the join state. The per-user rollup of the sink must hash-match
     * the plain batch interval self-join ([[eventsAttribution]]'s
     * oracle) — a pair dropped from join state or duplicated across
-    * micro-batches flips the counts. The sentinel row joins nothing
-    * (event_type filters exclude it on both sides).
+    * micro-batches flips the counts. The sentinel rides INSIDE both
+    * join sides (see [[attributionSides]] — it must reach the
+    * watermark nodes), self-matches as user −1, and is dropped by the
+    * rollup's load-bearing `user_id >= 0` guard.
     */
   def eventsAttributionStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)

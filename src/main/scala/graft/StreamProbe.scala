@@ -52,7 +52,10 @@ object StreamProbe {
     (0 until nFiles).foreach { i =>
       val lo = minMs + i * span
       val hi = lo + span
-      ev.where(col("ts").cast("long") * 1000 >= lo && col("ts").cast("long") * 1000 < hi)
+      // unix_millis keeps sub-second precision — a cast-to-long floors
+      // to whole seconds and silently drops the first partial second's
+      // rows below every range's lower bound
+      ev.where(unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi)
         .coalesce(1).write.mode("append").parquet(inDir)
       // stamp ascending mtimes as ranges are written (2 s apart)
       dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -67,6 +70,24 @@ object StreamProbe {
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val clicks = stream.where(col("event_type") === "click")
     val purchases = stream.where(col("event_type") === "purchase")
+    // Accumulate the state high-water mark via a listener:
+    // q.recentProgress keeps only the last ~100 entries, so a long
+    // replay would evict the peak batch and underreport the exact
+    // number this probe exists to measure.
+    object HighWater extends org.apache.spark.sql.streaming.StreamingQueryListener {
+      @volatile var maxState = 0L
+      @volatile var batches = 0L
+      override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        batches += 1
+        e.progress.stateOperators.foreach(s => maxState = math.max(maxState, s.numRowsTotal))
+      }
+      override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(HighWater)
     val t0 = System.nanoTime()
     val q = graft.streaming.EventStreams.clickAttribution(clicks, purchases)
       .writeStream.outputMode("append").format("parquet")
@@ -74,11 +95,16 @@ object StreamProbe {
       .start()
     try q.processAllAvailable() finally {
       val sec = (System.nanoTime() - t0) / 1e9
-      val progresses = q.recentProgress.toSeq
+      // the listener bus is async — take the union of the listener's
+      // view and the (possibly truncated) recentProgress window so a
+      // tail event still in flight can't shave the peak
+      val recent = q.recentProgress.toSeq
       q.stop()
-      val maxState = progresses.flatMap(_.stateOperators.map(_.numRowsTotal))
-        .foldLeft(0L)(math.max)
-      val batches = progresses.size
+      Thread.sleep(500) // let the listener bus drain
+      spark.streams.removeListener(HighWater)
+      val maxState = math.max(HighWater.maxState,
+        recent.flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max))
+      val batches = math.max(HighWater.batches, recent.size.toLong)
       val pairs = spark.read.parquet(outDir).count()
       println(f"""{"probe":"stream_join","copies":$copies,"total_rows":$total,""" +
         f""""batches":$batches,"pairs":$pairs,"max_state_rows":$maxState,""" +
