@@ -94,5 +94,14 @@ class TablesSpec extends AnyFunSuite {
         s"\n  expected: $want\n  loaded:   $got" +
         "\n  (if the generator changed encodings again, absorb it in Tables.normalizeNtz/events)")
     }
+    // The embedding DIM is part of the contract too: the LSH plane
+    // matrix, PQ subspace split and the oracle's inlined planes(64)
+    // all assume 64 — a dim change would pass the type check above
+    // and fail obscurely inside the index gates.
+    val dims = Tables.load(spark, sfDir, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select(size(col("embedding"))).distinct().collect().map(_.getInt(0)).toSet
+    assert(dims === Set(64),
+      s"embeddings dim drifted from the 64 the index tier assumes: got $dims")
   }
 }
