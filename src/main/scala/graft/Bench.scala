@@ -152,7 +152,15 @@ object Bench {
       }.mkString("[", ",", "]")
       f""""$k":{"runs_sec":$runsJson,"jobs":${med._2},"stages":${med._3},"shuffle_mb":${med._4 / 1e6}%.2f,"gc_ms":${med._5},"runs":$perRun}"""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
+    // A query that throws keeps its -1.0 sentinel in `queries` (so the
+    // per-query key is visibly red) but is EXCLUDED from the headline
+    // total and NAMED in `failed`: summing sentinels understates total
+    // time, and an rc-0 artifact with no failure signal let round 9's
+    // seven dead queries masquerade as a faster run.
+    val failedNames = results.collect { case (k, med, _) if med._1 < 0 => k }
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val failedJson = failedNames.map(n => "\"" + jsonStr(n) + "\"")
+      .mkString("[", ",", "]")
     // Forensics to a file; stdout stays within the driver's tail capture.
     // The stdout pointer must reflect REALITY: a failed write prints
     // "forensics":null rather than aiming the pointer at a missing or
@@ -160,7 +168,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "docs/BENCH_FORENSICS.json")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}"}"""
     // print the RESOLVED absolute path, not the raw input: with a
     // cwd-relative default, the raw string resolved against a
     // different directory aims the pointer at a stale file
@@ -173,7 +181,7 @@ object Bench {
         Some(p.toString)
       } catch { case _: Throwable => None }
     val forensicsField = wrote.map(p => "\"" + jsonStr(p) + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}""")
     spark.stop()
   }
 }

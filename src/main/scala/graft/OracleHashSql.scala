@@ -302,6 +302,22 @@ object OracleHashSql {
     s"""$dedupMinhashCtes
        |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  // ---- dedup_incremental ------------------------------------------
+  // The engine bands ONLY the odd-id batch against the even-id
+  // corpus's stored band table; the oracle replays the FULL MinHash
+  // pipeline and restricts verified pairs to cross-parity ones. Equal
+  // results prove the incremental path agrees exactly with what a
+  // complete re-dedup would conclude about corpus×batch pairs —
+  // banding both sides with the same family and joining on the same
+  // band values makes the cross-parity slice of the full candidate
+  // set identical to the batch-vs-corpus candidate set.
+  private def dedupIncrementalSql: String =
+    s"""$dedupMinhashCtes
+       |SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS batch_id,
+       |  count(*) AS n_matches, ROUND(MAX(j), 4) AS best_j
+       |FROM jac WHERE j >= 0.5 AND (id_a % 2) <> (id_b % 2)
+       |GROUP BY 1 ORDER BY batch_id""".stripMargin
+
   /** Connected components of the MinHash pair graph, walked with a
     * recursive reachability CTE: node reaches itself; if an edge joins
     * u—v and v reaches r, then u reaches r (edges symmetrized, UNION
@@ -802,6 +818,24 @@ object OracleHashSql {
        |  ROUND(SUM(kept) / CAST(count(*) AS DOUBLE), 4) AS kept_rate
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- quota_by_source --------------------------------------------
+  // TrainingOps.quotaKept(source, 10): priority = the SIGNED
+  // splitmix64(doc_id) (same re-sign as sample_stratified), rank by
+  // (priority, doc_id) within source, keep rank <= 10. head_id pins
+  // the order itself; kept_id_sum the membership.
+  private def quotaBySourceSql: String =
+    s"""WITH h0 AS (SELECT doc_id, source, (${smix("doc_id::HUGEINT")})::HUGEINT AS h FROM documents),
+       |s AS (SELECT doc_id, source,
+       |    (h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) AS qkey
+       |  FROM h0),
+       |r AS (SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY qkey, doc_id) AS rn
+       |  FROM s)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+       |  CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS head_id
+       |FROM r WHERE rn <= 10 GROUP BY source ORDER BY source""".stripMargin
+
   // ---- shuffle_shard ----------------------------------------------
   // TrainingOps.shuffleShard: shard = floorMod(splitmix64(doc_id), 16)
   // (the engine's pmod over the SIGNED long — the unsigned smix result
@@ -879,6 +913,7 @@ object OracleHashSql {
   val all: Map[String, String] = Map(
     "fingerprint_winnow" -> fingerprintWinnowSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "quota_by_source" -> quotaBySourceSql,
     "shuffle_shard" -> shuffleShardSql,
     "pipeline_survivors" -> pipelineSurvivorsSql,
     "mix_resample" -> mixResampleSql,
@@ -886,6 +921,7 @@ object OracleHashSql {
     "rag_chunk_search" -> ragChunkSearchSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_components" -> dedupComponentsSql,
     "chunk_cdc" -> chunkCdcSql,
     "knn_lsh" -> knnLshSql,

@@ -98,7 +98,45 @@ object OracleSql {
       |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  private val eventsFunnelSql =
+    """WITH v AS (SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+      |      JOIN v ON v.user_id = e.user_id AND e.ts > v.tv
+      |      WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+      |      JOIN c ON c.user_id = e.user_id AND e.ts > c.tc
+      |      WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT '1_view' AS step, count(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click', count(*) FROM c
+      |UNION ALL SELECT '3_purchase', count(*) FROM p
+      |ORDER BY step""".stripMargin
+
+  private val eventsRetentionSql =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+      |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+      |  date_diff('day', f.cohort, d.day) AS offset_d, count(*) AS n_users
+      |FROM d JOIN f USING (user_id)
+      |WHERE date_diff('day', f.cohort, d.day) <= 7
+      |GROUP BY 1, 2 ORDER BY cohort_day, offset_d""".stripMargin
+
+  private val bpePairCountsSql =
+    """WITH toks AS (SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents),
+      |wc AS (SELECT w, count(*)::BIGINT AS cnt FROM toks WHERE length(w) > 0 GROUP BY w),
+      |interior AS (
+      |  SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym, cnt
+      |  FROM wc, (SELECT unnest(range(1, (SELECT max(length(w)) FROM wc))) AS i)
+      |  WHERE i + 1 <= length(w)),
+      |terminal AS (SELECT substr(w, length(w), 1) AS left_sym, '</w>' AS right_sym, cnt FROM wc),
+      |pairs AS (SELECT * FROM interior UNION ALL SELECT * FROM terminal)
+      |SELECT left_sym, right_sym, CAST(SUM(cnt) AS BIGINT) AS pair_freq
+      |FROM pairs GROUP BY 1, 2
+      |ORDER BY pair_freq DESC, left_sym, right_sym LIMIT 30""".stripMargin
+
   val all: Map[String, String] = Map(
+    "events_funnel" -> eventsFunnelSql,
+    "bpe_pair_counts" -> bpePairCountsSql,
+    "events_retention" -> eventsRetentionSql,
     "knn_brute" -> knnBruteSql,
     "ann_nsw" -> knnBruteSql,
     "ann_hnsw" -> knnBruteSql,

@@ -611,6 +611,55 @@ object Queries {
 
   // ---- events: time windows, json, sessionization ----
 
+  /** Ordered conversion funnel (view → click → purchase): a user
+    * reaches a step only via an event STRICTLY AFTER their first-reach
+    * time of the previous step — order matters, not just presence
+    * (a purchase before any click does not convert). Shape: one
+    * per-user min-aggregate per step, each later step equi-joining the
+    * previous step's (user, first_ts) table — funnels only narrow, so
+    * every join's right side shrinks and is broadcast-able at any
+    * corpus size; the scan side stays a single filter-pushed pass per
+    * step. Output: one row per step with the users who reached it.
+    */
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") > col("tv"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") > col("tc"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    def step(df: DataFrame, name: String) =
+      df.groupBy().agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("step"), col("n_users"))
+    step(v, "1_view").unionByName(step(c, "2_click"))
+      .unionByName(step(p, "3_purchase"))
+      .orderBy(col("step"))
+  }
+
+  /** Day-N retention cohorts: users grouped by their first-seen day;
+    * n_users = how many were active again N days later (N ≤ 7). The
+    * classic growth-analytics matrix. Shape: distinct (user, day)
+    * first (collapses event volume to user-days BEFORE any join),
+    * one min-aggregate for cohorts, then an equi-join on user_id —
+    * at 100 TB the cohort table is users-sized, partial aggregation
+    * does the collapsing map-side, and the day arithmetic never
+    * leaves codegen.
+    */
+  def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val f = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    d.join(f, "user_id")
+      .select(col("cohort"), datediff(col("day"), col("cohort")).cast("long").as("offset_d"))
+      .where(col("offset_d") <= 7)
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"), col("offset_d"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("offset_d"))
+  }
+
   def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -1397,6 +1446,40 @@ object Queries {
       .withColumn("kept_rate", round(col("n_kept").cast("double") / col("n_docs"), 4))
       .orderBy(col("lang"))
 
+  /** BPE tokenizer-fitting, distributed stage
+    * ([[graft.pipeline.BpeTrainer.pairCounts]]): the top-30
+    * frequency-weighted adjacent symbol pairs at iteration 0 (chars +
+    * terminal '</w>') over the corpus word-frequency table — the
+    * aggregate each merge round of BPE training consumes. The full
+    * merge loop (driver-side over the BOUNDED top-vocab table — the
+    * published algorithm's own reduction) is spec-evidenced in
+    * BpeTrainerSpec against the paper's worked example; this gate
+    * oracle-checks the corpus-sized part. Total order (freq DESC,
+    * pair ASC) makes the top-30 deterministic on both engines.
+    */
+  def bpePairCounts(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.BpeTrainer.pairCounts(
+        graft.pipeline.BpeTrainer.wordCounts(Tables.documents(spark, sfDir), "text"))
+      .orderBy(desc("pair_freq"), asc("left_sym"), asc("right_sym"))
+      .limit(30)
+
+  /** Per-source quota cap ([[graft.pipeline.TrainingOps.quotaKept]]):
+    * keep at most 10 docs per source by deterministic splitmix64(id)
+    * priority — the "cap every domain at N documents" mixture rule.
+    * kept_id_sum makes the gate sensitive to WHICH docs survive;
+    * head_id pins the per-group priority order itself (the rank-1
+    * doc), not just membership. Oracle: DuckDB replays the same
+    * re-signed splitmix64 ordering with row_number.
+    */
+  def quotaBySource(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.TrainingOps.quotaKept(
+        Tables.documents(spark, sfDir), "doc_id", "source", 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("kept_id_sum"),
+        max(when(col("qrank") === 1, col("doc_id"))).as("head_id"))
+      .orderBy(col("source"))
+
   /** Deterministic global corpus shuffle into training shards
     * ([[graft.pipeline.TrainingOps.shuffleShard]]): shard and
     * in-shard position are pure functions of splitmix64(doc_id) — the
@@ -1667,6 +1750,29 @@ object Queries {
     Dedup.minhashNearDups(Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Incremental ingest dedup ([[Dedup.incrementalNearDups]]): the
+    * standing corpus is the even doc_ids, "tonight's crawl" the odd
+    * ones. One evidence row per REJECTED batch doc: how many corpus
+    * near-dups it matched and the best verified Jaccard — what an
+    * ingest pipeline logs when it drops a document (admitting
+    * survivors is the trivial anti-join on batch_id). The corpus side
+    * reduces to its stored banded index, so ingest cost scales with
+    * the batch, never the corpus. Oracle: DuckDB replays the FULL
+    * MinHash pipeline and restricts verified pairs to cross-parity —
+    * the incremental path must agree exactly with a full re-dedup's
+    * conclusions about corpus×batch pairs.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.incrementalNearDups(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", 0.5)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_matches"), round(max(col("jaccard")), 4).as("best_j"))
+      .orderBy(col("batch_id"))
+  }
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(spark, sfDir), "doc_id", "text", maxHamming = 3)
@@ -2240,6 +2346,8 @@ object Queries {
     "events_dedup_stream" -> (eventsDedupStream _),
     "events_enrich_stream" -> (eventsEnrichStream _),
     "events_json_k" -> (eventsJsonK _),
+    "events_funnel" -> (eventsFunnel _),
+    "events_retention" -> (eventsRetention _),
     "events_sessionize" -> (eventsSessionize _),
     "events_sessionize_stream" -> (eventsSessionizeStream _),
     "events_hourly_upsert_stream" -> (eventsHourlyUpsertStream _),
@@ -2251,6 +2359,7 @@ object Queries {
     "events_attribution_outer_stream" -> (eventsAttributionOuterStream _),
     "decontaminate_ngram" -> (decontaminateNgram _),
     "sample_stratified" -> (sampleStratified _),
+    "quota_by_source" -> (quotaBySource _),
     "shuffle_shard" -> (shuffleShardQ _),
     "quality_logistic" -> (qualityLogistic _),
     "text_pii_redact" -> (textPiiRedact _),
@@ -2277,8 +2386,10 @@ object Queries {
     "dedup_trigram_jaccard" -> (dedupTrigramJaccard _),
     "dedup_components" -> (dedupComponents _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "text_bpe_tokens" -> (textBpeTokens _),
+    "bpe_pair_counts" -> (bpePairCounts _),
     "fingerprint_winnow" -> (fingerprintWinnow _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "multimodal_meta" -> (multimodalMeta _),

@@ -92,6 +92,26 @@ object Dedup {
       .where(col("sig").isNotNull)
   }
 
+  /** (id, band_id, band_hash) — the banded form of a signature table.
+    * This is the AT-REST shape of a MinHash index: a 100 TB pipeline
+    * materializes it once per corpus snapshot (bands × 12 bytes per
+    * doc) and every later consumer — full self-dedup
+    * ([[minhashCandidatePairs]]) or incremental ingest
+    * ([[incrementalNearDups]]) — equi-joins against it instead of
+    * re-signing the corpus.
+    */
+  def bandedSignatures(signatures: DataFrame, idCol: String = "id",
+                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
+    }
+    signatures
+      .select(col(idCol), explode(array(bandStructs: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+  }
+
   /** Candidate near-dup pairs via LSH banding of MinHash signatures:
     * `bands` bands of numHashes/bands rows each; docs sharing any
     * band's full sub-signature become a candidate pair. The heavy work
@@ -101,14 +121,7 @@ object Dedup {
     */
   def minhashCandidatePairs(signatures: DataFrame, idCol: String = "id",
                             numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
-    }
-    val banded = signatures
-      .select(col(idCol), explode(array(bandStructs: _*)).as("band"))
-      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+    val banded = bandedSignatures(signatures, idCol, numHashes, bands)
     val a = banded.toDF(s"id_a", "band_id", "band_hash")
     val b = banded.toDF(s"id_b", "band_id", "band_hash")
     a.join(b, Seq("band_id", "band_hash"))
@@ -181,20 +194,25 @@ object Dedup {
     * of banding), so joining the arrays to ≪N pairs beats shuffling
     * N×|shingles| postings three ways even at 100 TB.
     */
-  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.5, shingleSize: Int = 3,
-                      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
-    // one row per id: a doubled input row (upstream double-append —
-    // exactly what a dedup module must tolerate) would otherwise
-    // multiply every candidate pair through the two verify joins.
-    // max(shs) (array ordering) picks DETERMINISTICALLY when the same
-    // id somehow carries different text — dropDuplicates would keep a
-    // partition-order-dependent row.
-    val docsh = docs.select(col(idCol).as("id"),
+  /** (id, shs ARRAY<STRING>) — one row per id with its DISTINCT word
+    * shingles. One row per id even under a doubled input row (upstream
+    * double-append — exactly what a dedup module must tolerate), which
+    * would otherwise multiply every candidate pair through the verify
+    * joins. max(shs) (array ordering) picks DETERMINISTICALLY when the
+    * same id somehow carries different text — dropDuplicates would
+    * keep a partition-order-dependent row.
+    */
+  private def distinctShingleArrays(docs: DataFrame, idCol: String,
+                                    textCol: String, shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
         array_distinct(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shs"))
       .where(size(col("shs")) > 0)
       .groupBy(col("id")).agg(max(col("shs")).as("shs"))
-      .cache()
+
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5, shingleSize: Int = 3,
+                      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val docsh = distinctShingleArrays(docs, idCol, textCol, shingleSize).cache()
     val sigs = docsh.select(col("id"), sigFromShingles(numHashes, seed)(col("shs")).as("sig"))
     val cands = minhashCandidatePairs(sigs, "id", numHashes, bands)
     cands
@@ -205,6 +223,46 @@ object Dedup {
           size(array_union(col("shs_a"), col("shs_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental ingestion dedup: which BATCH documents are near-dups
+    * of the standing CORPUS? Returns verified cross matches
+    * (batch_id, corpus_id, jaccard ≥ threshold); the caller anti-joins
+    * the batch against batch_id to admit survivors.
+    *
+    * This is the shape that makes continuous ingestion affordable at
+    * 100 TB: the corpus side reduces to its stored banded index
+    * ([[bandedSignatures]] — built once per snapshot, bands rows ×
+    * 12 bytes per doc), so a nightly crawl re-signs only the batch and
+    * equi-joins its bands against the at-rest table — cost scales with
+    * the batch, never the corpus. Re-running [[minhashNearDups]] over
+    * corpus+batch would re-shingle and re-shuffle the full corpus per
+    * ingest. Verification joins shingle arrays only for candidate
+    * pairs (rare, by banding). Same hash family / banding / verify as
+    * the self-dedup path, so the ingest decision agrees exactly with
+    * what a full re-dedup would conclude about cross pairs.
+    */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame, idCol: String,
+                          textCol: String, threshold: Double = 0.5,
+                          shingleSize: Int = 3, numHashes: Int = 64,
+                          bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val shC = distinctShingleArrays(corpus, idCol, textCol, shingleSize).cache()
+    val shB = distinctShingleArrays(batch, idCol, textCol, shingleSize).cache()
+    def bandsOf(sh: DataFrame) = bandedSignatures(
+      sh.select(col("id"), sigFromShingles(numHashes, seed)(col("shs")).as("sig")),
+      "id", numHashes, bands)
+    val cands = bandsOf(shB).toDF("batch_id", "band_id", "band_hash")
+      .join(bandsOf(shC).toDF("corpus_id", "band_id", "band_hash"),
+        Seq("band_id", "band_hash"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    cands
+      .join(shB.toDF("batch_id", "shs_b"), "batch_id")
+      .join(shC.toDF("corpus_id", "shs_c"), "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("shs_b"), col("shs_c"))).cast("double") /
+          size(array_union(col("shs_b"), col("shs_c"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
   /** Exact pairwise n-gram Jaccard within a blocking key (e.g. source).

@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary training (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") —
+  * the tokenizer-fitting step of a training-data pipeline.
+  *
+  * The scale decomposition is the classic one: BPE trains on WORD
+  * FREQUENCIES, not the raw corpus. The only corpus-sized work is the
+  * word-count aggregate (one partial-agg'd shuffle); the merge loop
+  * then iterates over the bounded frequency table — vocabulary grows
+  * ~O(corpus^0.5) (Heaps' law), and practice caps it harder: training
+  * on the top `maxVocabWords` by frequency is standard, so the loop's
+  * working set is fixed (50k words ≈ a few MB) no matter whether the
+  * corpus is 60k rows or 100 TB. The per-word token arrays live on the
+  * driver for the loop ONLY after that bounded, deterministic
+  * truncation — this is not a collect-the-corpus antipattern, it is
+  * the published algorithm's own reduction.
+  *
+  * Determinism: word ties rank by (freq DESC, word ASC) at the cap;
+  * merge ties pick the lexicographically smallest (left, right) pair —
+  * both total orders, so the learned merge table is a pure function of
+  * the corpus, reproducible across runs, partitionings and cluster
+  * sizes (the same property the dedup/sampling tier guarantees).
+  *
+  * Words are whitespace tokens (trim + split on ' +', the corpus
+  * tokenization every text gate shares); a word's initial symbol
+  * sequence is its characters plus a terminal '</w>' marker so merges
+  * can't cross word boundaries and word-final units stay distinct
+  * from word-internal ones (the paper's formulation).
+  */
+object BpeTrainer {
+
+  /** One learned merge: at `rank` (1-based), symbols `left`+`right`
+    * fused, having co-occurred `freq` times (frequency-weighted). */
+  final case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  /** (w, cnt) word-frequency table — the single corpus-sized pass. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(trim(col(textCol)), " +")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Iteration-0 adjacent-symbol pair counts over a [[wordCounts]]
+    * table: for each word, (char_i, char_i+1) pairs plus the terminal
+    * (last_char, '</w>') pair, each weighted by the word's frequency —
+    * the distributed stage a merge round consumes, kept pure-Column
+    * (HOFs over a generated index array; no UDF) so it stays inside
+    * whole-stage codegen. Output: (left_sym, right_sym, pair_freq).
+    */
+  def pairCounts(wc: DataFrame): DataFrame = {
+    val w = col("w")
+    // sequence(1, len) then filter i < len: a word of length 1 must
+    // yield NO interior pairs, and sequence(1, 0) would descend.
+    val interior = transform(
+      filter(sequence(lit(1), length(w)), i => i < length(w)),
+      i => struct(w.substr(i, lit(1)).as("l"), w.substr(i + 1, lit(1)).as("r")))
+    val terminal = array(struct(w.substr(length(w), lit(1)).as("l"), lit("</w>").as("r")))
+    wc.select(col("cnt"), explode(concat(interior, terminal)).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("cnt")).as("pair_freq"))
+  }
+
+  /** Learn `numMerges` BPE merges from a corpus. The distributed part
+    * is [[wordCounts]]; the loop runs on the top-`maxVocabWords`
+    * truncation of it (deterministic (cnt DESC, w ASC) order at the
+    * cap — see object doc for why this bound is the algorithm's own).
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            maxVocabWords: Int = 50000): Seq[Merge] = {
+    val top = wordCounts(docs, textCol)
+      .orderBy(desc("cnt"), asc("w")).limit(maxVocabWords)
+      .collect()
+    val vocab: Array[(Array[String], Long)] = top.map { r =>
+      (r.getString(0).map(_.toString).toArray :+ "</w>", r.getLong(1))
+    }
+    trainFromVocab(vocab, numMerges)
+  }
+
+  /** The merge loop itself, exposed for spec-level equivalence checks
+    * against [[pairCounts]]. */
+  private[graft] def trainFromVocab(vocab0: Array[(Array[String], Long)],
+                                    numMerges: Int): Seq[Merge] = {
+    var vocab = vocab0
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val counts = collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // total order: max freq, then lexicographically smallest pair
+        val ((l, r), f) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += Merge(rank, l, r, f)
+        vocab = vocab.map { case (syms, cnt) => (mergePair(syms, l, r), cnt) }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Replace non-overlapping left-to-right occurrences of (l, r) with
+    * the fused symbol — greedy scan, the paper's replacement rule
+    * ("aaa" under merge (a,a) → ["aa", "a"]). */
+  private[graft] def mergePair(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+}

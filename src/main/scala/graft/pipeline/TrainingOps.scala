@@ -47,6 +47,36 @@ object TrainingOps {
     docs.withColumn("kept",
       TextFunctions.samplingBucket(100)(col(idCol)) < ratePct)
 
+  /** Per-group document quota: keep at most `quota` rows per value of
+    * `groupCol`, chosen by deterministic splitmix64(id) priority
+    * (lowest hash first, ties by id) — the "cap every source/domain at
+    * N documents" mixture rule, RNG-free like [[stratifiedKept]] so
+    * the kept set is a pure function of the ids (reproducible across
+    * runs, partition orders and cluster sizes, and auditable: re-rank
+    * any group locally to re-derive its survivors). Returns survivors
+    * plus their `qrank` (1-based priority rank within the group).
+    *
+    * Scale shape: the rank-filter-over-window compiles to Spark's
+    * WindowGroupLimit, so each map task keeps only its local
+    * top-`quota` per group BEFORE the exchange — the shuffle carries
+    * O(groups × quota) rows per task, not the corpus, which is what
+    * makes a per-domain cap affordable when one hot domain holds a
+    * third of a 100 TB crawl (the hot group's shuffled rows are
+    * quota × tasks, regardless of its raw size).
+    *
+    * RESERVED OUTPUT COLUMNS: `qkey`, `qrank` — caller columns of
+    * those names are overwritten.
+    */
+  def quotaKept(docs: DataFrame, idCol: String, groupCol: String, quota: Int): DataFrame = {
+    require(quota >= 1, "quota must be >= 1")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("qkey"), col(idCol))
+    docs
+      .withColumn("qkey", graft.expressions.SplitMix64(col(idCol)))
+      .withColumn("qrank", row_number().over(w))
+      .where(col("qrank") <= quota)
+      .drop("qkey")
+  }
+
   /** Deterministic global corpus shuffle for training order: rows are
     * scattered across `numShards` shards and totally ordered within
     * each by the codegen'd splitmix64 of their id

@@ -53,6 +53,30 @@ class DedupSpec extends AnyFunSuite {
     assert(mh.toSeq == mhClean.toSeq)
   }
 
+  test("incrementalNearDups agrees exactly with the full re-dedup's cross pairs") {
+    // corpus = even ids (0, 2, 4), batch = odd ids (1, 3)
+    val inc = Dedup.incrementalNearDups(
+        docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    // the full self-dedup over corpus+batch, restricted to cross-parity
+    // pairs and re-keyed (batch_id, corpus_id), must be the same set —
+    // the ingest decision may not depend on having skipped the
+    // corpus-side re-shuffle
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => p._1 % 2 != p._2 % 2)
+      .map(p => if (p._1 % 2 == 1) (p._1, p._2, p._3) else (p._2, p._1, p._3))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(inc == full)
+    // batch doc 1 is an exact dup of corpus doc 0 → rejected at j=1.0;
+    // batch doc 3 shares nothing → absent (it survives ingestion)
+    assert(inc.exists(p => p._1 == 1L && p._2 == 0L && p._3 == 1.0))
+    assert(!inc.exists(_._1 == 3L))
+    // corpus docs never appear on the batch side of a decision
+    assert(inc.forall(_._1 % 2 == 1))
+  }
+
   test("hot-shingle cap drops over-frequent postings before pair expansion") {
     // 30 docs in one block, all sharing one hot shingle ("aaa bbb ccc")
     // plus a unique tail — pairwise jaccard is tiny, but WITHOUT the

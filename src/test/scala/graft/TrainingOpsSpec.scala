@@ -46,6 +46,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  test("quotaKept caps each group at quota, reproducibly, via a group-limit plan") {
+    val kept = TrainingOps.quotaKept(corpus, "id", "domain", 2)
+    val rows = kept.select($"id", $"domain", $"qrank")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    val perGroup = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perGroup == Map("web" -> 2, "books" -> 2))
+    assert(rows.forall(_._3 <= 2))
+    // survivors are exactly the two lowest splitmix64(id) priorities
+    // per group — the kept set is a pure function of the ids
+    def expect(ids: Seq[Long]) = ids.sortBy(id =>
+      (graft.functions.TextFunctions.splitmix64(id), id)).take(2).toSet
+    assert(rows.filter(_._2 == "web").map(_._1).toSet == expect(Seq(100L, 101L, 102L)))
+    assert(rows.filter(_._2 == "books").map(_._1).toSet == expect(Seq(103L, 104L)))
+    val again = TrainingOps.quotaKept(corpus, "id", "domain", 2)
+      .select($"id", $"domain", $"qrank").as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(rows == again)
+    // scale posture: the rank filter must compile to WindowGroupLimit
+    // (map-side per-group top-k BEFORE the exchange), not a full
+    // window over the shuffled corpus
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("packSequences with a custom bin size cuts where the cumsum crosses") {
     // token counts: 6, 6, 8, 6, 7 — bins of 10 tokens within one shard
     val packed = TrainingOps.packSequences(
