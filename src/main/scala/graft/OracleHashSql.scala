@@ -818,6 +818,34 @@ object OracleHashSql {
        |  ROUND(SUM(kept) / CAST(count(*) AS DOUBLE), 4) AS kept_rate
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- embedding_rp -----------------------------------------------
+  // VectorFunctions.randomProject(16): matrix entry (i,j) regenerated
+  // from floorMod(splitmix64(j*64+i), 6) (signed floorMod — re-sign
+  // the unsigned smix first): 0 → +1, 1 → −1, else 0; scale
+  // sqrt(3/16). The ratio of projected to original L2 norm is
+  // re-derived entry-by-entry.
+  private def embeddingRpSql: String =
+    s"""WITH x AS (SELECT vec_id, label,
+       |    generate_subscripts(embedding, 1) - 1 AS i, unnest(embedding) AS xi
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |jj AS (SELECT unnest(range(0, 16)) AS j),
+       |rh AS (SELECT x.vec_id, x.label, x.xi, jj.j,
+       |    (${smix("(jj.j*64 + x.i)::HUGEINT")})::HUGEINT AS h
+       |  FROM x CROSS JOIN jj),
+       |rv AS (SELECT vec_id, label, xi, j,
+       |    ((((h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) % 6) + 6) % 6) AS r
+       |  FROM rh),
+       |y AS (SELECT vec_id, label, j,
+       |    SUM(CASE WHEN r = 0 THEN CAST(xi AS DOUBLE)
+       |             WHEN r = 1 THEN -CAST(xi AS DOUBLE) ELSE 0.0 END) * SQRT(3.0/16) AS yj
+       |  FROM rv GROUP BY 1, 2, 3),
+       |ny AS (SELECT vec_id, label, SQRT(SUM(yj*yj)) AS n_y FROM y GROUP BY 1, 2),
+       |nx AS (SELECT vec_id, SQRT(SUM(CAST(xi AS DOUBLE)*CAST(xi AS DOUBLE))) AS n_x
+       |  FROM x GROUP BY 1)
+       |SELECT ny.vec_id, ny.label,
+       |  ROUND(CASE WHEN nx.n_x = 0 THEN 0.0 ELSE ny.n_y / nx.n_x END, 4) + 0 AS norm_ratio
+       |FROM ny JOIN nx USING (vec_id) ORDER BY vec_id""".stripMargin
+
   // ---- quota_by_source --------------------------------------------
   // TrainingOps.quotaKept(source, 10): priority = the SIGNED
   // splitmix64(doc_id) (same re-sign as sample_stratified), rank by
@@ -914,6 +942,7 @@ object OracleHashSql {
     "fingerprint_winnow" -> fingerprintWinnowSql,
     "sample_stratified" -> sampleStratifiedSql,
     "quota_by_source" -> quotaBySourceSql,
+    "embedding_rp" -> embeddingRpSql,
     "shuffle_shard" -> shuffleShardSql,
     "pipeline_survivors" -> pipelineSurvivorsSql,
     "mix_resample" -> mixResampleSql,

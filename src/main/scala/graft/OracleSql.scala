@@ -815,6 +815,35 @@ object OracleSql {
         |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
 
+    "events_anomaly" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT e.event_id, e.event_type, e.value, (e.value - s.mu) / s.sigma AS z
+        |  FROM events e JOIN s USING (event_type))
+        |SELECT event_id, event_type, ROUND(value, 2) AS value_r, ROUND(z, 3) + 0 AS z
+        |FROM z ORDER BY abs(z) DESC, event_id LIMIT 20""".stripMargin,
+
+    "knn_classify" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS tl FROM embeddings
+        |  WHERE vec_id < 50 AND embedding IS NOT NULL),
+        |pairs AS (SELECT q.q_id, q.tl, c.vec_id AS c_id, c.label AS nl,
+        |  unnest(q.qe) AS x, unnest(c.embedding) AS y
+        |  FROM q JOIN embeddings c
+        |  ON c.vec_id >= 50 AND c.embedding IS NOT NULL),
+        |scores AS (SELECT q_id, tl, c_id, nl,
+        |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+        |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+        |  FROM pairs GROUP BY q_id, tl, c_id, nl),
+        |ranked AS (SELECT q_id, tl, nl, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM scores),
+        |votes AS (SELECT q_id, tl, nl, count(*) AS n_votes
+        |  FROM ranked WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |best AS (SELECT q_id, tl, nl, n_votes,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, nl) AS vr FROM votes)
+        |SELECT q_id, nl AS pred_label, n_votes, tl AS true_label,
+        |  CAST(CASE WHEN nl = tl THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM best WHERE vr = 1 ORDER BY q_id""".stripMargin,
+
     // element-wise mean pooled per label; Spark's posexplode is
     // 0-based, DuckDB's generate_subscripts 1-based
     "embedding_pool" ->

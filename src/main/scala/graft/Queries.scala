@@ -2084,6 +2084,67 @@ object Queries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Sparse random projection 64→16
+    * ([[graft.functions.VectorFunctions.randomProject]]): one row per
+    * vector with the projected-to-original L2 norm RATIO — the
+    * Johnson–Lindenstrauss contract under test (ratios concentrate
+    * near 1), and exactly what a pipeline asserts before trusting the
+    * projected space for ANN/near-dup work. Zero shuffle: the
+    * regenerate-don't-store matrix makes the op a row-local map. The
+    * oracle rebuilds every matrix entry from the same
+    * floorMod(splitmix64(j·64+i), 6) rule and re-derives the ratios
+    * from scratch.
+    */
+  def embeddingRp(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    val x = col("embedding")
+    val y = VectorFunctions.randomProject(16)(x)
+    val ny = sqrt(aggregate(y, lit(0.0), (a, v) => a + v * v))
+    val nx = sqrt(aggregate(x, lit(0.0), (a, v) => a + v.cast("double") * v.cast("double")))
+    emb.select(col("vec_id"), col("label"),
+        (round(when(nx === 0.0, 0.0).otherwise(ny / nx), 4) + lit(0.0)).as("norm_ratio"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Per-type z-score outliers: the 20 events farthest (in σ units)
+    * from their event_type's mean value — the monitoring/cleaning
+    * query every event pipeline runs. One tiny per-type stats
+    * aggregate broadcast back over the scan, then a global top-20
+    * (TakeOrderedAndProject — no full sort). Ranked by the UNROUNDED
+    * |z| with event_id tie-break, so the cut is total-ordered.
+    */
+  def eventsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .orderBy(abs(col("z")).desc, col("event_id"))
+      .limit(20)
+      .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value_r"),
+        (round(col("z"), 3) + lit(0.0)).as("z"))
+  }
+
+  /** k-NN auto-labeling ([[graft.index.KnnJoin.classify]]): the first
+    * 50 vectors play an unlabeled batch, the rest the labeled corpus;
+    * each query takes the majority label of its 5 nearest corpus
+    * neighbors (ties → smaller label). Joined back to the hidden true
+    * labels with a `correct` flag so the gate hashes the full
+    * evaluation, not just the predictions. The oracle recomputes
+    * neighborhoods, votes and the tie-break from scratch in SQL.
+    */
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    graft.index.KnnJoin.classify(
+        emb.where(col("vec_id") < 50), emb.where(col("vec_id") >= 50),
+        "vec_id", "embedding", "label", k = 5)
+      .join(emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .withColumn("correct",
+        when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+      .orderBy(col("q_id"))
+  }
+
   /** Mean-pool centroids per label — the class-mean / chunk→document
     * pooling op every embedding pipeline needs (nearest-class-mean
     * classifiers, SemDeDup cluster centers, doc vectors from chunk
@@ -2413,7 +2474,10 @@ object Queries {
     "agg_filter_events" -> (aggFilterEvents _),
     "embedding_norm_stats" -> (embeddingNormStats _),
     "embedding_pool" -> (embeddingPool _),
+    "embedding_rp" -> (embeddingRp _),
+    "events_anomaly" -> (eventsAnomaly _),
     "knn_join_graph" -> (knnJoinGraph _),
+    "knn_classify" -> (knnClassify _),
     "knn_join_graph_lsh" -> (knnJoinGraphLsh _),
     "ngram_top20" -> (ngramTop20 _),
     "regex_extract_stats" -> (regexExtractStats _),

@@ -103,6 +103,37 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column = dotUdf(a, b)
   def l2Normalize(a: Column): Column = l2NormalizeUdf(a)
 
+  /** Sparse random projection to `outDim` dims (Achlioptas 2003 — the
+    * database-friendly Johnson–Lindenstrauss transform): R(i,j) ∈
+    * {+1, −1, 0} with P = {1/6, 1/6, 2/3}, scaled by sqrt(3/outDim) so
+    * norms (hence distances) are preserved in expectation. The matrix
+    * is never STORED: entry (i,j) is a pure function of
+    * floorMod(splitmix64(j·srcDim + i), 6) — any executor (and the
+    * DuckDB oracle) regenerates any entry independently, so the op is
+    * a row-local map with zero shuffle and zero broadcast, the shape
+    * that lets a 100 TB corpus be projected in the scan itself (e.g.
+    * to cheapen a downstream ANN build or near-dup pass). Returns
+    * ARRAY<DOUBLE>; null in, null out.
+    */
+  def randomProject(outDim: Int) = udf { (v: collection.Seq[Float]) =>
+    if (v == null) null
+    else {
+      val srcDim = v.length
+      val scale = math.sqrt(3.0 / outDim)
+      Array.tabulate(outDim) { j =>
+        var s = 0.0
+        var i = 0
+        while (i < srcDim) {
+          val r = java.lang.Math.floorMod(
+            graft.functions.TextFunctions.splitmix64(j.toLong * srcDim + i), 6L)
+          if (r == 0L) s += v(i) else if (r == 1L) s -= v(i)
+          i += 1
+        }
+        s * scale
+      }
+    }
+  }
+
   /** Pure-Catalyst (whole-stage-codegen-friendly) cosine built from
     * higher-order functions — no UDF, usable where serialization of the
     * UDF closure is undesirable. Numerically identical (double math).

@@ -66,14 +66,19 @@ object KnnJoin {
       .select(col("q_id"), col("rn"), col("neighbor_id"), col("cos"))
   }
 
+  /** `carryCorpusCols`: corpus columns passed through to the neighbor
+    * rows of the output (e.g. a label for [[classify]]) — carried in
+    * the ONE corpus scan instead of a corpus-sized join-back later. */
   def exact(queries: DataFrame, corpus: DataFrame,
-            idCol: String, embCol: String, k: Int): DataFrame = {
+            idCol: String, embCol: String, k: Int,
+            carryCorpusCols: Seq[String] = Nil): DataFrame = {
     val q = queries.select(
       col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"),
       sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm"))
     val c = corpus.select(
-      col(idCol).cast("long").as("neighbor_id"), col(embCol).as("c_emb"),
-      sqrt(DotProduct(col(embCol), col(embCol))).as("c_norm"))
+      col(idCol).cast("long").as("neighbor_id") +: col(embCol).as("c_emb") +:
+        sqrt(DotProduct(col(embCol), col(embCol))).as("c_norm") +:
+        carryCorpusCols.map(col): _*)
     val scored = c.join(broadcast(q), col("q_id") =!= col("neighbor_id"))
       .withColumn("cos",
         when(col("q_norm") === 0.0 || col("c_norm") === 0.0, 0.0)
@@ -82,6 +87,29 @@ object KnnJoin {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))))
       .where(col("rn") <= k)
-      .select(col("q_id"), col("rn"), col("neighbor_id"), col("cos"))
+      .select(col("q_id") +: col("rn") +: col("neighbor_id") +: col("cos") +:
+        carryCorpusCols.map(col): _*)
   }
+
+  /** k-NN classification (label propagation): predict each query row's
+    * label as the MAJORITY label among its k nearest corpus rows — the
+    * auto-labeling step a curation pipeline uses to extend a small
+    * labeled seed set over an unlabeled corpus. Votes tie-break by
+    * (n_votes DESC, label ASC): a total order over exact values, never
+    * over floats, so the prediction is deterministic and
+    * SQL-replayable even when two labels split the neighborhood
+    * evenly. Cost = the [[exact]] join (or its LSH-bucketed form at
+    * scale) + one ≤ k·queries-row aggregate; the label rides the
+    * corpus scan via `carryCorpusCols`, so no corpus-sized join-back.
+    * Output: (q_id, pred_label, n_votes).
+    */
+  def classify(queries: DataFrame, corpus: DataFrame, idCol: String,
+               embCol: String, labelCol: String, k: Int): DataFrame =
+    exact(queries, corpus, idCol, embCol, k, carryCorpusCols = Seq(labelCol))
+      .groupBy(col("q_id"), col(labelCol))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col(labelCol))))
+      .where(col("vr") === 1)
+      .select(col("q_id"), col(labelCol).as("pred_label"), col("n_votes"))
 }

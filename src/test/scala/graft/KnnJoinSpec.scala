@@ -34,6 +34,25 @@ class KnnJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("classify: majority vote over the k neighborhood, ties to the smaller label") {
+    // 2-d geometry: query at (1, 0). Corpus: labels 7 (two vectors
+    // nearly parallel to the query), 3 (one parallel, one orthogonal),
+    // 9 (one anti-parallel). k=3 neighborhood = {7, 7, 3} → majority 7.
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.01f), 7), (11L, Array(1.0f, -0.01f), 7),
+      (12L, Array(1.0f, 0.2f), 3), (13L, Array(0.0f, 1.0f), 3),
+      (14L, Array(-1.0f, 0.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((0L, Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val pred = KnnJoin.classify(queries, corpus, "vec_id", "embedding", "label", 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(pred == Seq((0L, 7, 2L)))
+    // k=4 neighborhood = {7, 7, 3, 3}: a 2-2 vote tie → smaller label 3
+    val tied = KnnJoin.classify(queries, corpus, "vec_id", "embedding", "label", 4)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(tied == Seq((0L, 3, 2L)))
+  }
+
   test("LSH-blocked graph: scores exact, ranks contiguous, pairs bucket-certified") {
     import graft.index.RandomHyperplaneLsh
     val lsh = RandomHyperplaneLsh(8, 12, 42L)

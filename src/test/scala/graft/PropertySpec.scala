@@ -193,6 +193,39 @@ object GraftProperties extends Properties("graft") {
       gotInner == want && gotOuterRows == want.size + unmatched
     }
 
+  property("random projection: regenerated matrix is deterministic and JL-preserves norms") =
+    Prop.forAll(Gen.listOfN(20, vecGen(64))) { rows =>
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val proj = df.select($"vec_id",
+          VectorFunctions.randomProject(16)($"embedding").as("y"), $"embedding")
+        .as[(Long, Array[Double], Array[Float])].collect().sortBy(_._1)
+      // 1) determinism: plain-Scala regeneration of R from the same
+      //    splitmix64 rule reproduces every projected component
+      def rEntry(i: Int, j: Int): Int =
+        java.lang.Math.floorMod(
+          graft.functions.TextFunctions.splitmix64(j.toLong * 64 + i), 6L) match {
+          case 0L => 1; case 1L => -1; case _ => 0
+        }
+      val scale = math.sqrt(3.0 / 16)
+      val exact = proj.forall { case (_, y, x) =>
+        y.indices.forall { j =>
+          val s = x.indices.foldLeft(0.0)((a, i) => a + rEntry(i, j) * x(i).toDouble)
+          math.abs(y(j) - s * scale) < 1e-9
+        }
+      }
+      // 2) JL contract, loose bound: across 20 non-degenerate vectors
+      //    the MEAN norm ratio concentrates near 1
+      val ratios = proj.collect { case (_, y, x)
+          if x.exists(_ != 0f) =>
+        math.sqrt(y.map(v => v * v).sum) /
+          math.sqrt(x.map(v => v.toDouble * v.toDouble).sum)
+      }
+      val meanOk = ratios.isEmpty || {
+        val m = ratios.sum / ratios.size; m > 0.6 && m < 1.4
+      }
+      exact && meanOk
+    }
+
   property("SQ8 per-component reconstruction error is within half a quantization step") =
     Prop.forAll(dimGen.flatMap(d => vecGen(d))) { v =>
       val vn = VectorFunctions.l2NormalizeArr(v)
