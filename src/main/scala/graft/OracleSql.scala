@@ -120,6 +120,52 @@ object OracleSql {
       |WHERE date_diff('day', f.cohort, d.day) <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, offset_d""".stripMargin
 
+  /** The 50-query exact kNN graph's CTE chain (cosine scores → per-
+    * query rank), shared by knn_join_graph and graph_pagerank so the
+    * two can never disagree about what the graph IS. Ends with
+    * `ranked` (q_id, c_id, s, rn). */
+  private val knnGraphRankedCtes =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |  WHERE vec_id < 50 AND embedding IS NOT NULL),
+      |pairs AS (SELECT q.q_id, c.vec_id AS c_id,
+      |  unnest(q.qe) AS x, unnest(c.embedding) AS y
+      |  FROM q JOIN embeddings c
+      |  ON c.vec_id <> q.q_id AND c.embedding IS NOT NULL),
+      |scores AS (SELECT q_id, c_id,
+      |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+      |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+      |  FROM pairs GROUP BY q_id, c_id),
+      |ranked AS (SELECT q_id, c_id, s,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM scores)""".stripMargin
+
+  /** graph_pagerank: three unrolled power iterations of the simplified
+    * recurrence r' = (1−d)/N + d·Σ r/outdeg over the kNN-graph edges.
+    * The teleport constant is printed FROM the engine's own double
+    * arithmetic (1 − 0.85 ≠ the decimal literal 0.15 in binary), so
+    * both engines iterate bit-identical coefficients.
+    */
+  private def graphPagerankSql: String = {
+    val d = 0.85
+    val tp = 1 - d
+    def iter(k: Int): String =
+      s"""c$k AS (SELECT e.dst AS id, SUM(r${k - 1}.r / deg.outd) AS m
+         |  FROM edges e JOIN r${k - 1} ON r${k - 1}.id = e.src
+         |  JOIN deg ON deg.src = e.src GROUP BY 1),
+         |r$k AS (SELECT nodes.id, $tp / (SELECT n FROM nn) + $d * COALESCE(c$k.m, 0.0) AS r
+         |  FROM nodes LEFT JOIN c$k USING (id))""".stripMargin
+    s"""$knnGraphRankedCtes,
+       |edges AS (SELECT q_id AS src, c_id AS dst FROM ranked WHERE rn <= 3),
+       |nodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |deg AS (SELECT src, count(*)::DOUBLE AS outd FROM edges GROUP BY 1),
+       |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT id, ROUND(r, 6) + 0 AS rank FROM r3 ORDER BY id""".stripMargin
+  }
+
   private val bpePairCountsSql =
     """WITH toks AS (SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents),
       |wc AS (SELECT w, count(*)::BIGINT AS cnt FROM toks WHERE length(w) > 0 GROUP BY w),
@@ -800,20 +846,11 @@ object OracleSql {
     // the RAW double cosine (identical mult/add order both engines)
     // with neighbor-id tiebreak, rounded only at output
     "knn_join_graph" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
-        |  WHERE vec_id < 50 AND embedding IS NOT NULL),
-        |pairs AS (SELECT q.q_id, c.vec_id AS c_id,
-        |  unnest(q.qe) AS x, unnest(c.embedding) AS y
-        |  FROM q JOIN embeddings c
-        |  ON c.vec_id <> q.q_id AND c.embedding IS NOT NULL),
-        |scores AS (SELECT q_id, c_id,
-        |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
-        |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
-        |  FROM pairs GROUP BY q_id, c_id),
-        |ranked AS (SELECT q_id, c_id, s,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM scores)
+      s"""$knnGraphRankedCtes
         |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+
+    "graph_pagerank" -> graphPagerankSql,
 
     "events_anomaly" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma

@@ -2145,6 +2145,26 @@ object Queries {
       .orderBy(col("q_id"))
   }
 
+  /** Centrality over the kNN graph
+    * ([[graft.pipeline.GraphOps.pageRank]]): three power iterations of
+    * PageRank over the same 50-query exact kNN edges as
+    * knn_join_graph — the coreset-selection signal ("most
+    * representative samples sit at high centrality") a curation
+    * pipeline derives from the neighbor graph. The oracle replays the
+    * graph AND the full recurrence (shared CTEs with knn_join_graph's
+    * oracle, engine-printed float coefficients), so a wrong edge, a
+    * wrong degree or a drifted iteration all flip the hash.
+    */
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    val edges = graft.index.KnnJoin.exact(
+        emb.where(col("vec_id") < 50), emb, "vec_id", "embedding", k = 3)
+      .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
+    graft.pipeline.GraphOps.pageRank(edges, "src", "dst", iters = 3)
+      .select(col("id"), (round(col("rank"), 6) + lit(0.0)).as("rank"))
+      .orderBy(col("id"))
+  }
+
   /** Mean-pool centroids per label — the class-mean / chunk→document
     * pooling op every embedding pipeline needs (nearest-class-mean
     * classifiers, SemDeDup cluster centers, doc vectors from chunk
@@ -2478,6 +2498,7 @@ object Queries {
     "events_anomaly" -> (eventsAnomaly _),
     "knn_join_graph" -> (knnJoinGraph _),
     "knn_classify" -> (knnClassify _),
+    "graph_pagerank" -> (graphPagerank _),
     "knn_join_graph_lsh" -> (knnJoinGraphLsh _),
     "ngram_top20" -> (ngramTop20 _),
     "regex_extract_stats" -> (regexExtractStats _),
