@@ -852,6 +852,20 @@ object OracleSql {
 
     "graph_pagerank" -> graphPagerankSql,
 
+    // Z-order: re-interleave every bit in SQL — bit i of user_id at
+    // position 2i, bit i of floor(value) at 2i+1, over 10 bits
+    "zorder_layout" ->
+      """WITH bpos AS (SELECT unnest(range(0, 10)) AS i),
+        |src AS (SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS v FROM events),
+        |k AS (SELECT event_id, user_id, CAST(SUM(
+        |    ((user_id // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i)) +
+        |    ((v // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i + 1))) AS BIGINT) AS zkey
+        |  FROM src CROSS JOIN bpos GROUP BY 1, 2)
+        |SELECT zkey // 16384 AS zbucket, count(*) AS n_rows,
+        |  MIN(zkey) AS zmin, MAX(zkey) AS zmax,
+        |  CAST(SUM(user_id) AS BIGINT) AS uid_sum
+        |FROM k GROUP BY 1 ORDER BY zbucket""".stripMargin,
+
     "events_anomaly" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
         |  FROM events GROUP BY 1),

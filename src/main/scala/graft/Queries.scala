@@ -2145,6 +2145,26 @@ object Queries {
       .orderBy(col("q_id"))
   }
 
+  /** Z-order layout stats ([[graft.operators.ZOrder.zKey]]): events
+    * keyed by the Morton interleave of (user_id, ⌊value⌋) and grouped
+    * into fixed z-ranges (zkey >> 14) — the per-file min/max footprint
+    * a z-clustered write would give each file, which is exactly the
+    * metadata a scan uses to skip files on user_id AND value
+    * predicates at once. The key is fused Column bit-arithmetic
+    * evaluated in the scan; the oracle re-interleaves every bit in
+    * SQL. ZOrderSpec quantifies the pruning win over a row-major
+    * layout.
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("zkey", graft.operators.ZOrder.zKey(
+        col("user_id"), floor(col("value")).cast("long"), bits = 10))
+      .withColumn("zbucket", shiftrightunsigned(col("zkey"), 14))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("zkey")).as("zmin"),
+        max(col("zkey")).as("zmax"), sum(col("user_id")).as("uid_sum"))
+      .orderBy(col("zbucket"))
+
   /** Centrality over the kNN graph
     * ([[graft.pipeline.GraphOps.pageRank]]): three power iterations of
     * PageRank over the same 50-query exact kNN edges as
@@ -2499,6 +2519,7 @@ object Queries {
     "knn_join_graph" -> (knnJoinGraph _),
     "knn_classify" -> (knnClassify _),
     "graph_pagerank" -> (graphPagerank _),
+    "zorder_layout" -> (zorderLayout _),
     "knn_join_graph_lsh" -> (knnJoinGraphLsh _),
     "ngram_top20" -> (ngramTop20 _),
     "regex_extract_stats" -> (regexExtractStats _),
