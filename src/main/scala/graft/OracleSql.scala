@@ -181,6 +181,9 @@ object OracleSql {
 
   val all: Map[String, String] = Map(
     "events_funnel" -> eventsFunnelSql,
+    // the stream rolls up to the identical shape — one oracle, two
+    // implementations (the sessionize-family pattern)
+    "events_funnel_stream" -> eventsFunnelSql,
     "bpe_pair_counts" -> bpePairCountsSql,
     "events_retention" -> eventsRetentionSql,
     "knn_brute" -> knnBruteSql,

@@ -1011,6 +1011,31 @@ object Queries {
     * lag-based definition, or a row lost across micro-batch/timeout
     * handling, flips the counts and turns the gate red.
     */
+  /** The streaming twin of [[eventsFunnel]]
+    * ([[graft.streaming.EventStreams.funnelReach]]): per-user
+    * buffer-until-watermark state, folded once on timeout into the
+    * same strictly-after recurrence, then rolled up to the identical
+    * (step, n_users) shape — so the stream run is hash-gated by the
+    * SAME DuckDB oracle as the batch gate (two implementations, one
+    * oracle, like the sessionize family).
+    */
+  def eventsFunnelStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    if (ev.isEmpty)
+      return ev.limit(0).select(lit("").as("step"), lit(0L).as("n_users"))
+    import spark.implicits._
+    runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "funnel",
+      stream => graft.streaming.EventStreams.funnelReach(spark,
+        stream.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[graft.streaming.Event]).toDF(),
+      sink => Seq(("1_view", 1), ("2_click", 2), ("3_purchase", 3))
+        .map { case (name, lvl) =>
+          sink.where(col("reached") >= lvl)
+            .agg(count(lit(1)).as("n_users"))
+            .select(lit(name).as("step"), col("n_users"))
+        }.reduce(_.unionByName(_)).orderBy(col("step")))
+  }
+
   def eventsSessionizeStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     if (ev.isEmpty)
@@ -2448,6 +2473,7 @@ object Queries {
     "events_enrich_stream" -> (eventsEnrichStream _),
     "events_json_k" -> (eventsJsonK _),
     "events_funnel" -> (eventsFunnel _),
+    "events_funnel_stream" -> (eventsFunnelStream _),
     "events_retention" -> (eventsRetention _),
     "events_sessionize" -> (eventsSessionize _),
     "events_sessionize_stream" -> (eventsSessionizeStream _),

@@ -8,6 +8,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                        event_type: String, value: Double)
+final case class FunnelReach(user_id: Long, reached: Int)
+private final case class FunnelBuf(evs: Seq[(Long, String)])
 final case class SessionUpdate(user_id: Long, session_start: Timestamp,
                                session_end: Timestamp, n_events: Long, sum_value: Double)
 private final case class SessionBuf(start: Long, end: Long, n: Long, sum: Double)
@@ -138,6 +140,62 @@ object EventStreams {
     * session. State per user is O(1) (a running buffer), so the
     * operator scales with distinct active users, not event volume.
     */
+  /** Ordered-funnel progression per user as a stream: how far did each
+    * user get through view → click → purchase, with every later step
+    * required STRICTLY AFTER the first reach of the previous one (the
+    * batch recurrence of Queries.eventsFunnel). The fold is not
+    * monotone under out-of-order arrival — a late-but-earlier view
+    * legitimately changes which clicks qualify — so no incremental
+    * state update exists; instead the user's STEP events are buffered
+    * until the event-time watermark closes the user (timeout), then
+    * folded once in time order. State is bounded by one user's
+    * step-event count inside the watermark horizon — active-user
+    * scaling, not event-volume scaling, and only whitelisted step
+    * types are ever buffered. Emits (user_id, reached ∈ 1..steps)
+    * for users who reached at least step 1.
+    */
+  def funnelReach(spark: SparkSession, events: Dataset[Event],
+                  steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelReach] = {
+    import spark.implicits._
+    val stepSet = steps.toSet
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelReach](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelBuf]) =>
+          if (state.hasTimedOut) {
+            val evs = state.getOption.map(_.evs).getOrElse(Seq.empty)
+            state.remove()
+            var reached = 0
+            var cut = Long.MinValue
+            steps.indices.foreach { i =>
+              if (reached == i) {
+                val cand = evs.collect {
+                  case (t, s) if s == steps(i) && (i == 0 || t > cut) => t
+                }
+                if (cand.nonEmpty) { reached = i + 1; cut = cand.min }
+              }
+            }
+            if (reached > 0) Iterator.single(FunnelReach(uid, reached))
+            else Iterator.empty
+          } else {
+            val add = rows.filter(e => stepSet(e.event_type))
+              .map(e => (e.ts.getTime, e.event_type)).toSeq
+            val buf = state.getOption.map(_.evs).getOrElse(Seq.empty) ++ add
+            if (buf.nonEmpty) {
+              state.update(FunnelBuf(buf))
+              // strictly above the current watermark, else the engine
+              // rejects the timeout; the replay's sentinel then drives
+              // the watermark past it and fires the fold
+              state.setTimeoutTimestamp(
+                math.max(buf.iterator.map(_._1).max + 1, state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   def sessionize(spark: SparkSession, events: Dataset[Event],
                  gapMillis: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
     import spark.implicits._

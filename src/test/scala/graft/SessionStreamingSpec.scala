@@ -90,6 +90,45 @@ class SessionStreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming funnel: correct under cross-batch OUT-OF-ORDER arrival") {
+    val mem = MemoryStream[Event](spark)
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      Event(id, Timestamp.valueOf(t), u, typ, 1.0)
+    val q = EventStreams.funnelReach(spark, mem.toDS())
+      .writeStream.format("memory").queryName("funnel_stream").outputMode("append").start()
+    try {
+      // batch 1: user 1's click and purchase arrive FIRST
+      mem.addData(
+        ev(2, "2024-01-01 10:05:00", 1L, "click"),
+        ev(3, "2024-01-01 10:10:00", 1L, "purchase"),
+        // user 2: click strictly BEFORE any view — must stop at view
+        ev(4, "2024-01-01 09:00:00", 2L, "click"),
+        ev(5, "2024-01-01 09:30:00", 2L, "view"))
+      q.processAllAvailable()
+      // batch 2: user 1's view arrives LATE but is EARLIER in event
+      // time — an order-sensitive fold must re-qualify the click
+      mem.addData(ev(1, "2024-01-01 10:00:00", 1L, "view"))
+      q.processAllAvailable()
+      // watermark release: an event far in the future times every user out
+      mem.addData(ev(9, "2024-01-02 00:00:00", 99L, "error"))
+      q.processAllAvailable()
+      mem.addData(ev(10, "2024-01-03 00:00:00", 99L, "error"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream")
+        .select("user_id", "reached").as[(Long, Int)].collect().toMap
+      assert(got == Map(1L -> 3, 2L -> 1))
+    } finally q.stop()
+  }
+
+  test("events_funnel_stream: the streaming replay lands on the batch funnel table") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = Queries.eventsFunnelStream(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    val batch = Queries.eventsFunnel(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming dedup by key and by content digest, bounded by watermark") {
     val mem = MemoryStream[Event](spark)
     def ev(id: Long, t: String, v: Double) =
