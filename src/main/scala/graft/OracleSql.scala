@@ -772,6 +772,32 @@ object OracleSql {
         |FROM z GROUP BY doc_id, widx
         |ORDER BY doc_id, window_idx""".stripMargin,
 
+    // multimodal_audio's decode→window replay, extended with the
+    // threshold → islands (widx − rank constant within a run) →
+    // per-clip rollup. The >= 8630 cut compares the UNROUNDED rms:
+    // integer samples ⇒ bit-identical doubles on both engines.
+    "multimodal_audio_segments" ->
+      """WITH m AS (SELECT doc_id, text, GREATEST(n_chars, 1) AS n,
+        |             192 + (GREATEST(n_chars, 1) % 64) AS nsamp FROM documents),
+        |s AS (SELECT doc_id, i.g AS k, i.g // 64 AS widx,
+        |        (CASE WHEN text = '' THEN 0
+        |              ELSE unicode(substr(text, CAST(i.g % n AS INT) + 1, 1)) END - 79) * 257 AS v
+        |      FROM m, generate_series(0, 254) AS i(g) WHERE i.g < nsamp),
+        |w AS (SELECT doc_id, widx,
+        |        sqrt(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / count(*)) AS rms
+        |      FROM s GROUP BY doc_id, widx),
+        |act AS (SELECT doc_id, widx FROM w WHERE rms >= 8630.0),
+        |isl AS (SELECT doc_id, widx,
+        |          widx - row_number() OVER (PARTITION BY doc_id ORDER BY widx) AS grp
+        |        FROM act),
+        |seg AS (SELECT doc_id, MIN(widx) AS seg_start, count(*) AS seg_len
+        |        FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, count(*) AS n_segments,
+        |  CAST(SUM(seg_len) AS BIGINT) AS n_active,
+        |  CAST(MAX(seg_len) AS BIGINT) AS max_len,
+        |  CAST(MIN(seg_start) AS BIGINT) AS first_start
+        |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q5_local_supplier_revenue" ->
       """SELECT r_name, n_name,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -1967,6 +1967,26 @@ object Queries {
       .withColumn("rms", round(col("rms"), 4))
       .orderBy(col("doc_id"), col("window_idx"))
 
+  /** VAD-style segmentation over the synthetic clips
+    * ([[graft.multimodal.Multimodal.audioSegments]]): windows above
+    * the corpus-median RMS (8630) form segments; per clip the gate
+    * pins HOW MANY segments, their total coverage, the longest run
+    * and where the first begins — the utterance-cutting decision
+    * itself, not just the feature table. Oracle: DuckDB replays
+    * decode → windows → threshold → islands → rollup end-to-end.
+    */
+  def multimodalAudioSegments(spark: SparkSession, sfDir: String): DataFrame =
+    graft.multimodal.Multimodal.audioSegments(
+        graft.multimodal.Multimodal.audioFeatures(spark,
+          Tables.documents(spark, sfDir)
+            .withColumn("blob", Multimodal.syntheticWavUdf(col("text"))),
+          "doc_id", "blob", winSize = 64).toDF(),
+        rmsThreshold = 8630.0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("seg_len")).as("n_active"),
+        max(col("seg_len")).as("max_len"), min(col("seg_start")).as("first_start"))
+      .orderBy(col("doc_id"))
+
   // ---- relational coverage round 3 ----
 
   /** TPC-H Q5 shape: the one fact-fact shuffle (lineitem⋈orders on the
@@ -2564,5 +2584,6 @@ object Queries {
     "dedup_semantic" -> (dedupSemantic _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_audio" -> (multimodalAudio _),
+    "multimodal_audio_segments" -> (multimodalAudioSegments _),
   )
 }

@@ -309,6 +309,28 @@ object Multimodal {
       })
   }
 
+  /** Energy-based audio segmentation (VAD-style): maximal runs of
+    * consecutive windows whose RMS clears `rmsThreshold` become
+    * segments — the islands-and-gaps aggregation (window_idx minus its
+    * per-clip rank is constant within a run) every speech pipeline
+    * uses to cut clips into utterances before transcription. Pure
+    * window+aggregate over the [[audioFeatures]] table: no second
+    * decode pass, shuffles keyed by clip. The threshold compares the
+    * UNROUNDED rms — integer samples make the double pipeline
+    * bit-identical across engines (the multimodal_audio trust model),
+    * so the cut is replayable in SQL.
+    * Output: one row per segment (doc_id, seg_start, seg_len).
+    */
+  def audioSegments(features: DataFrame, rmsThreshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    features.where(col("rms") >= rmsThreshold)
+      .withColumn("grp", col("window_idx") -
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("window_idx"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("window_idx")).as("seg_start"), count(lit(1)).as("seg_len"))
+      .drop("grp")
+  }
+
   /** Per-clip RMS-per-window feature vectors — audio "embeddings" that
     * plug into the cosine ANN / near-dup operators exactly like the
     * image `featureVectors`. Fixed dimensionality `dim` (windows past

@@ -104,6 +104,19 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(ws(1).rms == 100.0)
   }
 
+  test("audioSegments: islands of supra-threshold windows, gaps split runs") {
+    import spark.implicits._
+    // rms pattern per window: [low, HIGH, HIGH, low, HIGH] →
+    // two segments: [1,2] (len 2) and [4] (len 1); doc 2 all-low → none
+    val feats = Seq(
+      (1L, 0L, 10.0), (1L, 1L, 90.0), (1L, 2L, 95.0), (1L, 3L, 5.0), (1L, 4L, 80.0),
+      (2L, 0L, 1.0), (2L, 1L, 2.0))
+      .toDF("doc_id", "window_idx", "rms")
+    val segs = Multimodal.audioSegments(feats, rmsThreshold = 50.0)
+      .as[(Long, Long, Long)].collect().sortBy(s => (s._1, s._2)).toSeq
+    assert(segs == Seq((1L, 1L, 2L), (1L, 4L, 1L)))
+  }
+
   test("audio feature vectors flow into the cosine near-dup operator") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
     val blobs = docs.withColumn("blob", Multimodal.syntheticWavUdf(col("text")))
