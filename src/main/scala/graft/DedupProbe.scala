@@ -83,6 +83,37 @@ object DedupProbe {
       TrainingOps.tfIdfTopK(corpus, "doc_id", "text").count()
     }
 
+    // ---- incremental ingest vs full re-dedup ----------------------
+    // The claim under test: with the corpus's MinHash index stored
+    // (corpusIndex → parquet, read back like any at-rest table), a
+    // fixed-size nightly batch costs the SAME regardless of corpus
+    // size, while re-running the full self-dedup grows with the
+    // corpus. Corpus = k copies of sf0.1, batch = one sf0.1 copy
+    // re-based above every corpus id.
+    locally {
+      val batch = base.select((col("doc_id") + copies * idBase).as("doc_id"),
+        col("text"), col("source"))
+      Seq(2, 5, copies).distinct.sorted.foreach { k =>
+        val corpusK = corpus.where(col("doc_id") < k * idBase)
+        val (shC, bandC) = Dedup.corpusIndex(corpusK, "doc_id", "text")
+        val idxPath = s"target/dedup-probe/idx-$k"
+        val tb = System.nanoTime()
+        shC.write.mode("overwrite").parquet(s"$idxPath/shingles")
+        bandC.write.mode("overwrite").parquet(s"$idxPath/bands")
+        println(f"DEDUP corpus-index build+store (${k}x): ${(System.nanoTime() - tb) / 1e9}%.2f s")
+        val shStored = spark.read.parquet(s"$idxPath/shingles")
+        val bandStored = spark.read.parquet(s"$idxPath/bands")
+        time(s"incremental ingest, 5k batch vs stored ${k}x index") {
+          Dedup.incrementalNearDupsAgainst(shStored, bandStored,
+            batch, "doc_id", "text", threshold = 0.9).count()
+        }
+        time(s"full re-dedup, corpus ${k}x + batch") {
+          Dedup.minhashNearDups(corpusK.unionByName(batch),
+            "doc_id", "text", threshold = 0.9).count()
+        }
+      }
+    }
+
     // embedding tier at 10x: every vector appears `copies` times with
     // distinct ids, so semantic dedup faces ~N*C(copies,2) true
     // within-cluster pairs. k=64, not the gate's k=8: SemDeDup's

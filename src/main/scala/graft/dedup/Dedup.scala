@@ -246,18 +246,49 @@ object Dedup {
                           textCol: String, threshold: Double = 0.5,
                           shingleSize: Int = 3, numHashes: Int = 64,
                           bands: Int = 16, seed: Long = 42L): DataFrame = {
-    val shC = distinctShingleArrays(corpus, idCol, textCol, shingleSize).cache()
-    val shB = distinctShingleArrays(batch, idCol, textCol, shingleSize).cache()
-    def bandsOf(sh: DataFrame) = bandedSignatures(
+    val (shC, bandC) = corpusIndex(corpus, idCol, textCol, shingleSize, numHashes, bands, seed)
+    incrementalNearDupsAgainst(shC.cache(), bandC, batch, idCol, textCol,
+      threshold, shingleSize, numHashes, bands, seed)
+  }
+
+  /** The AT-REST corpus artifacts [[incrementalNearDupsAgainst]]
+    * consumes: (shingle arrays (id, shs), banded signatures (id,
+    * band_id, band_hash)). A 100 TB pipeline builds these once per
+    * corpus snapshot, stores both (bucketed by band for the join;
+    * shingles keyed by id for the verify), and every nightly ingest
+    * reads them instead of re-shingling the corpus. */
+  def corpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int = 3, numHashes: Int = 64,
+                  bands: Int = 16, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val sh = distinctShingleArrays(corpus, idCol, textCol, shingleSize)
+    val banded = bandedSignatures(
       sh.select(col("id"), sigFromShingles(numHashes, seed)(col("shs")).as("sig")),
       "id", numHashes, bands)
-    val cands = bandsOf(shB).toDF("batch_id", "band_id", "band_hash")
-      .join(bandsOf(shC).toDF("corpus_id", "band_id", "band_hash"),
+    (sh, banded)
+  }
+
+  /** [[incrementalNearDups]] against a PREBUILT [[corpusIndex]] — the
+    * form an ingest job actually runs: only the batch is signed; the
+    * corpus contributes its stored band table to the candidate
+    * equi-join and its stored shingle arrays to the (candidate-only)
+    * verify join. Per-ingest cost is batch-signing + candidate work,
+    * independent of corpus size. */
+  def incrementalNearDupsAgainst(corpusShingles: DataFrame, corpusBands: DataFrame,
+                                 batch: DataFrame, idCol: String, textCol: String,
+                                 threshold: Double = 0.5, shingleSize: Int = 3,
+                                 numHashes: Int = 64, bands: Int = 16,
+                                 seed: Long = 42L): DataFrame = {
+    val shB = distinctShingleArrays(batch, idCol, textCol, shingleSize).cache()
+    val bandB = bandedSignatures(
+      shB.select(col("id"), sigFromShingles(numHashes, seed)(col("shs")).as("sig")),
+      "id", numHashes, bands)
+    val cands = bandB.toDF("batch_id", "band_id", "band_hash")
+      .join(corpusBands.toDF("corpus_id", "band_id", "band_hash"),
         Seq("band_id", "band_hash"))
       .select(col("batch_id"), col("corpus_id")).distinct()
     cands
       .join(shB.toDF("batch_id", "shs_b"), "batch_id")
-      .join(shC.toDF("corpus_id", "shs_c"), "corpus_id")
+      .join(corpusShingles.toDF("corpus_id", "shs_c"), "corpus_id")
       .withColumn("jaccard",
         size(array_intersect(col("shs_b"), col("shs_c"))).cast("double") /
           size(array_union(col("shs_b"), col("shs_c"))).cast("double"))

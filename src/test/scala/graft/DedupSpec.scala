@@ -77,6 +77,24 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.forall(_._1 % 2 == 1))
   }
 
+  test("incremental ingest against a STORED corpus index equals the direct path") {
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val direct = Dedup.incrementalNearDups(corpus, batch, "doc_id", "text", 0.3)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx_").toFile
+    try {
+      val (sh, bands) = Dedup.corpusIndex(corpus, "doc_id", "text")
+      sh.write.parquet(s"$dir/shingles"); bands.write.parquet(s"$dir/bands")
+      val stored = Dedup.incrementalNearDupsAgainst(
+          spark.read.parquet(s"$dir/shingles"), spark.read.parquet(s"$dir/bands"),
+          batch, "doc_id", "text", 0.3)
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+      assert(stored == direct)
+      assert(direct.nonEmpty)
+    } finally TestSpark.rmTree(dir)
+  }
+
   test("hot-shingle cap drops over-frequent postings before pair expansion") {
     // 30 docs in one block, all sharing one hot shingle ("aaa bbb ccc")
     // plus a unique tail — pairwise jaccard is tiny, but WITHOUT the
