@@ -539,7 +539,13 @@ object Queries {
       .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
-  /** Quartiles by account balance (ntile window) → per-quartile stats. */
+  /** Quartiles by account balance (ntile window) → per-quartile stats.
+    * COVERAGE gate for the ntile operator itself: an unpartitioned
+    * ntile serializes the corpus through one task by definition. The
+    * scale formulation of the same semantics is what
+    * [[perplexityBuckets]] does — exact percentile thresholds from a
+    * small aggregate, then a map-side comparison assign — which is why
+    * no pipeline operator builds on this shape. */
   def ntileQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
     Tables.customer(spark, sfDir)
