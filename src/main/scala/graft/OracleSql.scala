@@ -881,6 +881,41 @@ object OracleSql {
 
     "graph_pagerank" -> graphPagerankSql,
 
+    // quality_gate's feature formulation, widened with source/digest
+    // and rolled into the per-source release report
+    "corpus_datasheet" ->
+      """WITH t AS (SELECT source, lang, doc_id, trim(text) AS tt, md5(text) AS digest,
+        |    string_split_regex(trim(text), ' +') AS w FROM documents),
+        |m AS (SELECT source, lang, doc_id, digest, len(w) AS nt,
+        |  CASE WHEN len(w) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(tt, ' +', '', 'g')) AS DOUBLE) / len(w) END AS atl,
+        |  CASE WHEN len(w) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(w, x -> x IN ('the','is','and','of','to','a','in'))) AS DOUBLE) / len(w) END AS sr
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(*) - count(DISTINCT digest) AS n_dupes,
+        |  count(*) FILTER (WHERE nt >= 30 AND atl >= 4.0 AND atl <= 5.0 AND sr <= 0.10) AS n_quality_pass,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents WHERE doc_id % 17 <> 0),
+        |v2 AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS d2
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, d1, d2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN d1 IS NULL THEN 'added'
+        |         WHEN d2 IS NULL THEN 'removed'
+        |         WHEN d1 <> d2 THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM j)
+        |SELECT change, count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM c GROUP BY change ORDER BY change""".stripMargin,
+
     // Z-order: re-interleave every bit in SQL — bit i of user_id at
     // position 2i, bit i of floor(value) at 2i+1, over 10 bits
     "zorder_layout" ->

@@ -1415,6 +1415,33 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Per-source dataset DATASHEET — the one-pass governance report a
+    * training-data release ships with (datasheets-for-datasets): doc
+    * and token volume, language spread, exact-duplicate count (via
+    * 128-bit digests, the exact-dedup trust model) and the C4-style
+    * quality pass rate, per source, in ONE scan + one aggregate. Every
+    * constituent signal is already individually oracle-checked
+    * (text_token_stats, dedup_exact, quality_gate, lang_id); this gate
+    * pins their COMPOSITION into the report.
+    */
+  def corpusDatasheet(spark: SparkSession, sfDir: String): DataFrame = {
+    val nt = TextFunctions.tokenCount(col("text"))
+    val atl = TextFunctions.avgTokenLength(col("text"))
+    val sr = TextFunctions.stopwordRatio(col("text"))
+    val pass = nt >= 30 && atl >= 4.0 && atl <= 5.0 && sr <= 0.10
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), col("doc_id"), nt.as("nt"),
+        pass.as("pass"), md5(col("text")).as("digest"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("digest"))).as("n_dupes"),
+        count(when(col("pass"), 1)).as("n_quality_pass"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+  }
+
   /** Benchmark decontamination (the GPT-3/PaLM eval-overlap filter):
     * flag training documents that share any word 4-gram with a holdout
     * benchmark set (docs with doc_id % 50 == 0 stand in for the
@@ -1476,6 +1503,35 @@ object Queries {
         sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
       .withColumn("kept_rate", round(col("n_kept").cast("double") / col("n_docs"), 4))
       .orderBy(col("lang"))
+
+  /** Corpus snapshot diff — the CDC step between two dataset versions
+    * (yesterday's crawl vs today's): classify every doc_id as added /
+    * removed / changed / unchanged by full-outer-joining the two
+    * snapshots on id and comparing 128-bit text digests (16 B/row
+    * shuffle, never the text — the exact-dedup trust model). The
+    * fixture derives both versions deterministically: v1 omits ids
+    * ≡ 0 (mod 17) (docs "added" since), v2 omits ids ≡ 0 (mod 13)
+    * ("removed"), and v2 rewrites the text of ids ≡ 0 (mod 5)
+    * ("changed"). Output: per change type, the count and an id
+    * checksum pinning WHICH docs, not just how many.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val v1 = docs.where(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("d1"))
+    val v2 = docs.where(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text"))).as("d2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("change", when(col("d1").isNull, "added")
+        .when(col("d2").isNull, "removed")
+        .when(col("d1") =!= col("d2"), "changed")
+        .otherwise("unchanged"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("change"))
+  }
 
   /** BPE tokenizer-fitting, distributed stage
     * ([[graft.pipeline.BpeTrainer.pairCounts]]): the top-30
@@ -2533,6 +2589,8 @@ object Queries {
     "text_quality" -> (textQuality _),
     "text_repetition" -> (textRepetition _),
     "chunk_cdc" -> (chunkCdc _),
+    "snapshot_diff" -> (snapshotDiff _),
+    "corpus_datasheet" -> (corpusDatasheet _),
     "quality_gate" -> (qualityGate _),
     "lang_id" -> (langId _),
     "fingerprint" -> (fingerprint _),

@@ -109,6 +109,35 @@ object BpeTrainer {
     merges.result()
   }
 
+  /** Canonical BPE encode of one word under a ranked merge table:
+    * apply each merge in rank order (greedy within the word — the
+    * standard encoder, inverse of [[train]]). */
+  def encodeWord(word: String, merges: Seq[Merge]): Seq[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray :+ "</w>"
+    merges.sortBy(_.rank).foreach(m => syms = mergePair(syms, m.left, m.right))
+    syms.toSeq
+  }
+
+  /** Per-document token count under a TRAINED merge table — the "how
+    * big is my corpus under MY tokenizer" question that prices a
+    * training run. The merge table is vocab-sized and rides the UDF
+    * closure (a broadcast in executor terms); encoding is a row-local
+    * map, zero shuffle, O(merges × word length) per word. Appends
+    * `bpe_tokens` to the input.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val ms = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val countUdf = udf { (text: String) =>
+      if (text == null) 0L
+      else text.trim.split(" +").iterator.filter(_.nonEmpty).map { w =>
+        var syms: Array[String] = w.map(_.toString).toArray :+ "</w>"
+        ms.foreach { case (l, r) => syms = mergePair(syms, l, r) }
+        syms.length.toLong
+      }.sum
+    }
+    docs.withColumn("bpe_tokens", countUdf(col(textCol)))
+  }
+
   /** Replace non-overlapping left-to-right occurrences of (l, r) with
     * the fused symbol — greedy scan, the paper's replacement rule
     * ("aaa" under merge (a,a) → ["aa", "a"]). */

@@ -58,6 +58,25 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(pairs == Map(("a", "</w>") -> 2L, ("b", "</w>") -> 1L))
   }
 
+  test("encodeWord segments held-out words with the learned merges") {
+    val merges = BpeTrainer.train(docs, "text", 5)
+    // "lowest" was never a training word; es→est→est</w> then lo→low
+    assert(BpeTrainer.encodeWord("lowest", merges) == Seq("low", "est</w>"))
+    // "lower" keeps e/r unmerged (no (e,r) merge was learned)
+    assert(BpeTrainer.encodeWord("lower", merges) == Seq("low", "e", "r", "</w>"))
+    // unseen characters fall back to char-level
+    assert(BpeTrainer.encodeWord("xyz", merges) == Seq("x", "y", "z", "</w>"))
+  }
+
+  test("tokenCounts prices a corpus under the trained tokenizer, row-locally") {
+    val merges = BpeTrainer.train(docs, "text", 5)
+    val priced = BpeTrainer.tokenCounts(
+        Seq((1L, "lowest lower"), (2L, null.asInstanceOf[String])).toDF("id", "text"),
+        "text", merges)
+      .select($"id", $"bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(priced == Map(1L -> 6L, 2L -> 0L)) // [low est</w>] + [low e r </w>]
+  }
+
   test("maxVocabWords truncation is deterministic at the (cnt, word) tie boundary") {
     // "aa" and "bb" tie at count 2; cap 1 keeps the lexicographically
     // smaller word "aa", whose pairs (a,a) and (a,</w>) tie at 2 —
