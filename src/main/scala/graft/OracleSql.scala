@@ -186,6 +186,7 @@ object OracleSql {
     "events_funnel_stream" -> eventsFunnelSql,
     "bpe_pair_counts" -> bpePairCountsSql,
     "events_retention" -> eventsRetentionSql,
+    "events_retention_stream" -> eventsRetentionSql,
     "knn_brute" -> knnBruteSql,
     "ann_nsw" -> knnBruteSql,
     "ann_hnsw" -> knnBruteSql,

@@ -1042,6 +1042,34 @@ object Queries {
         }.reduce(_.unionByName(_)).orderBy(col("step")))
   }
 
+  /** The streaming twin of [[eventsRetention]]
+    * ([[graft.streaming.EventStreams.retentionDays]]): per-user day
+    * sets in state, one FINAL row per user when the watermark closes
+    * their observation window (cohort + 7 days), rolled up to the
+    * batch gate's exact (cohort_day, offset_d, n_users) shape — same
+    * DuckDB oracle, third member of the one-oracle-many-
+    * implementations family. Every fixture cohort's window closes
+    * inside the replay (the corpus spans 30 days; first-seen days
+    * cluster at the start), so stream == batch exactly.
+    */
+  def eventsRetentionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    if (ev.isEmpty)
+      return ev.limit(0).select(lit("").as("cohort_day"),
+        lit(0L).as("offset_d"), lit(0L).as("n_users"))
+    import spark.implicits._
+    runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "retention",
+      stream => graft.streaming.EventStreams.retentionDays(spark,
+        stream.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[graft.streaming.Event]).toDF(),
+      sink => sink
+        .where(col("user_id") >= 0)
+        .select(col("cohort_day"), explode(col("offsets")).as("offset_d"))
+        .groupBy(col("cohort_day"), col("offset_d"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("offset_d")))
+  }
+
   def eventsSessionizeStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     if (ev.isEmpty)
@@ -2557,6 +2585,7 @@ object Queries {
     "events_funnel" -> (eventsFunnel _),
     "events_funnel_stream" -> (eventsFunnelStream _),
     "events_retention" -> (eventsRetention _),
+    "events_retention_stream" -> (eventsRetentionStream _),
     "events_sessionize" -> (eventsSessionize _),
     "events_sessionize_stream" -> (eventsSessionizeStream _),
     "events_hourly_upsert_stream" -> (eventsHourlyUpsertStream _),

@@ -10,6 +10,8 @@ final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                        event_type: String, value: Double)
 final case class FunnelReach(user_id: Long, reached: Int)
 private final case class FunnelBuf(evs: Seq[(Long, String)])
+final case class RetentionDays(user_id: Long, cohort_day: String, offsets: Seq[Long])
+private final case class DayBuf(days: Seq[Long], emitted: Boolean)
 final case class SessionUpdate(user_id: Long, session_start: Timestamp,
                                session_end: Timestamp, n_events: Long, sum_value: Double)
 private final case class SessionBuf(start: Long, end: Long, n: Long, sum: Double)
@@ -192,6 +194,64 @@ object EventStreams {
                 math.max(buf.iterator.map(_._1).max + 1, state.getCurrentWatermarkMs() + 1))
             }
             Iterator.empty
+          }
+      }
+  }
+
+  /** Day-N retention per user as a stream: active days accumulate in
+    * state (a deduplicated day-set, not events) and the user's
+    * retention row emits ONCE, when the event-time watermark passes
+    * the END of their observation window (cohort + horizonDays + 1
+    * day) — the point at which day-N retention is FINAL by
+    * definition: any later activity lands past the horizon. The
+    * cohort assignment is permanent, so after emission the state is
+    * kept as a tombstone (empty day-set, emitted flag) rather than
+    * removed — late-resurfacing activity must not mint a second, later
+    * cohort. This is the honest state bound of retention analytics:
+    * lifetime-users-sized (one tombstone per user ever seen — the
+    * same users-sized table the batch twin materializes), while the
+    * PRE-emission day-set is bounded by horizonDays + the watermark
+    * slack. Events below the watermark are dropped by the engine, so
+    * a post-emission arrival can only carry offsets past the horizon
+    * — ignoring it is exact, not approximate.
+    */
+  def retentionDays(spark: SparkSession, events: Dataset[Event],
+                    horizonDays: Long = 7L): Dataset[RetentionDays] = {
+    import spark.implicits._
+    val msPerDay = 24L * 3600 * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DayBuf, RetentionDays](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[DayBuf]) =>
+          if (state.hasTimedOut) {
+            val days = state.getOption.map(_.days).getOrElse(Seq.empty)
+            // tombstone: the cohort row is final; keep state, no timeout
+            state.update(DayBuf(Seq.empty, emitted = true))
+            if (days.isEmpty) Iterator.empty
+            else {
+              val cohort = days.min
+              val offsets = days.map(_ - cohort).filter(_ <= horizonDays).sorted
+              Iterator.single(RetentionDays(uid,
+                java.time.LocalDate.ofEpochDay(cohort).toString, offsets))
+            }
+          } else {
+            val prior = state.getOption
+            if (prior.exists(_.emitted)) Iterator.empty // final; ignore
+            else {
+              // epoch days in the pinned-UTC session (wall-clock IS UTC)
+              val add = rows.map(e => Math.floorDiv(e.ts.getTime, msPerDay)).toSeq
+              val days = (prior.map(_.days).getOrElse(Seq.empty) ++ add).distinct
+              if (days.nonEmpty) {
+                state.update(DayBuf(days, emitted = false))
+                // fire when the observation window closes
+                state.setTimeoutTimestamp(
+                  math.max((days.min + horizonDays + 1) * msPerDay,
+                    state.getCurrentWatermarkMs() + 1))
+              }
+              Iterator.empty
+            }
           }
       }
   }

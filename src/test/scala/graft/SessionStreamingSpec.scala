@@ -120,6 +120,47 @@ class SessionStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming retention: emits ONCE at window close; resurfacing cannot re-cohort") {
+    val mem = MemoryStream[Event](spark)
+    def ev(id: Long, t: String, u: Long) = Event(id, Timestamp.valueOf(t), u, "view", 1.0)
+    val q = EventStreams.retentionDays(spark, mem.toDS())
+      .writeStream.format("memory").queryName("retention_stream").outputMode("append").start()
+    try {
+      // user 1 active on day 0, day 1 (twice — dedupes) and day 3
+      mem.addData(
+        ev(1, "2024-01-01 10:00:00", 1L), ev(2, "2024-01-02 09:00:00", 1L),
+        ev(3, "2024-01-02 15:00:00", 1L), ev(4, "2024-01-04 11:00:00", 1L))
+      q.processAllAvailable()
+      // advance the watermark past cohort + 8 days → the row emits
+      mem.addData(ev(9, "2024-01-10 12:00:00", 99L))
+      q.processAllAvailable()
+      mem.addData(ev(10, "2024-01-11 12:00:00", 99L))
+      q.processAllAvailable()
+      val rows = spark.table("retention_stream")
+        .select("user_id", "cohort_day", "offsets")
+        .as[(Long, String, Seq[Long])].collect().filter(_._1 == 1L)
+      assert(rows.toSeq == Seq((1L, "2024-01-01", Seq(0L, 1L, 3L))))
+      // user 1 resurfaces AFTER the window closed: no second row, no
+      // second cohort — the tombstone absorbs it
+      mem.addData(ev(11, "2024-01-12 08:00:00", 1L))
+      q.processAllAvailable()
+      mem.addData(ev(12, "2024-01-20 08:00:00", 99L))
+      q.processAllAvailable()
+      val after = spark.table("retention_stream")
+        .select("user_id").as[Long].collect().count(_ == 1L)
+      assert(after == 1, "resurfacing minted a second retention row")
+    } finally q.stop()
+  }
+
+  test("events_retention_stream: the streaming replay lands on the batch cohort table") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = Queries.eventsRetentionStream(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSeq
+    val batch = Queries.eventsRetention(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("events_funnel_stream: the streaming replay lands on the batch funnel table") {
     val sfDir = "/root/testdata/sf0.001"
     val streamed = Queries.eventsFunnelStream(spark, sfDir)
