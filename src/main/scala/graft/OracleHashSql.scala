@@ -846,6 +846,27 @@ object OracleHashSql {
        |  ROUND(CASE WHEN nx.n_x = 0 THEN 0.0 ELSE ny.n_y / nx.n_x END, 4) + 0 AS norm_ratio
        |FROM ny JOIN nx USING (vec_id) ORDER BY vec_id""".stripMargin
 
+  // ---- mix_temperature --------------------------------------------
+  // TrainingOps.temperatureKept (α = 0.5): keep_e4 =
+  // floor(sqrt(n_min/n_i)·10⁴) — sqrt is IEEE-correctly-rounded on
+  // both engines so the rate is bit-exact; keeps via re-signed
+  // splitmix64 floorMod 10⁴ (the sample_stratified pattern).
+  private def mixTemperatureSql: String =
+    s"""WITH per AS (SELECT lang, count(*)::BIGINT AS n_rows FROM documents GROUP BY 1),
+       |mn AS (SELECT CAST(min(n_rows) AS DOUBLE) AS m FROM per),
+       |r AS (SELECT lang, n_rows,
+       |    CAST(floor(sqrt((SELECT m FROM mn) / CAST(n_rows AS DOUBLE)) * 10000) AS BIGINT) AS keep_e4
+       |  FROM per),
+       |h0 AS (SELECT doc_id, lang, (${smix("doc_id::HUGEINT")})::HUGEINT AS h FROM documents),
+       |b AS (SELECT doc_id, lang,
+       |    ((((h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) % 10000) + 10000) % 10000) AS bucket
+       |  FROM h0)
+       |SELECT r.lang AS lang, r.n_rows, r.keep_e4,
+       |  count(*) FILTER (WHERE b.bucket < r.keep_e4) AS n_kept,
+       |  CAST(SUM(doc_id) FILTER (WHERE b.bucket < r.keep_e4) AS BIGINT) AS kept_id_sum
+       |FROM b JOIN r ON b.lang = r.lang
+       |GROUP BY r.lang, r.n_rows, r.keep_e4 ORDER BY r.lang""".stripMargin
+
   // ---- quota_by_source --------------------------------------------
   // TrainingOps.quotaKept(source, 10): priority = the SIGNED
   // splitmix64(doc_id) (same re-sign as sample_stratified), rank by
@@ -942,6 +963,7 @@ object OracleHashSql {
     "fingerprint_winnow" -> fingerprintWinnowSql,
     "sample_stratified" -> sampleStratifiedSql,
     "quota_by_source" -> quotaBySourceSql,
+    "mix_temperature" -> mixTemperatureSql,
     "embedding_rp" -> embeddingRpSql,
     "shuffle_shard" -> shuffleShardSql,
     "pipeline_survivors" -> pipelineSurvivorsSql,

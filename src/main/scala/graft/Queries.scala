@@ -1578,6 +1578,23 @@ object Queries {
       .orderBy(desc("pair_freq"), asc("left_sym"), asc("right_sym"))
       .limit(30)
 
+  /** Temperature-scaled mixture
+    * ([[graft.pipeline.TrainingOps.temperatureKept]], α = 0.5): keep
+    * rates (n_min/n_i)^0.5 per lang — the multilingual sampling rule
+    * that upweights small languages. kept_id_sum pins WHICH docs
+    * survive; keep_e4 pins the tempered rate itself. The oracle
+    * recomputes counts, sqrt rates (IEEE-exact) and the splitmix64
+    * keeps from scratch.
+    */
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.TrainingOps.temperatureKept(
+        Tables.documents(spark, sfDir), "lang", "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"), max(col("keep_e4")).as("keep_e4"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
+      .orderBy(col("lang"))
+
   /** Per-source quota cap ([[graft.pipeline.TrainingOps.quotaKept]]):
     * keep at most 10 docs per source by deterministic splitmix64(id)
     * priority — the "cap every domain at N documents" mixture rule.
@@ -2598,6 +2615,7 @@ object Queries {
     "decontaminate_ngram" -> (decontaminateNgram _),
     "sample_stratified" -> (sampleStratified _),
     "quota_by_source" -> (quotaBySource _),
+    "mix_temperature" -> (mixTemperature _),
     "shuffle_shard" -> (shuffleShardQ _),
     "quality_logistic" -> (qualityLogistic _),
     "text_pii_redact" -> (textPiiRedact _),

@@ -67,6 +67,35 @@ object TrainingOps {
     * RESERVED OUTPUT COLUMNS: `qkey`, `qrank` — caller columns of
     * those names are overwritten.
     */
+  /** Temperature-scaled mixture sampling (the multilingual α-sampling
+    * rule of mT5/XLM-R): target share q_i ∝ p_i^α flattens the stratum
+    * distribution toward uniform as α → 0, expressed here as
+    * per-stratum KEEP RATES against the empirical counts —
+    * rate_i = (n_min / n_i)^(1−α) — so the smallest stratum keeps
+    * everything and larger strata downsample toward the tempered
+    * share. α is FIXED at 0.5, which makes the scaling `sqrt`:
+    * IEEE-correctly-rounded on every platform, so the DuckDB oracle
+    * replays the rates bit-exactly (arbitrary `pow` is
+    * libm-dependent — the same reason the logistic gate thresholds on
+    * the logit, not the sigmoid). Rates quantize to ⌊rate·10⁴⌋
+    * integer thresholds applied via floorMod(splitmix64(id), 10⁴) —
+    * RNG-free and reproducible like [[stratifiedKept]]. Returns the
+    * input plus `keep_e4` and `kept`.
+    *
+    * RESERVED OUTPUT COLUMNS: `keep_e4`, `kept`.
+    */
+  def temperatureKept(docs: DataFrame, strataCol: String, idCol: String): DataFrame = {
+    val per = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("__n_rows"))
+    val mins = per.agg(min(col("__n_rows")).as("__min_rows"))
+    val rates = per.crossJoin(broadcast(mins))
+      .select(col(strataCol),
+        floor(sqrt(col("__min_rows").cast("double") / col("__n_rows").cast("double"))
+          * 10000).cast("long").as("keep_e4"))
+    docs.join(broadcast(rates), strataCol)
+      .withColumn("kept",
+        TextFunctions.samplingBucket(10000)(col(idCol)) < col("keep_e4"))
+  }
+
   def quotaKept(docs: DataFrame, idCol: String, groupCol: String, quota: Int): DataFrame = {
     require(quota >= 1, "quota must be >= 1")
     val w = Window.partitionBy(col(groupCol)).orderBy(col("qkey"), col(idCol))

@@ -69,6 +69,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("temperatureKept: sqrt-tempered keep rates; the smallest stratum keeps everything") {
+    val out = TrainingOps.temperatureKept(corpus, "domain", "id")
+      .select($"id", $"domain", $"keep_e4", $"kept")
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // web has 3 docs, books 2 → rate_web = sqrt(2/3), rate_books = 1
+    val expWeb = math.floor(math.sqrt(2.0 / 3.0) * 10000).toLong
+    assert(out.filter(_._2 == "web").forall(_._3 == expWeb))
+    assert(out.filter(_._2 == "books").forall(_._3 == 10000L))
+    assert(out.filter(_._2 == "books").forall(_._4), "smallest stratum must keep all")
+    // keeps are the splitmix64 bucket rule — recompute independently
+    out.foreach { case (id, _, e4, kept) =>
+      val bucket = java.lang.Math.floorMod(
+        graft.functions.TextFunctions.splitmix64(id), 10000L)
+      assert(kept == (bucket < e4), s"id $id")
+    }
+  }
+
   test("packSequences with a custom bin size cuts where the cumsum crosses") {
     // token counts: 6, 6, 8, 6, 7 — bins of 10 tokens within one shard
     val packed = TrainingOps.packSequences(
