@@ -338,6 +338,44 @@ object OracleHashSql {
        |SELECT node AS doc_id, MIN(r) AS component_id FROM reach
        |GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ---- dedup_canon ------------------------------------------------
+  // components via the same recursive reachability as dedup_components,
+  // then the quality_logistic logit (bit-identical doubles — same IEEE
+  // multiply-add chain) ranks members; canon = rank 1 per component.
+  private def dedupCanonSql: String =
+    s"""$dedupMinhashCtes,
+       |prs AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5),
+       |edges2 AS (SELECT id_a AS u, id_b AS v FROM prs
+       |           UNION ALL SELECT id_b, id_a FROM prs),
+       |reach AS (
+       |  SELECT u AS node, u AS r FROM edges2
+       |  UNION
+       |  SELECT e.u AS node, t.r FROM reach t JOIN edges2 e ON e.v = t.node
+       |),
+       |comp AS (SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node),
+       |t2 AS (SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), ' +') AS w2 FROM documents),
+       |m2 AS (SELECT doc_id, CAST(len(w2) AS DOUBLE) AS nt,
+       |  CASE WHEN len(w2) = 0 THEN 0.0
+       |       ELSE CAST(length(regexp_replace(tt, ' +', '', 'g')) AS DOUBLE) / len(w2) END AS atl,
+       |  CASE WHEN len(w2) = 0 THEN 0.0
+       |       ELSE CAST(len(list_filter(w2, x -> x IN ('the','is','and','of','to','a','in'))) AS DOUBLE) / len(w2) END AS sr,
+       |  CASE WHEN len(w2) = 0 THEN 0.0
+       |       ELSE 1.0 - CAST(len(list_distinct(w2)) AS DOUBLE) / len(w2) END AS dup
+       |  FROM t2),
+       |l2 AS (SELECT doc_id,
+       |  0.05 * (nt - 56.0) + 2.0 * (atl - 4.5) - 6.0 * (sr - 0.06) - 3.0 * (dup - 0.54) AS logit
+       |  FROM m2),
+       |j2 AS (SELECT c.component_id, c.doc_id, l2.logit
+       |  FROM comp c JOIN l2 ON l2.doc_id = c.doc_id),
+       |r2 AS (SELECT component_id, doc_id, logit,
+       |  row_number() OVER (PARTITION BY component_id ORDER BY logit DESC, doc_id) AS rk
+       |  FROM j2)
+       |SELECT component_id,
+       |  CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS canon_id,
+       |  count(*) AS n_members,
+       |  CAST(MAX(CASE WHEN rk = 1 THEN floor(logit * 10000) END) AS BIGINT) AS canon_logit_e4
+       |FROM r2 GROUP BY component_id ORDER BY component_id""".stripMargin
+
   // ---- shared vector CTEs -----------------------------------------
   // `corpus`: the non-null embedding rows. `vn`: each row's FLOAT-
   // normalized components at 1-based index i (the candidateMatch /
@@ -974,6 +1012,7 @@ object OracleHashSql {
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_components" -> dedupComponentsSql,
+    "dedup_canon" -> dedupCanonSql,
     "chunk_cdc" -> chunkCdcSql,
     "knn_lsh" -> knnLshSql,
     // the at-rest/cached layout probes stored buckets but is candidate-

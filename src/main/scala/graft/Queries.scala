@@ -1938,6 +1938,36 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware canonical selection per duplicate cluster: of each
+    * near-dup component, KEEP the highest-quality member (logit DESC,
+    * doc_id ASC on exact-tie) — the curation rule that keeps the clean
+    * copy when a boilerplate-mangled mirror happens to carry the
+    * smaller id (which a min-id convention would wrongly keep). One
+    * broadcast join of the (small — clustered docs only) component
+    * table to the row-local logits, then a per-component
+    * WindowGroupLimit. Cross-engine ordering is safe because the
+    * logit doubles are bit-identical by construction (the
+    * quality_logistic trust model). Oracle: components via the
+    * recursive reachability CTE + the logit formula + the same window,
+    * all recomputed from scratch.
+    */
+  def dedupCanon(spark: SparkSession, sfDir: String): DataFrame = {
+    val comps = dedupComponents(spark, sfDir)
+    val logits = graft.pipeline.TrainingOps
+      .qualityLogit(Tables.documents(spark, sfDir), "text")
+      .select(col("doc_id"), col("logit"))
+    val w = Window.partitionBy(col("component_id"))
+      .orderBy(col("logit").desc, col("doc_id"))
+    comps.join(logits, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("component_id"))
+      .agg(max(when(col("rk") === 1, col("doc_id"))).as("canon_id"),
+        count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, floor(col("logit") * 10000).cast("long")))
+          .as("canon_logit_e4"))
+      .orderBy(col("component_id"))
+  }
+
   /** Content-defined chunking stats
     * ([[TextFunctions.cdcChunkStats]]): chunk boundaries from token
     * content alone (splitmix64 low-bits mask, expected length 16
@@ -2643,6 +2673,7 @@ object Queries {
     "fingerprint" -> (fingerprint _),
     "dedup_trigram_jaccard" -> (dedupTrigramJaccard _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_canon" -> (dedupCanon _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
