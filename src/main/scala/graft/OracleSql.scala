@@ -882,6 +882,38 @@ object OracleSql {
 
     "graph_pagerank" -> graphPagerankSql,
 
+    // contrastive hard negatives: cross-label cosines recomputed from
+    // scratch — a same-label pair leaking through the join predicate
+    // (or a post-rank filter shorting a query below k) flips the hash
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL),
+        |pairs AS (SELECT q.q_id, c.vec_id AS c_id,
+        |  unnest(q.qe) AS x, unnest(c.embedding) AS y
+        |  FROM q JOIN embeddings c
+        |  ON c.label <> q.q_label AND c.embedding IS NOT NULL),
+        |scores AS (SELECT q_id, c_id,
+        |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+        |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+        |  FROM pairs GROUP BY q_id, c_id),
+        |ranked AS (SELECT q_id, c_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM scores)
+        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
+        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+
+    // token-budget concentration: running share over the per-source
+    // aggregate, largest-first with name tiebreak
+    "token_budget" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / (SELECT total_tokens FROM tot), 4) AS cum_frac
+        |FROM per ORDER BY n_tokens DESC, source""".stripMargin,
+
     // quality_gate's feature formulation, widened with source/digest
     // and rolled into the per-source release report
     "corpus_datasheet" ->
@@ -959,6 +991,29 @@ object OracleSql {
         |SELECT q_id, nl AS pred_label, n_votes, tl AS true_label,
         |  CAST(CASE WHEN nl = tl THEN 1 ELSE 0 END AS BIGINT) AS correct
         |FROM best WHERE vr = 1 ORDER BY q_id""".stripMargin,
+
+    // bottom-20 by cosine-to-own-label-centroid; centroids rounded to
+    // 4 dp before the cosine (the embedding_pool contract) so both
+    // engines rank identical doubles, vec_id tiebreak
+    "embedding_outliers" ->
+      """WITH flat AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |  unnest(embedding) AS x FROM embeddings WHERE embedding IS NOT NULL),
+        |cent AS (SELECT label, pos, ROUND(AVG(CAST(x AS DOUBLE)), 4) + 0 AS cx
+        |  FROM flat GROUP BY label, pos),
+        |centl AS (SELECT label, list(cx ORDER BY pos) AS cl FROM cent GROUP BY label),
+        |pairs AS (SELECT e.vec_id, e.label,
+        |  unnest(e.embedding) AS x, unnest(c.cl) AS y
+        |  FROM embeddings e JOIN centl c ON c.label = e.label
+        |  WHERE e.embedding IS NOT NULL),
+        |s AS (SELECT vec_id, label,
+        |  SUM(CAST(x AS DOUBLE) * y) AS dot,
+        |  SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ne,
+        |  SQRT(SUM(y * y)) AS nc
+        |  FROM pairs GROUP BY vec_id, label),
+        |sc AS (SELECT vec_id, label,
+        |  CASE WHEN ne = 0 OR nc = 0 THEN 0.0 ELSE dot / (ne * nc) END AS cos FROM s)
+        |SELECT vec_id, label, ROUND(cos, 4) + 0 AS cos_centroid
+        |FROM sc ORDER BY cos, vec_id LIMIT 20""".stripMargin,
 
     // element-wise mean pooled per label; Spark's posexplode is
     // 0-based, DuckDB's generate_subscripts 1-based

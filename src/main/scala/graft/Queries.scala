@@ -1726,6 +1726,33 @@ object Queries {
         Tables.documents(spark, sfDir), "lang", "text")
       .orderBy(col("lang"))
 
+  /** Token-budget concentration: per-source token volume with the
+    * running CUMULATIVE share of the whole corpus, largest source
+    * first — the "which sources cover 90 % of my token budget" table
+    * a mixture designer reads before setting quotas ([[quotaBySource]])
+    * or weights ([[mixWeights]]). The running sum is a global-order
+    * window, which is safe ONLY because it runs over the per-source
+    * AGGREGATE (cardinality = number of sources — thousands at crawl
+    * scale, never corpus-sized); the corpus itself is touched by one
+    * partial+final token-count aggregate, and the 1-row grand total
+    * travels as a broadcast. Ordering ties break by source name, so
+    * the cumulative column is deterministic.
+    */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    val total = per.agg(sum(col("n_tokens")).cast("double").as("total_tokens"))
+    val w = Window.orderBy(col("n_tokens").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.crossJoin(broadcast(total))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("cum_tokens").cast("double") / col("total_tokens"), 4).as("cum_frac"))
+      .orderBy(col("n_tokens").desc, col("source"))
+  }
+
   /** Cross-document repeated-substring coverage (the signal behind
     * exact-substring dedup, Lee et al. 2022 "Deduplicating Training
     * Data Makes Language Models Better"): per document, the fraction
@@ -2266,6 +2293,30 @@ object Queries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Contrastive hard-negative mining
+    * ([[graft.index.KnnJoin.hardNegatives]]): for each of the 20
+    * probe vectors, the 3 most-cosine-similar corpus vectors whose
+    * label DIFFERS — the near-miss wrong answers that dense-retrieval
+    * training pairs against its positives (random negatives are too
+    * easy to shape the decision boundary). The label-inequality
+    * predicate lives in the join, not post-rank, so every query gets
+    * its full k negatives. Cost = the [[knnJoinGraph]] broadcast-NLJ
+    * shape with the same WindowGroupLimit top-k; at 100 TB the
+    * LSH-bucketed blocking of [[knnJoinGraphLsh]] applies unchanged
+    * with the label filter on the bucket join. The oracle recomputes
+    * every cross-label cosine from scratch, so a pair leaked from the
+    * SAME label (a broken predicate) flips the hash.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    graft.index.KnnJoin.hardNegatives(
+        emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", "label", k = 3)
+      // + 0.0 collapses IEEE negative zero (see embeddingPool)
+      .select(col("q_id"), col("rn"), col("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Sparse random projection 64→16
     * ([[graft.functions.VectorFunctions.randomProject]]): one row per
     * vector with the projected-to-original L2 norm RATIO — the
@@ -2388,6 +2439,44 @@ object Queries {
         // engine's 0.0 (observed at sf0.001, dim 538's column)
         (round(avg(col("x").cast("double")), 4) + lit(0.0)).as("avg_x"))
       .orderBy(col("label"), col("pos"))
+
+  /** Label-conditioned outlier mining: the 20 vectors LEAST similar to
+    * their own label's mean-pooled centroid ([[embeddingPool]]'s
+    * aggregate) — the mislabeled-example / noise shortlist an
+    * embedding-curation pass sends to review (the "prototype
+    * distance" cleaning heuristic). Determinism across engines: the
+    * centroid elements are rounded to 4 dp FIRST (exactly the
+    * embedding_pool contract, whose hash-equality across engines is
+    * already proven), so both engines rank identical doubles; ties
+    * break by vec_id. Plan: one posexplode aggregate builds a
+    * labels×dim centroid table (tiny — broadcast), one corpus scan
+    * computes each row's cosine against its own centroid, and the
+    * bottom-20 is a TakeOrderedAndProject — no full sort, no second
+    * corpus pass.
+    */
+  def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((round(avg(col("x").cast("double")), 4) + lit(0.0)).as("cx"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("centroid"))
+    val dot = aggregate(
+      zip_with(col("embedding"), col("centroid"), (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, v) => acc + v)
+    val ne = sqrt(aggregate(col("embedding"), lit(0.0),
+      (a, v) => a + v.cast("double") * v.cast("double")))
+    val nc = sqrt(aggregate(col("centroid"), lit(0.0), (a, v) => a + v * v))
+    emb.join(broadcast(cent), "label")
+      .withColumn("cos",
+        when(ne === 0.0 || nc === 0.0, 0.0).otherwise(dot / (ne * nc)))
+      .orderBy(col("cos").asc, col("vec_id").asc)
+      .limit(20)
+      .select(col("vec_id"), col("label"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_centroid"))
+  }
 
   /** Corpus-level n-gram frequency: top-20 word bigrams. The groupBy
     * count is the whole job — partial aggregation collapses each
@@ -2709,6 +2798,9 @@ object Queries {
     "graph_pagerank" -> (graphPagerank _),
     "zorder_layout" -> (zorderLayout _),
     "knn_join_graph_lsh" -> (knnJoinGraphLsh _),
+    "hard_negatives" -> (hardNegatives _),
+    "token_budget" -> (tokenBudget _),
+    "embedding_outliers" -> (embeddingOutliers _),
     "ngram_top20" -> (ngramTop20 _),
     "regex_extract_stats" -> (regexExtractStats _),
     "agg_salted_skew" -> (aggSaltedSkew _),

@@ -112,4 +112,40 @@ object KnnJoin {
         Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col(labelCol))))
       .where(col("vr") === 1)
       .select(col("q_id"), col(labelCol).as("pred_label"), col("n_votes"))
+
+  /** Contrastive hard-negative mining: for every query row, the top-k
+    * most-similar corpus rows with a DIFFERENT label — the highest-
+    * scoring wrong answers, which is exactly the negative set dense-
+    * retrieval / embedding training wants (easy random negatives teach
+    * nothing; the near-miss ones define the decision boundary). The
+    * label predicate must sit in the JOIN, not after the rank: ranking
+    * first and filtering later would silently drop positions and
+    * return fewer than k negatives per query.
+    *
+    * Same cost shape as [[exact]]: broadcast the query side, one
+    * codegen'd dot per surviving pair, per-query top-k via the
+    * WindowGroupLimit-executed row_number (≤ k·queries rows cross the
+    * exchange). At 100 TB, block with [[lshBucketed]]'s machinery and
+    * apply the same label-inequality predicate on the bucket join.
+    * Output: (q_id, rn, neighbor_id, cos).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    embCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(
+      col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"),
+      sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(
+      col(idCol).cast("long").as("neighbor_id"), col(embCol).as("c_emb"),
+      sqrt(DotProduct(col(embCol), col(embCol))).as("c_norm"),
+      col(labelCol).as("c_label"))
+    c.join(broadcast(q), col("c_label") =!= col("q_label"))
+      .withColumn("cos",
+        when(col("q_norm") === 0.0 || col("c_norm") === 0.0, 0.0)
+          .otherwise(DotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("neighbor_id"), col("cos"))
+  }
 }

@@ -86,6 +86,32 @@ class KnnJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: cross-label only, full k per query, brute-verified") {
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val rows = KnnJoin.hardNegatives(
+        emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", "label", 3)
+      .select(col("q_id"), col("rn"), col("neighbor_id"))
+      .as[(Long, Int, Long)].collect()
+    val byQ = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    for (qid <- 0L to 4L) {
+      assert(byQ(qid).length === 3, s"query $qid short of k negatives")
+      // no same-label pair leaks through the join predicate
+      byQ(qid).foreach(n => assert(labels(n) !== labels(qid),
+        s"neighbor $n of $qid shares label ${labels(qid)}"))
+      // equals brute search over the cross-label slice of the corpus
+      val qVec = emb.where(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val brute = BruteForceKnn.search(
+          emb.where(col("label") =!= labels(qid)),
+          col("embedding"), col("vec_id"), qVec, 3)
+        .select(col("vec_id")).as[Long].collect().toSeq
+      assert(byQ(qid) === brute, s"negatives of $qid diverge from cross-label brute")
+    }
+  }
+
   test("per-query top-k runs as WindowGroupLimit") {
     val plan = Queries.knnJoinGraph(spark, sfDir)
       .queryExecution.executedPlan.toString

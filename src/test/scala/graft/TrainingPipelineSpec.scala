@@ -370,4 +370,25 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
     assert(got.filter(_._2 == minTokens).forall(_._3 == 1.0))
   }
+
+  test("token_budget: cumulative share is monotone, ends at 1.0, matches recomputation") {
+    val got = Queries.tokenBudget(spark, sfDir)
+      .select($"source", $"n_docs", $"n_tokens", $"cum_frac")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // ordered largest-first with name tiebreak
+    assert(got.map(r => (-r._3, r._1)).toSeq === got.map(r => (-r._3, r._1)).sorted.toSeq)
+    // cumulative share is monotone nondecreasing and ends at exactly 1.0
+    got.map(_._4).sliding(2).foreach { case Array(a, b) => assert(a <= b); case _ => }
+    assert(got.last._4 === 1.0)
+    // per-source totals match a plain-Scala recomputation
+    val expected = Tables.documents(spark, sfDir)
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues { ds =>
+        (ds.length.toLong, ds.map(_._2.trim.split(" +").length.toLong).sum)
+      }.toMap
+    got.foreach { case (src, nDocs, nTok, _) =>
+      assert((nDocs, nTok) === expected(src), s"source $src")
+    }
+  }
 }
