@@ -85,7 +85,17 @@ object DumpPlans {
       // contribution shuffle (partial-agg'd sum by dst) against a
       // nodes-sized rank table — three iterations, three exchanges,
       // never an edges×edges join
-      "graph_pagerank")
+      "graph_pagerank",
+      // cross-label hard negatives (broadcast-NLJ + WindowGroupLimit,
+      // the knn_join_graph shape with the label predicate in the
+      // join), the centroid-outlier bottom-20 (labels×dim centroid
+      // broadcast back over ONE corpus scan, TakeOrderedAndProject)
+      // and the multi-join TPC-H shapes: Q7's double-aliased nation
+      // broadcast and Q10's pushed returnflag predicate
+      // (PushedFilters on the lineitem scan) with the top-20 as
+      // TakeOrderedAndProject over the aggregate
+      "hard_negatives", "embedding_outliers", "token_budget",
+      "q7_volume_shipping", "q10_returned_items")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.01, generated by graft.DumpPlans)\n\n")

@@ -2172,6 +2172,66 @@ object Queries {
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** TPC-H Q7 shape (volume shipping): bilateral trade — revenue
+    * between every ORDERED pair of distinct (supplier nation,
+    * customer nation) per ship year. The two nation lookups are the
+    * same broadcast dimension aliased twice (once via the supplier's
+    * key, once via the customer's); the only shuffles are the
+    * lineitem↔orders fact join and the final ≤ nations²·years-row
+    * aggregate. Generalizes the benchmark's FRANCE/GERMANY literal
+    * pair to all pairs, so the gate doesn't depend on the synthetic
+    * data's nation names.
+    */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(spark, sfDir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      // Revenue via EXACT decimal sums (the q1 avg_price reasoning):
+      // with 4188 groups several sums land on ROUND half-boundaries,
+      // where double summation ORDER decides the 3rd decimal and the
+      // engines disagree by 1 ulp (observed at sf0.01). The per-row
+      // product of two 2-decimal values is exactly 4-decimal, so
+      // decimal(18,4) loses nothing and the sum is order-independent.
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q10 shape (returned-item report): the 20 customers losing
+    * the most revenue to returns. The `l_returnflag = 'R'` predicate
+    * is pushed into the parquet scan (PushedFilters), the per-customer
+    * aggregate collapses the fact join's output, and the top-20 cut is
+    * a TakeOrderedAndProject over the aggregate — ranked on the
+    * ROUNDED revenue with c_custkey tiebreak so the cut is
+    * total-ordered and engine-independent.
+    */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      // exact decimal revenue (see q7VolumeShipping): the top-20 cut
+      // ranks on this value, so a 1-ulp disagreement would not just
+      // flip a digit but swap which customers make the report
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_returned"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   /** TPC-H Q18 shape (large-volume orders): aggregate the fact table
     * FIRST (partial aggregation collapses lineitem before any join),
     * then join the ≪1% survivors to orders + broadcast customer.
@@ -2784,6 +2844,8 @@ object Queries {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_thumbnail" -> (multimodalThumbnail _),
     "q5_local_supplier_revenue" -> (q5LocalSupplierRevenue _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q10_returned_items" -> (q10ReturnedItems _),
     "q18_large_orders" -> (q18LargeOrders _),
     "window_percent_rank" -> (windowPercentRank _),
     "window_first_last" -> (windowFirstLast _),
