@@ -907,6 +907,25 @@ object OracleSql {
 
     "graph_pagerank" -> graphPagerankSql,
 
+    // streaming vector-search serving: all 5 requests' rankings
+    // replayed from scratch — a request dropped, duplicated, or
+    // cross-contaminated between micro-batches flips the hash
+    "knn_serve_stream" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 5 AND embedding IS NOT NULL),
+        |pairs AS (SELECT q.q_id, c.vec_id AS c_id,
+        |  unnest(q.qe) AS x, unnest(c.embedding) AS y
+        |  FROM q JOIN embeddings c
+        |  ON c.vec_id <> q.q_id AND c.embedding IS NOT NULL),
+        |scores AS (SELECT q_id, c_id,
+        |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+        |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+        |  FROM pairs GROUP BY q_id, c_id),
+        |ranked AS (SELECT q_id, c_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM scores)
+        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
+        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
     // contrastive hard negatives: cross-label cosines recomputed from
     // scratch — a same-label pair leaking through the join predicate
     // (or a post-rank filter shorting a query below k) flips the hash

@@ -2377,6 +2377,75 @@ object Queries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Staged streaming-serve input: the 5 probe query vectors written
+    * one parquet FILE each, so the file-source replay delivers one
+    * request per micro-batch (`maxFilesPerTrigger = 1`) — the
+    * streaming analog of the reference's one-query-per-HTTP-call
+    * serving loop (search_service.py:83-156). Immutable per dataset →
+    * staged once per (session, sfDir), like the events replay.
+    */
+  private val knnServeInputCache = new SessionCache[String, String]
+  private def stagedKnnQueryDir(spark: SparkSession, sfDir: String): String =
+    knnServeInputCache.getOrElseUpdate(spark, sfDir) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_knnserve_in_").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir)))
+      val q = Tables.embeddings(spark, sfDir)
+        .where(col("embedding").isNotNull && col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"))
+      (0L until 5L).foreach { i =>
+        q.where(col("vec_id") === i).coalesce(1)
+          .write.mode("append").parquet(dir.getAbsolutePath)
+      }
+      dir.getAbsolutePath
+    }
+
+  /** Vector search AS A SERVING STREAM: query vectors arrive on a
+    * file-source stream (one request per micro-batch — the
+    * interactive session's query loop, SURVEY O27, run through
+    * Structured Streaming), and each micro-batch is answered by the
+    * same exact-kNN join the batch gates prove
+    * ([[graft.index.KnnJoin.exact]]: broadcast the ≤1-row request
+    * side against the served corpus, WindowGroupLimit top-k).
+    * Serving is STATELESS — no watermark, no state store; at 100 TB
+    * the per-batch cost is one broadcast of the request against the
+    * (cached/stored-index) corpus scan, which is why the stream
+    * output must equal the batch kNN graph exactly: the DuckDB
+    * oracle replays all 5 requests' cosine rankings from scratch, so
+    * a request dropped, duplicated, or cross-contaminated between
+    * micro-batches flips the hash.
+    */
+  def knnServeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    val inDir = stagedKnnQueryDir(spark, sfDir)
+    val qSchema = emb.select(col("vec_id"), col("embedding")).schema
+    val base = java.nio.file.Files.createTempDirectory("graft_knnserve_run_").toFile
+    val outDir = s"${base.getAbsolutePath}/out"; val ckDir = s"${base.getAbsolutePath}/ck"
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val serveBatch: (DataFrame, Long) => Unit = (batch, _) =>
+        if (!batch.isEmpty)
+          graft.index.KnnJoin.exact(batch, emb, "vec_id", "embedding", 5)
+            .write.mode("append").parquet(outDir)
+      val q = spark.readStream.schema(qSchema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream.option("checkpointLocation", ckDir)
+        .foreachBatch(serveBatch)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      val result = spark.read.parquet(outDir)
+        // + 0.0 collapses IEEE negative zero (see embeddingPool)
+        .select(col("q_id"), col("rn"), col("neighbor_id"),
+          (round(col("cos"), 4) + lit(0.0)).as("score"))
+        .orderBy(col("q_id"), col("rn"))
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      rmTree(base)
+    }
+  }
+
   /** Sparse random projection 64→16
     * ([[graft.functions.VectorFunctions.randomProject]]): one row per
     * vector with the projected-to-original L2 norm RATIO — the
@@ -2863,6 +2932,7 @@ object Queries {
     "hard_negatives" -> (hardNegatives _),
     "token_budget" -> (tokenBudget _),
     "embedding_outliers" -> (embeddingOutliers _),
+    "knn_serve_stream" -> (knnServeStream _),
     "ngram_top20" -> (ngramTop20 _),
     "regex_extract_stats" -> (regexExtractStats _),
     "agg_salted_skew" -> (aggSaltedSkew _),

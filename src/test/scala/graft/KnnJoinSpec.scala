@@ -112,6 +112,19 @@ class KnnJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming serve: sink equals the batch kNN graph, all 5 requests answered") {
+    val got = Queries.knnServeStream(spark, sfDir)
+      .select(col("q_id"), col("rn"), col("neighbor_id"), col("score"))
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    val want = KnnJoin.exact(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
+      .select(col("q_id"), col("rn"), col("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"))
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    assert(got === want)
+    assert(got.map(_._1).distinct.length === 5, "a request was dropped or merged")
+  }
+
   test("per-query top-k runs as WindowGroupLimit") {
     val plan = Queries.knnJoinGraph(spark, sfDir)
       .queryExecution.executedPlan.toString
