@@ -338,6 +338,26 @@ object OracleHashSql {
        |SELECT node AS doc_id, MIN(r) AS component_id FROM reach
        |GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** Cluster-size histogram over the same recursive-reachability
+    * components as [[dedupComponentsSql]] — a family the engine's
+    * label propagation splits or merges changes a histogram bucket.
+    */
+  private def dedupClusterStatsSql: String =
+    s"""$dedupMinhashCtes,
+       |prs AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5),
+       |edges2 AS (SELECT id_a AS u, id_b AS v FROM prs
+       |           UNION ALL SELECT id_b, id_a FROM prs),
+       |reach AS (
+       |  SELECT u AS node, u AS r FROM edges2
+       |  UNION
+       |  SELECT e.u AS node, t.r FROM reach t JOIN edges2 e ON e.v = t.node
+       |),
+       |comp AS (SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node),
+       |szs AS (SELECT component_id, count(*) AS sz FROM comp GROUP BY component_id)
+       |SELECT sz AS cluster_size, count(*) AS n_clusters,
+       |  CAST(SUM(sz) AS BIGINT) AS n_docs
+       |FROM szs GROUP BY sz ORDER BY cluster_size""".stripMargin
+
   // ---- dedup_canon ------------------------------------------------
   // components via the same recursive reachability as dedup_components,
   // then the quality_logistic logit (bit-identical doubles — same IEEE
@@ -1012,6 +1032,7 @@ object OracleHashSql {
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_components" -> dedupComponentsSql,
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_canon" -> dedupCanonSql,
     "chunk_cdc" -> chunkCdcSql,
     "knn_lsh" -> knnLshSql,

@@ -945,6 +945,18 @@ object OracleSql {
         |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
 
+    // chars-per-token by language: exact integer sums, so the ratio
+    // divides identical BIGINTs in both engines
+    "token_fertility" ->
+      """WITH t AS (SELECT lang, trim(text) AS tt,
+        |  string_split_regex(trim(text), ' +') AS w FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(regexp_replace(tt, ' +', '', 'g'))) AS BIGINT) AS n_chars,
+        |  ROUND(CAST(SUM(length(regexp_replace(tt, ' +', '', 'g'))) AS DOUBLE)
+        |    / SUM(len(w)), 4) AS chars_per_token
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
     // token-budget concentration: running share over the per-source
     // aggregate, largest-first with name tiebreak
     "token_budget" ->

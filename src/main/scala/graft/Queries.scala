@@ -1376,6 +1376,27 @@ object Queries {
         round(avg(col("n")), 4).as("avg_tokens"))
       .orderBy(col("lang"))
 
+  /** Tokenizer fertility per language: characters per whitespace
+    * token — the multilingual budgeting signal (scripts without
+    * spaces or with long compounds consume more model tokens per
+    * character; a corpus mixer weights languages by TOKENS, so it
+    * needs this conversion rate per language). One partial+final
+    * aggregate over exact integer sums; the ratio divides two exact
+    * BIGINTs, so both engines round the identical double.
+    */
+  def tokenFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val nChars = length(regexp_replace(trim(col("text")), " +", "")).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), TextFunctions.tokenCount(col("text")).cast("long").as("n"),
+        nChars.as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        sum(col("c")).as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("lang"))
+  }
+
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
@@ -1964,6 +1985,24 @@ object Queries {
     labels.select(col("id").as("doc_id"), col("label").as("component_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** Duplicate-cluster size histogram: how many near-dup families of
+    * each size the corpus holds — the power-law audit table a dedup
+    * report leads with (a few huge families ⇒ template spam; many
+    * pairs ⇒ mirror noise). Reuses [[dedupComponents]]' cached
+    * labels (the build-artifact pattern: components are computed once
+    * per dataset and consumed by components/canon/stats alike), so
+    * the marginal cost is two tiny aggregates over a labels-sized
+    * table. The oracle re-walks the components with its independent
+    * recursive-reachability CTE and rolls up the same histogram.
+    */
+  def dedupClusterStats(spark: SparkSession, sfDir: String): DataFrame =
+    dedupComponents(spark, sfDir)
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .orderBy(col("cluster_size"))
 
   /** Quality-aware canonical selection per duplicate cluster: of each
     * near-dup component, KEEP the highest-quality member (logit DESC,
@@ -2881,6 +2920,7 @@ object Queries {
     "set_ops_users" -> (setOpsUsers _),
     "dedup_exact" -> (dedupExact _),
     "text_token_stats" -> (textTokenStats _),
+    "token_fertility" -> (tokenFertility _),
     "text_quality" -> (textQuality _),
     "text_repetition" -> (textRepetition _),
     "chunk_cdc" -> (chunkCdc _),
@@ -2891,6 +2931,7 @@ object Queries {
     "fingerprint" -> (fingerprint _),
     "dedup_trigram_jaccard" -> (dedupTrigramJaccard _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_canon" -> (dedupCanon _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_incremental" -> (dedupIncremental _),
