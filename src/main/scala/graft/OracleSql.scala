@@ -907,6 +907,26 @@ object OracleSql {
 
     "graph_pagerank" -> graphPagerankSql,
 
+    // semantic decontamination: every (train, benchmark) cosine
+    // recomputed from scratch; the flag compares raw doubles built by
+    // the identical mult/add chain, so it cannot 1-ulp-flip
+    "decontaminate_semantic" ->
+      """WITH b AS (SELECT vec_id AS bench_id, embedding AS be FROM embeddings
+        |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+        |t AS (SELECT vec_id, embedding AS te FROM embeddings
+        |  WHERE vec_id % 50 <> 0 AND embedding IS NOT NULL),
+        |pairs AS (SELECT t.vec_id, b.bench_id,
+        |  unnest(t.te) AS x, unnest(b.be) AS y FROM t JOIN b ON TRUE),
+        |scores AS (SELECT vec_id, bench_id,
+        |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+        |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+        |  FROM pairs GROUP BY vec_id, bench_id),
+        |ranked AS (SELECT vec_id, bench_id, s,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, bench_id) AS rn
+        |  FROM scores)
+        |SELECT vec_id, bench_id, ROUND(s, 4) + 0 AS score, s >= 0.3 AS flagged
+        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     // streaming vector-search serving: all 5 requests' rankings
     // replayed from scratch — a request dropped, duplicated, or
     // cross-contaminated between micro-batches flips the hash

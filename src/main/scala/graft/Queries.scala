@@ -1521,6 +1521,42 @@ object Queries {
         "doc_id", "text", isBenchmark = col("doc_id") % 50 === 0, n = 4)
       .orderBy(col("doc_id"))
 
+  /** SEMANTIC decontamination — the embedding-space analog of
+    * [[decontaminateNgram]] (paraphrased benchmark leakage shares no
+    * 4-gram but sits next to the benchmark in embedding space): for
+    * every training vector, its nearest BENCHMARK-split neighbor and
+    * the cosine, plus the flag a cut at 0.3 would take. The evidence
+    * table is emitted, not just the flags, because the threshold is a
+    * reviewed policy choice — the expensive part (the scan) shouldn't
+    * rerun when the cut moves. Scale shape: the benchmark split is
+    * 1/50 of the corpus and BROADCASTS (same posture as the gram set
+    * in the exact decontaminator); one codegen dot per (train, bench)
+    * pair; argmax via WindowGroupLimit, so the exchange carries one
+    * row per training vector. The flag compares the two engines'
+    * bit-identical raw doubles, so it cannot 1-ulp-flip.
+    */
+  def decontaminateSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.expressions.DotProduct
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    val bench = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"),
+        sqrt(DotProduct(col("embedding"), col("embedding"))).as("b_norm"))
+    val train = emb.where(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id"), col("embedding").as("t_emb"),
+        sqrt(DotProduct(col("embedding"), col("embedding"))).as("t_norm"))
+    train.join(broadcast(bench))
+      .withColumn("cos",
+        when(col("t_norm") === 0.0 || col("b_norm") === 0.0, 0.0)
+          .otherwise(DotProduct(col("t_emb"), col("b_emb")) / (col("t_norm") * col("b_norm"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("bench_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("bench_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"),
+        (col("cos") >= 0.3).as("flagged"))
+      .orderBy(col("vec_id"))
+  }
+
   /** TF-IDF top-3 terms per document
     * ([[graft.pipeline.TrainingOps.tfIdfTopK]], sklearn smooth-idf).
     * The df join runs on pre-aggregated (doc, term) rows — the
@@ -2900,6 +2936,7 @@ object Queries {
     "events_attribution_outer" -> (eventsAttributionOuter _),
     "events_attribution_outer_stream" -> (eventsAttributionOuterStream _),
     "decontaminate_ngram" -> (decontaminateNgram _),
+    "decontaminate_semantic" -> (decontaminateSemantic _),
     "sample_stratified" -> (sampleStratified _),
     "quota_by_source" -> (quotaBySource _),
     "mix_temperature" -> (mixTemperature _),

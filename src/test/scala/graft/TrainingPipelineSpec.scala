@@ -371,6 +371,20 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got.filter(_._2 == minTokens).forall(_._3 == 1.0))
   }
 
+  test("decontaminate_semantic: one nearest-benchmark row per training vector, splits disjoint") {
+    val got = Queries.decontaminateSemantic(spark, sfDir)
+      .select($"vec_id", $"bench_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._1).distinct.length === got.length, "duplicate training rows")
+    got.foreach { case (v, b) =>
+      assert(v % 50 != 0, s"benchmark vector $v leaked into the training side")
+      assert(b % 50 == 0, s"non-benchmark neighbor $b")
+    }
+    val nTrain = Tables.embeddings(spark, sfDir)
+      .where(col("embedding").isNotNull && col("vec_id") % 50 =!= 0).count()
+    assert(got.length.toLong === nTrain, "a training vector has no neighbor row")
+  }
+
   test("token_budget: cumulative share is monotone, ends at 1.0, matches recomputation") {
     val got = Queries.tokenBudget(spark, sfDir)
       .select($"source", $"n_docs", $"n_tokens", $"cum_frac")
