@@ -964,6 +964,38 @@ object OracleHashSql {
        |  CAST(SUM((pos + 1) * doc_id) AS BIGINT) AS ord_checksum
        |FROM p GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- curriculum_order -------------------------------------------
+  // perplexity terciles (the perplexity_buckets CTEs — per-doc bits
+  // rounded to 4 dp, exact interpolated thresholds) composed with the
+  // shuffle_shard re-signed splitmix64 scatter, partitioned per
+  // (stage, shard); the position-weighted checksum replays the ORDER
+  private def curriculumOrderSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok FROM documents),
+       |freq AS (SELECT tok, count(*) AS n_w FROM tk GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(n_w) AS DOUBLE) AS total FROM freq),
+       |scored AS (SELECT doc_id, count(*) AS n_tokens,
+       |    ROUND(AVG(log2(total) - log2(n_w)), 4) AS bits
+       |  FROM tk JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id),
+       |th AS (SELECT quantile_cont(bits, CAST(1 AS DOUBLE)/3) AS t1,
+       |              quantile_cont(bits, CAST(2 AS DOUBLE)/3) AS t2 FROM scored),
+       |bk AS (SELECT doc_id, n_tokens,
+       |    CASE WHEN bits <= t1 THEN 'head' WHEN bits <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+       |  FROM scored, th),
+       |h0 AS (SELECT doc_id, n_tokens, bucket, (${smix("doc_id::HUGEINT")})::HUGEINT AS h FROM bk),
+       |s AS (SELECT doc_id, n_tokens, bucket,
+       |    (h - CASE WHEN h >= 9223372036854775808 THEN $W64::HUGEINT ELSE 0::HUGEINT END) AS skey
+       |  FROM h0),
+       |p AS (SELECT doc_id, n_tokens, bucket,
+       |    (((skey % 4) + 4) % 4) AS shard,
+       |    row_number() OVER (PARTITION BY bucket, (((skey % 4) + 4) % 4)
+       |                       ORDER BY skey, doc_id) - 1 AS pos
+       |  FROM s)
+       |SELECT bucket, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(MAX(CASE WHEN pos = 0 THEN doc_id END) AS BIGINT) AS head_id,
+       |  CAST(SUM((pos + 1) * doc_id) AS BIGINT) AS ord_checksum
+       |FROM p GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin
+
   // ---- mix_resample -----------------------------------------------
   // mixture weights as integer keep-thresholds (round half-up on both
   // engines), applied via the same re-signed splitmix64 floorMod
@@ -1033,6 +1065,7 @@ object OracleHashSql {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
+    "curriculum_order" -> curriculumOrderSql,
     "dedup_canon" -> dedupCanonSql,
     "chunk_cdc" -> chunkCdcSql,
     "knn_lsh" -> knnLshSql,

@@ -1893,20 +1893,53 @@ object Queries {
     * score once, bucket/consume many times.
     */
   private val lmScoredCache = new SessionCache[String, DataFrame]
-  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = lmScoredCache.getOrElseUpdate(spark, sfDir) {
+  private def lmScored(spark: SparkSession, sfDir: String): DataFrame =
+    lmScoredCache.getOrElseUpdate(spark, sfDir) {
       val df = graft.pipeline.TrainingOps
         .unigramSurprisal(Tables.documents(spark, sfDir), "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize so both downstream reads hit the cache
       df
     }
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = lmScored(spark, sfDir)
     graft.pipeline.TrainingOps
       .perplexityBuckets(scored, "bits_per_token")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         round(avg(col("bits_per_token")), 4).as("avg_bits"))
       .orderBy(col("bucket"))
+  }
+
+  /** Curriculum-staged training order: the [[perplexityBuckets]]
+    * difficulty terciles COMPOSED with the [[shuffleShardQ]]
+    * reproducible shuffle — each stage (head → middle → tail) is
+    * independently scattered into 4 splitmix64-ordered shards, the
+    * layout a curriculum-learning run consumes stage by stage (train
+    * on easy text first, shuffled within each stage, deterministic at
+    * any parallelism). Output is per (stage, shard) with the head
+    * document and a position-weighted checksum, so the gate is
+    * sensitive to the exact ORDER, not just membership: a tercile
+    * boundary off by one doc, a splitmix bit flipped, or a stage
+    * leaking into another's shard all flip the hash. Plan: the scored
+    * table (cached build artifact), two exact percentiles broadcast
+    * back, one hash exchange + per-(stage, shard) window — never a
+    * global sort.
+    */
+  def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = graft.pipeline.TrainingOps
+      .perplexityBuckets(lmScored(spark, sfDir), "bits_per_token")
+      .select(col("doc_id"), col("n_tokens"), col("bucket"))
+      .withColumn("skey", graft.expressions.SplitMix64(col("doc_id")))
+      .withColumn("shard", pmod(col("skey"), lit(4L)))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("skey"), col("doc_id"))
+    staged.withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .groupBy(col("bucket"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        max(when(col("pos") === 0, col("doc_id"))).as("head_id"),
+        sum((col("pos") + 1) * col("doc_id")).as("ord_checksum"))
+      .orderBy(col("bucket"), col("shard"))
   }
 
   /** The END-TO-END ingestion pipeline as ONE composed query — what a
@@ -2949,6 +2982,7 @@ object Queries {
     "lm_score" -> (lmScore _),
     "dedup_substring" -> (dedupSubstring _),
     "perplexity_buckets" -> (perplexityBuckets _),
+    "curriculum_order" -> (curriculumOrder _),
     "mix_resample" -> (mixResample _),
     "agg_distinct_users" -> (aggDistinctUsers _),
     "agg_sketches" -> (aggSketches _),

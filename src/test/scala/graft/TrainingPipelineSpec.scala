@@ -371,6 +371,18 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got.filter(_._2 == minTokens).forall(_._3 == 1.0))
   }
 
+  test("curriculum_order: 3 stages x 4 shards partition the corpus exactly") {
+    val got = Queries.curriculumOrder(spark, sfDir)
+      .select($"bucket", $"shard", $"n_docs").as[(String, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).distinct.length === got.length)
+    assert(got.map(_._1).distinct.sorted.toSeq === Seq("head", "middle", "tail"))
+    got.groupBy(_._1).foreach { case (b, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === Seq(0L, 1L, 2L, 3L), s"stage $b shards")
+    }
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(got.map(_._3).sum === nDocs, "stages/shards do not partition the corpus")
+  }
+
   test("decontaminate_semantic: one nearest-benchmark row per training vector, splits disjoint") {
     val got = Queries.decontaminateSemantic(spark, sfDir)
       .select($"vec_id", $"bench_id").as[(Long, Long)].collect()
