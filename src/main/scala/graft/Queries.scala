@@ -2205,6 +2205,27 @@ object Queries {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** PERCEPTUAL image dedup — the multimodal member of the dedup tier:
+    * every image is fingerprinted with the 64-bit aHash
+    * ([[graft.multimodal.Multimodal.imagePhashes]]: real-codec decode,
+    * gray, 8×8 nearest-neighbor grid, mean threshold), and near-dup
+    * pairs come from the SAME banded-Hamming machinery as
+    * [[dedupSimhash]] ([[graft.dedup.Dedup.hammingBandPairs]] —
+    * 4×16-bit pigeonhole candidates, exact bit_count(xor) verify).
+    * The 8-bit cut sits past the pigeonhole guarantee (≤3), so
+    * candidate recall is LSH-style — the operating point the aHash
+    * literature runs at, and the oracle replays the SAME banding, so
+    * the gate stays exact over what the blocking emits. 8 bytes per
+    * image reach the join regardless of image size — the property that makes
+    * image dedup affordable at 100 TB of pixels. The oracle replays
+    * decode → grid → mean → bits → bands → pairs entirely in SQL.
+    */
+  def multimodalImageDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.Dedup.hammingBandPairs(
+        Multimodal.imagePhashes(spark, syntheticImages(spark, sfDir), "doc_id", "blob").toDF(),
+        "doc_id", "phash", maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Video frame sampling over a binary column: each doc becomes a
     * GV01 container of 4–8 real P5 frames; the pass parses the
     * container, decodes every 2nd frame with the real codec, and
@@ -3061,6 +3082,7 @@ object Queries {
     "cluster_balance" -> (clusterBalance _),
     "dedup_semantic" -> (dedupSemantic _),
     "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_image_dedup" -> (multimodalImageDedup _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_audio_segments" -> (multimodalAudioSegments _),
   )

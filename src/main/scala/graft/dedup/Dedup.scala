@@ -370,19 +370,31 @@ object Dedup {
     * verify with bit_count(xor) ≤ maxHamming.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    val sh = TextFunctions.simhash64(docs, idCol, textCol)
-    val banded = sh.select(col(idCol).as("id"), col("simhash"),
+                      maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(TextFunctions.simhash64(docs, idCol, textCol),
+      idCol, "simhash", maxHamming)
+
+  /** Banded Hamming near-dup pairs over ANY 64-bit sketch column —
+    * the candidate machinery [[simhashNearDups]] uses, factored out so
+    * other fingerprints (e.g. the image aHash) share it verbatim:
+    * 4×16-bit pigeonhole bands generate candidates (≤3 differing bits
+    * guarantee a shared band; larger thresholds inherit LSH-style
+    * recall), a plain equi-join on (band, value) — never a cartesian —
+    * then exact bit_count(xor) verification on the candidates only.
+    */
+  def hammingBandPairs(sketches: DataFrame, idCol: String, sketchCol: String,
+                       maxHamming: Int): DataFrame = {
+    val banded = sketches.select(col(idCol).as("id"), col(sketchCol).as("sk"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("band_val"))): _*)).as("band"))
-      .select(col("id"), col("simhash"), col("band.band_id"), col("band.band_val"))
-    val a = banded.toDF("id_a", "sim_a", "band_id", "band_val")
-    val b = banded.toDF("id_b", "sim_b", "band_id", "band_val")
+          shiftright(col(sketchCol), b * 16).bitwiseAND(0xFFFFL).as("band_val"))): _*)).as("band"))
+      .select(col("id"), col("sk"), col("band.band_id"), col("band.band_val"))
+    val a = banded.toDF("id_a", "sk_a", "band_id", "band_val")
+    val b = banded.toDF("id_b", "sk_b", "band_id", "band_val")
     a.join(b, Seq("band_id", "band_val"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sk_a").bitwiseXOR(col("sk_b"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

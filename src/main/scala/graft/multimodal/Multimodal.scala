@@ -124,6 +124,48 @@ object Multimodal {
       })
   }
 
+  /** Per-image 64-bit perceptual fingerprint. */
+  case class PhashRow(doc_id: Long, phash: Long)
+
+  /** aHash-style perceptual image fingerprint: decode with the real
+    * codec, gray, nearest-neighbor-sample an 8×8 grid (the thumbnail
+    * pass's sampling rule at 8×8), threshold each cell against the
+    * grid MEAN — bit (y·8+x) set iff cell > mean. Identical images
+    * hash identically; small pixel perturbations flip few bits, so
+    * Hamming distance is the near-dup metric
+    * ([[graft.dedup.Dedup.hammingBandPairs]] generates candidates).
+    * One partition-local pass; 8 bytes per image travel to the join.
+    */
+  def imagePhashes(spark: SparkSession, df: DataFrame, idCol: String,
+                   binCol: String): Dataset[PhashRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.decode(bytes).map { img0 =>
+          val img = ImageCodec.toGray(img0)
+          val v = new Array[Int](64)
+          var sum = 0L
+          var i = 0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              v(i) = img.pixels((y * img.height / 8) * img.width +
+                (x * img.width / 8)) & 0xFF
+              sum += v(i); i += 1; x += 1
+            }
+            y += 1
+          }
+          val mu = sum / 64.0
+          var h = 0L
+          i = 0
+          while (i < 64) { if (v(i) > mu) h |= (1L << i); i += 1 }
+          PhashRow(id, h)
+        }
+      })
+  }
+
   // ---- video path: container parse + frame sampling ----
 
   /** Per-sampled-frame metadata from the video frame-sample pass. */

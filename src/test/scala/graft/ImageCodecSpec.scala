@@ -63,6 +63,30 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(math.abs(ImageCodec.meanLuma(img) - 127.5) < 1e-9)
   }
 
+  test("imagePhashes: duplicate images collide, hash matches a plain recomputation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (3L, "a completely different document body with other bytes entirely"))
+      .toDF("doc_id", "text")
+      .withColumn("blob", Multimodal.syntheticPgmUdf(col("text")))
+    val got = Multimodal.imagePhashes(spark, docs, "doc_id", "blob")
+      .collect().map(r => r.doc_id -> r.phash).toMap
+    assert(got(1L) === got(2L), "identical images must hash identically")
+    assert(got(1L) !== got(3L), "distinct images should not collide here")
+    // plain recomputation of doc 1's hash straight from the blob
+    val bytes = docs.where(col("doc_id") === 1).select(col("blob"))
+      .head().getAs[Array[Byte]](0)
+    val img = ImageCodec.toGray(ImageCodec.decode(bytes).get)
+    val cells = for (y <- 0 until 8; x <- 0 until 8)
+      yield img.pixels((y * img.height / 8) * img.width + (x * img.width / 8)) & 0xFF
+    val mu = cells.map(_.toLong).sum / 64.0
+    val expected = cells.zipWithIndex
+      .collect { case (v, i) if v > mu => 1L << i }.foldLeft(0L)(_ | _)
+    assert(got(1L) === expected)
+  }
+
   test("garbage and truncated blobs decode to None, not exceptions") {
     assert(ImageCodec.decode(null).isEmpty)
     assert(ImageCodec.decode("nonsense".getBytes).isEmpty)
