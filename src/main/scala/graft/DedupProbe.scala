@@ -82,6 +82,20 @@ object DedupProbe {
     time("tf-idf top-3 terms (pre-agg df join + WindowGroupLimit)") {
       TrainingOps.tfIdfTopK(corpus, "doc_id", "text").count()
     }
+    // image tier on the same duplicate-heavy corpus: every doc's P5
+    // blob is decoded by the real codec and fingerprinted to 8 bytes;
+    // with `copies` exact copies per image the banded join faces
+    // ~N·C(copies,2) true hash-identical pairs — the shared
+    // banded-Hamming machinery must surface them without a cartesian,
+    // and the join input is hashes, never pixels
+    time("image aHash + banded-Hamming pairs (decode + 8B/image join)") {
+      Dedup.hammingBandPairs(
+        graft.multimodal.Multimodal.imagePhashes(spark,
+          corpus.withColumn("blob",
+            graft.multimodal.Multimodal.syntheticPgmUdf(col("text"))),
+          "doc_id", "blob").toDF(),
+        "doc_id", "phash", maxHamming = 8).count()
+    }
 
     // ---- incremental ingest vs full re-dedup ----------------------
     // The claim under test: with the corpus's MinHash index stored
