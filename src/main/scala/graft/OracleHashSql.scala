@@ -243,6 +243,32 @@ object OracleHashSql {
        |  WHERE a.doc_id < b.doc_id)
        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin
 
+  // ---- multimodal_audio_dedup -------------------------------------
+  // waveform sign-delta fingerprint replayed from the PCM derivation
+  // (sample k = (byte(k % n) - 79) * 257, the multimodal_audio CTEs):
+  // bit i = sample(i+1) > sample(i) over the first 65 samples, then
+  // the shared banding + bit_count(xor) verify at the pigeonhole-
+  // guaranteed <= 3 cut
+  private def multimodalAudioDedupSql: String =
+    s"""WITH m AS (SELECT doc_id, text, GREATEST(n_chars, 1) AS n FROM documents),
+       |s AS (SELECT doc_id, i.g AS k,
+       |        (CASE WHEN text = '' THEN 0
+       |              ELSE unicode(substr(text, CAST(i.g % n AS INT) + 1, 1)) END - 79) * 257 AS v
+       |      FROM m, generate_series(0, 64) AS i(g)),
+       |d AS (SELECT doc_id, k, v, lead(v) OVER (PARTITION BY doc_id ORDER BY k) AS nv FROM s),
+       |ph AS (SELECT doc_id,
+       |    SUM(CASE WHEN nv > v THEN (1::HUGEINT << k) ELSE 0::HUGEINT END)::HUGEINT AS sh
+       |  FROM d WHERE k < 64 GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, sh, b.band_id, (sh // (1::HUGEINT << (band_id * 16))) % 65536 AS band_val
+       |  FROM ph CROSS JOIN (SELECT unnest(range(0,4)) AS band_id) b),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sh::UBIGINT, b.sh::UBIGINT))::BIGINT AS hamming
+       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
   // ---- dedup_minhash ----------------------------------------------
   // Dedup.minhashNearDups(3-shingles, 64 hashes, 16 bands, seed 42,
   // threshold 0.5). x = floorMod(stringHash(shingle), p) needs the
@@ -1089,6 +1115,7 @@ object OracleHashSql {
     "rag_chunk_search" -> ragChunkSearchSql,
     "dedup_simhash" -> dedupSimhashSql,
     "multimodal_image_dedup" -> multimodalImageDedupSql,
+    "multimodal_audio_dedup" -> multimodalAudioDedupSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_components" -> dedupComponentsSql,

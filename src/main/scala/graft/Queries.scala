@@ -2260,6 +2260,26 @@ object Queries {
       .withColumn("rms", round(col("rms"), 4))
       .orderBy(col("doc_id"), col("window_idx"))
 
+  /** PERCEPTUAL audio dedup — third member of the cross-modality dedup
+    * family (text simhash / image aHash / audio sign-delta), all three
+    * through the ONE banded-Hamming join
+    * ([[graft.dedup.Dedup.hammingBandPairs]]): each clip is decoded by
+    * the real RIFF parser and fingerprinted to 64 bits of waveform
+    * sign deltas ([[graft.multimodal.Multimodal.audioPhashes]]), so 8
+    * bytes per clip reach the join regardless of audio length. The
+    * ≤ 3-bit cut keeps the 4-band pigeonhole guarantee (every
+    * qualifying pair provably shares a band). Oracle replays decode →
+    * sample derivation → deltas → bits → bands → pairs in SQL.
+    */
+  def multimodalAudioDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.Dedup.hammingBandPairs(
+        Multimodal.audioPhashes(spark,
+          Tables.documents(spark, sfDir)
+            .withColumn("blob", Multimodal.syntheticWavUdf(col("text"))),
+          "doc_id", "blob").toDF(),
+        "doc_id", "phash", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** VAD-style segmentation over the synthetic clips
     * ([[graft.multimodal.Multimodal.audioSegments]]): windows above
     * the corpus-median RMS (8630) form segments; per clip the gate
@@ -3085,5 +3105,6 @@ object Queries {
     "multimodal_image_dedup" -> (multimodalImageDedup _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_audio_segments" -> (multimodalAudioSegments _),
+    "multimodal_audio_dedup" -> (multimodalAudioDedup _),
   )
 }

@@ -166,6 +166,35 @@ object Multimodal {
       })
   }
 
+  /** Waveform sign-delta fingerprint: decode with the real RIFF
+    * parser, then bit i = sample(i+1) > sample(i) over the first 65
+    * samples — the zero-state cousin of spectral-band-delta audio
+    * fingerprints (Haitsma–Kalker shape at waveform granularity).
+    * Identical clips collide; small re-encodes flip few bits, so
+    * Hamming is the near-dup metric and
+    * [[graft.dedup.Dedup.hammingBandPairs]] is the join — the same
+    * 8-bytes-per-clip property as the image path. Clips shorter than
+    * 65 samples are dropped (the synthetic corpus's floor is 192).
+    */
+  def audioPhashes(spark: SparkSession, df: DataFrame, idCol: String,
+                   binCol: String): Dataset[PhashRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.decode(bytes).collect {
+          case clip if clip.samples.length >= 65 =>
+            var h = 0L
+            var i = 0
+            while (i < 64) {
+              if (clip.samples(i + 1) > clip.samples(i)) h |= (1L << i)
+              i += 1
+            }
+            PhashRow(id, h)
+        }
+      })
+  }
+
   // ---- video path: container parse + frame sampling ----
 
   /** Per-sampled-frame metadata from the video frame-sample pass. */

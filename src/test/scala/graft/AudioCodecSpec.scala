@@ -126,4 +126,24 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(pairs.columns.toSeq == Seq("id_a", "id_b", "cos"))
     pairs.collect() // executes the full broadcast + mapPartitions path
   }
+
+  test("audioPhashes: duplicate clips collide, hash matches a plain recomputation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (3L, "a completely different document body with other bytes entirely"))
+      .toDF("doc_id", "text")
+      .withColumn("blob", Multimodal.syntheticWavUdf(col("text")))
+    val got = Multimodal.audioPhashes(spark, docs, "doc_id", "blob")
+      .collect().map(r => r.doc_id -> r.phash).toMap
+    assert(got(1L) === got(2L), "identical clips must hash identically")
+    assert(got(1L) !== got(3L), "distinct clips should not collide here")
+    val bytes = docs.where(col("doc_id") === 1).select(col("blob"))
+      .head().getAs[Array[Byte]](0)
+    val s = AudioCodec.decode(bytes).get.samples
+    val expected = (0 until 64)
+      .collect { case i if s(i + 1) > s(i) => 1L << i }.foldLeft(0L)(_ | _)
+    assert(got(1L) === expected)
+  }
 }
