@@ -269,6 +269,35 @@ object OracleHashSql {
        |  WHERE a.doc_id < b.doc_id)
        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
+  // ---- multimodal_video_dedup -------------------------------------
+  // keyframe aHash replayed from the GV01 derivation: frame 0's
+  // pixels = text bytes cycled (offset 0) at the frame geometry
+  // w = 8+(n%8), h = 8+(n%4); then the shared 8x8-grid/mean/bits
+  // chain and the banded pairs at the pigeonhole-guaranteed <= 3 cut
+  private def multimodalVideoDedupSql: String =
+    s"""WITH m AS (SELECT doc_id, text, GREATEST(n_chars, 1) AS n,
+       |             8 + (GREATEST(n_chars, 1) % 8) AS w,
+       |             8 + (GREATEST(n_chars, 1) % 4) AS h FROM documents),
+       |cells AS (
+       |  SELECT doc_id, (y.g * 8 + x.g) AS bit,
+       |    CASE WHEN text = '' THEN 0
+       |         ELSE unicode(substr(text,
+       |           CAST(((y.g * h // 8) * w + (x.g * w // 8)) % n AS INT) + 1, 1)) END AS v
+       |  FROM m, generate_series(0, 7) AS y(g), generate_series(0, 7) AS x(g)),
+       |means AS (SELECT doc_id, AVG(CAST(v AS DOUBLE)) AS mu FROM cells GROUP BY doc_id),
+       |ph AS (SELECT c.doc_id,
+       |    SUM(CASE WHEN c.v > mm.mu THEN (1::HUGEINT << c.bit) ELSE 0::HUGEINT END)::HUGEINT AS sh
+       |  FROM cells c JOIN means mm USING (doc_id) GROUP BY c.doc_id),
+       |banded AS (
+       |  SELECT doc_id, sh, b.band_id, (sh // (1::HUGEINT << (band_id * 16))) % 65536 AS band_val
+       |  FROM ph CROSS JOIN (SELECT unnest(range(0,4)) AS band_id) b),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sh::UBIGINT, b.sh::UBIGINT))::BIGINT AS hamming
+       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
   // ---- dedup_minhash ----------------------------------------------
   // Dedup.minhashNearDups(3-shingles, 64 hashes, 16 bands, seed 42,
   // threshold 0.5). x = floorMod(stringHash(shingle), p) needs the
@@ -1116,6 +1145,7 @@ object OracleHashSql {
     "dedup_simhash" -> dedupSimhashSql,
     "multimodal_image_dedup" -> multimodalImageDedupSql,
     "multimodal_audio_dedup" -> multimodalAudioDedupSql,
+    "multimodal_video_dedup" -> multimodalVideoDedupSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_components" -> dedupComponentsSql,

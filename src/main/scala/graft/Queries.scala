@@ -2280,6 +2280,25 @@ object Queries {
         "doc_id", "phash", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** PERCEPTUAL video dedup — keyframe hashing, the fourth modality
+    * through the shared banded-Hamming join: the container is parsed
+    * (only frame 0's bytes are copied), the keyframe is decoded by
+    * the real codec and aHashed
+    * ([[graft.multimodal.Multimodal.videoPhashes]]), and pairs come
+    * from [[graft.dedup.Dedup.hammingBandPairs]] at the
+    * pigeonhole-guaranteed ≤ 3 cut. 8 bytes per video reach the join
+    * regardless of clip length. Oracle replays container geometry →
+    * keyframe pixels → grid → mean → bits → bands → pairs in SQL.
+    */
+  def multimodalVideoDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.Dedup.hammingBandPairs(
+        Multimodal.videoPhashes(spark,
+          Tables.documents(spark, sfDir)
+            .withColumn("blob", Multimodal.syntheticVideoUdf(col("text"))),
+          "doc_id", "blob").toDF(),
+        "doc_id", "phash", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** VAD-style segmentation over the synthetic clips
     * ([[graft.multimodal.Multimodal.audioSegments]]): windows above
     * the corpus-median RMS (8630) form segments; per clip the gate
@@ -3106,5 +3125,6 @@ object Queries {
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_audio_segments" -> (multimodalAudioSegments _),
     "multimodal_audio_dedup" -> (multimodalAudioDedup _),
+    "multimodal_video_dedup" -> (multimodalVideoDedup _),
   )
 }

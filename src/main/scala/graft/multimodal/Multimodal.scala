@@ -136,32 +136,56 @@ object Multimodal {
     * ([[graft.dedup.Dedup.hammingBandPairs]] generates candidates).
     * One partition-local pass; 8 bytes per image travel to the join.
     */
+  /** The 64-bit aHash of one decoded raster — shared by the image and
+    * video-keyframe fingerprint paths so the two cannot drift. */
+  private def aHash64(img0: RasterImage): Long = {
+    val img = ImageCodec.toGray(img0)
+    val v = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        v(i) = img.pixels((y * img.height / 8) * img.width +
+          (x * img.width / 8)) & 0xFF
+        sum += v(i); i += 1; x += 1
+      }
+      y += 1
+    }
+    val mu = sum / 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) { if (v(i) > mu) h |= (1L << i); i += 1 }
+    h
+  }
+
   def imagePhashes(spark: SparkSession, df: DataFrame, idCol: String,
                    binCol: String): Dataset[PhashRow] = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        ImageCodec.decode(bytes).map { img0 =>
-          val img = ImageCodec.toGray(img0)
-          val v = new Array[Int](64)
-          var sum = 0L
-          var i = 0
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              v(i) = img.pixels((y * img.height / 8) * img.width +
-                (x * img.width / 8)) & 0xFF
-              sum += v(i); i += 1; x += 1
-            }
-            y += 1
-          }
-          val mu = sum / 64.0
-          var h = 0L
-          i = 0
-          while (i < 64) { if (v(i) > mu) h |= (1L << i); i += 1 }
-          PhashRow(id, h)
+        ImageCodec.decode(bytes).map(img => PhashRow(id, aHash64(img)))
+      })
+  }
+
+  /** Keyframe fingerprint for video near-dup: parse the container
+    * ([[indexVideoFrames]] — only frame 0's bytes are ever copied),
+    * decode the first frame with the real codec, aHash it — the
+    * keyframe-hashing shape production video dedup uses (a re-encoded
+    * or re-containered copy keeps its keyframe pixels). 8 bytes per
+    * video reach the join regardless of clip length.
+    */
+  def videoPhashes(spark: SparkSession, df: DataFrame, idCol: String,
+                   binCol: String): Dataset[PhashRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        indexVideoFrames(bytes).headOption.flatMap { case (_, off, len) =>
+          ImageCodec.decode(java.util.Arrays.copyOfRange(bytes, off, off + len))
+            .map(img => PhashRow(id, aHash64(img)))
         }
       })
   }
