@@ -226,6 +226,34 @@ object GraftProperties extends Properties("graft") {
       exact && meanOk
     }
 
+  // Clustered sketches: random bases plus variants with 0-6 bits
+  // flipped, so near pairs (some <= 3) AND far pairs both occur —
+  // uniform random longs would make the property vacuously empty==empty.
+  private val clusteredSketchesGen: Gen[List[Long]] = for {
+    bases <- Gen.choose(1, 3).flatMap(Gen.listOfN(_, Gen.long))
+    variants <- Gen.listOfN(6, for {
+      b <- Gen.oneOf(bases)
+      bits <- Gen.choose(0, 6).flatMap(Gen.listOfN(_, Gen.choose(0, 63)))
+    } yield bits.foldLeft(b)((acc, i) => acc ^ (1L << i)))
+  } yield (bases ++ variants).distinct
+
+  property("hammingBandPairs is LOSSLESS at <=3 bits: exactly the all-pairs answer") =
+    Prop.forAll(clusteredSketchesGen) { sketches =>
+      // pigeonhole: <=3 differing bits across 4 disjoint 16-bit bands
+      // leave at least one band identical, so banding loses nothing
+      val df = sketches.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "sk")
+      val got = Dedup.hammingBandPairs(df, "id", "sk", maxHamming = 3)
+        .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)]
+        .collect().toSet
+      val all = (for {
+        i <- sketches.indices; j <- sketches.indices if i < j
+        h = java.lang.Long.bitCount(sketches(i) ^ sketches(j))
+        if h <= 3
+      } yield (i.toLong, j.toLong, h.toLong)).toSet
+      got == all
+    }
+
   property("SQ8 per-component reconstruction error is within half a quantization step") =
     Prop.forAll(dimGen.flatMap(d => vecGen(d))) { v =>
       val vn = VectorFunctions.l2NormalizeArr(v)
