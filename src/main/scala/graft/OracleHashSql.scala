@@ -187,6 +187,26 @@ object OracleHashSql {
   // bit_count(xor) <= 3. Bit extraction works on the unsigned
   // representation (Spark's arithmetic shiftright + mask reads the
   // same bits).
+  /** The banded-candidate + hamming-verify tail shared by every
+    * 64-bit-sketch dedup oracle (text simhash, image aHash, audio
+    * sign-delta, video keyframe — the replay of
+    * Dedup.hammingBandPairs): expects a prior CTE `srcCte`(doc_id,
+    * sh), emits the final SELECT at the given cut. One definition so
+    * the band arithmetic cannot drift between the four replays.
+    */
+  private def hammingBandTail(srcCte: String, cut: Int): String =
+    s"""banded AS (
+       |  SELECT doc_id, sh, b.band_id, (sh // (1::HUGEINT << (band_id * 16))) % 65536 AS band_val
+       |  FROM $srcCte CROSS JOIN (SELECT unnest(range(0,4)) AS band_id) b
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sh::UBIGINT, b.sh::UBIGINT))::BIGINT AS hamming
+       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $cut ORDER BY id_a, id_b""".stripMargin
+
   private def dedupSimhashSql: String =
     s"""WITH RECURSIVE
        |toksall AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok FROM documents),
@@ -204,44 +224,31 @@ object OracleHashSql {
        |  SELECT doc_id, SUM(CASE WHEN votes > 0 THEN (1::HUGEINT << b) ELSE 0 END)::HUGEINT AS sh
        |  FROM bitvotes GROUP BY doc_id
        |),
-       |banded AS (
-       |  SELECT doc_id, sh, b.band_id, (sh // (1::HUGEINT << (band_id * 16))) % 65536 AS band_val
-       |  FROM sim CROSS JOIN (SELECT unnest(range(0,4)) AS band_id) b
-       |),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    bit_count(xor(a.sh::UBIGINT, b.sh::UBIGINT))::BIGINT AS hamming
-       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
-       |  WHERE a.doc_id < b.doc_id
-       |)
-       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+       |${hammingBandTail("sim", 3)}""".stripMargin
 
   // ---- multimodal_image_dedup -------------------------------------
   // aHash replayed from the P5 derivation (pixels = text bytes
   // cycled): 8x8 nearest-neighbor grid (the thumbnail oracle's
   // sampling rule at 8x8), mean threshold, bit (y*8+x); then the
-  // dedup_simhash banding + bit_count(xor) verify over the hashes
+  // dedup_simhash banding + bit_count(xor) verify over the hashes.
+  // GREATEST(n_chars, 1) + the empty-text CASE mirror the engine's
+  // max(bytes.length, 1) / all-zero-pixels clamp (syntheticPgm),
+  // like the audio/video oracles — raw n_chars would modulo-by-zero.
   private def multimodalImageDedupSql: String =
-    s"""WITH m AS (SELECT doc_id, text, n_chars AS n,
-       |             16 + (n_chars % 16) AS w, 16 + (n_chars % 8) AS h FROM documents),
+    s"""WITH m AS (SELECT doc_id, text, GREATEST(n_chars, 1) AS n,
+       |             16 + (GREATEST(n_chars, 1) % 16) AS w,
+       |             16 + (GREATEST(n_chars, 1) % 8) AS h FROM documents),
        |cells AS (
        |  SELECT doc_id, (y.g * 8 + x.g) AS bit,
-       |    unicode(substr(text,
-       |      CAST(((y.g * h // 8) * w + (x.g * w // 8)) % n AS INT) + 1, 1)) AS v
+       |    CASE WHEN text = '' THEN 0
+       |         ELSE unicode(substr(text,
+       |           CAST(((y.g * h // 8) * w + (x.g * w // 8)) % n AS INT) + 1, 1)) END AS v
        |  FROM m, generate_series(0, 7) AS y(g), generate_series(0, 7) AS x(g)),
        |means AS (SELECT doc_id, AVG(CAST(v AS DOUBLE)) AS mu FROM cells GROUP BY doc_id),
        |ph AS (SELECT c.doc_id,
        |    SUM(CASE WHEN c.v > mm.mu THEN (1::HUGEINT << c.bit) ELSE 0::HUGEINT END)::HUGEINT AS sh
        |  FROM cells c JOIN means mm USING (doc_id) GROUP BY c.doc_id),
-       |banded AS (
-       |  SELECT doc_id, sh, b.band_id, (sh // (1::HUGEINT << (band_id * 16))) % 65536 AS band_val
-       |  FROM ph CROSS JOIN (SELECT unnest(range(0,4)) AS band_id) b),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    bit_count(xor(a.sh::UBIGINT, b.sh::UBIGINT))::BIGINT AS hamming
-       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
-       |  WHERE a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin
+       |${hammingBandTail("ph", 8)}""".stripMargin
 
   // ---- multimodal_audio_dedup -------------------------------------
   // waveform sign-delta fingerprint replayed from the PCM derivation
@@ -259,15 +266,7 @@ object OracleHashSql {
        |ph AS (SELECT doc_id,
        |    SUM(CASE WHEN nv > v THEN (1::HUGEINT << k) ELSE 0::HUGEINT END)::HUGEINT AS sh
        |  FROM d WHERE k < 64 GROUP BY doc_id),
-       |banded AS (
-       |  SELECT doc_id, sh, b.band_id, (sh // (1::HUGEINT << (band_id * 16))) % 65536 AS band_val
-       |  FROM ph CROSS JOIN (SELECT unnest(range(0,4)) AS band_id) b),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    bit_count(xor(a.sh::UBIGINT, b.sh::UBIGINT))::BIGINT AS hamming
-       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
-       |  WHERE a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+       |${hammingBandTail("ph", 3)}""".stripMargin
 
   // ---- multimodal_video_dedup -------------------------------------
   // keyframe aHash replayed from the GV01 derivation: frame 0's
@@ -288,15 +287,7 @@ object OracleHashSql {
        |ph AS (SELECT c.doc_id,
        |    SUM(CASE WHEN c.v > mm.mu THEN (1::HUGEINT << c.bit) ELSE 0::HUGEINT END)::HUGEINT AS sh
        |  FROM cells c JOIN means mm USING (doc_id) GROUP BY c.doc_id),
-       |banded AS (
-       |  SELECT doc_id, sh, b.band_id, (sh // (1::HUGEINT << (band_id * 16))) % 65536 AS band_val
-       |  FROM ph CROSS JOIN (SELECT unnest(range(0,4)) AS band_id) b),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    bit_count(xor(a.sh::UBIGINT, b.sh::UBIGINT))::BIGINT AS hamming
-       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
-       |  WHERE a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+       |${hammingBandTail("ph", 3)}""".stripMargin
 
   // ---- dedup_minhash ----------------------------------------------
   // Dedup.minhashNearDups(3-shingles, 64 hashes, 16 bands, seed 42,

@@ -120,23 +120,35 @@ object OracleSql {
       |WHERE date_diff('day', f.cohort, d.day) <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, offset_d""".stripMargin
 
-  /** The 50-query exact kNN graph's CTE chain (cosine scores → per-
-    * query rank), shared by knn_join_graph and graph_pagerank so the
-    * two can never disagree about what the graph IS. Ends with
-    * `ranked` (q_id, c_id, s, rn). */
-  private val knnGraphRankedCtes =
-    """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
-      |  WHERE vec_id < 50 AND embedding IS NOT NULL),
-      |pairs AS (SELECT q.q_id, c.vec_id AS c_id,
-      |  unnest(q.qe) AS x, unnest(c.embedding) AS y
-      |  FROM q JOIN embeddings c
-      |  ON c.vec_id <> q.q_id AND c.embedding IS NOT NULL),
-      |scores AS (SELECT q_id, c_id,
-      |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
-      |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
-      |  FROM pairs GROUP BY q_id, c_id),
-      |ranked AS (SELECT q_id, c_id, s,
-      |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM scores)""".stripMargin
+  /** The broadcast-kNN oracle family's shared CTE chain (cosine
+    * scores → per-query rank): one query side defined by `qSelect`
+    * (must expose `q_id` and `qe`; extra columns may feed the join
+    * predicate), candidates from the embeddings table under
+    * `joinPred`, cosines recomputed from scratch with the proven
+    * parallel-unnest zip. Ends with `ranked` (q_id, c_id, s, rn).
+    * One definition, four replays (knn_join_graph/graph_pagerank,
+    * hard_negatives, knn_serve_stream, decontaminate_semantic) — the
+    * dot/norm/rank arithmetic cannot drift between them.
+    */
+  private def cosineRankedCtes(qSelect: String, joinPred: String): String =
+    s"""WITH q AS ($qSelect),
+       |pairs AS (SELECT q.q_id, c.vec_id AS c_id,
+       |  unnest(q.qe) AS x, unnest(c.embedding) AS y
+       |  FROM q JOIN embeddings c
+       |  ON $joinPred AND c.embedding IS NOT NULL),
+       |scores AS (SELECT q_id, c_id,
+       |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+       |  FROM pairs GROUP BY q_id, c_id),
+       |ranked AS (SELECT q_id, c_id, s,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM scores)""".stripMargin
+
+  /** The 50-query exact kNN graph's CTE chain, shared by
+    * knn_join_graph and graph_pagerank so the two can never disagree
+    * about what the graph IS. */
+  private val knnGraphRankedCtes = cosineRankedCtes(
+    "SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 50 AND embedding IS NOT NULL",
+    "c.vec_id <> q.q_id")
 
   /** graph_pagerank: three unrolled power iterations of the simplified
     * recurrence r' = (1−d)/N + d·Σ r/outdeg over the kNN-graph edges.
@@ -911,38 +923,19 @@ object OracleSql {
     // recomputed from scratch; the flag compares raw doubles built by
     // the identical mult/add chain, so it cannot 1-ulp-flip
     "decontaminate_semantic" ->
-      """WITH b AS (SELECT vec_id AS bench_id, embedding AS be FROM embeddings
-        |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
-        |t AS (SELECT vec_id, embedding AS te FROM embeddings
-        |  WHERE vec_id % 50 <> 0 AND embedding IS NOT NULL),
-        |pairs AS (SELECT t.vec_id, b.bench_id,
-        |  unnest(t.te) AS x, unnest(b.be) AS y FROM t JOIN b ON TRUE),
-        |scores AS (SELECT vec_id, bench_id,
-        |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
-        |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
-        |  FROM pairs GROUP BY vec_id, bench_id),
-        |ranked AS (SELECT vec_id, bench_id, s,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, bench_id) AS rn
-        |  FROM scores)
-        |SELECT vec_id, bench_id, ROUND(s, 4) + 0 AS score, s >= 0.3 AS flagged
+      s"""${cosineRankedCtes(
+             "SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 50 <> 0 AND embedding IS NOT NULL",
+             "c.vec_id % 50 = 0")}
+        |SELECT q_id AS vec_id, c_id AS bench_id, ROUND(s, 4) + 0 AS score, s >= 0.3 AS flagged
         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // streaming vector-search serving: all 5 requests' rankings
     // replayed from scratch — a request dropped, duplicated, or
     // cross-contaminated between micro-batches flips the hash
     "knn_serve_stream" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
-        |  WHERE vec_id < 5 AND embedding IS NOT NULL),
-        |pairs AS (SELECT q.q_id, c.vec_id AS c_id,
-        |  unnest(q.qe) AS x, unnest(c.embedding) AS y
-        |  FROM q JOIN embeddings c
-        |  ON c.vec_id <> q.q_id AND c.embedding IS NOT NULL),
-        |scores AS (SELECT q_id, c_id,
-        |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
-        |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
-        |  FROM pairs GROUP BY q_id, c_id),
-        |ranked AS (SELECT q_id, c_id, s,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM scores)
+      s"""${cosineRankedCtes(
+             "SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL",
+             "c.vec_id <> q.q_id")}
         |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
         |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
@@ -950,18 +943,9 @@ object OracleSql {
     // scratch — a same-label pair leaking through the join predicate
     // (or a post-rank filter shorting a query below k) flips the hash
     "hard_negatives" ->
-      """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
-        |  FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL),
-        |pairs AS (SELECT q.q_id, c.vec_id AS c_id,
-        |  unnest(q.qe) AS x, unnest(c.embedding) AS y
-        |  FROM q JOIN embeddings c
-        |  ON c.label <> q.q_label AND c.embedding IS NOT NULL),
-        |scores AS (SELECT q_id, c_id,
-        |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
-        |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
-        |  FROM pairs GROUP BY q_id, c_id),
-        |ranked AS (SELECT q_id, c_id, s,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM scores)
+      s"""${cosineRankedCtes(
+             "SELECT vec_id AS q_id, label AS q_label, embedding AS qe FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL",
+             "c.label <> q.q_label")}
         |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
 

@@ -1,7 +1,7 @@
 package graft.index
 
 import graft.expressions.DotProduct
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,25 +71,37 @@ object KnnJoin {
     * the ONE corpus scan instead of a corpus-sized join-back later. */
   def exact(queries: DataFrame, corpus: DataFrame,
             idCol: String, embCol: String, k: Int,
-            carryCorpusCols: Seq[String] = Nil): DataFrame = {
-    val q = queries.select(
-      col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"),
-      sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm"))
-    val c = corpus.select(
-      col(idCol).cast("long").as("neighbor_id") +: col(embCol).as("c_emb") +:
-        sqrt(DotProduct(col(embCol), col(embCol))).as("c_norm") +:
-        carryCorpusCols.map(col): _*)
-    val scored = c.join(broadcast(q), col("q_id") =!= col("neighbor_id"))
+            carryCorpusCols: Seq[String] = Nil): DataFrame =
+    scoredTopK(
+      queries.select(
+        col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"),
+        sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm")),
+      corpus.select(
+        col(idCol).cast("long").as("neighbor_id") +: col(embCol).as("c_emb") +:
+          sqrt(DotProduct(col(embCol), col(embCol))).as("c_norm") +:
+          carryCorpusCols.map(col): _*),
+      pairPred = col("q_id") =!= col("neighbor_id"),
+      k, carryCorpusCols)
+
+  /** The scored broadcast-kNN core shared by [[exact]] and
+    * [[hardNegatives]] — one definition of the zero-norm-guarded
+    * cosine, the (cos DESC, neighbor_id) tiebreak and the
+    * WindowGroupLimit top-k, so the variants cannot drift. Expects
+    * `q`(q_id, q_emb, q_norm, …) and `c`(neighbor_id, c_emb, c_norm,
+    * …); extra columns may feed `pairPred` without appearing in the
+    * output unless named in `carryCorpusCols`.
+    */
+  private def scoredTopK(q: DataFrame, c: DataFrame, pairPred: Column,
+                         k: Int, carryCorpusCols: Seq[String]): DataFrame =
+    c.join(broadcast(q), pairPred)
       .withColumn("cos",
         when(col("q_norm") === 0.0 || col("c_norm") === 0.0, 0.0)
           .otherwise(DotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
-    scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))))
       .where(col("rn") <= k)
       .select(col("q_id") +: col("rn") +: col("neighbor_id") +: col("cos") +:
         carryCorpusCols.map(col): _*)
-  }
 
   /** k-NN classification (label propagation): predict each query row's
     * label as the MAJORITY label among its k nearest corpus rows — the
@@ -130,22 +142,16 @@ object KnnJoin {
     * Output: (q_id, rn, neighbor_id, cos).
     */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
-                    embCol: String, labelCol: String, k: Int): DataFrame = {
-    val q = queries.select(
-      col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"),
-      sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm"),
-      col(labelCol).as("q_label"))
-    val c = corpus.select(
-      col(idCol).cast("long").as("neighbor_id"), col(embCol).as("c_emb"),
-      sqrt(DotProduct(col(embCol), col(embCol))).as("c_norm"),
-      col(labelCol).as("c_label"))
-    c.join(broadcast(q), col("c_label") =!= col("q_label"))
-      .withColumn("cos",
-        when(col("q_norm") === 0.0 || col("c_norm") === 0.0, 0.0)
-          .otherwise(DotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rn") <= k)
-      .select(col("q_id"), col("rn"), col("neighbor_id"), col("cos"))
-  }
+                    embCol: String, labelCol: String, k: Int): DataFrame =
+    scoredTopK(
+      queries.select(
+        col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"),
+        sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm"),
+        col(labelCol).as("q_label")),
+      corpus.select(
+        col(idCol).cast("long").as("neighbor_id"), col(embCol).as("c_emb"),
+        sqrt(DotProduct(col(embCol), col(embCol))).as("c_norm"),
+        col(labelCol).as("c_label")),
+      pairPred = col("c_label") =!= col("q_label"),
+      k, carryCorpusCols = Nil)
 }

@@ -127,15 +127,6 @@ object Multimodal {
   /** Per-image 64-bit perceptual fingerprint. */
   case class PhashRow(doc_id: Long, phash: Long)
 
-  /** aHash-style perceptual image fingerprint: decode with the real
-    * codec, gray, nearest-neighbor-sample an 8×8 grid (the thumbnail
-    * pass's sampling rule at 8×8), threshold each cell against the
-    * grid MEAN — bit (y·8+x) set iff cell > mean. Identical images
-    * hash identically; small pixel perturbations flip few bits, so
-    * Hamming distance is the near-dup metric
-    * ([[graft.dedup.Dedup.hammingBandPairs]] generates candidates).
-    * One partition-local pass; 8 bytes per image travel to the join.
-    */
   /** The 64-bit aHash of one decoded raster — shared by the image and
     * video-keyframe fingerprint paths so the two cannot drift. */
   private def aHash64(img0: RasterImage): Long = {
@@ -160,6 +151,15 @@ object Multimodal {
     h
   }
 
+  /** aHash-style perceptual image fingerprint: decode with the real
+    * codec, gray, nearest-neighbor-sample an 8×8 grid (the thumbnail
+    * pass's sampling rule at 8×8), threshold each cell against the
+    * grid MEAN — bit (y·8+x) set iff cell > mean ([[aHash64]]).
+    * Identical images hash identically; small pixel perturbations
+    * flip few bits, so Hamming distance is the near-dup metric
+    * ([[graft.dedup.Dedup.hammingBandPairs]] generates candidates).
+    * One partition-local pass; 8 bytes per image travel to the join.
+    */
   def imagePhashes(spark: SparkSession, df: DataFrame, idCol: String,
                    binCol: String): Dataset[PhashRow] = {
     import spark.implicits._
