@@ -289,6 +289,21 @@ object OracleHashSql {
        |  FROM cells c JOIN means mm USING (doc_id) GROUP BY c.doc_id),
        |${hammingBandTail("ph", 3)}""".stripMargin
 
+  // ---- pipeline_media_survivors -----------------------------------
+  // keep-first over the UNION of the image and audio perceptual pair
+  // graphs: a doc is dropped iff it is the id_b (higher-id) side of
+  // any pair — the two full dedup replays embedded as subqueries, so
+  // this composition can never disagree with the individual gates
+  private def pipelineMediaSurvivorsSql: String =
+    s"""WITH dropped AS (
+       |  SELECT id_b FROM ($multimodalImageDedupSql) img
+       |  UNION
+       |  SELECT id_b FROM ($multimodalAudioDedupSql) aud
+       |)
+       |SELECT lang, count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- dedup_minhash ----------------------------------------------
   // Dedup.minhashNearDups(3-shingles, 64 hashes, 16 bands, seed 42,
   // threshold 0.5). x = floorMod(stringHash(shingle), p) needs the
@@ -1137,6 +1152,7 @@ object OracleHashSql {
     "multimodal_image_dedup" -> multimodalImageDedupSql,
     "multimodal_audio_dedup" -> multimodalAudioDedupSql,
     "multimodal_video_dedup" -> multimodalVideoDedupSql,
+    "pipeline_media_survivors" -> pipelineMediaSurvivorsSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_components" -> dedupComponentsSql,

@@ -2299,6 +2299,37 @@ object Queries {
         "doc_id", "phash", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** The MEDIA-CURATION pipeline composed — the multimodal analog of
+    * [[pipelineSurvivors]]: a document is dropped iff its image OR its
+    * audio is a perceptual near-dup of a LOWER-id document (keep-first
+    * over the pair graphs of [[multimodalImageDedup]] and
+    * [[multimodalAudioDedup]]; id_a < id_b by construction, so id_b is
+    * always the non-canonical side). Output is per-language survivor
+    * counts with an id-sum checksum — sensitive to WHICH documents
+    * survive, so a pair leaked or lost by either fingerprint path
+    * flips the hash. Plan: the two 8-byte fingerprint joins union
+    * their drop sets (pair-graph-sized, tiny), one left-anti join +
+    * one aggregate over the corpus — no new scale hazard beyond the
+    * gated parts.
+    */
+  def pipelineMediaSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val imgPairs = graft.dedup.Dedup.hammingBandPairs(
+      Multimodal.imagePhashes(spark,
+        docs.withColumn("blob", Multimodal.syntheticPgmUdf(col("text"))),
+        "doc_id", "blob").toDF(), "doc_id", "phash", maxHamming = 8)
+    val audPairs = graft.dedup.Dedup.hammingBandPairs(
+      Multimodal.audioPhashes(spark,
+        docs.withColumn("blob", Multimodal.syntheticWavUdf(col("text"))),
+        "doc_id", "blob").toDF(), "doc_id", "phash", maxHamming = 3)
+    val dropped = imgPairs.select(col("id_b"))
+      .union(audPairs.select(col("id_b"))).distinct()
+    docs.join(dropped, docs("doc_id") === dropped("id_b"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
   /** VAD-style segmentation over the synthetic clips
     * ([[graft.multimodal.Multimodal.audioSegments]]): windows above
     * the corpus-median RMS (8630) form segments; per clip the gate
@@ -3126,5 +3157,6 @@ object Queries {
     "multimodal_audio_segments" -> (multimodalAudioSegments _),
     "multimodal_audio_dedup" -> (multimodalAudioDedup _),
     "multimodal_video_dedup" -> (multimodalVideoDedup _),
+    "pipeline_media_survivors" -> (pipelineMediaSurvivors _),
   )
 }
