@@ -95,7 +95,23 @@ object DumpPlans {
       // (PushedFilters on the lineitem scan) with the top-20 as
       // TakeOrderedAndProject over the aggregate
       "hard_negatives", "embedding_outliers", "token_budget",
-      "q7_volume_shipping", "q10_returned_items")
+      "q7_volume_shipping", "q10_returned_items",
+      // the perceptual dedup family (each must show the one banded
+      // equi-join over 8-byte sketches — mapPartitions decode feeding
+      // a hash join, never a cartesian), its keep-first composition
+      // (two sketch joins + a left-anti + one aggregate), the
+      // broadcast-benchmark semantic decontaminator, and the
+      // curriculum scatter (percentile broadcast + one hash exchange,
+      // no global sort)
+      "multimodal_image_dedup", "multimodal_audio_dedup",
+      "multimodal_video_dedup", "pipeline_media_survivors",
+      // dedup_cluster_stats is deliberately absent: its plan is two
+      // tiny aggregates over the CACHED components table, and in a
+      // plan-only session (no action has materialized the cache) the
+      // explain unrolls the full iterative label-propagation lineage
+      // to ~2.5 MB of text with no extra signal
+      "decontaminate_semantic", "curriculum_order",
+      "token_fertility")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.01, generated by graft.DumpPlans)\n\n")
