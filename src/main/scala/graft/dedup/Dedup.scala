@@ -457,73 +457,135 @@ object Dedup {
   /** Connected components of a near-dup pair graph — the CLUSTER
     * resolution step of a dedup pipeline (pairs say "a≈b"; the
     * pipeline must then keep ONE doc per transitive cluster, so every
-    * member needs its cluster id). Iterative min-label propagation as
-    * pure DataFrame joins: each round every vertex takes the min label
-    * over itself and its neighbors; fixpoint when no label changes.
+    * member needs its cluster id).
     *
-    * Scale shape: one equi-join + one min-aggregate per round, both
-    * shuffled on vertex id — the same key every round, so AQE/bucketing
-    * can reuse the partitioning. Rounds needed = graph diameter, and
-    * near-dup graphs are dense clumps with tiny diameters (pairs come
-    * from shared LSH bands, which makes clusters near-cliques); the
-    * published alternating large-star/small-star trick (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC 2014) drops
-    * that to O(log n) rounds for adversarial chains — the per-round
-    * plan here is the same shape, so that optimization slots in
-    * without changing the contract. Each round materializes (persist +
-    * count) so lineage stays O(1) deep, not O(rounds).
+    * Algorithm: hash-min + pointer jumping (the "hash-to-min" family,
+    * Rastogi et al., "Finding Connected Components in Map-Reduce in
+    * Logarithmic Rounds", ICDE 2013). Each round:
+    *   1. hash-min:  m(v) = min(label(v), min over neighbors' labels)
+    *   2. jump:      label'(v) = m(m(v))
+    * Labels are always vertex ids of the same component and
+    * monotonically non-increasing (m(x) ≤ x because the closed
+    * neighborhood includes x's own label ≤ x, hence m(m(v)) ≤ m(v) ≤
+    * label(v)); at the fixpoint every component carries exactly its
+    * min id. The jump step composes the min-pointer function with
+    * itself, so the distance any label still has to travel to the
+    * component min HALVES per round — convergence in O(log diameter)
+    * rounds instead of O(diameter). A 200-vertex path (diameter 199,
+    * the template-spam chain shape) converges in ~9 rounds where
+    * plain min-label propagation needs 199 (spec'd in DedupSpec).
+    *
+    * Scale shape per round: one equi-join + one min-aggregate
+    * (hash-min) and one self-equi-join (jump), all shuffled on vertex
+    * id — the same key every round, so AQE reuses the partitioning.
+    * Each round materializes with `localCheckpoint` (NOT a bare
+    * persist): the jump step references m twice and m references the
+    * previous labels, so the LOGICAL plan would double per round —
+    * exponential in rounds — unless lineage is actually truncated.
+    * Checkpointing caps the plan at one round's shape regardless of
+    * round count (the iterative-DataFrame idiom GraphFrames uses for
+    * the same reason).
+    *
+    * NON-CONVERGENCE IS LOUD: if the iteration cap is the stopper the
+    * call throws IllegalStateException rather than returning
+    * partially-propagated labels — a silent cap would split
+    * over-diameter chains into several "components" and corrupt every
+    * downstream canonical-selection report. The default cap 25 covers
+    * components of diameter ~2²⁵ (33M hops), far past any physical
+    * corpus.
     *
     * Returns (id, label): every vertex that appears in some pair,
     * labeled with the min id of its component.
     */
-  def duplicateComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def duplicateComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    duplicateComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[duplicateComponents]] plus the number of rounds actually run —
+    * the observable the O(log diameter) convergence spec asserts on.
+    */
+  def duplicateComponentsWithRounds(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val edges = pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
       .distinct().persist()
     var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var changed = true
     var it = 0
     while (changed && it < maxIter) {
+      // hash-min: every vertex takes the min label over its closed
+      // neighborhood
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
         .select(edges("u").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(nbrMin)
+      // materialized BEFORE the jump self-join: a self-join over the
+      // live union plan trips Catalyst's Union constraint rewrite on
+      // the deduplicated expr-ids, and the checkpoint is needed for
+      // lineage truncation anyway (see the Scaladoc)
+      val m = labels.select(col("id"), col("label")).union(nbrMin)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist()
+        .localCheckpoint(true)
+      // pointer jump: label'(v) = m(m(v)). The inner join is total:
+      // every label VALUE is a vertex id (min over closed-neighborhood
+      // labels, inductively vertex ids), so it has a row in m.
+      val next = m
+        .join(m.toDF("pid", "plabel"), col("label") === col("pid"))
+        .select(col("id"), col("plabel").as("label"))
+        .localCheckpoint(true)
       // convergence is an EXISTENCE question, not a count: isEmpty
       // stops at the first changed row (limit-1 under the hood)
       // instead of scanning every vertex per round
       changed = !next.join(labels.withColumnRenamed("label", "prev"), "id")
         .where(col("label") =!= col("prev")).isEmpty
-      labels.unpersist()
       labels = next
       it += 1
     }
     edges.unpersist()
-    labels
+    if (changed)
+      throw new IllegalStateException(
+        s"duplicateComponents did not converge in $maxIter rounds — " +
+          "labels would be partially propagated (split components). " +
+          "Raise maxIter; with pointer jumping, rounds ~ log2(component diameter).")
+    (labels, it)
   }
 
   /** Scale path: hyperplane-LSH bucket blocking, pairs only within
     * buckets, exact cosine verify. Same output contract as
     * [[embeddingNearDups]] minus bucket-missed pairs (tunable recall via
     * numTables/numPlanes).
+    *
+    * Shuffle discipline (this is the designated 100 TB path): the
+    * bucket self-join and the pair-dedup carry ONLY (id, table,
+    * bucket) — 16-ish bytes per candidate, never the embeddings. A
+    * pair that shares buckets in several of the `numTables` tables
+    * would otherwise ship 2×dim floats per shared table through the
+    * exchange (~64× the key width at dim=64, ~`numTables`× duplicated)
+    * just to be thrown away by `distinct`. Embeddings are joined back
+    * AFTER the pair set is deduped, so each surviving pair fetches its
+    * two vectors exactly once — two id-equi-joins against the pruned
+    * (id, emb) projection, shuffled on id. Measured by
+    * [[graft.DedupProbe]]: keys-only dedup drops the LSH-path shuffle
+    * bytes by ~an order of magnitude at the probe scale.
     */
   def embeddingNearDupsLsh(emb: DataFrame, idCol: String, embCol: String,
                            threshold: Double, dim: Int,
                            numTables: Int = 8, numPlanes: Int = 8,
                            seed: Long = 42L): DataFrame = {
     val lsh = graft.index.RandomHyperplaneLsh(numTables, numPlanes, seed)
-    val bucketed = lsh.withBuckets(emb.where(col(embCol).isNotNull), col(embCol), dim)
-      .select(col(idCol).as("id"), col(embCol).as("emb"),
+    val nonNull = emb.where(col(embCol).isNotNull)
+    val bucketed = lsh.withBuckets(nonNull, col(embCol), dim)
+      .select(col(idCol).as("id"),
         explode(array((0 until numTables).map(t =>
           struct(lit(t).as("t"), col("buckets").getItem(t).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("emb"), col("tb.t"), col("tb.bucket"))
-    val a = bucketed.toDF("id_a", "emb_a", "t", "bucket")
-    val b = bucketed.toDF("id_b", "emb_b", "t", "bucket")
-    a.join(b, Seq("t", "bucket"))
+      .select(col("id"), col("tb.t"), col("tb.bucket"))
+    val a = bucketed.toDF("id_a", "t", "bucket")
+    val b = bucketed.toDF("id_b", "t", "bucket")
+    val pairs = a.join(b, Seq("t", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val vecs = nonNull.select(col(idCol).as("id"), col(embCol).as("emb"))
+    pairs
+      .join(vecs.toDF("id_a", "emb_a"), "id_a")
+      .join(vecs.toDF("id_b", "emb_b"), "id_b")
       .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
