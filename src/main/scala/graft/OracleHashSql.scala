@@ -255,9 +255,14 @@ object OracleHashSql {
   // (sample k = (byte(k % n) - 79) * 257, the multimodal_audio CTEs):
   // bit i = sample(i+1) > sample(i) over the first 65 samples, then
   // the shared banding + bit_count(xor) verify at the pigeonhole-
-  // guaranteed <= 3 cut
+  // guaranteed <= 3 cut. The WHERE mirrors audioPhashes' >= 65-sample
+  // guard against the generator's 192 + n%64 clip length (asserted at
+  // generation time in Multimodal.syntheticWav): today it keeps every
+  // doc, but a shorter-clip generator then diverges LOUDLY in rows
+  // instead of silently in fingerprints.
   private def multimodalAudioDedupSql: String =
-    s"""WITH m AS (SELECT doc_id, text, GREATEST(n_chars, 1) AS n FROM documents),
+    s"""WITH m AS (SELECT doc_id, text, GREATEST(n_chars, 1) AS n FROM documents
+       |           WHERE 192 + (GREATEST(n_chars, 1) % 64) >= 65),
        |s AS (SELECT doc_id, i.g AS k,
        |        (CASE WHEN text = '' THEN 0
        |              ELSE unicode(substr(text, CAST(i.g % n AS INT) + 1, 1)) END - 79) * 257 AS v

@@ -857,6 +857,63 @@ object OracleSql {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
 
+    // Q2 shape: the oracle keeps the CANONICAL correlated-subquery
+    // text; the Spark side computes the same min via agg + broadcast
+    // join-back. price = one IEEE division per row, MIN and = on the
+    // raw doubles — both engines see bit-identical values
+    "q2_min_cost_supplier" ->
+      """WITH eu AS (
+        |  SELECT l_partkey, s_suppkey, s_name, n_name,
+        |         l_extendedprice / l_quantity AS price
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, n_name,
+        |  CAST(ROUND(CAST(price AS DECIMAL(18,8)), 4) AS DOUBLE) + 0 AS unit_price
+        |FROM eu JOIN part ON l_partkey = p_partkey
+        |WHERE price = (SELECT MIN(e2.price) FROM eu e2
+        |               WHERE e2.l_partkey = eu.l_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    // Q9 shape: synthetic supply cost 0.1 * p_retailprice * l_quantity
+    // (no partsupp in the testdata); both profit terms are exact
+    // <= 4-decimal values, summed as DECIMAL(18,4) in both engines
+    "q9_profit_rollup" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                 - CAST(0.1 * p_retailprice * l_quantity AS DECIMAL(18,4))), 2)
+        |       AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // Q21 shape: EXISTS / NOT EXISTS chain; "late" = shipped > 1000
+    // days after the order date (no commit/receipt dates in the
+    // testdata). Timestamps are midnights, so datediff agrees across
+    // engines
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders   ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND datediff('day', o_orderdate, l1.l_shipdate) > 1000
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND datediff('day', o3.o_orderdate, l3.l_shipdate) > 1000)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
     "window_percent_rank" ->
       """SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal,
         |  ROUND(percent_rank() OVER (PARTITION BY c_mktsegment
@@ -920,13 +977,15 @@ object OracleSql {
     "graph_pagerank" -> graphPagerankSql,
 
     // semantic decontamination: every (train, benchmark) cosine
-    // recomputed from scratch; the flag compares raw doubles built by
-    // the identical mult/add chain, so it cannot 1-ulp-flip
+    // recomputed from scratch; the flag derives from the 4-dp ROUNDED
+    // score on both sides — raw-double thresholds would trust each
+    // engine's aggregation order near the 0.3 cut
     "decontaminate_semantic" ->
       s"""${cosineRankedCtes(
              "SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 50 <> 0 AND embedding IS NOT NULL",
              "c.vec_id % 50 = 0")}
-        |SELECT q_id AS vec_id, c_id AS bench_id, ROUND(s, 4) + 0 AS score, s >= 0.3 AS flagged
+        |SELECT q_id AS vec_id, c_id AS bench_id, ROUND(s, 4) + 0 AS score,
+        |  ROUND(s, 4) + 0 >= 0.3 AS flagged
         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // streaming vector-search serving: all 5 requests' rankings

@@ -233,6 +233,9 @@ final class HttpApi(spark: SparkSession, engine: Engine, embedder: Embedder) {
     } catch {
       case NotFoundError(kind, id) => respond(ex, 404, Some(error(s"$kind $id not found")))
       case BadRequestError(msg) => respond(ex, 400, Some(error(msg)))
+      // capacity is the CALLER's pushback signal (load parquet instead),
+      // not an internal fault — 413, with the guidance in the body
+      case e: graft.state.EngineCapacityError => respond(ex, 413, Some(error(e.getMessage)))
       case e: IllegalArgumentException => respond(ex, 400, Some(error(e.getMessage)))
       case e: Throwable => respond(ex, 500, Some(error(e.toString)))
     }

@@ -5,9 +5,10 @@ package graft.embed
   * Cohere impl at app/adapters/embedding_providers/cohere_provider.py:12-29).
   *
   * The batch path for a real provider is `mapPartitions` with batched
-  * HTTP — never a per-row network UDF. This container has no egress, so
-  * the shipped implementation is the deterministic local embedder the
-  * tests use.
+  * HTTP — never a per-row network UDF. [[HttpEmbedder]] is that
+  * provider (tested against an in-process stub server — this container
+  * has no egress); [[HashingEmbedder]] is the deterministic local
+  * embedder the oracled gates use.
   */
 trait Embedder extends Serializable {
   def dim: Int

@@ -354,6 +354,13 @@ object Multimodal {
     val bytes = text.getBytes("US-ASCII")
     val n = math.max(bytes.length, 1)
     val nsamp = 192 + n % 64
+    // EXPLICIT COUPLING: audioPhashes drops clips under 65 samples,
+    // but the multimodal_audio_dedup DuckDB oracle fingerprints every
+    // document unconditionally — alignment rests on this generator
+    // floor. If the formula above ever drops below 65, fail HERE at
+    // generation time, not as a silent oracle divergence.
+    require(nsamp >= 65,
+      s"synthetic WAV floor broken: $nsamp samples < the 65-sample fingerprint minimum")
     val samples = Array.tabulate(nsamp)(k =>
       ((if (bytes.isEmpty) 0 else bytes(k % n) & 0xFF) - 79) * 257)
     AudioCodec.encodeWav(

@@ -13,6 +13,21 @@ final case class NotFoundError(kind: String, id: String)
   extends RuntimeException(s"$kind $id not found")
 final case class BadRequestError(msg: String) extends RuntimeException(msg)
 
+/** Thrown when a CRUD write would grow the DRIVER-resident chunk store
+  * past its configured bound. The CRUD surface mirrors the reference's
+  * in-process store and is sized for entity metadata, not corpora; a
+  * corpus-scale load through this API would otherwise die as an
+  * unattributable driver OOM. The error names the escape hatch: bulk
+  * corpora belong in parquet (graft.Tables / graft.index read them as
+  * DataFrames at any scale).
+  */
+final case class EngineCapacityError(chunks: Int, maxChunks: Int)
+  extends RuntimeException(
+    s"chunk store at $chunks rows would exceed maxChunks=$maxChunks — the CRUD " +
+      "engine keeps chunks on the driver (reference-parity surface). Load bulk " +
+      "corpora as parquet (graft.Tables / graft.index operate on DataFrames), " +
+      "or raise maxChunks if driver heap allows.")
+
 /** Entity rows (SURVEY §1.4 schema mapping). */
 final case class LibraryRow(id: String, name: String, description: Option[String],
                             tags: Option[String], version: Int,
@@ -62,7 +77,8 @@ object EngineState {
   *    NotFound (404s).
   */
 final class Engine(clock: () => Instant = () => Instant.now(),
-                   newId: () => String = () => UUID.randomUUID().toString) {
+                   newId: () => String = () => UUID.randomUUID().toString,
+                   maxChunks: Int = Engine.DefaultMaxChunks) {
 
   private val ref = new AtomicReference[EngineState](EngineState.empty)
 
@@ -196,6 +212,10 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     requireLibrary(s, libId)
     if (!s.documents.exists(d => d.library_id == libId && d.id == docId))
       throw NotFoundError("document", docId)
+    // loud boundary guard: the chunk Vector is the one driver structure
+    // a user could grow without limit through the API (see
+    // EngineCapacityError for the parquet escape hatch)
+    if (s.chunks.size >= maxChunks) throw EngineCapacityError(s.chunks.size, maxChunks)
     val now = clock()
     val row = ChunkRow(libId, docId, id.getOrElse(newId()), text, embedding, metadata, now, now)
     (s.copy(chunks = s.chunks :+ row,
@@ -275,4 +295,14 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     import spark.implicits._
     spark.createDataset(state.chunks).toDF()
   }
+}
+
+object Engine {
+  /** Default driver-store bound: ~1M chunks with 64-dim embeddings is
+    * roughly 0.5-1 GiB of driver heap — comfortably inside the bench
+    * JVM, far past the reference's workloads, and loud long before an
+    * OOM. Raise per-instance via the constructor when the driver is
+    * sized for it.
+    */
+  val DefaultMaxChunks: Int = 1000000
 }

@@ -307,4 +307,25 @@ class EngineSpec extends AnyFunSuite {
     intercept[NotFoundError](e.getLibrary(lib))
     assert(e.state.documents.isEmpty && e.state.chunks.isEmpty)
   }
+
+  // ---- driver-state boundary guard ----
+
+  test("chunk store past maxChunks fails with the typed capacity error, not an OOM") {
+    val e = new Engine(maxChunks = 2)
+    val lib = e.createLibrary("Small").id
+    val doc = e.addDocument(lib, "Doc").id
+    e.addChunk(lib, doc, "one")
+    e.addChunk(lib, doc, "two")
+    val cap = intercept[graft.state.EngineCapacityError] { e.addChunk(lib, doc, "three") }
+    // the error must point the caller at the scale path, not just refuse
+    assert(cap.getMessage.contains("parquet"))
+    assert(cap.maxChunks == 2)
+    // the store is untouched by the refused write
+    assert(e.listChunks(lib, doc).size == 2)
+    // deleting frees capacity: the guard bounds the store, not the API
+    val victim = e.listChunks(lib, doc).head.id
+    assert(e.deleteChunk(lib, doc, victim))
+    e.addChunk(lib, doc, "three")
+    assert(e.listChunks(lib, doc).size == 2)
+  }
 }
