@@ -161,6 +161,34 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val failedJson = failedNames.map(n => "\"" + jsonStr(n) + "\"")
       .mkString("[", ",", "]")
+    // ---- frozen per-query budgets (BENCH_BUDGET.json) -------------
+    // Anchors are committed once (r10 medians + profile signature)
+    // and NOT re-frozen per round: a query is flagged over_budget
+    // only when it exceeds 2× its anchored median AND its
+    // jobs/stages/shuffle profile moved — the adjudication rule the
+    // last three rounds applied by hand (identical profile ⇒ ambient
+    // variance, never a regression). Queries without an anchor
+    // (added after the freeze) are skipped here and picked up at the
+    // next freeze.
+    val overBudget: Seq[String] = try {
+      val p = java.nio.file.Paths.get("BENCH_BUDGET.json")
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(p))
+        results.flatMap { case (k, med, _) =>
+          Option(root.get(k)).filter(_ => med._1 >= 0).flatMap { b =>
+            val overTime = med._1 > b.get("budget_sec").asDouble()
+            val profileChanged = med._2 != b.get("jobs").asLong() ||
+              med._3 != b.get("stages").asLong() ||
+              math.abs(med._4 / 1e6 - b.get("shuffle_mb").asDouble()) > 1.0
+            if (overTime && profileChanged) Some(k) else None
+          }
+        }
+      }
+    } catch { case _: Throwable => Seq.empty }
+    val overBudgetJson = overBudget.map(n => "\"" + jsonStr(n) + "\"")
+      .mkString("[", ",", "]")
     // Forensics to a file; stdout stays within the driver's tail capture.
     // The stdout pointer must reflect REALITY: a failed write prints
     // "forensics":null rather than aiming the pointer at a missing or
@@ -168,7 +196,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "docs/BENCH_FORENSICS.json")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}"}"""
     // print the RESOLVED absolute path, not the raw input: with a
     // cwd-relative default, the raw string resolved against a
     // different directory aims the pointer at a stale file
@@ -181,7 +209,7 @@ object Bench {
         Some(p.toString)
       } catch { case _: Throwable => None }
     val forensicsField = wrote.map(p => "\"" + jsonStr(p) + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}""")
     spark.stop()
   }
 }

@@ -143,6 +143,92 @@ object DedupProbe {
       .write.mode("overwrite").parquet(bigEmbPath)
     val embCorpus = spark.read.parquet(bigEmbPath)
     println(s"DEDUP emb rows=${embCorpus.count()}")
+    // ---- LSH near-dup shuffle width: three formulations of the ----
+    // same pair set, measured head-to-head. The shipped one scores
+    // inside the bucket join and dedups (id, id, cos) triples of
+    // PASSING pairs; "dedup-then-score" dedups raw candidate keys
+    // first (the threshold cannot run before that exchange — every
+    // occurrence crosses it); "wide-distinct" dedups (ids + both
+    // embeddings) then scores, surviving only because Catalyst pushes
+    // the cos filter below the distinct. Same output (asserted); the
+    // shuffle-bytes ranking is the design evidence in Dedup's
+    // Scaladoc.
+    locally {
+      import graft.functions.VectorFunctions
+      import org.apache.spark.sql.DataFrame
+      val numTables = 8
+      def bucketedWide(emb: DataFrame): DataFrame = {
+        val lsh = graft.index.RandomHyperplaneLsh(numTables, 8, 42L)
+        lsh.withBuckets(emb.where(col("embedding").isNotNull), col("embedding"), 64)
+          .select(col("vec_id").as("id"), col("embedding").as("emb"),
+            explode(array((0 until numTables).map(t =>
+              struct(lit(t).as("t"), col("buckets").getItem(t).as("bucket"))): _*)).as("tb"))
+          .select(col("id"), col("emb"), col("tb.t"), col("tb.bucket"))
+      }
+      def wideDistinct(emb: DataFrame, threshold: Double): DataFrame = {
+        val bucketed = bucketedWide(emb)
+        val a = bucketed.toDF("id_a", "emb_a", "t", "bucket")
+        val b = bucketed.toDF("id_b", "emb_b", "t", "bucket")
+        a.join(b, Seq("t", "bucket"))
+          .where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+          .distinct()
+          .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+          .where(col("cos") >= threshold)
+          .select(col("id_a"), col("id_b"), col("cos"))
+      }
+      def dedupThenScore(emb: DataFrame, threshold: Double): DataFrame = {
+        val keys = bucketedWide(emb).select(col("id"), col("t"), col("bucket"))
+        val a = keys.toDF("id_a", "t", "bucket")
+        val b = keys.toDF("id_b", "t", "bucket")
+        val pairs = a.join(b, Seq("t", "bucket"))
+          .where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+          .distinct()
+        val vecs = emb.where(col("embedding").isNotNull)
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+        pairs
+          .join(vecs.toDF("id_a", "emb_a"), "id_a")
+          .join(vecs.toDF("id_b", "emb_b"), "id_b")
+          .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+          .where(col("cos") >= threshold)
+          .select(col("id_a"), col("id_b"), col("cos"))
+      }
+      // Measure in the 100 TB REGIME: broadcasts off. At probe scale
+      // the engine hides the legacy formulation's width by
+      // broadcasting the bucket join (the wide distinct then collapses
+      // map-side inside a handful of partitions); past ~100 GB neither
+      // side is broadcastable and every byte below goes through a real
+      // exchange — that is the regime the keys-only redesign is for,
+      // so that is the regime the A/B must measure.
+      val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val savedAqeBc = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val (nNew, bNew, sNew) = Probe.withShuffleBytes(spark) {
+          Dedup.embeddingNearDupsLsh(embCorpus, "vec_id", "embedding", 0.9, dim = 64).count()
+        }
+        val (nWide, bWide, sWide) = Probe.withShuffleBytes(spark) {
+          wideDistinct(embCorpus, 0.9).count()
+        }
+        val (nKeys, bKeys, sKeys) = Probe.withShuffleBytes(spark) {
+          dedupThenScore(embCorpus, 0.9).count()
+        }
+        assert(nNew == nWide && nNew == nKeys,
+          s"LSH formulations disagree on the pair set: $nNew / $nWide / $nKeys")
+        println(f"DEDUP lsh-neardup score-in-join (shipped):  $sNew%.2f s, shuffle ${bNew / 1e6}%.1f MB ($nNew pairs)")
+        println(f"DEDUP lsh-neardup wide-distinct:            $sWide%.2f s, shuffle ${bWide / 1e6}%.1f MB")
+        println(f"DEDUP lsh-neardup dedup-then-score:         $sKeys%.2f s, shuffle ${bKeys / 1e6}%.1f MB")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+        savedAqeBc match {
+          case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+          case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+      }
+    }
+
     val t0 = System.nanoTime()
     val centers = graft.index.MllibIndexes
       .kmeansIvfWithCenters(embCorpus, "embedding", k = 64, maxIter = 3)._2

@@ -105,6 +105,13 @@ object DumpPlans {
       // no global sort)
       "multimodal_image_dedup", "multimodal_audio_dedup",
       "multimodal_video_dedup", "pipeline_media_survivors",
+      // round-11 TPC-H shapes: Q2's correlated min must appear as an
+      // aggregate BROADCAST back onto the priced rows (no re-scan per
+      // outer row, no second shuffle for the achiever filter), Q9's
+      // dimensions all broadcast with only the orders join + final
+      // aggregate exchanging, Q21's EXISTS/NOT-EXISTS as a left-semi
+      // and a left-anti join both equi-keyed on orderkey
+      "q2_min_cost_supplier", "q9_profit_rollup", "q21_waiting_suppliers",
       // dedup_cluster_stats is deliberately absent: its plan is two
       // tiny aggregates over the CACHED components table, and in a
       // plan-only session (no action has materialized the cache) the

@@ -16,6 +16,41 @@ object Probe {
     r
   }
 
+  /** Run `f` and report (result, shuffle read+write bytes, seconds) —
+    * the shared instrument for probe mains arguing a shuffle-width
+    * claim with a measurement instead of a plan reading. Probes run
+    * their sections sequentially, so a stage-completed listener delta
+    * attributes cleanly.
+    */
+  def withShuffleBytes[A](spark: SparkSession)(f: => A): (A, Long, Double) = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          bytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    try {
+      val r = f
+      // drain the bus so late stage events land before the read
+      try {
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        val m = bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount <= 1).get
+        if (m.getParameterCount == 0) m.invoke(bus)
+        else m.invoke(bus, java.lang.Long.valueOf(10000L))
+      } catch { case _: Throwable => Thread.sleep(500) }
+      (r, bytes.get(), (System.nanoTime() - t0) / 1e9)
+    } finally sc.removeSparkListener(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()

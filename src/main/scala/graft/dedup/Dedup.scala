@@ -552,18 +552,36 @@ object Dedup {
     * [[embeddingNearDups]] minus bucket-missed pairs (tunable recall via
     * numTables/numPlanes).
     *
-    * Shuffle discipline (this is the designated 100 TB path): the
-    * bucket self-join and the pair-dedup carry ONLY (id, table,
-    * bucket) — 16-ish bytes per candidate, never the embeddings. A
-    * pair that shares buckets in several of the `numTables` tables
-    * would otherwise ship 2×dim floats per shared table through the
-    * exchange (~64× the key width at dim=64, ~`numTables`× duplicated)
-    * just to be thrown away by `distinct`. Embeddings are joined back
-    * AFTER the pair set is deduped, so each surviving pair fetches its
-    * two vectors exactly once — two id-equi-joins against the pruned
-    * (id, emb) projection, shuffled on id. Measured by
-    * [[graft.DedupProbe]]: keys-only dedup drops the LSH-path shuffle
-    * bytes by ~an order of magnitude at the probe scale.
+    * Shuffle discipline (this is the designated 100 TB path): SCORE
+    * INSIDE the bucket join, filter, THEN dedup on the slim
+    * (id_a, id_b, cos) triples. Ordering matters because the exact
+    * verification is the only filter selective enough to shrink the
+    * candidate stream, and it can only run before the pair-dedup
+    * exchange if the embeddings are still in hand at the join — so the
+    * bucket join carries them (numTables× per row, the price of
+    * in-join verification), but what crosses the DEDUP exchange is
+    * 24 bytes per PASSING pair, never embeddings and never raw
+    * candidates. Verification work is per-occurrence (a pair sharing
+    * buckets in several tables is scored in each), a deliberate
+    * CPU-for-shuffle trade: the dot product is codegen'd and cheap,
+    * the exchange is the scarce resource.
+    *
+    * Two rejected alternatives, measured by [[graft.DedupProbe]]'s
+    * three-way A/B (broadcasts disabled = the no-broadcastable-side
+    * regime of a real corpus):
+    *  - dedup-then-score on keys only (pairs distinct → join vectors
+    *    back): the threshold can no longer run before the dedup
+    *    exchange, so every raw candidate occurrence crosses it —
+    *    4× the shuffle of this formulation at the probe scale;
+    *  - distinct over (ids + both embeddings) then score: survives in
+    *    practice ONLY because Catalyst pushes the cos filter below
+    *    the distinct (its inputs are grouping columns); this
+    *    formulation is that rescued plan made explicit, minus the
+    *    embedding columns in the dedup exchange.
+    * For corpora where even numTables× embeddings through the bucket
+    * join is too wide, the cluster-then-verify path
+    * ([[graft.pipeline.TrainingOps.semDedup]]) is the scale answer:
+    * one centroid assignment per row, verification within clusters.
     */
   def embeddingNearDupsLsh(emb: DataFrame, idCol: String, embCol: String,
                            threshold: Double, dim: Int,
@@ -572,22 +590,17 @@ object Dedup {
     val lsh = graft.index.RandomHyperplaneLsh(numTables, numPlanes, seed)
     val nonNull = emb.where(col(embCol).isNotNull)
     val bucketed = lsh.withBuckets(nonNull, col(embCol), dim)
-      .select(col(idCol).as("id"),
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
         explode(array((0 until numTables).map(t =>
           struct(lit(t).as("t"), col("buckets").getItem(t).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("tb.t"), col("tb.bucket"))
-    val a = bucketed.toDF("id_a", "t", "bucket")
-    val b = bucketed.toDF("id_b", "t", "bucket")
-    val pairs = a.join(b, Seq("t", "bucket"))
+      .select(col("id"), col("emb"), col("tb.t"), col("tb.bucket"))
+    val a = bucketed.toDF("id_a", "emb_a", "t", "bucket")
+    val b = bucketed.toDF("id_b", "emb_b", "t", "bucket")
+    a.join(b, Seq("t", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val vecs = nonNull.select(col(idCol).as("id"), col(embCol).as("emb"))
-    pairs
-      .join(vecs.toDF("id_a", "emb_a"), "id_a")
-      .join(vecs.toDF("id_b", "emb_b"), "id_b")
-      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cos"))
       .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
   }
 }
