@@ -756,6 +756,16 @@ object Queries {
     // introducing that.
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    // State-store provider knob (SPARK_GRAFT_STREAM_STATESTORE=rocksdb):
+    // RocksDB is the right answer when state exceeds executor memory —
+    // the 100 TB sizing rule — but for these gates' hundreds-of-keys
+    // state the measured result is the opposite (native column-family
+    // setup per store instance per micro-batch dominates; see README's
+    // streaming-cost note), so the in-memory default stays.
+    val savedProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    if (sys.env.get("SPARK_GRAFT_STREAM_STATESTORE").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val out = try {
       val q = transform(stream)
         .writeStream.outputMode("append").format("parquet")
@@ -767,6 +777,10 @@ object Queries {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      savedProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
       rmTree(base) // also on failure — no orphaned checkpoint/sink trees
     }
     out
