@@ -112,6 +112,22 @@ object DumpPlans {
       // aggregate exchanging, Q21's EXISTS/NOT-EXISTS as a left-semi
       // and a left-anti join both equi-keyed on orderkey
       "q2_min_cost_supplier", "q9_profit_rollup", "q21_waiting_suppliers",
+      // the rest of the TPC-H shape family: Q13's stacked aggregates
+      // over a left-outer join, Q17's correlated-avg broadcast-back,
+      // Q19's OR-of-ANDs with the derived brand disjunction applied
+      // BEFORE the part broadcast, Q22's scalar-subquery broadcast +
+      // left-anti, Q4's mixed-condition left-semi, Q15's max-achiever
+      // join-back on exact decimals, Q16's distinct-count + denylist
+      // anti join, Q20's nested aggregate + broadcast threshold join
+      "q13_order_distribution", "q17_small_qty_revenue",
+      "q19_disjunctive_revenue", "q22_sales_opportunity",
+      "q4_priority_checking", "q15_top_supplier",
+      "q16_part_supplier_counts", "q20_dominant_suppliers",
+      // Q6 is the pure-pushdown witness (every predicate prunes at the
+      // scan, no join anywhere); Q8's market-share ratio must show the
+      // double-aliased nation broadcast; Q11's HAVING-vs-global-total
+      // is a 1-row broadcast against the per-part aggregate
+      "q6_forecast_revenue", "q8_market_share", "q11_important_parts",
       // dedup_cluster_stats is deliberately absent: its plan is two
       // tiny aggregates over the CACHED components table, and in a
       // plan-only session (no action has materialized the cache) the

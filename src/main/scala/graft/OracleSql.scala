@@ -914,6 +914,169 @@ object OracleSql {
         |                    AND datediff('day', o3.o_orderdate, l3.l_shipdate) > 1000)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
+    // Q13 shape: LEFT JOIN keeps order-less customers at count 0;
+    // count(o_orderkey) skips nulls in both engines
+    "q13_order_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // Q17 shape: per-part avg quantity is exact (integer-valued
+    // doubles -> exact sum/count, one IEEE division), so the
+    // correlated comparison sees identical doubles in both engines
+    "q17_small_qty_revenue" ->
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2)
+        |  AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    // Q19 shape: OR of three (brand, quantity-range) conjunctions
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+        |  AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#3' AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#5' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Q22 shape: scalar-avg subquery + NOT EXISTS on urgent orders
+    // (nation key stands in for the canonical phone country code)
+    "q22_sales_opportunity" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey IN (1, 2, 3, 7, 11, 17, 21)
+        |  AND c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_acctbal > 0.0
+        |                     AND c2.c_nationkey IN (1, 2, 3, 7, 11, 17, 21))
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // Q4 shape: EXISTS on late shipments, counted by priority
+    "q4_priority_checking" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND datediff('day', o_orderdate, l_shipdate) > 1000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Q12 shape: CASE-inside-aggregate over a ship-speed bucket
+    "q12_ship_speed" ->
+      """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 1000
+        |            THEN 'slow' ELSE 'fast' END AS speed_class,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY speed_class""".stripMargin,
+
+    // Q14 shape: conditional-sum ratio; both sums exact DECIMAL(18,4),
+    // one double division on identical values
+    "q14_promo_revenue" ->
+      """SELECT ROUND(100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |  4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    // Q15 shape: per-supplier quarter revenue, max-achiever join-back
+    // on EXACT decimal sums
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // Q16 shape: distinct supplier counts per (brand, size), minus the
+    // negative-balance supplier denylist
+    "q16_part_supplier_counts" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    // Q20 shape: nested aggregate + join-back; integer-exact quantity
+    // sums, one IEEE multiply for the 15% threshold
+    "q20_dominant_suppliers" ->
+      """WITH pair AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS pair_qty
+        |              FROM lineitem GROUP BY 1, 2),
+        |     tot  AS (SELECT l_partkey, SUM(l_quantity) AS part_qty
+        |              FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+        |FROM pair JOIN tot USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE pair_qty > 0.15 * part_qty
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+
+    // Q6 shape: pure filtered-scan aggregate, all predicates pushed
+    "q6_forecast_revenue" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2)
+        |  AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // Q8 shape: one supplier nation's share of the ASIA market per
+    // order year — conditional/total decimal sums, one double divide
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(
+        |    CAST(SUM(CASE WHEN n1.n_name = 'NATION_2'
+        |          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |    6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders    ON l_orderkey = o_orderkey
+        |JOIN customer  ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region    ON n2.n_regionkey = r_regionkey
+        |JOIN supplier  ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    // Q11 shape: HAVING against a fraction of the global total
+    // (part revenue stands in for partsupp value)
+    "q11_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS part_value
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey,
+        |  CAST(ROUND(part_value, 2) AS DOUBLE) AS part_value
+        |FROM pv
+        |WHERE CAST(part_value AS DOUBLE) >
+        |  0.00075 * (SELECT CAST(SUM(part_value) AS DOUBLE) FROM pv)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+
     "window_percent_rank" ->
       """SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal,
         |  ROUND(percent_rank() OVER (PARTITION BY c_mktsegment

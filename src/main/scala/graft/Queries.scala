@@ -2604,6 +2604,273 @@ object Queries {
       .limit(20)
   }
 
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join so order-less groups survive with count 0, then a histogram
+    * OVER the aggregate — two stacked groupBys, the second keyed on
+    * the first's value. The priority filter stands in for the
+    * canonical comment-pattern exclusion. Both aggregates partial-agg
+    * map-side; the second one's input is one row per customer.
+    */
+  def q13OrderDistribution(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).where(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips the null side
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+    * brand whose quantity is below 0.2 × that PART's average quantity
+    * — the correlated-scalar-aggregate shape, built as a per-part avg
+    * aggregate BROADCAST back onto the brand's lineitems (the Q2
+    * pattern at aggregate granularity). Cross-engine determinism:
+    * quantities are integers held in doubles, so sum/count are exact
+    * and the avg is one IEEE division — identical in both engines;
+    * the final sum runs in decimal(18,4) and the /7.0 division + 2-dp
+    * round happen on the same exact double in both.
+    */
+  def q17SmallQuantityRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val brandItems = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.load(spark, sfDir, "part").where(col("p_brand") === "Brand#1")),
+        col("l_partkey") === col("p_partkey"))
+    val avgQty = brandItems.groupBy(col("p_partkey").as("aq_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    brandItems.join(broadcast(avgQty), col("p_partkey") === col("aq_partkey"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0, 2)
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape (disjunctive predicate revenue): an OR of three
+    * (brand, quantity-range) conjunctions evaluated at the
+    * lineitem×part join. The plan point: Catalyst DERIVES the
+    * brand-only disjunction (`p_brand = 3 OR 4 OR 5`) from the
+    * OR-of-ANDs and applies it on the part side BEFORE the
+    * BroadcastExchange (verified in the explain), so the broadcast
+    * ships 3 brands' parts, not the whole dimension — the classic
+    * OR-of-ANDs partial-pushdown shape.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.load(spark, sfDir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .where((col("p_brand") === "Brand#3" && col("l_quantity").between(1, 11)) ||
+             (col("p_brand") === "Brand#4" && col("l_quantity").between(10, 20)) ||
+             (col("p_brand") === "Brand#5" && col("l_quantity").between(20, 30)))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+
+  /** TPC-H Q22 shape (global-sales-opportunity): above-average-balance
+    * customers in a nation set with NO urgent order — a scalar
+    * aggregate subquery (the positive-balance average, broadcast as a
+    * one-row cross join) plus NOT EXISTS as a LEFT-ANTI join on
+    * custkey. The canonical query keys on phone country codes; the
+    * testdata has no phone column, so the nation key plays that role
+    * (and every customer has SOME order at these SFs, so the anti
+    * side is the urgent subset — selective, not degenerate).
+    */
+  def q22SalesOpportunity(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Seq(1, 2, 3, 7, 11, 17, 21).map(lit(_))
+    val cust = Tables.customer(spark, sfDir)
+      .where(col("c_nationkey").isin(nations: _*))
+    val avgBal = cust.where(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    cust
+      .join(broadcast(avgBal)) // 1-row broadcast cross join: the scalar subquery
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, sfDir).where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal").cast("decimal(18,4)")), 2).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** TPC-H Q4 shape (order-priority checking): orders with at least
+    * one late shipment, counted by priority — EXISTS as a LEFT-SEMI
+    * join whose condition mixes the orderkey equi-key with the
+    * correlated lateness predicate (shuffle on orderkey, residual
+    * datediff filter at the join, no per-order subquery scan).
+    */
+  def q4PriorityChecking(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          datediff(col("l_shipdate"), col("o_orderdate")) > 1000, "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q12 shape (shipping-speed classification): lineitems
+    * bucketed into slow/fast by ship lag, counting critical
+    * (URGENT/HIGH) vs other orders per bucket — the
+    * CASE-inside-aggregate shape. One equi-join + one tiny aggregate;
+    * the CASE terms are integer counts, exact everywhere.
+    */
+  def q12ShipSpeed(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("speed_class",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 1000, "slow").otherwise("fast"))
+      .groupBy(col("speed_class"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("speed_class"))
+
+  /** TPC-H Q14 shape (promotion-revenue share): the
+    * conditional-sum-over-total ratio, 100·Σ(case)/Σ — both sums exact
+    * decimal(18,4), the division one IEEE op on identical doubles.
+    * The testdata's p_type carries a literal 'PROMO' class, so the
+    * canonical predicate needs no adaptation.
+    */
+  def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.load(spark, sfDir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .otherwise(lit(BigDecimal(0)).cast("decimal(18,4)"))).cast("double") /
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double"),
+        4).as("promo_revenue_pct"))
+
+  /** TPC-H Q15 shape (top supplier): revenue per supplier over one
+    * quarter, keep the supplier(s) achieving the MAX — the Q2
+    * agg + broadcast-join-back pattern at supplier granularity. The
+    * max-equality compares exact decimal(18,4) sums, so the achiever
+    * set is engine-independent by construction (no double round-trip).
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val revenue = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("total_rev"))
+    val maxRev = revenue.agg(max(col("total_rev")).as("max_rev"))
+    revenue.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.load(spark, sfDir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_rev"), 2).cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): supplier COUNT
+    * DISTINCT per (brand, size) over a filtered part set, excluding a
+    * supplier denylist — the distinct-aggregate + anti-join shape
+    * (negative-balance suppliers stand in for the canonical
+    * complaints subquery). The anti join broadcasts a 6-row denylist;
+    * the distinct count shuffles (brand, size, suppkey) once.
+    */
+  def q16PartSupplierCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.load(spark, sfDir, "part")
+          .where(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.load(spark, sfDir, "supplier")
+          .where(col("s_acctbal") < 0).select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+
+  /** TPC-H Q20 shape (dominant-share suppliers): suppliers shipping
+    * more than 15% of some part's total quantity — the nested-
+    * aggregate + join-back + semi shape (per-(part,supplier) sums
+    * against per-part totals, broadcast back; the canonical
+    * availqty-vs-half-of-shipped threshold adapted to the columns the
+    * testdata has). Quantities are integer-exact sums; 0.15·total is
+    * one IEEE multiply — deterministic across engines.
+    */
+  def q20DominantSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val perPair = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("pair_qty"))
+    val perPart = li.groupBy(col("l_partkey").as("pp_partkey"))
+      .agg(sum(col("l_quantity")).as("part_qty"))
+    perPair.join(broadcast(perPart), col("l_partkey") === col("pp_partkey"))
+      .where(col("pair_qty") > lit(0.15) * col("part_qty"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated_parts"))
+      .join(broadcast(Tables.load(spark, sfDir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominated_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q6 shape (forecasting-revenue change): the pure
+    * filtered-scan aggregate — every predicate lands in the parquet
+    * scan (PushedFilters: shipdate range, discount band, quantity
+    * cap), no join at all, one exact decimal sum. The simplest shape
+    * in the family and the purest pushdown witness.
+    */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+             col("l_discount").between(0.05, 0.07) &&
+             col("l_quantity") < 24)
+      .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's revenue per year — conditional-sum ÷ total-sum per
+    * group, both in exact decimal, the division one IEEE op. The
+    * supplier side carries the "which nation" flag; the customer side
+    * scopes the market to one region.
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val marketNations = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nkey"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(marketNations), col("c_nationkey") === col("c_nkey"))
+      .join(broadcast(Tables.load(spark, sfDir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_2",
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,4)"))).cast("double") /
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double"),
+        6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q11 shape (important stock): groups whose aggregate
+    * exceeds a FRACTION of the global total — the HAVING-against-
+    * scalar-subquery shape (the canonical query runs it over partsupp
+    * value; the testdata has no partsupp, so part revenue plays the
+    * role). The global total is a 1-row broadcast; the per-part sums
+    * are exact decimals, and the threshold multiply happens on the
+    * same double in both engines.
+    */
+  def q11ImportantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("part_value"))
+    val total = perPart.agg(sum(col("part_value")).as("total_value"))
+    perPart.join(broadcast(total))
+      .where(col("part_value").cast("double") > lit(0.00075) * col("total_value").cast("double"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("part_value"), 2).cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
   /** Rank-family windows: percent_rank + cume_dist of account balance
     * within each market segment (unique ordering → deterministic). */
   def windowPercentRank(spark: SparkSession, sfDir: String): DataFrame = {
@@ -3279,6 +3546,19 @@ object Queries {
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q9_profit_rollup" -> (q9ProfitRollup _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "q13_order_distribution" -> (q13OrderDistribution _),
+    "q17_small_qty_revenue" -> (q17SmallQuantityRevenue _),
+    "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
+    "q22_sales_opportunity" -> (q22SalesOpportunity _),
+    "q4_priority_checking" -> (q4PriorityChecking _),
+    "q12_ship_speed" -> (q12ShipSpeed _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_part_supplier_counts" -> (q16PartSupplierCounts _),
+    "q20_dominant_suppliers" -> (q20DominantSuppliers _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q11_important_parts" -> (q11ImportantParts _),
     "window_percent_rank" -> (windowPercentRank _),
     "window_first_last" -> (windowFirstLast _),
     "agg_grouping_sets" -> (aggGroupingSets _),
