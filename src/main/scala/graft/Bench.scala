@@ -170,13 +170,21 @@ object Bench {
     // variance, never a regression). Queries without an anchor
     // (added after the freeze) are skipped here and picked up at the
     // next freeze.
-    val overBudget: Seq[String] = try {
-      val p = java.nio.file.Paths.get("BENCH_BUDGET.json")
-      if (!java.nio.file.Files.exists(p)) Seq.empty
-      else {
+    // The load result is NEVER silent: `budget_status` says whether
+    // anchors were actually applied. A cwd other than the repo root,
+    // or a malformed budget file, would otherwise report over_budget
+    // as [] — indistinguishable from "all queries within budget" —
+    // and a real regression would ship unflagged (the same loud-
+    // pointer rule the forensics write below follows).
+    val budgetPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BUDGET", "BENCH_BUDGET.json")).toAbsolutePath
+    val (overBudget, budgetStatus): (Seq[String], String) =
+      if (!java.nio.file.Files.exists(budgetPath))
+        (Seq.empty, s"missing:$budgetPath")
+      else try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(java.nio.file.Files.readAllBytes(p))
-        results.flatMap { case (k, med, _) =>
+          .readTree(java.nio.file.Files.readAllBytes(budgetPath))
+        val flagged = results.flatMap { case (k, med, _) =>
           Option(root.get(k)).filter(_ => med._1 >= 0).flatMap { b =>
             val overTime = med._1 > b.get("budget_sec").asDouble()
             val profileChanged = med._2 != b.get("jobs").asLong() ||
@@ -185,8 +193,12 @@ object Bench {
             if (overTime && profileChanged) Some(k) else None
           }
         }
+        (flagged, s"ok:${root.size()} anchors")
+      } catch {
+        case e: Throwable =>
+          (Seq.empty, s"error:${e.getClass.getSimpleName}:" +
+            Option(e.getMessage).getOrElse("").take(80))
       }
-    } catch { case _: Throwable => Seq.empty }
     val overBudgetJson = overBudget.map(n => "\"" + jsonStr(n) + "\"")
       .mkString("[", ",", "]")
     // Forensics to a file; stdout stays within the driver's tail capture.
@@ -196,7 +208,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "docs/BENCH_FORENSICS.json")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"budget_status":"${jsonStr(budgetStatus)}","query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}"}"""
     // print the RESOLVED absolute path, not the raw input: with a
     // cwd-relative default, the raw string resolved against a
     // different directory aims the pointer at a stale file
@@ -209,7 +221,7 @@ object Bench {
         Some(p.toString)
       } catch { case _: Throwable => None }
     val forensicsField = wrote.map(p => "\"" + jsonStr(p) + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"budget_status":"${jsonStr(budgetStatus)}","runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}""")
     spark.stop()
   }
 }

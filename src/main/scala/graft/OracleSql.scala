@@ -638,6 +638,25 @@ object OracleSql {
         |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // the exact global answer with NO blocking and NO cap — the
+    // prefix-filtered engine must reproduce it bit-for-bit, which is
+    // precisely the losslessness claim of the AllPairs/PPJoin bound
+    "simjoin_prefix_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |  ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+        |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  CAST(64 + (strlen(text) % 57) * 16 AS BIGINT) AS width,
@@ -950,13 +969,19 @@ object OracleSql {
     // Q22 shape: scalar-avg subquery + NOT EXISTS on urgent orders
     // (nation key stands in for the canonical phone country code)
     "q22_sales_opportunity" ->
-      """SELECT c_nationkey, count(*) AS numcust,
+      // the above-average threshold is exact decimal arithmetic on
+      // both sides: c_acctbal > sum/cnt as c_acctbal * cnt > sum
+      // (an AVG over raw doubles is order-dependent per engine)
+      """WITH pos AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_bal,
+        |         COUNT(*) AS cnt_bal
+        |  FROM customer
+        |  WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 7, 11, 17, 21))
+        |SELECT c_nationkey, count(*) AS numcust,
         |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
-        |FROM customer
+        |FROM customer, pos
         |WHERE c_nationkey IN (1, 2, 3, 7, 11, 17, 21)
-        |  AND c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
-        |                   WHERE c2.c_acctbal > 0.0
-        |                     AND c2.c_nationkey IN (1, 2, 3, 7, 11, 17, 21))
+        |  AND CAST(c_acctbal AS DECIMAL(18,4)) * cnt_bal > sum_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')

@@ -52,7 +52,11 @@ object PhashScaleProbe {
       }
       sb.toString
     }
-    val corpusPath = "target/phash-probe/corpus"
+    // the cache path is KEYED on the arguments: a corpus cached from a
+    // previous run with different rows/dupRate would silently feed the
+    // expected-pair and blocking-ratio math below, which is computed
+    // from THIS run's arguments
+    val corpusPath = s"target/phash-probe/corpus-$rows-$dupRate"
     if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
       val t0 = System.nanoTime()
       spark.range(rows)

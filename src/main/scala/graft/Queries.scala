@@ -2047,6 +2047,18 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Globally-exact Jaccard similarity self-join
+    * ([[Dedup.prefixJaccardPairs]], AllPairs/PPJoin prefix filtering):
+    * unlike the blocked gate above there is NO blocking key and NO
+    * doc-frequency cap, so the oracle is the plain all-shared-token
+    * exact answer — losslessness of the prefix filter is exactly what
+    * the hash-equality proves.
+    */
+  def simjoinPrefixJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.prefixJaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -2675,11 +2687,20 @@ object Queries {
     val nations = Seq(1, 2, 3, 7, 11, 17, 21).map(lit(_))
     val cust = Tables.customer(spark, sfDir)
       .where(col("c_nationkey").isin(nations: _*))
-    val avgBal = cust.where(col("c_acctbal") > 0.0)
-      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    // The "above average" threshold is compared in EXACT decimal
+    // arithmetic: c_acctbal > sum/cnt is rewritten as
+    // c_acctbal * cnt > sum, with the sum accumulated as
+    // decimal(18,4). An avg() over raw doubles would be
+    // order-dependent (each engine's partial-aggregate order differs),
+    // and a balance within 1 ulp of that average could flip inclusion
+    // between Spark and the DuckDB oracle — the same hazard the other
+    // money aggregates in this family avoid by summing decimals.
+    val bal = cust.where(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast("decimal(18,4)")).as("sum_bal"),
+        count(lit(1)).as("cnt_bal"))
     cust
-      .join(broadcast(avgBal)) // 1-row broadcast cross join: the scalar subquery
-      .where(col("c_acctbal") > col("avg_bal"))
+      .join(broadcast(bal)) // 1-row broadcast cross join: the scalar subquery
+      .where(col("c_acctbal").cast("decimal(18,4)") * col("cnt_bal") > col("sum_bal"))
       .join(Tables.orders(spark, sfDir).where(col("o_orderpriority") === "1-URGENT")
           .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
@@ -3516,6 +3537,7 @@ object Queries {
     "lang_id" -> (langId _),
     "fingerprint" -> (fingerprint _),
     "dedup_trigram_jaccard" -> (dedupTrigramJaccard _),
+    "simjoin_prefix_jaccard" -> (simjoinPrefixJaccard _),
     "dedup_components" -> (dedupComponents _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_canon" -> (dedupCanon _),

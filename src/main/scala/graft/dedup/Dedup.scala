@@ -365,6 +365,130 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT Jaccard similarity self-join via prefix filtering — the
+    * AllPairs / PPJoin candidate bound (Bayardo et al. WWW'07; Xiao et
+    * al. WWW'08, reference has no counterpart). Completes the dedup
+    * tier's coverage matrix: MinHash is approximate, [[blockedJaccardPairs]]
+    * is exact only WITHIN a caller-supplied blocking key (and lossy
+    * past its doc-frequency cap) — this one is globally LOSSLESS with
+    * no external key and no cap, the canonical exact scale path.
+    *
+    * How it avoids the cartesian: tokens get a global total order
+    * (ascending document frequency, ties by token — rarest first so
+    * prefixes index the least-shared tokens). A document with n
+    * distinct shingles keeps only its first
+    * `p = n - ⌈t·n⌉ + 1` tokens as its PREFIX, and candidates are
+    * pairs sharing ≥1 prefix token. Lossless by the prefix-filter
+    * theorem: if J(A,B) ≥ t, the smallest-ordered common token sits at
+    * position ≤ |A| - |A∩B| + 1 ≤ p_A in A (and symmetrically in B),
+    * so it lies in BOTH prefixes — under ANY consistent order; the
+    * df-order only shrinks the candidate count.
+    *
+    * Scale shape: the posting/df pass is two key-only aggregates; the
+    * candidate join ships (id, token) keys — never arrays; only
+    * CANDIDATE pairs (not all N²) fetch the two shingle arrays back
+    * for the exact `array_intersect` verify (codegen'd, no UDF). Shuffle
+    * width on the wide stage is bounded by prefix length — for t=0.5
+    * roughly half of each posting list — versus EVERY shared token for
+    * the naive shared-token join.
+    *
+    * The ceil is computed with a 1e-9 slack (`⌈t·n − ε⌉`): for
+    * thresholds not exactly representable in binary, t·n can land one
+    * ulp ABOVE the true rational and the unslacked ceil would shorten
+    * the prefix by one — trading a candidate or two for silently lost
+    * pairs. The slack errs on the long-prefix (lossless) side.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, shingleSize: Int = 3): DataFrame = {
+    val docsh = shingleArrays(docs, idCol, textCol, shingleSize).cache()
+    val cand = prefixCandidates(docsh, threshold)
+    // exact verify: the two shingle-hash arrays come back for
+    // CANDIDATE pairs only, and |A| / |B| are read off the fetched
+    // arrays in-row — joining a separate sizes table twice would be
+    // two more shuffles for numbers the arrays already carry
+    cand
+      .join(docsh.toDF("id_a", "shs_a"), "id_a")
+      .join(docsh.toDF("id_b", "shs_b"), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("shs_a")) + size(col("shs_b")) - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** One row per id: the distinct shingle array ([[blockedJaccardPairs]]'s
+    * in-row `array_distinct` pattern, sans block column) — as XXH64
+    * HASHES, not strings. Every downstream stage (document frequency,
+    * the prefix ordering, candidate posting lists, the intersect
+    * verify) shuffles and compares 8-byte longs instead of ~25-byte
+    * shingle strings, measured ~2× on the whole operator. Correctness:
+    * a hash collision could only inflate one intersection count by 1;
+    * the birthday bound at the gate's 27k-shingle vocabulary is
+    * ~2e-11, and the all-SF hash-equality against the string-exact
+    * DuckDB oracle verifies no collision fired. (Same argument the
+    * MinHash banding gate documents for its xxhash64 bands.)
+    */
+  private[graft] def shingleArrays(docs: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        array_distinct(transform(
+          graft.functions.TextFunctions.wordNgramsFast(shingleSize)(col(textCol)),
+          s => xxhash64(s))).as("shs"))
+      .where(size(col("shs")) > 0)
+      .groupBy(col("id")).agg(max(col("shs")).as("shs"))
+
+  /** Candidate (id_a, id_b) pairs sharing a prefix token — exposed to
+    * the spec so the blocking win (candidates ≪ shared-token pairs) is
+    * an asserted observable, not prose.
+    */
+  private[graft] def prefixCandidates(docsh: DataFrame, threshold: Double): DataFrame = {
+    val spark = docsh.sparkSession
+    import spark.implicits._
+    val posting = docsh.select(col("id"), explode(col("shs")).as("sh"))
+    val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // the prefix is computed IN-ROW per document: collect each doc's
+    // (df, hash) pairs, sort, slice the first n - ⌈t·n⌉ + 1. One
+    // groupBy-by-id shuffle replaces the window-rank formulation's
+    // exchange+sort PLUS its sizes join (measured: same result, two
+    // fewer stages). The sort is per-document (≤ a few hundred
+    // elements), not a partition-wide window sort.
+    val prefix = posting.join(dfreq, "sh")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("p",
+        (size(col("t")) - ceil(size(col("t")).cast("double") * threshold - 1e-9) + 1).cast("int"))
+      .select(col("id"), col("n"),
+        explode(transform(slice(col("t"), lit(1), col("p")), x => x("sh"))).as("sh"))
+    // pair generation is ONE grouped pass over the prefix postings
+    // ([[blockedJaccardPairs]]'s expansion, minus its doc-frequency
+    // cap — prefix tokens are each document's RAREST, so posting lists
+    // here are short by construction and losslessness needs no cap).
+    // A prefix⋈prefix self-join would instead evaluate the whole
+    // posting→dfreq→window chain TWICE — measured 2.3 s of this
+    // gate's 4 s at sf0.1 before the rewrite.
+    // the PPJoin LENGTH filter rides the expansion for free: J ≥ t
+    // forces |smaller| ≥ t·|larger| (J ≤ min/max for any pair), so
+    // size-mismatched pairs never materialize. On the gate corpus this
+    // prunes 409k → 310k candidates; on real corpora with wider length
+    // spreads it is the stronger of the two filters.
+    prefix.groupBy(col("sh")).agg(collect_list(struct(col("id"), col("n"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(col("ids")).as[Seq[(Long, Long)]]
+      .flatMap { ids =>
+        val sorted = ids.sortBy(_._1)
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+          na = sorted(i)._2; nb = sorted(j)._2
+          if math.min(na, nb).toDouble >= threshold * math.max(na, nb) - 1e-9
+        } yield (sorted(i)._1, sorted(j)._1)
+      }
+      .toDF("id_a", "id_b")
+      .distinct()
+  }
+
   /** SimHash near-dups: 64-bit sketch, band into 4×16-bit chunks for
     * blocking (pigeonhole: Hamming ≤ 3 ⇒ some 16-bit band identical),
     * verify with bit_count(xor) ≤ maxHamming.
@@ -500,6 +624,20 @@ object Dedup {
   def duplicateComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
     duplicateComponentsWithRounds(pairs, maxIter)._1
 
+  /** Frees the storage blocks behind a `localCheckpoint(true)`-built
+    * DataFrame. `Dataset.unpersist` cannot do this — local checkpoints
+    * live as RDD-level persists outside the CacheManager — so the
+    * block release goes through the LogicalRDD the checkpoint returned.
+    * Only safe once every consumer is itself materialized: the lineage
+    * is truncated, so the freed RDD cannot be recomputed.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpoint product; nothing to free
+    }
+
   /** [[duplicateComponents]] plus the number of rounds actually run —
     * the observable the O(log diameter) convergence spec asserts on.
     */
@@ -535,6 +673,12 @@ object Dedup {
       // instead of scanning every vertex per round
       changed = !next.join(labels.withColumnRenamed("label", "prev"), "id")
         .where(col("label") =!= col("prev")).isEmpty
+      // next is eagerly materialized and the convergence check above
+      // was the last read of the previous round's blocks — free them
+      // now, or a long run holds every round's full vertex-label table
+      // (2 checkpoints per round) resident at once
+      freeLocalCheckpoint(labels)
+      freeLocalCheckpoint(m)
       labels = next
       it += 1
     }

@@ -29,9 +29,11 @@ import org.apache.spark.sql.Row
   * cap) and exposes [[embedColumn]], a `mapPartitions` path where each
   * PARTITION streams its rows through batched requests — the per-row
   * network UDF the Embedder trait's contract forbids never exists.
-  * Executors each talk to the service directly (the client is
-  * per-JVM, rebuilt after deserialization), so request fan-out scales
-  * with the cluster, not the driver.
+  * Executors each talk to the service directly through ONE pooled
+  * HttpClient per JVM (a companion-object singleton keyed by timeout —
+  * every task deserializes its own embedder copy, so an instance-held
+  * client would be one fresh connection pool per task), so request
+  * fan-out scales with the cluster, not the driver.
   *
   * Failure semantics match the reference's re-embed contract
   * (app/services/chunk_service.py:38-45): any failure — timeout,
@@ -49,20 +51,23 @@ final class HttpEmbedder(endpoint: String, apiKey: String,
     "embedding API key not configured (reference: 'COHERE_API_KEY not configured')")
   require(batchSize > 0, s"batchSize must be positive, got $batchSize")
 
-  /** Requests actually issued by THIS JVM's instance — observable for
-    * the batching spec (texts.length / batchSize requests, not one per
-    * text). Transient: executors count their own.
+  /** Requests actually issued by this JVM against this endpoint —
+    * observable for the batching spec (texts.length / batchSize
+    * requests, not one per text). JVM-wide, not per-instance: task
+    * closures each deserialize their own embedder copy, so an
+    * instance-held counter on an executor would only ever see one
+    * task's worth.
     */
-  @transient private lazy val requestCounter = new java.util.concurrent.atomic.AtomicLong
-  def requestsIssued: Long = requestCounter.get()
+  def requestsIssued: Long = HttpEmbedder.counterFor(endpoint).get()
+  private def requestCounter = HttpEmbedder.counterFor(endpoint)
 
-  // HttpClient is not serializable; each deserialized copy (one per
-  // executor JVM) lazily builds its own, which then serves every task
-  // in that JVM.
-  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofMillis(timeoutMillis))
-    .build()
-  @transient private lazy val mapper = new ObjectMapper
+  // The HttpClient is a JVM-wide singleton keyed by timeout (see the
+  // companion): an instance-held client would be rebuilt per TASK
+  // (each task deserializes its own closure copy), opening thousands
+  // of short-lived connection pools at exactly the fan-out
+  // embedColumn exists for.
+  private def client: HttpClient = HttpEmbedder.clientFor(timeoutMillis)
+  private def mapper: ObjectMapper = HttpEmbedder.jsonMapper
 
   def embed(text: String): Array[Float] = embedBatch(Seq(text)).head
 
@@ -95,9 +100,17 @@ final class HttpEmbedder(endpoint: String, apiKey: String,
           s"embeddings for ${texts.size} texts")
     (0 until embs.size()).map { i =>
       val e = embs.get(i)
-      val out = new Array[Float](e.size())
+      // the declared dim is a contract, not advice: a model mismatch
+      // that returns the wrong width would otherwise surface far away
+      // (ragged parquet arrays, a crashing cosine) instead of at the
+      // first response
+      if (e.size() != dim)
+        throw new RuntimeException(
+          s"embedding service returned ${e.size()}-dim vectors, expected $dim " +
+            s"(model '$model' vs the corpus this embedder was configured for)")
+      val out = new Array[Float](dim)
       var j = 0
-      while (j < e.size()) { out(j) = e.get(j).floatValue(); j += 1 }
+      while (j < dim) { out(j) = e.get(j).floatValue(); j += 1 }
       out
     }
   }
@@ -131,4 +144,22 @@ final class HttpEmbedder(endpoint: String, apiKey: String,
         }
       }(enc)
   }
+}
+
+object HttpEmbedder {
+  // JVM-wide client pool: one HttpClient per distinct timeout config,
+  // shared by every embedder copy (driver instance, task closures) in
+  // this JVM. The request counters ride the same lifetime, keyed by
+  // endpoint, so requestsIssued observes every task in the JVM.
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[Long, HttpClient]
+  private val counters =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  private val jsonMapper = new ObjectMapper // thread-safe once configured
+
+  private def clientFor(timeoutMillis: Long): HttpClient =
+    clients.computeIfAbsent(timeoutMillis, t =>
+      HttpClient.newBuilder().connectTimeout(Duration.ofMillis(t)).build())
+  private def counterFor(endpoint: String): java.util.concurrent.atomic.AtomicLong =
+    counters.computeIfAbsent(endpoint, _ => new java.util.concurrent.atomic.AtomicLong)
 }

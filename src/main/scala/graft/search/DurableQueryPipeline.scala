@@ -36,9 +36,11 @@ final class DurableQueryPipeline(spark: SparkSession, engine: Engine,
                                  onStageCommitted: String => Unit = _ => ()) {
 
   private val mapper = new ObjectMapper
-  private val service = new SearchService(spark, engine, Some(embedder),
-    indexCache = Some(new graft.index.IndexCache()))
   private val delegate = new QueryPipeline(spark, engine, embedder)
+  // the delegate's service (and IndexCache) IS this pipeline's service:
+  // constructing a second one would double-build LSH indexes for the
+  // same libraries when both pipelines run over one engine
+  private def service: SearchService = delegate.service
 
   private def journalPath(workflowId: String): Path = {
     require(workflowId.matches("[A-Za-z0-9._-]+"), s"unsafe workflow id: $workflowId")
@@ -104,12 +106,29 @@ final class DurableQueryPipeline(spark: SparkSession, engine: Engine,
 
     // stage 1: setup (idempotent in the reference, but journaling it
     // means a resume does not even re-run the idempotence check, and
-    // a library CREATED by a crashed run keeps its id on resume)
-    val (libId, setup) = stage(workflowId, journal, "setup") {
-      delegate.setupTestData(libraryId)
-    } { case (id, tag) =>
-      val n = mapper.createObjectNode(); n.put("libId", id); n.put("tag", tag); n
-    } { n => (n.get("libId").asText(), n.get("tag").asText()) }
+    // a library CREATED by a crashed run keeps its id on resume).
+    // The replayed libId is only meaningful if the engine still holds
+    // that library: the journal file outlives the in-memory engine, so
+    // a resume in a FRESH process (the real driver-crash case) would
+    // otherwise replay an id the new engine has never seen and every
+    // subsequent run would die in the search stage. Setup is the one
+    // stage whose output is a reference INTO engine state rather than
+    // a value, so replay validates against the engine and falls back
+    // to re-executing the idempotent setup (re-journaling the new id)
+    // when the state is gone — the paid stages below still replay.
+    val (libId, setup) = {
+      val replayed = Option(journal.get("setup")).map { n0 =>
+        val n = n0.asInstanceOf[ObjectNode]
+        (n.get("libId").asText(), n.get("tag").asText())
+      }.filter { case (id, _) => engine.listLibraries().exists(_.id == id) }
+      replayed.getOrElse {
+        val a = delegate.setupTestData(libraryId)
+        val n = mapper.createObjectNode()
+        n.put("libId", a._1); n.put("tag", a._2)
+        commit(workflowId, journal, "setup", n)
+        a
+      }
+    }
 
     // stage 2: validate (cheap, but journaled so a query that was
     // valid when first accepted replays as valid — Temporal's

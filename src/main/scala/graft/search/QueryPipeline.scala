@@ -28,7 +28,10 @@ final case class PipelineResult(hits: Seq[Hit], index: String, libraryVersion: I
   */
 final class QueryPipeline(spark: SparkSession, engine: Engine, embedder: Embedder) {
 
-  private val service = new SearchService(spark, engine, Some(embedder),
+  // visible to DurableQueryPipeline so the durable twin reuses this
+  // service (and its IndexCache) instead of building a second pair
+  // that would re-build LSH indexes for the same libraries
+  private[search] val service = new SearchService(spark, engine, Some(embedder),
     indexCache = Some(new graft.index.IndexCache()))
 
   /** Idempotent demo seeding (O28, query_workflow.py:45-168): library

@@ -229,11 +229,21 @@ class DedupSpec extends AnyFunSuite {
     // the judge flagged. Pointer jumping must finish in ~log2(199)≈8
     // rounds (small slack for the final no-change verification round).
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
     val (labels, rounds) = Dedup.duplicateComponentsWithRounds(pairs)
     val got = labels.as[(Long, Long)].collect().toMap
     assert(got.size == 200)
     assert(got.values.forall(_ == 0L), s"non-zero labels: ${got.filter(_._2 != 0L).take(5)}")
     assert(rounds <= 12, s"expected O(log 199) ~ 9 rounds, took $rounds")
+    // superseded per-round checkpoints must be FREED as rounds advance:
+    // a 9-round run otherwise holds ~18 full vertex-label tables
+    // resident at once. After the call, at most the returned labels'
+    // blocks (plus unrelated suite-level caches) may remain — the
+    // per-round intermediates (2 checkpoints/round) must be gone.
+    val persistedNow = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedNow <= before + 1,
+      s"components run leaked ${persistedNow - before} persisted RDDs " +
+        "(expected only the returned labels to remain)")
   }
 
   test("duplicateComponents fails LOUDLY when the round cap stops it, never silently splits") {
@@ -242,6 +252,53 @@ class DedupSpec extends AnyFunSuite {
       Dedup.duplicateComponents(pairs, maxIter = 2)
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("prefixJaccardPairs is LOSSLESS: equals brute-force all-pairs Jaccard on real docs") {
+    // the whole point of the prefix filter is candidate pruning with
+    // ZERO recall loss — so the oracle here is the quadratic truth,
+    // computed in plain Scala over the sf0.001 corpus
+    val sfDir = "/root/testdata/sf0.001"
+    val real = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def tri(t: String): Set[String] =
+      t.trim.split(" +").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = real.map { case (id, t) => id -> tri(t) }.filter(_._2.nonEmpty)
+    val expected = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+      (ia, sa) = sets(i)
+      (ib, sb) = sets(j)
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= 0.5
+    } yield (math.min(ia, ib), math.max(ia, ib), jac)).toSet
+    val got = Dedup.prefixJaccardPairs(
+        Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) == expected.map(p => (p._1, p._2)),
+      s"pair sets differ: missing=${(expected.map(p => (p._1, p._2)) -- got.map(p => (p._1, p._2))).take(5)} " +
+        s"extra=${(got.map(p => (p._1, p._2)) -- expected.map(p => (p._1, p._2))).take(5)}")
+    assert(expected.nonEmpty, "degenerate corpus: no pairs at threshold 0.5")
+    // and the scores agree (single exact-int division — bitwise equal)
+    assert(got == expected)
+  }
+
+  test("prefix filtering prunes candidates well below the shared-token pair count") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docsh = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("id"),
+        array_distinct(TextFunctions.wordNgramsFast(3)(col("text"))).as("shs"))
+      .where(size(col("shs")) > 0)
+    val posting = docsh.select(col("id"), explode(col("shs")).as("sh"))
+    val sharedTokenPairs = posting.toDF("id_a", "sh")
+      .join(posting.toDF("id_b", "sh"), "sh")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().count()
+    val candidates = Dedup.prefixCandidates(docsh, 0.5).count()
+    assert(candidates < sharedTokenPairs / 2,
+      s"prefix filter pruned nothing: $candidates candidates vs $sharedTokenPairs shared-token pairs")
   }
 
   test("dedup_components agrees with a plain-Scala union-find on the same pairs") {

@@ -95,6 +95,38 @@ class DurableQueryPipelineSpec extends AnyFunSuite {
     assert(embedder.calls.get() == calls + 3)
   }
 
+  test("resume in a FRESH process (new Engine) re-seeds setup but still replays the paid embed stage") {
+    val dir = tmpDir()
+    val embedder = new CountingEmbedder
+    // first incarnation: the real driver-crash case — the journal file
+    // outlives the in-memory engine entirely
+    val dying = new DurableQueryPipeline(spark, new Engine(), embedder, dir,
+      onStageCommitted = s => if (s == "embed") throw new RuntimeException("driver killed"))
+    intercept[RuntimeException] { dying.run("wf-4", "lib-v", queryText = Some("quick fox")) }
+    val callsAfterCrash = embedder.calls.get()
+
+    // second incarnation: NEW process = NEW engine. The journaled
+    // libId points at state the new engine has never seen; a naive
+    // replay would die in the search stage with library-not-found on
+    // every resume (the journal never un-sticks). Setup must fall back
+    // to re-executing, while embed — the paid stage — still replays.
+    val engine2 = new Engine()
+    val resumed = new DurableQueryPipeline(spark, engine2, embedder, dir)
+    val r = resumed.run("wf-4", "lib-v", queryText = Some("quick fox"))
+    assert(r.hits.nonEmpty)
+    assert(engine2.listLibraries().size == 1) // setup re-seeded the fresh engine
+    // setup re-ran (2 seed-chunk embeds) but the QUERY embed replayed
+    // from the journal — no third query-embed call
+    assert(embedder.calls.get() == callsAfterCrash + 2,
+      s"expected only the 2 seed embeds on resume, got ${embedder.calls.get() - callsAfterCrash}")
+    // and the re-journaled setup means a THIRD run is a pure replay
+    val calls2 = embedder.calls.get()
+    val again = new DurableQueryPipeline(spark, engine2, embedder, dir)
+      .run("wf-4", "lib-v", queryText = Some("quick fox"))
+    assert(again.hits.map(_.text) == r.hits.map(_.text))
+    assert(embedder.calls.get() == calls2)
+  }
+
   test("crash DURING a stage commit leaves the previous journal intact (stage re-runs)") {
     val dir = tmpDir()
     val engine = new Engine()

@@ -84,6 +84,18 @@ class HttpEmbedderSpec extends AnyFunSuite {
     }
   }
 
+  test("wrong-width embeddings fail loudly at the first response, not downstream") {
+    withServer() { (url, _) =>
+      // the stub always returns 4-float vectors; declaring dim=8
+      // models a model/corpus mismatch that would otherwise surface
+      // as ragged parquet arrays or a crashing cosine far from here
+      val emb = new HttpEmbedder(url, "test-key", dim = 8)
+      val e = intercept[RuntimeException] { emb.embed("hello") }
+      assert(e.getMessage.contains("4-dim"))
+      assert(e.getMessage.contains("expected 8"))
+    }
+  }
+
   test("non-2xx surfaces as an error with the status code") {
     withServer(status = 503) { (url, _) =>
       val emb = new HttpEmbedder(url, "test-key", dim = 4)
