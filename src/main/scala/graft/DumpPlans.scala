@@ -128,11 +128,13 @@ object DumpPlans {
       // double-aliased nation broadcast; Q11's HAVING-vs-global-total
       // is a 1-row broadcast against the per-part aggregate
       "q6_forecast_revenue", "q8_market_share", "q11_important_parts",
-      // the prefix-filtered EXACT similarity self-join: the wide
-      // stages must all be keyed by 8-byte hashes (no string or array
-      // payloads before the candidate-only verify fetch), and the
-      // pair expansion must come from grouped posting lists, not a
-      // posting⋈posting self-join
+      // the prefix-filtered EXACT similarity self-join: every wide
+      // stage is keyed by 8-byte shingle hashes or doc ids (shingle
+      // STRINGS never leave the scan — they are hashed in-row); the
+      // per-doc groupBys carry bounded hash-array payloads, the
+      // candidate expansion ships bare (id_a, id_b) keys from grouped
+      // posting lists (not a posting⋈posting self-join), and full
+      // arrays are fetched only for candidate pairs at the verify
       "simjoin_prefix_jaccard",
       // dedup_cluster_stats is deliberately absent: its plan is two
       // tiny aggregates over the CACHED components table, and in a

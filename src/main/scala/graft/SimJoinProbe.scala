@@ -36,16 +36,18 @@ object SimJoinProbe {
       time("docsh materialize")(docsh.count())
       val cand = time("candidates")(Dedup.prefixCandidates(docsh, 0.5).cache())
       time("candidates count")(println("  n_cand=" + cand.count()))
-      val sizes = docsh.select(col("id"), size(col("shs")).cast("long").as("n"))
+      // mirrors prefixJaccardPairs' verify EXACTLY (sizes read in-row
+      // off the fetched arrays, no separate sizes joins) — a probe
+      // phase that is heavier than the operator's real stage would
+      // misattribute regressions
       time("verify") {
         val n = cand
           .join(docsh.toDF("id_a", "shs_a"), "id_a")
           .join(docsh.toDF("id_b", "shs_b"), "id_b")
           .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
-          .join(sizes.toDF("id_a", "n_a"), "id_a")
-          .join(sizes.toDF("id_b", "n_b"), "id_b")
           .withColumn("jaccard",
-            col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+            col("n_inter").cast("double") /
+              (size(col("shs_a")) + size(col("shs_b")) - col("n_inter")).cast("double"))
           .where(col("jaccard") >= 0.5)
           .count()
         println("  n_pairs=" + n)

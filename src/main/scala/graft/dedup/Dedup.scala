@@ -683,11 +683,16 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
-    if (changed)
+    if (changed) {
+      // nothing will ever read the partial labels — free their
+      // checkpoint blocks too, or every failed invocation leaks one
+      // full vertex-label table for the session lifetime
+      freeLocalCheckpoint(labels)
       throw new IllegalStateException(
         s"duplicateComponents did not converge in $maxIter rounds — " +
           "labels would be partially propagated (split components). " +
           "Raise maxIter; with pointer jumping, rounds ~ log2(component diameter).")
+    }
     (labels, it)
   }
 

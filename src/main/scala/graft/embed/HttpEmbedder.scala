@@ -51,14 +51,20 @@ final class HttpEmbedder(endpoint: String, apiKey: String,
     "embedding API key not configured (reference: 'COHERE_API_KEY not configured')")
   require(batchSize > 0, s"batchSize must be positive, got $batchSize")
 
-  /** Requests actually issued by this JVM against this endpoint —
-    * observable for the batching spec (texts.length / batchSize
-    * requests, not one per text). JVM-wide, not per-instance: task
-    * closures each deserialize their own embedder copy, so an
-    * instance-held counter on an executor would only ever see one
-    * task's worth.
+  /** Requests issued against this endpoint SINCE THIS INSTANCE was
+    * constructed — the observable the batching spec asserts on
+    * (texts.length / batchSize requests, not one per text). The
+    * underlying counter is JVM-wide per endpoint (task closures each
+    * deserialize their own embedder copy, so an instance-held counter
+    * on an executor would only ever see one task's worth); the
+    * construction-time baseline restores per-instance semantics on
+    * the driver and keeps counts from bleeding between instances that
+    * happen to share an endpoint string (e.g. ephemeral-port reuse
+    * across test servers).
     */
-  def requestsIssued: Long = HttpEmbedder.counterFor(endpoint).get()
+  private val requestsBaseline = HttpEmbedder.counterFor(endpoint).get()
+  def requestsIssued: Long =
+    HttpEmbedder.counterFor(endpoint).get() - requestsBaseline
   private def requestCounter = HttpEmbedder.counterFor(endpoint)
 
   // The HttpClient is a JVM-wide singleton keyed by timeout (see the

@@ -111,17 +111,22 @@ final class DurableQueryPipeline(spark: SparkSession, engine: Engine,
     // that library: the journal file outlives the in-memory engine, so
     // a resume in a FRESH process (the real driver-crash case) would
     // otherwise replay an id the new engine has never seen and every
-    // subsequent run would die in the search stage. Setup is the one
-    // stage whose output is a reference INTO engine state rather than
-    // a value, so replay validates against the engine and falls back
-    // to re-executing the idempotent setup (re-journaling the new id)
-    // when the state is gone — the paid stages below still replay.
+    // subsequent run would die in the search stage. Replay therefore
+    // validates against the engine and falls back to re-executing the
+    // idempotent setup (re-journaling the new id) when the state is
+    // gone. The SEARCH stage's journaled hits reference engine state
+    // too (library_id / chunk_id / libraryVersion of the dead
+    // engine), so an invalidated setup also drops the journaled
+    // search — it re-executes against the re-seeded library.
+    // Validate and embed are pure VALUES and still replay: the paid
+    // embed call is never re-bought.
     val (libId, setup) = {
       val replayed = Option(journal.get("setup")).map { n0 =>
         val n = n0.asInstanceOf[ObjectNode]
         (n.get("libId").asText(), n.get("tag").asText())
       }.filter { case (id, _) => engine.listLibraries().exists(_.id == id) }
       replayed.getOrElse {
+        journal.remove("search") // stale: points at the dead engine's entities
         val a = delegate.setupTestData(libraryId)
         val n = mapper.createObjectNode()
         n.put("libId", a._1); n.put("tag", a._2)

@@ -127,6 +127,33 @@ class DurableQueryPipelineSpec extends AnyFunSuite {
     assert(embedder.calls.get() == calls2)
   }
 
+  test("fresh-process resume ALSO drops a journaled search: replayed hits must not point at dead-engine entities") {
+    val dir = tmpDir()
+    val embedder = new CountingEmbedder
+    val engine1 = new Engine()
+    // complete the whole workflow (search stage journaled), then the
+    // process dies — journal outlives engine1
+    val p1 = new DurableQueryPipeline(spark, engine1, embedder, dir)
+    val r1 = p1.run("wf-5", "lib-u", queryText = Some("quick fox"))
+    assert(r1.hits.nonEmpty)
+    val deadLib = engine1.listLibraries().head.id
+
+    // new process, new engine: replaying the journaled search verbatim
+    // would hand back hits whose library_id/chunk_id reference engine1
+    // entities that do not exist here. Setup invalidation must drop
+    // the search stage so it re-executes against the re-seeded library.
+    val engine2 = new Engine()
+    val r2 = new DurableQueryPipeline(spark, engine2, embedder, dir)
+      .run("wf-5", "lib-u", queryText = Some("quick fox"))
+    val liveLib = engine2.listLibraries().head.id
+    assert(r2.hits.nonEmpty)
+    assert(r2.hits.forall(_.library_id == liveLib),
+      s"replayed hits reference the dead engine's library $deadLib")
+    val liveChunks = engine2.state.chunks.map(_.id).toSet
+    assert(r2.hits.forall(h => liveChunks.contains(h.chunk_id)),
+      "replayed hits reference chunk ids the live engine does not hold")
+  }
+
   test("crash DURING a stage commit leaves the previous journal intact (stage re-runs)") {
     val dir = tmpDir()
     val engine = new Engine()
