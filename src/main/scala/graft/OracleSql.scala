@@ -382,6 +382,31 @@ object OracleSql {
         |  count(*) - count(DISTINCT md5(text)) AS n_dupes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    // paragraph (10-token block) keep-first dedup with reassembly:
+    // block b of doc d survives iff (d, idx) is the lexicographic min
+    // occurrence of b's text; kept_text_md5 hashes the space-joined
+    // surviving blocks in order (NULL when nothing survives)
+    "dedup_paragraph" ->
+      """WITH docw AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+        |blk AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(w[i*10+1 : least((i+1)*10, len(w))], ' ') AS b
+        |  FROM docw, (SELECT unnest(range(0, (SELECT max((len(w)+9)//10) FROM docw))) AS i)
+        |  WHERE i*10 < len(w)),
+        |firsts AS (SELECT b, min(struct_pack(d := doc_id, i := idx)) AS f
+        |           FROM blk GROUP BY b),
+        |kept AS (SELECT k.doc_id, k.idx, k.b
+        |         FROM blk k JOIN firsts fs ON k.b = fs.b
+        |         WHERE k.doc_id = fs.f.d AND k.idx = fs.f.i),
+        |ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |         md5(string_agg(b, ' ' ORDER BY idx)) AS kept_text_md5
+        |       FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*)::BIGINT AS n_blocks FROM blk GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_blocks, COALESCE(ka.n_kept, 0) AS n_kept,
+        |  ROUND(COALESCE(ka.n_kept, 0)::DOUBLE / t.n_blocks, 4) AS kept_ratio,
+        |  ka.kept_text_md5
+        |FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
     "text_token_stats" ->
       """WITH t AS (SELECT lang, len(string_split_regex(trim(text), ' +')) AS n FROM documents)
         |SELECT lang, count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,

@@ -1414,6 +1414,15 @@ object Queries {
     Dedup.exactStats(Tables.documents(spark, sfDir), col("source"), col("text"))
       .orderBy(col("source"))
 
+  /** Cross-document paragraph dedup (MassiveText §A1.2) over 10-token
+    * blocks with keep-first reassembly — see [[Dedup.paragraphDedup]]
+    * for the slim-shuffle design. The word-soup corpus repeats tokens
+    * heavily, so block collisions genuinely occur at every SF and the
+    * kept_ratio column exercises the keep-first tie-break. */
+  def dedupParagraph(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.paragraphDedup(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   def textTokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("n", TextFunctions.tokenCount(col("text")))
@@ -3526,6 +3535,7 @@ object Queries {
     "events_pivot_native" -> (eventsPivotNative _),
     "set_ops_users" -> (setOpsUsers _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_paragraph" -> (dedupParagraph _),
     "text_token_stats" -> (textTokenStats _),
     "token_fertility" -> (tokenFertility _),
     "text_quality" -> (textQuality _),

@@ -30,6 +30,60 @@ object Dedup {
         countDistinct(md5(textCol)).as("n_distinct"),
         (count(lit(1)) - countDistinct(md5(textCol))).as("n_dupes"))
 
+  /** Paragraph-level exact dedup with document reassembly — the
+    * MassiveText/Gopher "remove duplicated paragraphs across documents"
+    * pass (Rae et al. 2021 §A1.2), adapted to this corpus's
+    * single-paragraph docs by treating fixed `blockTokens`-token blocks
+    * as the paragraph unit. Keep-first global policy: a block survives
+    * iff its (doc_id, block_idx) is the lexicographically smallest
+    * occurrence of that block's content anywhere in the corpus.
+    *
+    * Shuffle discipline for 100 TB: raw block TEXT never enters an
+    * exchange. The keep-first decision runs on a slim
+    * (doc_id, idx, md5(block)) projection (~48 B/block) — one
+    * hash-aggregate (min struct per digest) plus one equi-join back to
+    * the same slim frame; surviving indexes re-aggregate per document
+    * (sorted int list), and the kept text is REBUILT by indexing into
+    * the block array recomputed from the original row, so text is only
+    * touched inside per-row codegen'd HOFs. Production note: md5 is
+    * used because the DuckDB oracle shares it; xxhash128 would halve
+    * the digest width.
+    *
+    * Output: (doc_id, n_blocks, n_kept, kept_ratio,
+    * kept_text_md5 — NULL when every block of the doc was seen
+    * earlier).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     blockTokens: Int = 10): DataFrame = {
+    val toks = split(trim(col(textCol)), " +")
+    val withBlocks = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("w"))
+      .withColumn("blks",
+        transform(sequence(lit(0), ((size(col("w")) - 1) / blockTokens).cast("int")),
+          i => concat_ws(" ",
+            slice(col("w"), i * blockTokens + lit(1), lit(blockTokens)))))
+    val slim = withBlocks
+      .select(col("doc_id"), posexplode(col("blks")).as(Seq("idx", "blk")))
+      .select(col("doc_id"), col("idx"), md5(col("blk")).as("h"))
+    val firsts = slim.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("fd"), col("f.idx").as("fi"))
+    val keptIdx = slim.join(firsts, Seq("h"))
+      .where(col("doc_id") === col("fd") && col("idx") === col("fi"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("kept"))
+    withBlocks.join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("blks")).cast("long").as("n_blocks"),
+        coalesce(size(col("kept")), lit(0)).cast("long").as("n_kept"),
+        round(coalesce(size(col("kept")), lit(0)).cast("double") /
+          size(col("blks")), 4).as("kept_ratio"),
+        when(size(col("kept")) > 0,
+          md5(concat_ws(" ",
+            transform(col("kept"), i => element_at(col("blks"), i + lit(1))))))
+          .as("kept_text_md5"))
+  }
+
   private val MersennePrime = 2147483647L // 2^31 - 1
 
   /** Deterministic universal-hash family h_i(x) = (a_i*x + b_i) mod p.

@@ -360,6 +360,65 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraphDedup: global keep-first over blocks, reassembly md5, zero-kept doc") {
+    def m(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val pd = Seq(
+      (0L, "a b c d e f g"),        // blocks: "a b c" "d e f" "g" — all fresh
+      (1L, "d e f a b c x y z"),    // first two blocks dup d0's, "x y z" fresh
+      (2L, "g g g"),                // "g g g" != "g" — fresh
+      (3L, "a b c"),                // whole doc already seen -> keeps nothing
+      (4L, "q q q q q q"))          // in-DOC dup: 2nd "q q q" drops, 1st kept
+      .toDF("doc_id", "text")
+    val rows = Dedup.paragraphDedup(pd, "doc_id", "text", blockTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Option[String])].collect()
+    assert(rows(0) == ((0L, 3L, 3L, 1.0, Some(m("a b c d e f g")))))
+    assert(rows(1) == ((1L, 3L, 1L, 0.3333, Some(m("x y z")))))
+    assert(rows(2) == ((2L, 1L, 1L, 1.0, Some(m("g g g")))))
+    assert(rows(3) == ((3L, 1L, 0L, 0.0, None))) // every block seen earlier
+    assert(rows(4) == ((4L, 2L, 1L, 0.5, Some(m("q q q")))))
+  }
+
+  test("paragraphDedup keep-first decision shuffles digests only, never block text") {
+    // the design contract: every exchange that partitions by the block
+    // DIGEST (the keep-first groupBy + the join back) must carry only
+    // doc_id/idx/md5 — raw block text may ride an exchange only in the
+    // final per-doc reassembly join, which is the inherent corpus-
+    // rewrite cost (and disappears entirely if the table is stored
+    // bucketed by doc_id)
+    // AQE's wrapper hides the tree from collect(), so lint the
+    // non-adaptive physical plan — the exchange KEYS are identical
+    val plan = withSQLConfValue("spark.sql.adaptive.enabled", "false") {
+      Dedup.paragraphDedup(
+          Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+        .queryExecution.executedPlan
+    }
+    val digestExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.filter(_.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.exists(_.references.exists(_.name == "h"))
+      case _ => false
+    })
+    assert(digestExchanges.nonEmpty, "expected keep-first exchanges keyed on the digest")
+    digestExchanges.foreach { e =>
+      val cols = e.child.output.map(_.name.toLowerCase)
+      assert(!cols.contains("blk") && !cols.contains("text") && !cols.contains("w"),
+        s"block text leaked into a digest-keyed exchange: $cols")
+    }
+  }
+
+  private def withSQLConfValue[A](k: String, v: String)(f: => A): A = {
+    val saved = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try f finally saved match {
+      case Some(x) => spark.conf.set(k, x)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
