@@ -407,6 +407,18 @@ object OracleSql {
         |  ka.kept_text_md5
         |FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
+    // same in-query NFD construction (every 'a' -> 'a' + U+0301), then
+    // DuckDB's nfc_normalize plays the part of UnicodeNormalize.nfc;
+    // len() counts codepoints in both engines for BMP input
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |    regexp_replace(text, 'a', 'a' || chr(769), 'g') AS nfd FROM documents),
+        |c AS (SELECT doc_id, len(nfd)::BIGINT AS n_nfd,
+        |    nfc_normalize(nfd) AS nfc FROM n)
+        |SELECT doc_id, n_nfd, len(nfc)::BIGINT AS n_nfc,
+        |  (n_nfd - len(nfc))::BIGINT AS n_composed, md5(nfc) AS nfc_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "text_token_stats" ->
       """WITH t AS (SELECT lang, len(string_split_regex(trim(text), ' +')) AS n FROM documents)
         |SELECT lang, count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,

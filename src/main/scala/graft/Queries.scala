@@ -1423,6 +1423,28 @@ object Queries {
     Dedup.paragraphDedup(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Unicode normalization gate ([[graft.expressions.UnicodeNormalize]],
+    * the NFC pass a web corpus needs before exact dedup: precomposed vs
+    * combining-mark encodings of the same visible text must hash
+    * identically). The corpus is pure ASCII, where NFC is the identity
+    * — so the gate CONSTRUCTS decomposed input in-query (every 'a'
+    * becomes 'a' + U+0301 combining acute) with the same
+    * `regexp_replace` in both engines, then proves the Spark
+    * expression composes exactly as DuckDB's `nfc_normalize`:
+    * per-document codepoint counts before/after, the number of
+    * compositions performed, and the md5 of the composed text. */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "a", "a\u0301").as("nfd"))
+      .select(col("doc_id"), length(col("nfd")).cast("long").as("n_nfd"),
+        graft.expressions.UnicodeNormalize.nfc(col("nfd")).as("nfc"))
+      .select(col("doc_id"), col("n_nfd"),
+        length(col("nfc")).cast("long").as("n_nfc"),
+        (col("n_nfd") - length(col("nfc"))).cast("long").as("n_composed"),
+        md5(col("nfc")).as("nfc_md5"))
+      .orderBy(col("doc_id"))
+
   def textTokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("n", TextFunctions.tokenCount(col("text")))
@@ -3536,6 +3558,7 @@ object Queries {
     "set_ops_users" -> (setOpsUsers _),
     "dedup_exact" -> (dedupExact _),
     "dedup_paragraph" -> (dedupParagraph _),
+    "text_normalize" -> (textNormalize _),
     "text_token_stats" -> (textTokenStats _),
     "token_fertility" -> (tokenFertility _),
     "text_quality" -> (textQuality _),

@@ -106,4 +106,50 @@ class TextFunctionsSpec extends AnyFunSuite {
       assert(df(id)._1 == want, s"case $id")
     }
   }
+  test("UnicodeNormalize: NFC composes, NFD decomposes, NFKC folds compatibility") {
+    import graft.expressions.UnicodeNormalize
+    val nfdCafe = "café"            // e + combining acute
+    val nfcCafe = "café"             // precomposed
+    val rows = Seq((0L, nfdCafe), (1L, nfcCafe), (2L, "ﬁle"), // fi-ligature
+        (3L, null.asInstanceOf[String]), (4L, "plain ascii"))
+      .toDF("id", "t")
+      .select(col("id"),
+        UnicodeNormalize.nfc(col("t")).as("c"),
+        UnicodeNormalize.nfd(col("t")).as("d"),
+        UnicodeNormalize.nfkc(col("t")).as("kc"))
+      .as[(Long, Option[String], Option[String], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows(0L) == ((Some(nfcCafe), Some(nfdCafe), Some(nfcCafe))))
+    assert(rows(1L) == ((Some(nfcCafe), Some(nfdCafe), Some(nfcCafe))))
+    // NFC leaves the ligature alone; NFKC folds it to "fi"
+    assert(rows(2L) == ((Some("ﬁle"), Some("ﬁle"), Some("file"))))
+    assert(rows(3L) == ((None, None, None))) // NULL in -> NULL out
+    assert(rows(4L) == ((Some("plain ascii"), Some("plain ascii"), Some("plain ascii"))))
+  }
+
+  test("UnicodeNormalize survives non-BMP input and is idempotent") {
+    import graft.expressions.UnicodeNormalize
+    import java.text.Normalizer
+    // supplementary plane (surrogate pair) + decomposed mark after it
+    val s0 = "😀áz"
+    val out = Seq(s0).toDF("t")
+      .select(UnicodeNormalize.nfc(col("t")).as("c")).as[String].collect()(0)
+    assert(out == Normalizer.normalize(s0, Normalizer.Form.NFC))
+    val again = Seq(out).toDF("t")
+      .select(UnicodeNormalize.nfc(col("t")).as("c")).as[String].collect()(0)
+    assert(again == out)
+  }
+
+  test("UnicodeNormalize is a codegen Expression: no ScalaUDF in the plan") {
+    import graft.expressions.UnicodeNormalize
+    val plan = Seq("x").toDF("t")
+      .select(UnicodeNormalize.nfc(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // invalid form fails analysis loudly, not at runtime
+    intercept[Exception] {
+      Seq("x").toDF("t").select(UnicodeNormalize.of(col("t"), "NFX")).collect()
+    }
+  }
 }
+
