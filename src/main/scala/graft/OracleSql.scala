@@ -59,6 +59,58 @@ object OracleSql {
     s"""${knnScores("")}
        |SELECT vec_id, ROUND(s, 4) AS score FROM scores ORDER BY s DESC, vec_id LIMIT 5""".stripMargin
 
+  /** MMR replay ([[graft.search.Mmr]]): the greedy λ=0.7 selection
+    * unrolled as five argmax CTEs — step t scores every unselected
+    * pool member as `0.7·rel − (1.0−0.7)·max sim-to-selected` and
+    * takes the (mmr DESC, vec_id) top-1. Relevance and pairwise
+    * similarities are rounded to 4 dp BEFORE the loop in both engines,
+    * and the penalty weight is the same `1.0 - 0.7` subtraction (a
+    * pre-simplified 0.3 literal is a DIFFERENT double), so the argmax
+    * comparisons run on provably identical values.
+    */
+  private val searchMmrSql: String = {
+    val k = 5
+    val steps = (2 to k).map { t =>
+      s"""sel$t AS (
+         |  SELECT c.vec_id, c.rel, 0.7*c.rel - (1.0 - 0.7)*MAX(s.s) AS mmr
+         |  FROM cand c
+         |  JOIN sim s ON s.va = c.vec_id AND s.vb IN (SELECT vec_id FROM p${t - 1})
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM p${t - 1})
+         |  GROUP BY c.vec_id, c.rel
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+         |p$t AS (SELECT vec_id FROM p${t - 1} UNION ALL SELECT vec_id FROM sel$t),""".stripMargin
+    }.mkString("\n").stripSuffix(",") // p$k is defined-but-unused; the comma must go
+    val unions = (1 to k)
+      .map(t => s"SELECT $t::BIGINT AS rank, vec_id, rel AS relevance, " +
+        s"ROUND(mmr, 4) AS mmr_score FROM sel$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+       |          FROM embeddings e, q WHERE e.vec_id <> 0),
+       |scores AS (SELECT vec_id,
+       |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+       |  FROM pairs GROUP BY vec_id),
+       |cand AS (SELECT vec_id, ROUND(s, 4) AS rel FROM scores ORDER BY s DESC, vec_id LIMIT 20),
+       |cpairs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+       |  FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |sim0 AS (SELECT va, vb,
+       |  ROUND(SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))), 4) AS s
+       |  FROM cpairs GROUP BY va, vb),
+       |sim AS (SELECT va, vb, s FROM sim0
+       |        UNION ALL SELECT vb AS va, va AS vb, s FROM sim0),
+       |sel1 AS (SELECT vec_id, rel, 0.7*rel AS mmr FROM cand
+       |         ORDER BY rel DESC, vec_id LIMIT 1),
+       |p1 AS (SELECT vec_id FROM sel1),
+       |$steps
+       |$unions
+       |ORDER BY rank""".stripMargin
+  }
+
   private val attributionSql =
     """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
       |  FROM events WHERE event_type = 'click'),
@@ -200,6 +252,7 @@ object OracleSql {
     "events_retention" -> eventsRetentionSql,
     "events_retention_stream" -> eventsRetentionSql,
     "knn_brute" -> knnBruteSql,
+    "search_mmr" -> searchMmrSql,
     "ann_nsw" -> knnBruteSql,
     "ann_hnsw" -> knnBruteSql,
     "ann_pq" -> knnBruteSql,

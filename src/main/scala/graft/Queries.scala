@@ -3420,6 +3420,19 @@ object Queries {
       "doc_id", "text", "vec_id", col("embedding"),
       Seq("table", "scan", "merge"), queryVec(spark, sfDir))
 
+  /** MMR-diversified retrieval ([[graft.search.Mmr]]): top-20 cosine
+    * pool against vec 0 (the query row itself excluded — with it in,
+    * the first pick is the degenerate score-1.0 self-match), then
+    * greedy λ=0.7 selection of 5. The DuckDB oracle replays the greedy
+    * loop as five unrolled argmax CTEs over the same rounded
+    * relevance/similarity values, so every selection DECISION — not
+    * just the final set — is cross-engine-checked. */
+  def searchMmr(spark: SparkSession, sfDir: String): DataFrame =
+    graft.search.Mmr.diversify(
+      Tables.embeddings(spark, sfDir).where(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(spark, sfDir),
+      k = 5, poolSize = 20, lambda = 0.7)
+
   /** Batch embedding generation (the BASELINE.json north star: "Spark
     * could implement batch embedding generation") as a first-class
     * query: mapPartitions over documents with ONE embedder instance per
@@ -3640,6 +3653,7 @@ object Queries {
     "ann_sq" -> (annSq _),
     "ann_ivfpq" -> (annIvfPq _),
     "hybrid_rrf" -> (hybridRrf _),
+    "search_mmr" -> (searchMmr _),
     "chunk_documents" -> (chunkDocuments _),
     "rag_chunk_search" -> (ragChunkSearch _),
     "decontaminate_bloom" -> (decontaminateBloom _),
