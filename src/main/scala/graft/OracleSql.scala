@@ -445,7 +445,8 @@ object OracleSql {
         |  SELECT doc_id, i AS idx,
         |    array_to_string(w[i*10+1 : least((i+1)*10, len(w))], ' ') AS b
         |  FROM docw, (SELECT unnest(range(0, (SELECT max((len(w)+9)//10) FROM docw))) AS i)
-        |  WHERE i*10 < len(w)),
+        |  WHERE i*10 < len(w)
+        |    AND array_to_string(w[i*10+1 : least((i+1)*10, len(w))], ' ') <> ''),
         |firsts AS (SELECT b, min(struct_pack(d := doc_id, i := idx)) AS f
         |           FROM blk GROUP BY b),
         |kept AS (SELECT k.doc_id, k.idx, k.b

@@ -56,12 +56,22 @@ object Dedup {
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      blockTokens: Int = 10): DataFrame = {
     val toks = split(trim(col(textCol)), " +")
+    // An empty / whitespace-only document splits to [""], whose single
+    // block is the empty string — left in, it would participate in the
+    // GLOBAL keep-first (the first empty doc "keeps" the empty block and
+    // every later one reports n_kept=0), an accidental semantics. Filter
+    // empty blocks instead: block text from any real token is non-empty
+    // by construction, so only empty docs are affected — they carry no
+    // paragraphs and are dropped from the report (oracle agrees: its blk
+    // CTE applies the same <> '' filter).
     val withBlocks = docs
       .select(col(idCol).cast("long").as("doc_id"), toks.as("w"))
       .withColumn("blks",
-        transform(sequence(lit(0), ((size(col("w")) - 1) / blockTokens).cast("int")),
-          i => concat_ws(" ",
-            slice(col("w"), i * blockTokens + lit(1), lit(blockTokens)))))
+        filter(
+          transform(sequence(lit(0), ((size(col("w")) - 1) / blockTokens).cast("int")),
+            i => concat_ws(" ",
+              slice(col("w"), i * blockTokens + lit(1), lit(blockTokens)))),
+          b => b =!= lit("")))
     val slim = withBlocks
       .select(col("doc_id"), posexplode(col("blks")).as(Seq("idx", "blk")))
       .select(col("doc_id"), col("idx"), md5(col("blk")).as("h"))
@@ -72,7 +82,8 @@ object Dedup {
       .where(col("doc_id") === col("fd") && col("idx") === col("fi"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("idx"))).as("kept"))
-    withBlocks.join(keptIdx, Seq("doc_id"), "left")
+    withBlocks.where(size(col("blks")) > 0)
+      .join(keptIdx, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("blks")).cast("long").as("n_blocks"),
         coalesce(size(col("kept")), lit(0)).cast("long").as("n_kept"),

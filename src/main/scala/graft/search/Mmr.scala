@@ -43,20 +43,29 @@ object Mmr {
     val remaining = collection.mutable.LinkedHashMap(rel: _*)
     val out = collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
     val selected = collection.mutable.ArrayBuffer.empty[Long]
-    while (out.length < k && remaining.nonEmpty) {
+    var exhausted = false
+    while (out.length < k && remaining.nonEmpty && !exhausted) {
       var bestId = -1L
       var bestScore = Double.NegativeInfinity
       remaining.foreach { case (id, r) =>
         val pen = if (selected.isEmpty) 0.0
           else selected.iterator.map(s => simOf(id, s)).max
         val score = lambda * r - penaltyW * pen
-        if (score > bestScore || (score == bestScore && id < bestId)) {
+        // NaN score (a NaN float in an embedding row survives the cosine)
+        // never wins the argmax: every comparison against NaN is false,
+        // so without the explicit skip bestId could stay -1 and the
+        // remaining(bestId) lookup would crash the whole query.
+        if (!score.isNaN &&
+            (score > bestScore || (score == bestScore && id < bestId))) {
           bestScore = score; bestId = id
         }
       }
-      out += ((bestId, remaining(bestId), bestScore))
-      selected += bestId
-      remaining.remove(bestId)
+      if (bestId == -1L) exhausted = true // all remaining scores NaN
+      else {
+        out += ((bestId, remaining(bestId), bestScore))
+        selected += bestId
+        remaining.remove(bestId)
+      }
     }
     out.toSeq
   }
@@ -75,15 +84,18 @@ object Mmr {
       .select(col(idCol).cast("long").as("id"), col(embCol).as("e"),
         round(col("score"), 4).as("rel"))
       .cache()
-    val rel = cand.select(col("id"), col("rel"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val a = cand.select(col("id").as("ida"), col("e").as("ea"))
-    val b = cand.select(col("id").as("idb"), col("e").as("eb"))
-    val sim = a.join(b, col("ida") < col("idb"))
-      .select(col("ida"), col("idb"),
-        round(VectorFunctions.cosine(col("ea"), col("eb")), 4).as("s"))
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    cand.unpersist()
+    val (rel, sim) =
+      try {
+        val rel = cand.select(col("id"), col("rel"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val a = cand.select(col("id").as("ida"), col("e").as("ea"))
+        val b = cand.select(col("id").as("idb"), col("e").as("eb"))
+        val sim = a.join(b, col("ida") < col("idb"))
+          .select(col("ida"), col("idb"),
+            round(VectorFunctions.cosine(col("ea"), col("eb")), 4).as("s"))
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        (rel, sim)
+      } finally cand.unpersist() // a throwing collect must not leak the cached pool
     val picked = select(rel, sim, k, lambda)
     val rows = picked.zipWithIndex.map { case ((id, r, m), i) =>
       Row((i + 1).toLong, id, r, m)

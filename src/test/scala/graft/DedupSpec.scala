@@ -381,6 +381,23 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(4) == ((4L, 2L, 1L, 0.5, Some(m("q q q")))))
   }
 
+  test("paragraphDedup: empty / whitespace-only docs carry no blocks and drop out") {
+    // r11 ADVICE: [""]-token docs used to contribute ONE empty-string
+    // block that joined the global keep-first (first empty doc "kept"
+    // it, later ones reported n_kept=0) — accidental semantics. Now the
+    // empty block is filtered on both engines and such docs vanish from
+    // the report; real docs are untouched by the filter.
+    val pd = Seq(
+      (0L, ""), (1L, "   "),        // no content -> no paragraphs
+      (2L, "a b c"), (3L, ""))      // a real doc in between
+      .toDF("doc_id", "text")
+    val rows = Dedup.paragraphDedup(pd, "doc_id", "text", blockTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Option[String])].collect()
+    assert(rows.map(_._1).toSeq == Seq(2L), s"only the real doc reports: ${rows.toSeq}")
+    assert(rows(0)._2 == 1L && rows(0)._3 == 1L)
+  }
+
   test("paragraphDedup keep-first decision shuffles digests only, never block text") {
     // the design contract: every exchange that partitions by the block
     // DIGEST (the keep-first groupBy + the join back) must carry only
@@ -390,7 +407,7 @@ class DedupSpec extends AnyFunSuite {
     // bucketed by doc_id)
     // AQE's wrapper hides the tree from collect(), so lint the
     // non-adaptive physical plan — the exchange KEYS are identical
-    val plan = withSQLConfValue("spark.sql.adaptive.enabled", "false") {
+    val plan = withSQLConf("spark.sql.adaptive.enabled" -> "false") {
       Dedup.paragraphDedup(
           Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
         .queryExecution.executedPlan
@@ -410,16 +427,7 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  private def withSQLConfValue[A](k: String, v: String)(f: => A): A = {
-    val saved = spark.conf.getOption(k)
-    spark.conf.set(k, v)
-    try f finally saved match {
-      case Some(x) => spark.conf.set(k, x)
-      case None => spark.conf.unset(k)
-    }
-  }
-
-  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+  private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
     pairs.foreach { case (k, v) => conf.set(k, v) }
