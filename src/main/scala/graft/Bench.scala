@@ -163,13 +163,15 @@ object Bench {
       .mkString("[", ",", "]")
     // ---- frozen per-query budgets (BENCH_BUDGET.json) -------------
     // Anchors are committed once (r10 medians + profile signature)
-    // and NOT re-frozen per round: a query is flagged over_budget
-    // only when it exceeds 2× its anchored median AND its
-    // jobs/stages/shuffle profile moved — the adjudication rule the
-    // last three rounds applied by hand (identical profile ⇒ ambient
-    // variance, never a regression). Queries without an anchor
-    // (added after the freeze) are skipped here and picked up at the
-    // next freeze.
+    // and NOT re-frozen per round. Flagging rules live in
+    // [[BenchBudget]] (unit-tested there): `over_budget` = min run
+    // over 2× budget AND profile moved; `over_time_same_profile` =
+    // median over 3× anchor with an UNCHANGED profile, auto-
+    // adjudicated by one immediate re-run (a genuine same-plan
+    // regression reproduces; the r11 driver run's 9.5× hard_negatives
+    // with a byte-identical profile would have self-resolved here).
+    // Queries without an anchor (added after the freeze) are skipped
+    // and picked up at the next freeze.
     // The load result is NEVER silent: `budget_status` says whether
     // anchors were actually applied. A cwd other than the repo root,
     // or a malformed budget file, would otherwise report over_budget
@@ -178,28 +180,52 @@ object Bench {
     // pointer rule the forensics write below follows).
     val budgetPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BUDGET", "BENCH_BUDGET.json")).toAbsolutePath
-    val (overBudget, budgetStatus): (Seq[String], String) =
+    val (anchors, budgetStatus): (Map[String, BenchBudget.Anchor], String) =
       if (!java.nio.file.Files.exists(budgetPath))
-        (Seq.empty, s"missing:$budgetPath")
+        (Map.empty, s"missing:$budgetPath")
       else try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readAllBytes(budgetPath))
-        val flagged = results.flatMap { case (k, med, _) =>
-          Option(root.get(k)).filter(_ => med._1 >= 0).flatMap { b =>
-            val overTime = med._1 > b.get("budget_sec").asDouble()
-            val profileChanged = med._2 != b.get("jobs").asLong() ||
-              med._3 != b.get("stages").asLong() ||
-              math.abs(med._4 / 1e6 - b.get("shuffle_mb").asDouble()) > 1.0
-            if (overTime && profileChanged) Some(k) else None
-          }
+        val m = root.fields()
+        val b = Map.newBuilder[String, BenchBudget.Anchor]
+        while (m.hasNext) {
+          val e = m.next()
+          b += e.getKey -> BenchBudget.Anchor(
+            e.getValue.get("anchor_sec").asDouble(),
+            e.getValue.get("budget_sec").asDouble(),
+            e.getValue.get("jobs").asLong(),
+            e.getValue.get("stages").asLong(),
+            e.getValue.get("shuffle_mb").asDouble())
         }
-        (flagged, s"ok:${root.size()} anchors")
+        (b.result(), s"ok:${root.size()} anchors")
       } catch {
         case e: Throwable =>
-          (Seq.empty, s"error:${e.getClass.getSimpleName}:" +
+          (Map.empty, s"error:${e.getClass.getSimpleName}:" +
             Option(e.getMessage).getOrElse("").take(80))
       }
+    val queryRuns = results.map { case (k, med, runs) =>
+      val ok = runs.map(_._1).filter(_ >= 0)
+      k -> BenchBudget.QueryRun(med._1, if (ok.nonEmpty) ok.min else -1.0,
+        med._2, med._3, med._4 / 1e6)
+    }
+    val overBudget = BenchBudget.overBudget(queryRuns, anchors)
+    val suspects = BenchBudget.sameProfileSuspects(queryRuns, anchors)
+    val adjudications = BenchBudget.adjudicate(
+      suspects, queryRuns.toMap, anchors,
+      name => {
+        drainBus(spark)
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      })
+    val sameProfile = adjudications.filter(_.reproduced).map(_.name)
+    val adjJson = adjudications.map { a =>
+      f"""{"name":"${jsonStr(a.name)}","median_sec":${a.medianSec}%.4f,"anchor_sec":${a.anchorSec}%.4f,"rerun_sec":${a.rerunSec}%.4f,"reproduced":${a.reproduced}}"""
+    }.mkString("[", ",", "]")
     val overBudgetJson = overBudget.map(n => "\"" + jsonStr(n) + "\"")
+      .mkString("[", ",", "]")
+    val sameProfileJson = sameProfile.map(n => "\"" + jsonStr(n) + "\"")
       .mkString("[", ",", "]")
     // Forensics to a file; stdout stays within the driver's tail capture.
     // The stdout pointer must reflect REALITY: a failed write prints
@@ -208,7 +234,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "docs/BENCH_FORENSICS.json")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"budget_status":"${jsonStr(budgetStatus)}","query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"over_time_same_profile":$sameProfileJson,"same_profile_adjudication":$adjJson,"budget_status":"${jsonStr(budgetStatus)}","query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}"}"""
     // print the RESOLVED absolute path, not the raw input: with a
     // cwd-relative default, the raw string resolved against a
     // different directory aims the pointer at a stale file
@@ -221,7 +247,7 @@ object Bench {
         Some(p.toString)
       } catch { case _: Throwable => None }
     val forensicsField = wrote.map(p => "\"" + jsonStr(p) + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"budget_status":"${jsonStr(budgetStatus)}","runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"over_time_same_profile":$sameProfileJson,"budget_status":"${jsonStr(budgetStatus)}","runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}""")
     spark.stop()
   }
 }

@@ -1,0 +1,79 @@
+package graft
+
+/** The frozen-budget regression gate, factored out of [[Bench]] so both
+  * flagging rules and the re-run adjudication are unit-testable without
+  * a SparkSession.
+  *
+  * Two complementary regression classes (r11 verdict, What's-wrong #1):
+  *
+  *  - '''over_budget''' — slower AND the jobs/stages/shuffle profile
+  *    moved: a plan change that costs time. Keyed on the MIN of the
+  *    timed runs, not the median: ambient sandbox contention (the r11
+  *    driver run inflated 7 queries 1.5–12× with byte-identical
+  *    profiles) inflates medians far more often than it inflates all
+  *    three runs, while a genuine regression inflates every run
+  *    including the min.
+  *  - '''over_time_same_profile''' — median above `sameProfileFactor`×
+  *    the anchored median with an UNCHANGED profile: the class the
+  *    profile-gated check is structurally blind to (a de-optimized UDF,
+  *    a lost codegen path, GC pressure from a wider row — same plan
+  *    shape, more time per row). Flagged queries are auto-adjudicated
+  *    by ONE immediate re-run: a genuine same-plan regression
+  *    reproduces; ambient contention doesn't. Only REPRODUCED names
+  *    reach the stdout key; the full adjudication trail goes to the
+  *    forensics file.
+  */
+object BenchBudget {
+
+  /** One query's measured round: median/min wall seconds + the median
+    * run's job/stage/shuffle profile. */
+  final case class QueryRun(medianSec: Double, minSec: Double,
+                            jobs: Long, stages: Long, shuffleMb: Double)
+
+  /** A frozen anchor row from BENCH_BUDGET.json. */
+  final case class Anchor(anchorSec: Double, budgetSec: Double,
+                          jobs: Long, stages: Long, shuffleMb: Double)
+
+  /** Adjudication verdict for one same-profile suspect. */
+  final case class Adjudication(name: String, medianSec: Double,
+                                anchorSec: Double, rerunSec: Double,
+                                reproduced: Boolean)
+
+  val sameProfileFactor = 3.0
+
+  def profileChanged(r: QueryRun, a: Anchor): Boolean =
+    r.jobs != a.jobs || r.stages != a.stages ||
+      math.abs(r.shuffleMb - a.shuffleMb) > 1.0
+
+  /** Hard flag: min run over the 2× budget AND the profile moved. */
+  def overBudget(runs: Seq[(String, QueryRun)],
+                 anchors: Map[String, Anchor]): Seq[String] =
+    runs.collect {
+      case (name, r) if r.minSec >= 0 && anchors.get(name).exists(a =>
+        r.minSec > a.budgetSec && profileChanged(r, a)) => name
+    }
+
+  /** Advisory suspects: median > factor× anchor, profile unchanged. */
+  def sameProfileSuspects(runs: Seq[(String, QueryRun)],
+                          anchors: Map[String, Anchor]): Seq[String] =
+    runs.collect {
+      case (name, r) if r.medianSec >= 0 && anchors.get(name).exists(a =>
+        r.medianSec > sameProfileFactor * a.anchorSec && !profileChanged(r, a))
+        => name
+    }
+
+  /** Re-run each suspect once via `rerun` (wall seconds; negative =
+    * failed) and keep only reproductions: still above factor× anchor.
+    * A failed re-run counts as reproduced — a query that dies under
+    * adjudication must not silently pass. */
+  def adjudicate(suspects: Seq[String], runs: Map[String, QueryRun],
+                 anchors: Map[String, Anchor],
+                 rerun: String => Double): Seq[Adjudication] =
+    suspects.flatMap { name =>
+      anchors.get(name).map { a =>
+        val t = rerun(name)
+        Adjudication(name, runs(name).medianSec, a.anchorSec, t,
+          reproduced = t < 0 || t > sameProfileFactor * a.anchorSec)
+      }
+    }
+}

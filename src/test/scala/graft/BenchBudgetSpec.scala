@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The frozen-budget gate's two flagging rules + the re-run
+  * adjudication, unit-tested without Spark (the r11 verdict's task #1:
+  * the hard gate was structurally blind to same-plan regressions, and
+  * its hand adjudication of ambient contention belongs in the harness).
+  */
+class BenchBudgetSpec extends AnyFunSuite {
+  import BenchBudget._
+
+  private val anchor = Anchor(anchorSec = 0.2, budgetSec = 0.4,
+    jobs = 4, stages = 4, shuffleMb = 0.0)
+  private def run(med: Double, min: Double, jobs: Long = 4, stages: Long = 4,
+                  shuffleMb: Double = 0.0) =
+    QueryRun(med, min, jobs, stages, shuffleMb)
+
+  test("over_budget: needs BOTH min over budget and a moved profile") {
+    val anchors = Map("q" -> anchor)
+    // slow median, fast min, same profile: ambient -> not flagged
+    assert(overBudget(Seq("q" -> run(2.0, 0.21)), anchors).isEmpty)
+    // min over budget but identical profile: same-plan class, not this flag
+    assert(overBudget(Seq("q" -> run(2.0, 1.9)), anchors).isEmpty)
+    // profile moved but min within budget: plan changed cheaply -> fine
+    assert(overBudget(Seq("q" -> run(0.3, 0.25, jobs = 9)), anchors).isEmpty)
+    // min over budget AND profile moved: the real flag
+    assert(overBudget(Seq("q" -> run(2.0, 1.9, jobs = 9)), anchors) == Seq("q"))
+    // failed query (sentinel min) never flags here; `failed` carries it
+    assert(overBudget(Seq("q" -> run(-1.0, -1.0, jobs = 9)), anchors).isEmpty)
+    // unanchored query: skipped until the next freeze
+    assert(overBudget(Seq("new" -> run(9.0, 9.0, jobs = 9)), anchors).isEmpty)
+  }
+
+  test("same-profile suspects: median > 3x anchor with unchanged profile") {
+    val anchors = Map("q" -> anchor)
+    assert(sameProfileSuspects(Seq("q" -> run(0.7, 0.2)), anchors) == Seq("q"))
+    // under the factor: not a suspect
+    assert(sameProfileSuspects(Seq("q" -> run(0.55, 0.2)), anchors).isEmpty)
+    // over the factor but profile moved: over_budget's class, not this one
+    assert(sameProfileSuspects(Seq("q" -> run(0.7, 0.65, stages = 7)), anchors).isEmpty)
+    // shuffle drift over 1 MB counts as a moved profile
+    assert(sameProfileSuspects(Seq("q" -> run(0.7, 0.2, shuffleMb = 1.5)), anchors).isEmpty)
+  }
+
+  test("adjudication: ambient contention clears, a reproduction sticks") {
+    val anchors = Map("amb" -> anchor, "reg" -> anchor)
+    val runs = Map("amb" -> run(0.9, 0.2), "reg" -> run(0.9, 0.85))
+    val rerun = Map("amb" -> 0.21, "reg" -> 0.88) // fresh timings
+    val out = adjudicate(Seq("amb", "reg"), runs, anchors, rerun)
+    assert(out.map(a => a.name -> a.reproduced).toMap ==
+      Map("amb" -> false, "reg" -> true))
+    // the stdout key carries only reproductions
+    assert(out.filter(_.reproduced).map(_.name) == Seq("reg"))
+  }
+
+  test("a re-run that FAILS counts as reproduced, never silently passes") {
+    val out = adjudicate(Seq("q"), Map("q" -> run(0.9, 0.2)),
+      Map("q" -> anchor), _ => -1.0)
+    assert(out.head.reproduced)
+  }
+}
