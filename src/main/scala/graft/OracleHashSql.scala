@@ -1166,6 +1166,9 @@ object OracleHashSql {
     "dedup_canon" -> dedupCanonSql,
     "chunk_cdc" -> chunkCdcSql,
     "knn_lsh" -> knnLshSql,
+    // the optimizer-rule serving path: same planes, candidate union,
+    // and rerank — one oracle serves the hand-built and rule-rewritten probes
+    "knn_lsh_rule" -> knnLshSql,
     // the at-rest/cached layout probes stored buckets but is candidate-
     // and rerank-identical to the transient probe — one oracle for both
     "knn_lsh_cached" -> knnLshSql,

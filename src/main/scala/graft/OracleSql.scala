@@ -15,6 +15,22 @@ package graft
   */
 object OracleSql {
 
+  private val simjoinJaccardSql =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT ia AS id_a, ib AS id_b,
+      |  ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 4) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+      |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   private val decontaminateSql =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
       |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM toks WHERE len(t) >= 4),
@@ -732,21 +748,10 @@ object OracleSql {
     // the exact global answer with NO blocking and NO cap — the
     // prefix-filtered engine must reproduce it bit-for-bit, which is
     // precisely the losslessness claim of the AllPairs/PPJoin bound
-    "simjoin_prefix_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |  FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT ia AS id_a, ib AS id_b,
-        |  ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 4) AS jaccard
-        |FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
-        |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+    "simjoin_prefix_jaccard" -> simjoinJaccardSql,
+    // the collapsed composition is an execution strategy, not a
+    // semantics change — one oracle serves both gates
+    "simjoin_prefix_collapsed" -> simjoinJaccardSql,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

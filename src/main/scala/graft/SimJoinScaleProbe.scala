@@ -96,6 +96,18 @@ object SimJoinScaleProbe {
     println(f"SIMJOIN exact pairs: $sJoin%.2f s, $nPairs found, expected ${expectedTrue}%.0f, shuffle ${bJoin / 1e6}%.1f MB")
     if (nPairs != expectedTrue.toLong)
       println(s"SIMJOIN WARNING: found $nPairs != expected ${expectedTrue.toLong}")
+
+    // (d) the exact-dup pre-collapsed composition: identical pair set,
+    // but the prefix/verify machinery runs over DISTINCT texts only —
+    // at high dupRate (exact-copy-dominated corpora) the raw path's
+    // posting lists scale with copies while this stays flat in
+    // rows/dupRate + the (inherent, output-side) expansion joins
+    val (nPairsC, bJoinC, sJoinC) = Probe.withShuffleBytes(spark) {
+      Dedup.prefixJaccardPairsCollapsed(corpus, "doc_id", "text", 0.5).count()
+    }
+    println(f"SIMJOIN collapsed pairs: $sJoinC%.2f s, $nPairsC found, shuffle ${bJoinC / 1e6}%.1f MB")
+    if (nPairsC != nPairs)
+      println(s"SIMJOIN WARNING: collapsed $nPairsC != raw $nPairs")
     spark.stop()
   }
 }

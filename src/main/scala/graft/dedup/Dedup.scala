@@ -482,6 +482,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[prefixJaccardPairs]] composed with an exact-duplicate
+    * pre-collapse — same output contract, built as
+    * digest-collapse → prefix join over DISTINCT texts → membership
+    * re-expansion. On a crawl corpus, exact copies dominate (boilerplate
+    * mirrors, syndication): with K-sized exact-dup groups the raw path
+    * pays the prefix/verify machinery for every COPY — each group
+    * multiplies posting-list lengths by K, and the candidate stage
+    * materializes all C(K,2) within-group pairs through the expensive
+    * verify. Here the join runs over one representative per distinct
+    * text (md5(text) groups, min-id representative), and group
+    * membership re-expands afterwards with two slim equi-joins:
+    * cross-group pairs inherit the representatives' Jaccard (identical
+    * text ⇒ identical shingle set ⇒ identical score), within-group
+    * pairs are J = 1.0 by definition — guarded on the representative
+    * having ≥1 shingle, so sub-shingle-size texts stay excluded exactly
+    * as the raw path excludes them.
+    *
+    * QUADRATIC-OUTPUT HAZARD: the collapse makes the CANDIDATE/VERIFY
+    * work linear in distinct texts, but the pair-list contract itself
+    * is still quadratic in group size — a single 1M-copy group yields
+    * ~5·10¹¹ within-group OUTPUT rows no matter how they are computed.
+    * That cost is inherent to "emit every pair"; pipelines that only
+    * need dedup survivors should consume the membership frame (id, rep)
+    * or [[duplicateComponents]] instead of expanding pairs.
+    */
+  def prefixJaccardPairsCollapsed(docs: DataFrame, idCol: String, textCol: String,
+                                  threshold: Double, shingleSize: Int = 3): DataFrame = {
+    val slim = docs.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("hd"))
+    val reps = slim.groupBy(col("hd")).agg(min(col("id")).as("rep"))
+    // (id, rep): one 16-byte row per doc — the only full-corpus shuffles
+    // in the composition are on this frame and the digest aggregate
+    val membership = slim.join(reps, "hd").select(col("id"), col("rep"))
+    val repDocs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .join(reps.select(col("rep").as("id")), Seq("id"), "left_semi")
+    val repPairs = prefixJaccardPairs(repDocs, "id", "t", threshold, shingleSize)
+    val cross = repPairs
+      .join(membership.toDF("a", "rep_a"), col("rep_a") === col("id_a"))
+      .join(membership.toDF("b", "rep_b"), col("rep_b") === col("id_b"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
+    val valid = membership.join(
+      shingleArrays(repDocs, "id", "t", shingleSize).select(col("id").as("rep")),
+      Seq("rep"), "left_semi")
+    val within = valid.select(col("rep"), col("id").as("id_a"))
+      .join(valid.select(col("rep"), col("id").as("id_b")), "rep")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
   /** One row per id: the distinct shingle array ([[blockedJaccardPairs]]'s
     * in-row `array_distinct` pattern, sans block column) — as XXH64
     * HASHES, not strings. Every downstream stage (document frequency,

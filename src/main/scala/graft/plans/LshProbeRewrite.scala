@@ -74,8 +74,28 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case limit @ GlobalLimit(IntegerLiteral(kVal), LocalLimit(_,
         sort @ Sort(SortOrder(scoreAttr: Attribute, Descending, _, _) +: _, true,
-          proj @ Project(projectList, child), _)))
+          Project(projectList, child), _)))
         if !alreadyProbed(child) =>
+      buildProbe(kVal, sort, scoreAttr, projectList, child).getOrElse(limit)
+    // The envelope shape: the optimizer pushes a row-wise projection
+    // (e.g. `round(score, 4)`, literal envelope columns) BELOW the
+    // limits, leaving Project between LocalLimit and Sort. Row-wise
+    // deterministic projections commute with limit, so the probe node
+    // replaces the limit subtree and the projection rides on top.
+    // Without this arm, any top-k whose caller rounds or renames the
+    // score silently falls back to the exact scan.
+    case limit @ GlobalLimit(IntegerLiteral(kVal), LocalLimit(_,
+        Project(outerList,
+          sort @ Sort(SortOrder(scoreAttr: Attribute, Descending, _, _) +: _, true,
+            Project(projectList, child), _))))
+        if !alreadyProbed(child) && outerList.forall(_.deterministic) =>
+      buildProbe(kVal, sort, scoreAttr, projectList, child)
+        .map(node => Project(outerList, node)).getOrElse(limit)
+  }
+
+  private def buildProbe(kVal: Int, sort: Sort, scoreAttr: Attribute,
+                         projectList: Seq[NamedExpression],
+                         child: LogicalPlan): Option[LogicalPlan] = {
       val rewrite = for {
         cs <- projectList.collectFirst {
           case a: Alias if a.exprId == scoreAttr.exprId && a.child.isInstanceOf[CosineSimilarity] =>
@@ -89,9 +109,10 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         tableAttr <- child.output.find(_.name == "table")
         partAttr <- child.output.find(_.name == "bucket_part")
         bucketAttr <- child.output.find(_.name == "bucket")
-        // the physical operator re-derives ordering and dedupe keys from
-        // its projected rows, so every sort expression and every payload
-        // column must flow through the projection
+        // the physical operator re-derives ordering from its projected
+        // rows, so every sort expression must flow through the
+        // projection; dedupe keys are child attrs and the operator
+        // carries any the projection pruned (see LshProbeTopKExec)
         outIds = projectList.map(_.toAttribute.exprId).toSet
         if sort.order.forall(_.child match {
           case a: Attribute => outIds.contains(a.exprId)
@@ -99,7 +120,7 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         })
         layoutNames = Set("table", "bucket", "bucket_part")
         dedupeKeys = child.output.filterNot(a => layoutNames.contains(a.name))
-        if dedupeKeys.nonEmpty && dedupeKeys.forall(a => outIds.contains(a.exprId))
+        if dedupeKeys.nonEmpty
       } yield {
         val qb = queryBuckets(reg, qvec)
         // Partition-col-only disjunction (prunable by Catalyst) AND the
@@ -125,6 +146,6 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         LshProbeTopK(kVal, sort.order, projectList, dedupeKeys,
           Filter(And(pruneOr, exactOr), child))
       }
-      rewrite.getOrElse(limit)
+      rewrite
   }
 }

@@ -33,6 +33,17 @@ final case class LshProbeTopK(
 
   override def output: Seq[Attribute] = projectList.map(_.toAttribute)
   override def maxRows: Option[Long] = Some(k.toLong)
+  // sortOrder references the score attr this node itself produces via
+  // projectList; without declaring it the plan prints the
+  // missing-input `!` marker. ONLY the aliases count as produced —
+  // pass-through attributes must stay in `references`, or
+  // ColumnPruning strips them from the child and the dedupe/ordering
+  // projections fail to bind at execution.
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      projectList.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.toAttribute
+      })
   override protected def withNewChildInternal(newChild: LogicalPlan): LshProbeTopK =
     copy(child = newChild)
 }
@@ -104,25 +115,32 @@ final case class LshProbeTopKExec(
   protected override def doExecute(): RDD[InternalRow] = {
     import LshProbeTopKExec.localTopK
     val childOutput = child.output
-    val proj = projectList
     val keys = dedupeKeys
     val limit = k
     if (limit <= 0) return sparkContext.emptyRDD[InternalRow]
+    // Dedupe keys are CHILD attributes and need not survive the user's
+    // projection (column pruning narrows an enveloped top-k to e.g.
+    // (id, score)): key columns missing from the projection are carried
+    // ALONGSIDE it through both stages — ≤ k·P rows wide, so the extra
+    // bytes are noise — and stripped after the global pass.
+    val passThrough: Seq[NamedExpression] =
+      keys.filterNot(a => projectList.exists(_.toAttribute.exprId == a.exprId))
+    val proj = projectList ++ passThrough
+    val combined = proj.map(_.toAttribute)
     // Ordering over the PROJECTED rows: every sort expression is an
     // attribute of the project output (the rewrite guarantees it).
-    val ord = SqlShims.rowOrdering(sortOrder, output)
+    val ord = SqlShims.rowOrdering(sortOrder, combined)
     val outAttrs = output
     val local = child.execute().mapPartitions { iter =>
       val p = UnsafeProjection.create(proj, childOutput)
-      // dedupe keys re-extracted from projected rows (payload attrs all
-      // flow through the projection unchanged)
-      val keyFrom = UnsafeProjection.create(keys, outAttrs)
+      val keyFrom = UnsafeProjection.create(keys, combined)
       localTopK(limit, iter.map(r => p(r)), keyFrom, ord)
     }
     local.map(_.asInstanceOf[InternalRow]).repartition(1).mapPartitions { iter =>
-      val keyFrom = UnsafeProjection.create(keys, outAttrs)
+      val keyFrom = UnsafeProjection.create(keys, combined)
+      val strip = UnsafeProjection.create(outAttrs, combined)
       localTopK(limit, iter.map(_.asInstanceOf[UnsafeRow]), keyFrom, ord)
-        .toArray.sorted(ord).iterator
+        .toArray.sorted(ord).iterator.map(r => strip(r).copy())
     }
   }
 }

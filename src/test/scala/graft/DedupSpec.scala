@@ -285,6 +285,42 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("prefixJaccardPairsCollapsed equals the raw path on a corpus WITH exact-dup groups") {
+    // the composition's three legs each need exercise: within-group
+    // (J=1.0 by definition), cross-group via representatives, and the
+    // sub-shingle-size exclusion (identical 2-word docs must yield NO
+    // pair — the raw path never sees them)
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (3L,  "the quick brown fox jumps over the lazy dog today"),  // exact dup, SMALLER id -> rep
+      (7L,  "the quick brown fox jumps over the lazy dog today"),  // 3-member group
+      (20L, "the quick brown fox jumps over the lazy dog tomorrow"), // near-dup of the group
+      (30L, "completely different text about spark shuffles and joins here"),
+      (31L, "completely different text about spark shuffles and joins here"), // 2nd group
+      (40L, "tiny doc"), (41L, "tiny doc"))                          // < shingle size: excluded
+      .toDF("doc_id", "text")
+    val raw = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val collapsed = Dedup.prefixJaccardPairsCollapsed(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(collapsed == raw,
+      s"missing=${(raw -- collapsed).take(5)} extra=${(collapsed -- raw).take(5)}")
+    // sanity on the legs themselves: 3 within-group + 1 within-group +
+    // 3 cross near-dup pairs (20 vs each member of the first group), no 40/41
+    assert(raw.count(_._3 == 1.0) == 4)
+    assert(raw.count(p => p._1 == 20L || p._2 == 20L) == 3)
+    assert(!raw.exists(p => p._1 >= 40L || p._2 >= 40L))
+    // and on the real corpus (no exact dups needed for equality to hold)
+    val sfDir = "/root/testdata/sf0.001"
+    val rawReal = Dedup.prefixJaccardPairs(
+      Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val colReal = Dedup.prefixJaccardPairsCollapsed(
+      Tables.documents(spark, sfDir), "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(colReal == rawReal)
+  }
+
   test("prefix filtering prunes candidates well below the shared-token pair count") {
     val sfDir = "/root/testdata/sf0.001"
     val docsh = Tables.documents(spark, sfDir)

@@ -76,6 +76,51 @@ class LshProbeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("envelope projection over the top-k still serves through the probe") {
+    // callers round the score and attach literal envelope columns; the
+    // optimizer pushes that Project BELOW the limit and column pruning
+    // strips the payload from the inner projection — the shape that
+    // silently fell back to the exact scan before the second rewrite
+    // arm + child-side dedupe keys (r12). Run WITHOUT GraftExtensions:
+    // the public experimental hooks are how a stock session opts in.
+    val s = TestSpark.spark
+    if (!s.experimental.extraOptimizations.contains(LshProbeRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ LshProbeRewrite
+    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(s)
+    try {
+      LshProbeRewrite.clear()
+      val lsh = RandomHyperplaneLsh(8, 12, 42L)
+      LshProbeRewrite.register(indexPath, lsh, 64)
+      val q = Queries.queryVec(s, "/root/testdata/sf0.001")
+      val enveloped = s.read.parquet(indexPath)
+        .withColumn("score", CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"), round(col("score"), 4).as("score"),
+          lit("lsh").as("index_used"))
+      val plan = enveloped.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LshProbeTopK"), s"rewrite did not fire through the envelope:\n$plan")
+      // dedupe is exact even though embedding/label were pruned from the
+      // projection: results equal the hand-built probe's
+      import s.implicits._
+      val got = enveloped.select("vec_id", "score").as[(Long, Double)].collect().toSeq
+      val want = lsh.search(
+          Tables.embeddings(s, "/root/testdata/sf0.001"), col("embedding"), col("vec_id"), q, 5)
+        ._1.select(col("vec_id"), round(col("score"), 4).as("score"))
+        .as[(Long, Double)].collect().toSeq
+      assert(got == want, s"got=$got want=$want")
+    } finally {
+      LshProbeRewrite.clear()
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations.filterNot(_ == LshProbeRewrite)
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies.filterNot(_.isInstanceOf[graft.plans.LshProbeStrategy])
+    }
+  }
+
   test("rule is idempotent and leaves non-cosine sorts alone") {
     withExtSession { s =>
       LshProbeRewrite.clear()
