@@ -822,8 +822,9 @@ object Queries {
       val q = transform(stream)
         .writeStream.outputMode("append").format("parquet")
         .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      try { q.awaitTermination() } finally q.stop()
       val result = present(spark.read.parquet(outDir))
       val rows = result.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
