@@ -1,24 +1,65 @@
 package graft
 
-import graft.index.{AnnEval, RandomHyperplaneLsh}
-import org.apache.spark.sql.SparkSession
+import graft.index.{AnnEval, IvfKnn, RandomHyperplaneLsh}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Recall/cost grid for the sign-bit LSH index: sweeps (numTables,
-  * numPlanes) against exact ground truth on a member-query sample and
-  * prints one line per config — avg/min recall@10 plus the candidate
-  * fraction (mean share of the corpus each query's probe touches, the
-  * probe's cost proxy: a config is only useful when it beats a full
-  * scan, i.e. fraction << 1, at acceptable recall).
+/** Recall/cost grid for the ANN backends: sweeps LSH (numTables,
+  * numPlanes, multi-probe) and IVF (nprobe) against exact ground truth
+  * on a member-query sample and prints one line per config — avg/min
+  * recall@10 plus the candidate fraction (mean share of the corpus each
+  * query's probe touches, the probe's cost proxy: a config is only
+  * useful when it beats a full scan, i.e. fraction << 1, at acceptable
+  * recall).
   *
   * Usage: runMain graft.LshSweep [sfDir]
-  * Output feeds the tuned defaults documented in README (the
-  * reference's own 8×12 default is recall-starved on random vectors —
-  * 4096 buckets over a few thousand rows make most probes miss).
+  *        runMain graft.LshSweep clustered [n] [clusters] [sigma]
+  *
+  * The second form evaluates on a deterministic mixture-of-Gaussians
+  * corpus instead of the sfDir embeddings: real embedding spaces are
+  * CLUSTERED (that is what an encoder is for), while the driver-
+  * generated test vectors are isotropic random — LSH's worst case
+  * (sign-bit planes split uniform mass evenly, so most probes miss) and
+  * IVF's worst case (centroids carve noise). Operating-point advice for
+  * production belongs on the clustered tier; the random tier is the
+  * adversarial floor. Output feeds the two README tables.
   */
 object LshSweep {
+
+  private def splitmix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private def gauss(seed: Long, i: Int): Double = {
+    def unit(s: Long): Double =
+      ((splitmix(s) >>> 11).toDouble / (1L << 53).toDouble).max(1e-12)
+    math.sqrt(-2.0 * math.log(unit(seed * 0x100000001B3L + 2L * i))) *
+      math.cos(2 * math.Pi * unit(seed * 0x100000001B3L + 2L * i + 1))
+  }
+
+  /** Deterministic mixture-of-Gaussians corpus: `clusters` unit-norm
+    * centers (seeded per cluster id), each point = its cluster's center
+    * + σ·N(0, I) noise (seeded per row id) — the shape real encoder
+    * output has. No RNG object: splitmix64 streams keyed on ids, so any
+    * partitioning of the range yields the identical corpus.
+    */
+  private[graft] def gaussianMixture(spark: SparkSession, n: Long, dim: Int,
+                                     clusters: Int, sigma: Double): DataFrame = {
+    val mkVec = udf { (id: Long) =>
+      val c = id % clusters
+      val center = Array.tabulate(dim)(i => gauss(0xC0FFEEL + c, i))
+      val cn = math.sqrt(center.map(x => x * x).sum)
+      Array.tabulate(dim)(i => (center(i) / cn + sigma * gauss(0xBEEFL + id, i)).toFloat)
+    }
+    spark.range(n).select(col("id").as("vec_id"), mkVec(col("id")).as("embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val clustered = args.headOption.contains("clustered")
+    val sfDir = if (!clustered && args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,10 +70,16 @@ object LshSweep {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val emb = Tables.embeddings(spark, sfDir).cache()
+    val emb = (if (clustered) {
+      val n = if (args.length > 1) args(1).toLong else 50000L
+      val c = if (args.length > 2) args(2).toInt else 100
+      val sigma = if (args.length > 3) args(3).toDouble else 0.25
+      println(s"CLUSTERED corpus: n=$n clusters=$c sigma=$sigma dim=64")
+      gaussianMixture(spark, n, 64, c, sigma)
+    } else Tables.embeddings(spark, sfDir)).cache()
     val n = emb.count()
     val k = 10
-    val queries = emb.where(col("vec_id") % 25 === 0)
+    val queries = emb.where(col("vec_id") % (n / 25).max(1) === 0)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -41,7 +88,7 @@ object LshSweep {
     val truth = AnnEval.groundTruth(emb, "vec_id", "embedding", queries, k).cache()
     truth.count()
 
-    println(f"${"T"}%3s ${"P"}%3s ${"mp"}%3s ${"avg_recall"}%10s ${"min_recall"}%10s ${"cand_frac"}%10s")
+    println(f"${"method"}%7s ${"T"}%4s ${"P"}%4s ${"mp"}%3s ${"avg_recall"}%10s ${"min_recall"}%10s ${"cand_frac"}%10s")
     val grid = (for (t <- Seq(4, 8, 16); p <- Seq(4, 6, 8, 10, 12)) yield (t, p, 0)) ++
       (for (p <- Seq(6, 8, 10, 12)) yield (8, p, 1)) // multi-probe: free recall, no storage
     for ((t, p, mp) <- grid) {
@@ -56,7 +103,25 @@ object LshSweep {
           .count().toDouble / n
       }
       val frac = matched.sum / matched.length
-      println(f"$t%3d $p%3d $mp%3d ${rep._1}%10.4f ${rep._2}%10.4f $frac%10.4f")
+      println(f"${"lsh"}%7s $t%4d $p%4d $mp%3d ${rep._1}%10.4f ${rep._2}%10.4f $frac%10.4f")
+    }
+    // IVF tier: stride sized so ~sqrt(n) rows become sampled centroids;
+    // nprobe is the recall/cost dial
+    val stride = math.max(n / math.max(math.sqrt(n.toDouble).toLong, 1L), 1L)
+    val cents = IvfKnn.centroids(emb, col("vec_id"), col("embedding"), stride)
+    val clusterSizes = IvfKnn.assign(emb, col("embedding"), cents)
+      .groupBy("cluster_id").count()
+      .as[(Long, Long)].collect().toMap
+    for (nprobe <- Seq(1, 2, 4, 8)) {
+      val topk = AnnEval.ivfTopK(emb, "vec_id", "embedding", queries, k, stride, nprobe)
+      val rep = AnnEval.recallReport(spark, truth, Seq("ivf" -> topk), k)
+        .select("avg_recall", "min_recall").as[(Double, Double)].head()
+      val fracs = queries.map { case (_, qv) =>
+        IvfKnn.rankClusters(qv, cents).take(nprobe)
+          .map { case (cid, _) => clusterSizes.getOrElse(cid, 0L) }.sum.toDouble / n
+      }
+      val frac = fracs.sum / fracs.length
+      println(f"${"ivf"}%7s ${"-"}%4s ${"np=" + nprobe}%4s ${"-"}%3s ${rep._1}%10.4f ${rep._2}%10.4f $frac%10.4f")
     }
     spark.stop()
   }
