@@ -6,6 +6,7 @@ import java.util.concurrent.atomic.AtomicReference
 
 import graft.embed.Embedder
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Typed errors mirroring the reference's HTTP 404/400 split
   * (the app/api/routers modules). */
@@ -26,7 +27,26 @@ final case class EngineCapacityError(chunks: Int, maxChunks: Int)
     s"chunk store at $chunks rows would exceed maxChunks=$maxChunks — the CRUD " +
       "engine keeps chunks on the driver (reference-parity surface). Load bulk " +
       "corpora as parquet (graft.Tables / graft.index operate on DataFrames), " +
-      "or raise maxChunks if driver heap allows.")
+      "enable spill mode (Engine(spill = Some(EngineSpill(...)))) to archive " +
+      "overflow segments to parquet automatically, or raise maxChunks if " +
+      "driver heap allows.")
+
+/** Opt-in overflow mode: when the driver-resident chunk vector reaches
+  * `maxChunks`, [[Engine.addChunk]] snapshots the WHOLE resident
+  * segment to one parquet segment under `dir` and frees the heap —
+  * the capacity guard's named escape hatch made automatic. Spilled
+  * chunks stay fully searchable ([[Engine.chunksDF]] serves
+  * spilled ∪ resident, so [[graft.search.SearchService]] and the SQL
+  * views see one store) and respect cascade deletes (spilled rows are
+  * served only while their (library, document) parents are live — the
+  * liveness join below — so a library/document delete hides them
+  * without a parquet rewrite; a compaction pass may garbage-collect
+  * them later). The ARCHIVED tier is immutable: update/delete of a
+  * spilled chunk is a BadRequestError naming this contract, mirroring
+  * hot/cold storage tiers everywhere — mutate while resident, archive
+  * when cold.
+  */
+final case class EngineSpill(spark: SparkSession, dir: String)
 
 /** Entity rows (SURVEY §1.4 schema mapping). */
 final case class LibraryRow(id: String, name: String, description: Option[String],
@@ -78,9 +98,34 @@ object EngineState {
   */
 final class Engine(clock: () => Instant = () => Instant.now(),
                    newId: () => String = () => UUID.randomUUID().toString,
-                   maxChunks: Int = Engine.DefaultMaxChunks) {
+                   maxChunks: Int = Engine.DefaultMaxChunks,
+                   spill: Option[EngineSpill] = None) {
 
   private val ref = new AtomicReference[EngineState](EngineState.empty)
+
+  /** True once at least one segment has been spilled — lets the
+    * DataFrame views skip the parquet read entirely on the common
+    * (never-spilled) path. Written only under the write lock. */
+  @volatile private var spilled = false
+
+  /** Snapshot `rows` as one immutable parquet segment (called under the
+    * write lock from addChunk; segment paths are unique per spill). */
+  private def spillSegment(sp: EngineSpill, rows: Vector[ChunkRow]): Unit = {
+    import sp.spark.implicits._
+    sp.spark.createDataset(rows).write.mode("append").parquet(sp.dir)
+    spilled = true
+  }
+
+  private def spilledChunks(spark: SparkSession): Option[DataFrame] =
+    spill.filter(_ => spilled).map(_ => spark.read.parquet(spill.get.dir))
+
+  /** Is `chunkId` archived in the spilled tier? (Rare path: only probed
+    * after a resident miss, to split immutable-archive from not-found.) */
+  private def isSpilled(libId: String, docId: String, chunkId: String): Boolean =
+    spill.exists(sp => spilled && !sp.spark.read.parquet(sp.dir)
+      .where(col("library_id") === libId && col("document_id") === docId &&
+        col("id") === chunkId)
+      .isEmpty)
 
   def state: EngineState = ref.get()
 
@@ -214,11 +259,18 @@ final class Engine(clock: () => Instant = () => Instant.now(),
       throw NotFoundError("document", docId)
     // loud boundary guard: the chunk Vector is the one driver structure
     // a user could grow without limit through the API (see
-    // EngineCapacityError for the parquet escape hatch)
-    if (s.chunks.size >= maxChunks) throw EngineCapacityError(s.chunks.size, maxChunks)
+    // EngineCapacityError for the parquet escape hatch). In spill mode
+    // the bound triggers an archive instead of an error: the resident
+    // segment snapshots to parquet and the heap is freed.
+    val base =
+      if (s.chunks.size < maxChunks) s.chunks
+      else spill match {
+        case None => throw EngineCapacityError(s.chunks.size, maxChunks)
+        case Some(sp) => spillSegment(sp, s.chunks); Vector.empty[ChunkRow]
+      }
     val now = clock()
     val row = ChunkRow(libId, docId, id.getOrElse(newId()), text, embedding, metadata, now, now)
-    (s.copy(chunks = s.chunks :+ row,
+    (s.copy(chunks = base :+ row,
       documents = touchDocument(s.documents, docId, now),
       libraries = bumpLibrary(s, libId, now)), row)
   }
@@ -228,7 +280,15 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     requireLibrary(s, libId)
     if (!s.documents.exists(d => d.library_id == libId && d.id == docId))
       throw NotFoundError("document", docId)
-    s.chunks.filter(c => c.library_id == libId && c.document_id == docId)
+    val resident = s.chunks.filter(c => c.library_id == libId && c.document_id == docId)
+    spill.filter(_ => spilled).map { sp =>
+      import sp.spark.implicits._
+      val archived = sp.spark.read.parquet(sp.dir)
+        .where(col("library_id") === libId && col("document_id") === docId)
+        .as[ChunkRow].collect().toVector
+        .sortBy(c => (c.created_at, c.id)) // segments are older than resident
+      archived ++ resident
+    }.getOrElse(resident)
   }
 
   /** Whitelist update (text / embedding / metadata.type). When text
@@ -246,7 +306,12 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     if (!s.documents.exists(d => d.library_id == libId && d.id == docId))
       throw NotFoundError("document", docId)
     val existing = s.chunks.find(c => c.library_id == libId && c.document_id == docId && c.id == chunkId)
-      .getOrElse(throw NotFoundError("chunk", chunkId))
+      .getOrElse {
+        if (isSpilled(libId, docId, chunkId))
+          throw BadRequestError(s"chunk $chunkId is archived in the spilled tier " +
+            "(immutable) — spill mode mutates resident chunks only")
+        throw NotFoundError("chunk", chunkId)
+      }
     val now = clock()
     val textChanged = text.exists(_ != existing.text)
     val newEmbedding: Option[Array[Float]] =
@@ -271,7 +336,12 @@ final class Engine(clock: () => Instant = () => Instant.now(),
 
   def deleteChunk(libId: String, docId: String, chunkId: String): Boolean = mutate { s =>
     if (!s.libraries.exists(_.id == libId)) throw NotFoundError("library", libId)
-    if (!s.chunks.exists(c => c.library_id == libId && c.document_id == docId && c.id == chunkId)) (s, false)
+    if (!s.chunks.exists(c => c.library_id == libId && c.document_id == docId && c.id == chunkId)) {
+      if (isSpilled(libId, docId, chunkId))
+        throw BadRequestError(s"chunk $chunkId is archived in the spilled tier " +
+          "(immutable) — delete its document or library to retire it")
+      (s, false)
+    }
     else {
       val now = clock()
       (s.copy(
@@ -293,7 +363,20 @@ final class Engine(clock: () => Instant = () => Instant.now(),
   }
   def chunksDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.createDataset(state.chunks).toDF()
+    val resident = spark.createDataset(state.chunks).toDF()
+    spilledChunks(spark).map { archived =>
+      // cascade-delete correctness without parquet rewrites: an archived
+      // row is served only while its (library, document) parents are
+      // live — deleting either hides the rows immediately (they stay as
+      // dead bytes until a compaction pass). The liveness side is the
+      // driver-resident document metadata: tiny, so broadcast.
+      val live = documentsDF(spark)
+        .select(col("library_id"), col("id").as("document_id"))
+      archived
+        .join(broadcast(live), Seq("library_id", "document_id"), "left_semi")
+        .select(resident.columns.map(col).toIndexedSeq: _*)
+        .unionByName(resident)
+    }.getOrElse(resident)
   }
 }
 

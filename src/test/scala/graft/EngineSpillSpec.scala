@@ -1,0 +1,110 @@
+package graft
+
+import graft.search.SearchService
+import graft.state._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spill mode (r11 verdict stretch item #7): loading PAST maxChunks
+  * archives overflow segments to parquet instead of throwing
+  * EngineCapacityError, the full store stays searchable through
+  * chunksDF / SearchService, cascade deletes hide archived rows, and
+  * the archived tier's immutability contract is a typed error.
+  */
+class EngineSpillSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def freshSpill(tag: String): (Engine, java.io.File) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_spill_$tag").toFile
+    TestSpark.rmTree(dir) // engine creates it on first segment write
+    var t = 0L
+    val clock = () => { t += 1; java.time.Instant.ofEpochSecond(t) }
+    (new Engine(clock = clock, maxChunks = 10,
+      spill = Some(EngineSpill(spark, dir.getAbsolutePath))), dir)
+  }
+
+  /** one-hot embedding: chunk i's nearest neighbor is query one-hot(i) */
+  private def oneHot(i: Int, dim: Int = 32): Array[Float] =
+    Array.tabulate(dim)(j => if (j == i % dim) 1.0f else 0.0f)
+
+  test("loading past maxChunks spills instead of erroring; chunksDF serves all rows") {
+    val (e, dir) = freshSpill("load")
+    try {
+      val lib = e.createLibrary("L")
+      val doc = e.addDocument(lib.id, "D")
+      // 25 chunks through a maxChunks=10 engine: 2 spill events
+      val ids = (0 until 25).map { i =>
+        e.addChunk(lib.id, doc.id, s"text $i", Some(oneHot(i)), id = Some(f"c$i%02d")).id
+      }
+      assert(ids.size == 25)
+      assert(e.state.chunks.size <= 10, "resident segment must stay under the bound")
+      val served = e.chunksDF(spark).select("id").collect().map(_.getString(0)).sorted
+      assert(served.toSeq == ids.sorted.toSeq)
+      // listChunks returns archived ++ resident, oldest first
+      assert(e.listChunks(lib.id, doc.id).map(_.id) == ids.toVector)
+    } finally TestSpark.rmTree(dir)
+  }
+
+  test("search is correct across the archived/resident boundary") {
+    val (e, dir) = freshSpill("search")
+    try {
+      val lib = e.createLibrary("L")
+      val doc = e.addDocument(lib.id, "D")
+      (0 until 25).foreach { i =>
+        e.addChunk(lib.id, doc.id, s"text $i", Some(oneHot(i)), id = Some(f"c$i%02d"))
+      }
+      val svc = new SearchService(spark, e)
+      // chunk 3 is archived (first spill segment), chunk 24 is resident
+      for (i <- Seq(3, 24)) {
+        val hits = svc.search(lib.id, queryEmbedding = Some(oneHot(i)), k = 1).hits
+        assert(hits.head.chunk_id == f"c$i%02d", s"query $i got ${hits.head}")
+      }
+    } finally TestSpark.rmTree(dir)
+  }
+
+  test("cascade delete hides archived rows without a parquet rewrite") {
+    val (e, dir) = freshSpill("cascade")
+    try {
+      val lib = e.createLibrary("L")
+      val d1 = e.addDocument(lib.id, "D1")
+      val d2 = e.addDocument(lib.id, "D2")
+      (0 until 12).foreach(i => e.addChunk(lib.id, d1.id, s"a $i", Some(oneHot(i))))
+      (0 until 12).foreach(i => e.addChunk(lib.id, d2.id, s"b $i", Some(oneHot(i))))
+      assert(e.chunksDF(spark).count() == 24)
+      e.deleteDocument(lib.id, d1.id)
+      val left = e.chunksDF(spark)
+      assert(left.count() == 12)
+      assert(left.select("document_id").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq(d2.id))
+    } finally TestSpark.rmTree(dir)
+  }
+
+  test("archived chunks are immutable: typed error, resident stays mutable, absent is NotFound") {
+    val (e, dir) = freshSpill("immutable")
+    try {
+      val lib = e.createLibrary("L")
+      val doc = e.addDocument(lib.id, "D")
+      (0 until 15).foreach { i =>
+        e.addChunk(lib.id, doc.id, s"text $i", Some(oneHot(i)), id = Some(f"c$i%02d"))
+      }
+      // c00 was spilled at chunk 10; c14 is resident
+      val eUpd = intercept[BadRequestError](
+        e.updateChunk(lib.id, doc.id, "c00", text = Some("new")))
+      assert(eUpd.getMessage.contains("spilled tier"))
+      val eDel = intercept[BadRequestError](e.deleteChunk(lib.id, doc.id, "c00"))
+      assert(eDel.getMessage.contains("spilled tier"))
+      assert(e.updateChunk(lib.id, doc.id, "c14",
+        text = Some("updated")).text == "updated")
+      assert(intercept[NotFoundError](
+        e.updateChunk(lib.id, doc.id, "nope", text = Some("x"))).getMessage.contains("nope"))
+      assert(!e.deleteChunk(lib.id, doc.id, "nope")) // absent delete stays false
+    } finally TestSpark.rmTree(dir)
+  }
+
+  test("without spill mode the capacity guard still throws") {
+    val e = new Engine(maxChunks = 3)
+    val lib = e.createLibrary("L")
+    val doc = e.addDocument(lib.id, "D")
+    (0 until 3).foreach(i => e.addChunk(lib.id, doc.id, s"t$i", Some(oneHot(i))))
+    intercept[EngineCapacityError](e.addChunk(lib.id, doc.id, "over", Some(oneHot(9))))
+  }
+}
