@@ -136,6 +136,12 @@ object DumpPlans {
       // posting lists (not a posting⋈posting self-join), and full
       // arrays are fetched only for candidate pairs at the verify
       "simjoin_prefix_jaccard",
+      // its exact-dup pre-collapsed composition: the digest collapse is
+      // one min-aggregate keyed on md5(text); the prefix machinery runs
+      // over the rep-only semi-joined frame; the two re-expansion joins
+      // and the within-group self-join are all equi-joins on slim
+      // (id, rep) rows — no text, no arrays, no cartesian
+      "simjoin_prefix_collapsed",
       // dedup_cluster_stats is deliberately absent: its plan is two
       // tiny aggregates over the CACHED components table, and in a
       // plan-only session (no action has materialized the cache) the

@@ -131,15 +131,21 @@ object Queries {
     * registration calls are idempotent, so re-running the gate in a
     * live session is safe.
     */
-  private val lshRuleIndexCache = new SessionCache[String, String]
+  // caches the READ DataFrame, not just the path: the at-rest layout is
+  // table × bucket_part directories (8 × 256 at the default), and a
+  // fresh read.parquet re-LISTS all of them per query — measured 3.8 s
+  // and 2 s of GC per probe at sf0.1, vs the probe's own ~0.1 s. A
+  // serving layer lists once and reuses the FileIndex; partition
+  // pruning from the probe filter still applies per query.
+  private val lshRuleIndexCache = new SessionCache[String, DataFrame]
   def knnLshRule(spark: SparkSession, sfDir: String): DataFrame = {
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
-    val idxPath = lshRuleIndexCache.getOrElseUpdate(spark, sfDir) {
+    val base = lshRuleIndexCache.getOrElseUpdate(spark, sfDir) {
       val p = s"target/gate-index/lsh-rule-${math.abs(sfDir.hashCode)}"
       graft.index.LshIndexStore(lsh, 64)
         .write(Tables.embeddings(spark, sfDir), "embedding", p)
       graft.plans.LshProbeRewrite.register(p, lsh, 64)
-      p
+      spark.read.parquet(p)
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LshProbeRewrite))
       spark.experimental.extraOptimizations =
@@ -148,7 +154,7 @@ object Queries {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(spark)
     val q = queryVec(spark, sfDir)
-    val out = spark.read.parquet(idxPath)
+    val out = base
       .withColumn("score",
         graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
       .orderBy(col("score").desc, col("vec_id").asc)

@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Freeze bench anchors for gates missing from BENCH_BUDGET.json.
+
+Reads a forensics file (docs/BENCH_FORENSICS.json or a copy), adds an
+anchor row (median + profile signature, budget = 2x median) for every
+query in it that has no anchor yet, and rewrites BENCH_BUDGET.json
+sorted by name. Existing anchors are NEVER touched — the whole point of
+the freeze is that anchors don't drift with the code they gate.
+
+Usage: python3 tools/freeze_anchors.py <forensics.json> <round-tag>
+"""
+import json
+import sys
+
+
+def main(forensics_path, tag):
+    f = json.load(open(forensics_path))
+    qm = f["query_metrics"]
+    budget_path = "BENCH_BUDGET.json"
+    budget = json.load(open(budget_path))
+    added = []
+    for name, m in qm.items():
+        if name in budget:
+            continue
+        med = sorted(m["runs_sec"])[len(m["runs_sec"]) // 2]
+        budget[name] = {
+            "anchor_round": tag,
+            "anchor_sec": round(med, 4),
+            "budget_sec": round(2 * med, 4),
+            "jobs": m["jobs"],
+            "stages": m["stages"],
+            "shuffle_mb": m["shuffle_mb"],
+        }
+        added.append(name)
+    with open(budget_path, "w") as out:
+        json.dump({k: budget[k] for k in sorted(budget)}, out, indent=1, sort_keys=True)
+        out.write("\n")
+    print(f"added {len(added)} anchors: {added}")
+    print(f"total anchors: {len(budget)}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
