@@ -26,12 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object LshSweep {
 
-  private def splitmix(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
+  private def splitmix(x0: Long): Long = graft.functions.TextFunctions.splitmix64(x0)
 
   private def gauss(seed: Long, i: Int): Double = {
     def unit(s: Long): Double =
@@ -79,7 +74,14 @@ object LshSweep {
     } else Tables.embeddings(spark, sfDir)).cache()
     val n = emb.count()
     val k = 10
-    val queries = emb.where(col("vec_id") % (n / 25).max(1) === 0)
+    // HASH-sampled member queries, never an arithmetic stride: on the
+    // clustered corpus cluster = vec_id % clusters, so any stride that
+    // shares a factor with `clusters` samples a single cluster's
+    // geometry (the r12 review catch: n=50000/clusters=100 made stride
+    // 2000 pick 20 queries ALL from cluster 0, biasing every recall
+    // number). xxhash64 decorrelates the sample from id arithmetic.
+    val queries = emb
+      .where(pmod(xxhash64(col("vec_id")), lit((n / 25).max(1))) === 0)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -113,7 +115,7 @@ object LshSweep {
       .groupBy("cluster_id").count()
       .as[(Long, Long)].collect().toMap
     for (nprobe <- Seq(1, 2, 4, 8)) {
-      val topk = AnnEval.ivfTopK(emb, "vec_id", "embedding", queries, k, stride, nprobe)
+      val topk = AnnEval.ivfTopK(emb, "vec_id", "embedding", queries, k, cents, nprobe)
       val rep = AnnEval.recallReport(spark, truth, Seq("ivf" -> topk), k)
         .select("avg_recall", "min_recall").as[(Double, Double)].head()
       val fracs = queries.map { case (_, qv) =>

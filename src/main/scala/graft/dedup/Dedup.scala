@@ -464,8 +464,16 @@ object Dedup {
     * pairs. The slack errs on the long-prefix (lossless) side.
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                         threshold: Double, shingleSize: Int = 3): DataFrame = {
-    val docsh = shingleArrays(docs, idCol, textCol, shingleSize).cache()
+                         threshold: Double, shingleSize: Int = 3): DataFrame =
+    prefixPairsFromShingles(
+      shingleArrays(docs, idCol, textCol, shingleSize).cache(), threshold)
+
+  /** The candidate+verify tail over an ALREADY-BUILT (id, shs) frame —
+    * shared so [[prefixJaccardPairsCollapsed]] can reuse the one
+    * shingle pass for both the join and its ≥1-shingle validity guard
+    * instead of tokenizing every representative text twice. */
+  private[graft] def prefixPairsFromShingles(docsh: DataFrame,
+                                             threshold: Double): DataFrame = {
     val cand = prefixCandidates(docsh, threshold)
     // exact verify: the two shingle-hash arrays come back for
     // CANDIDATE pairs only, and |A| / |B| are read off the fetched
@@ -516,15 +524,18 @@ object Dedup {
     val membership = slim.join(reps, "hd").select(col("id"), col("rep"))
     val repDocs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .join(reps.select(col("rep").as("id")), Seq("id"), "left_semi")
-    val repPairs = prefixJaccardPairs(repDocs, "id", "t", threshold, shingleSize)
+    // ONE shingle pass serves both the prefix join and the ≥1-shingle
+    // validity guard below (cached — tokenizing every representative
+    // twice was the r12 review's efficiency catch)
+    val repSh = shingleArrays(repDocs, "id", "t", shingleSize).cache()
+    val repPairs = prefixPairsFromShingles(repSh, threshold)
     val cross = repPairs
       .join(membership.toDF("a", "rep_a"), col("rep_a") === col("id_a"))
       .join(membership.toDF("b", "rep_b"), col("rep_b") === col("id_b"))
       .select(least(col("a"), col("b")).as("id_a"),
         greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
     val valid = membership.join(
-      shingleArrays(repDocs, "id", "t", shingleSize).select(col("id").as("rep")),
-      Seq("rep"), "left_semi")
+      repSh.select(col("id").as("rep")), Seq("rep"), "left_semi")
     val within = valid.select(col("rep"), col("id").as("id_a"))
       .join(valid.select(col("rep"), col("id").as("id_b")), "rep")
       .where(col("id_a") < col("id_b"))

@@ -130,8 +130,15 @@ object AnnEval {
     * row's cluster. */
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
               queries: Array[(Long, Array[Float])], k: Int,
-              stride: Long, nprobe: Int): DataFrame = {
-    val cents = IvfKnn.centroids(emb, col(idCol), col(embCol), stride)
+              stride: Long, nprobe: Int): DataFrame =
+    ivfTopK(emb, idCol, embCol, queries, k,
+      IvfKnn.centroids(emb, col(idCol), col(embCol), stride), nprobe)
+
+  /** Overload taking precomputed centroids — a sweep over nprobe values
+    * must not pay the centroid-sampling collect once per grid point. */
+  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
+              queries: Array[(Long, Array[Float])], k: Int,
+              cents: Array[(Long, Array[Float])], nprobe: Int): DataFrame = {
     val probes = probeSets(queries, cents, nprobe)
     val candScores = udf { (v: collection.Seq[Float]) =>
       if (v == null) Array.empty[QScore]

@@ -48,6 +48,35 @@ final case class EngineCapacityError(chunks: Int, maxChunks: Int)
   */
 final case class EngineSpill(spark: SparkSession, dir: String)
 
+/** On-disk row of a spilled segment: the chunk plus its parent
+  * document's `created_at`, which acts as the document INCARNATION id.
+  * Serving keys archived rows on (library_id, document_id,
+  * doc_created_at), so re-creating a document (or library) under the
+  * same client-supplied id can never resurrect cascade-deleted archived
+  * chunks — the new incarnation has a new created_at and the old rows
+  * simply stop matching (the r12 review's resurrection catch; assumes
+  * the engine clock never returns the same instant for two document
+  * creations, which the monotonic test clock guarantees and
+  * Instant.now violates only within its sub-millisecond granularity).
+  */
+private[state] final case class SpilledChunkRow(
+    library_id: String, document_id: String, id: String, text: String,
+    embedding: Option[Array[Float]], metadata: Map[String, String],
+    created_at: Instant, updated_at: Instant, doc_created_at: Instant) {
+  def toChunk: ChunkRow = ChunkRow(library_id, document_id, id, text,
+    embedding, metadata, created_at, updated_at)
+}
+
+private[state] object SpilledChunkRow {
+  /** Parquet timestamps carry microseconds; a resident Instant may
+    * carry nanos. Compare at the precision the roundtrip preserves —
+    * the DataFrame join truncates both sides identically, the
+    * driver-side comparisons must match it. */
+  def sameInstant(a: Instant, b: Instant): Boolean =
+    a.truncatedTo(java.time.temporal.ChronoUnit.MICROS) ==
+      b.truncatedTo(java.time.temporal.ChronoUnit.MICROS)
+}
+
 /** Entity rows (SURVEY §1.4 schema mapping). */
 final case class LibraryRow(id: String, name: String, description: Option[String],
                             tags: Option[String], version: Int,
@@ -108,24 +137,55 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     * (never-spilled) path. Written only under the write lock. */
   @volatile private var spilled = false
 
+  /** One Bloom filter of chunk ids per spilled segment (driver-side,
+    * ~1.2 MB per 1M-chunk segment at 1% fpp — bounded bookkeeping for
+    * heap we freed). [[isSpilled]] runs INSIDE the write lock, so a
+    * definite miss must not cost a distributed parquet scan while every
+    * other writer stalls (the r12 review's lock-stall catch); the scan
+    * runs only on a might-contain, i.e. a true archived hit or a 1%
+    * false positive. Mutated and read under the write lock only.
+    */
+  private val spillBlooms =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.util.sketch.BloomFilter]
+
   /** Snapshot `rows` as one immutable parquet segment (called under the
-    * write lock from addChunk; segment paths are unique per spill). */
-  private def spillSegment(sp: EngineSpill, rows: Vector[ChunkRow]): Unit = {
+    * write lock from addChunk; segment paths are unique per spill).
+    * Each row is stamped with its parent document's created_at — see
+    * [[SpilledChunkRow]] for why.
+    */
+  private def spillSegment(sp: EngineSpill, s: EngineState,
+                           rows: Vector[ChunkRow]): Unit = {
     import sp.spark.implicits._
-    sp.spark.createDataset(rows).write.mode("append").parquet(sp.dir)
+    val docCreated = s.documents.map(d => (d.library_id, d.id) -> d.created_at).toMap
+    sp.spark.createDataset(rows.map(c => SpilledChunkRow(
+        c.library_id, c.document_id, c.id, c.text, c.embedding, c.metadata,
+        c.created_at, c.updated_at, docCreated((c.library_id, c.document_id)))))
+      .write.mode("append").parquet(sp.dir)
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(rows.size.toLong, 1L), 0.01)
+    rows.foreach(r => bf.putString(r.id))
+    spillBlooms += bf
     spilled = true
   }
 
   private def spilledChunks(spark: SparkSession): Option[DataFrame] =
     spill.filter(_ => spilled).map(_ => spark.read.parquet(spill.get.dir))
 
-  /** Is `chunkId` archived in the spilled tier? (Rare path: only probed
-    * after a resident miss, to split immutable-archive from not-found.) */
-  private def isSpilled(libId: String, docId: String, chunkId: String): Boolean =
-    spill.exists(sp => spilled && !sp.spark.read.parquet(sp.dir)
-      .where(col("library_id") === libId && col("document_id") === docId &&
-        col("id") === chunkId)
-      .isEmpty)
+  /** Is `chunkId` archived in the spilled tier under the CURRENT
+    * incarnation of its parent document? (Rare path: only probed after
+    * a resident miss, to split immutable-archive from not-found; rows
+    * of a deleted/re-created document are retired, not archived.) */
+  private def isSpilled(libId: String, doc: DocumentRow, chunkId: String): Boolean =
+    spill.exists { sp =>
+      spilled && spillBlooms.exists(_.mightContainString(chunkId)) && {
+        import sp.spark.implicits._
+        sp.spark.read.parquet(sp.dir)
+          .where(col("library_id") === libId && col("document_id") === doc.id &&
+            col("id") === chunkId)
+          .as[SpilledChunkRow].collect()
+          .exists(r => SpilledChunkRow.sameInstant(r.doc_created_at, doc.created_at))
+      }
+    }
 
   def state: EngineState = ref.get()
 
@@ -266,7 +326,7 @@ final class Engine(clock: () => Instant = () => Instant.now(),
       if (s.chunks.size < maxChunks) s.chunks
       else spill match {
         case None => throw EngineCapacityError(s.chunks.size, maxChunks)
-        case Some(sp) => spillSegment(sp, s.chunks); Vector.empty[ChunkRow]
+        case Some(sp) => spillSegment(sp, s, s.chunks); Vector.empty[ChunkRow]
       }
     val now = clock()
     val row = ChunkRow(libId, docId, id.getOrElse(newId()), text, embedding, metadata, now, now)
@@ -283,9 +343,13 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     val resident = s.chunks.filter(c => c.library_id == libId && c.document_id == docId)
     spill.filter(_ => spilled).map { sp =>
       import sp.spark.implicits._
+      val docCreated = s.documents
+        .find(d => d.library_id == libId && d.id == docId).get.created_at
       val archived = sp.spark.read.parquet(sp.dir)
         .where(col("library_id") === libId && col("document_id") === docId)
-        .as[ChunkRow].collect().toVector
+        .as[SpilledChunkRow].collect().toVector
+        .filter(r => SpilledChunkRow.sameInstant(r.doc_created_at, docCreated)) // not a prior incarnation's rows
+        .map(_.toChunk)
         .sortBy(c => (c.created_at, c.id)) // segments are older than resident
       archived ++ resident
     }.getOrElse(resident)
@@ -303,11 +367,11 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     if (text.isEmpty && embedding.isEmpty && metaType.isEmpty)
       throw BadRequestError("update requires text, embedding or metadata")
     requireLibrary(s, libId)
-    if (!s.documents.exists(d => d.library_id == libId && d.id == docId))
-      throw NotFoundError("document", docId)
+    val parentDoc = s.documents.find(d => d.library_id == libId && d.id == docId)
+      .getOrElse(throw NotFoundError("document", docId))
     val existing = s.chunks.find(c => c.library_id == libId && c.document_id == docId && c.id == chunkId)
       .getOrElse {
-        if (isSpilled(libId, docId, chunkId))
+        if (isSpilled(libId, parentDoc, chunkId))
           throw BadRequestError(s"chunk $chunkId is archived in the spilled tier " +
             "(immutable) — spill mode mutates resident chunks only")
         throw NotFoundError("chunk", chunkId)
@@ -337,7 +401,11 @@ final class Engine(clock: () => Instant = () => Instant.now(),
   def deleteChunk(libId: String, docId: String, chunkId: String): Boolean = mutate { s =>
     if (!s.libraries.exists(_.id == libId)) throw NotFoundError("library", libId)
     if (!s.chunks.exists(c => c.library_id == libId && c.document_id == docId && c.id == chunkId)) {
-      if (isSpilled(libId, docId, chunkId))
+      // probe the archive only while the parent document LIVES: a chunk
+      // whose document was cascade-deleted is retired, not archived —
+      // its bytes in the spill dir must read as plain absence
+      val parentDoc = s.documents.find(d => d.library_id == libId && d.id == docId)
+      if (parentDoc.exists(d => isSpilled(libId, d, chunkId)))
         throw BadRequestError(s"chunk $chunkId is archived in the spilled tier " +
           "(immutable) — delete its document or library to retire it")
       (s, false)
@@ -368,12 +436,17 @@ final class Engine(clock: () => Instant = () => Instant.now(),
       // cascade-delete correctness without parquet rewrites: an archived
       // row is served only while its (library, document) parents are
       // live — deleting either hides the rows immediately (they stay as
-      // dead bytes until a compaction pass). The liveness side is the
+      // dead bytes until a compaction pass). The liveness key includes
+      // the document's created_at (its incarnation id), so re-creating
+      // a document under the same id does NOT resurrect the deleted
+      // incarnation's archived rows. The liveness side is the
       // driver-resident document metadata: tiny, so broadcast.
       val live = documentsDF(spark)
-        .select(col("library_id"), col("id").as("document_id"))
+        .select(col("library_id"), col("id").as("document_id"),
+          col("created_at").as("doc_created_at"))
       archived
-        .join(broadcast(live), Seq("library_id", "document_id"), "left_semi")
+        .join(broadcast(live),
+          Seq("library_id", "document_id", "doc_created_at"), "left_semi")
         .select(resident.columns.map(col).toIndexedSeq: _*)
         .unionByName(resident)
     }.getOrElse(resident)

@@ -100,6 +100,45 @@ class EngineSpillSpec extends AnyFunSuite {
     } finally TestSpark.rmTree(dir)
   }
 
+  test("re-creating a document under the same id does NOT resurrect archived chunks") {
+    // r12 review catch: liveness keyed on (library_id, document_id)
+    // alone matched a NEW incarnation of a deleted document; the key now
+    // includes the document's created_at (its incarnation id)
+    val (e, dir) = freshSpill("resurrect")
+    try {
+      val lib = e.createLibrary("L")
+      e.addDocument(lib.id, "old D", id = Some("doc1"))
+      (0 until 12).foreach(i =>
+        e.addChunk(lib.id, "doc1", s"old $i", Some(oneHot(i)), id = Some(f"old$i%02d")))
+      e.deleteDocument(lib.id, "doc1")
+      assert(e.chunksDF(spark).count() == 0)
+      // same client-supplied id, fresh incarnation
+      e.addDocument(lib.id, "new D", id = Some("doc1"))
+      e.addChunk(lib.id, "doc1", "fresh", Some(oneHot(0)), id = Some("fresh0"))
+      val served = e.chunksDF(spark).select("id").collect().map(_.getString(0)).toSeq
+      assert(served == Seq("fresh0"), s"old incarnation leaked back: $served")
+      assert(e.listChunks(lib.id, "doc1").map(_.id) == Vector("fresh0"))
+    } finally TestSpark.rmTree(dir)
+  }
+
+  test("a spilled chunk of a DELETED document reads as absent, not archived") {
+    // r12 review catch: deleteChunk probed the spill bytes without
+    // checking the parent document still lives, telling the caller to
+    // delete a document they had already deleted
+    val (e, dir) = freshSpill("retired")
+    try {
+      val lib = e.createLibrary("L")
+      e.addDocument(lib.id, "D", id = Some("doc1"))
+      (0 until 12).foreach(i =>
+        e.addChunk(lib.id, "doc1", s"t $i", Some(oneHot(i)), id = Some(f"c$i%02d")))
+      e.deleteDocument(lib.id, "doc1")
+      // retired chunk: plain false (bytes still in the spill dir)
+      assert(!e.deleteChunk(lib.id, "doc1", "c00"))
+      // update path 404s on the missing document, as without spill
+      intercept[NotFoundError](e.updateChunk(lib.id, "doc1", "c00", text = Some("x")))
+    } finally TestSpark.rmTree(dir)
+  }
+
   test("without spill mode the capacity guard still throws") {
     val e = new Engine(maxChunks = 3)
     val lib = e.createLibrary("L")

@@ -19,10 +19,19 @@ def main(forensics_path, tag):
     budget_path = "BENCH_BUDGET.json"
     budget = json.load(open(budget_path))
     added = []
+    skipped = []
     for name, m in qm.items():
         if name in budget:
             continue
-        med = sorted(m["runs_sec"])[len(m["runs_sec"]) // 2]
+        # -1.0 is the bench's failed-run sentinel: freezing it would
+        # permanently poison anchor/budget for the query. Anchor on the
+        # successful runs only; with none, skip (the query stays
+        # unanchored until a green freeze round).
+        ok_runs = [t for t in m["runs_sec"] if t >= 0]
+        if not ok_runs:
+            skipped.append(name)
+            continue
+        med = sorted(ok_runs)[len(ok_runs) // 2]
         budget[name] = {
             "anchor_round": tag,
             "anchor_sec": round(med, 4),
@@ -36,6 +45,8 @@ def main(forensics_path, tag):
         json.dump({k: budget[k] for k in sorted(budget)}, out, indent=1, sort_keys=True)
         out.write("\n")
     print(f"added {len(added)} anchors: {added}")
+    if skipped:
+        print(f"SKIPPED (no successful runs, still unanchored): {skipped}")
     print(f"total anchors: {len(budget)}")
 
 
