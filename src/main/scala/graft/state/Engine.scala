@@ -171,6 +171,65 @@ final class Engine(clock: () => Instant = () => Instant.now(),
   private def spilledChunks(spark: SparkSession): Option[DataFrame] =
     spill.filter(_ => spilled).map(_ => spark.read.parquet(spill.get.dir))
 
+  /** Garbage-collect the spilled tier: rewrite the spill directory
+    * keeping only rows whose (library, document, incarnation) parents
+    * still live, and rebuild the Bloom filters from the survivors —
+    * cascade deletes hide retired rows immediately (see chunksDF), but
+    * their bytes stay on disk until this pass reclaims them. Returns
+    * (rowsBefore, rowsAfter), or None when nothing has spilled.
+    *
+    * Runs under the write lock (no mutation can interleave) and swaps
+    * the directory atomically-enough for the single-process engine:
+    * compacted rows land in a sibling temp dir, then replace the spill
+    * dir with two renames. Queries PLANNED before the swap and executed
+    * after it would read a vanished path — quiesce readers first, the
+    * same contract every file-swap compaction (e.g. a non-transactional
+    * parquet table rewrite) carries.
+    */
+  def compactSpill(): Option[(Long, Long)] =
+    spill.filter(_ => spilled).map { sp =>
+      writeLock.synchronized {
+        import sp.spark.implicits._
+        val s = ref.get()
+        val liveDocs = sp.spark.createDataset(s.documents
+            .map(d => (d.library_id, d.id, d.created_at)))
+          .toDF("library_id", "document_id", "doc_created_at")
+        val all = sp.spark.read.parquet(sp.dir)
+        val before = all.count()
+        val dir = new java.io.File(sp.dir)
+        val tmp = new java.io.File(sp.dir + ".compact-tmp")
+        rmTree(tmp)
+        // the rewrite stays DISTRIBUTED end to end — collecting the
+        // survivors would pull the very rows spill mode exists to keep
+        // off the driver heap; only the id stream (for the Bloom
+        // rebuild) and the count come back
+        all.join(broadcast(liveDocs),
+            Seq("library_id", "document_id", "doc_created_at"), "left_semi")
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val compacted = sp.spark.read.parquet(tmp.getAbsolutePath)
+        val after = compacted.count()
+        spillBlooms.clear()
+        if (after == 0) {
+          rmTree(dir); rmTree(tmp)
+          spilled = false
+        } else {
+          val bf = org.apache.spark.util.sketch.BloomFilter.create(after, 0.01)
+          compacted.select(col("id")).as[String].toLocalIterator()
+            .forEachRemaining(id => bf.putString(id))
+          rmTree(dir)
+          if (!tmp.renameTo(dir))
+            throw new java.io.IOException(s"compaction rename failed: $tmp -> $dir")
+          spillBlooms += bf
+        }
+        (before, after)
+      }
+    }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree) }
+    f.delete()
+  }
+
   /** Is `chunkId` archived in the spilled tier under the CURRENT
     * incarnation of its parent document? (Rare path: only probed after
     * a resident miss, to split immutable-archive from not-found; rows

@@ -139,6 +139,36 @@ class EngineSpillSpec extends AnyFunSuite {
     } finally TestSpark.rmTree(dir)
   }
 
+  test("compactSpill reclaims retired bytes; serving and immutability unchanged") {
+    val (e, dir) = freshSpill("compact")
+    try {
+      val lib = e.createLibrary("L")
+      e.addDocument(lib.id, "D1", id = Some("d1"))
+      e.addDocument(lib.id, "D2", id = Some("d2"))
+      (0 until 12).foreach(i =>
+        e.addChunk(lib.id, "d1", s"a $i", Some(oneHot(i)), id = Some(f"a$i%02d")))
+      (0 until 12).foreach(i =>
+        e.addChunk(lib.id, "d2", s"b $i", Some(oneHot(i)), id = Some(f"b$i%02d")))
+      e.deleteDocument(lib.id, "d1") // retires d1's archived rows (dead bytes)
+      val Some((before, after)) = e.compactSpill()
+      assert(before > after, s"nothing reclaimed: $before -> $after")
+      // on-disk rows are now exactly d2's archived ones
+      assert(spark.read.parquet(dir.getAbsolutePath)
+        .select("document_id").distinct().collect().map(_.getString(0)).toSeq == Seq("d2"))
+      // serving identical to pre-compaction
+      assert(e.chunksDF(spark).count() == 12)
+      assert(e.listChunks(lib.id, "d2").map(_.id) == (0 until 12).map(i => f"b$i%02d").toVector)
+      // archived rows keep their immutability contract post-compaction
+      val err = intercept[BadRequestError](e.deleteChunk(lib.id, "d2", "b00"))
+      assert(err.getMessage.contains("spilled tier"))
+      // compacting a fully-retired archive empties it and re-arms spill
+      e.deleteDocument(lib.id, "d2")
+      val Some((_, zero)) = e.compactSpill()
+      assert(zero == 0 && e.chunksDF(spark).count() == 0)
+      assert(e.compactSpill().isEmpty) // nothing spilled anymore
+    } finally TestSpark.rmTree(dir)
+  }
+
   test("without spill mode the capacity guard still throws") {
     val e = new Engine(maxChunks = 3)
     val lib = e.createLibrary("L")
