@@ -568,7 +568,8 @@ object Dedup {
     * the spec so the blocking win (candidates ≪ shared-token pairs) is
     * an asserted observable, not prose.
     */
-  private[graft] def prefixCandidates(docsh: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def prefixCandidates(docsh: DataFrame, threshold: Double,
+                                      positional: Boolean = true): DataFrame = {
     val spark = docsh.sparkSession
     import spark.implicits._
     val posting = docsh.select(col("id"), explode(col("shs")).as("sh"))
@@ -578,7 +579,10 @@ object Dedup {
     // groupBy-by-id shuffle replaces the window-rank formulation's
     // exchange+sort PLUS its sizes join (measured: same result, two
     // fewer stages). The sort is per-document (≤ a few hundred
-    // elements), not a partition-wide window sort.
+    // elements), not a partition-wide window sort. posexplode keeps
+    // each prefix token's 0-based rank in the doc's (df, sh)-sorted
+    // token list — the prefix is that list's head, so prefix rank IS
+    // global rank, which the positional filter below needs.
     val prefix = posting.join(dfreq, "sh")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("t"))
@@ -586,7 +590,8 @@ object Dedup {
       .withColumn("p",
         (size(col("t")) - ceil(size(col("t")).cast("double") * threshold - 1e-9) + 1).cast("int"))
       .select(col("id"), col("n"),
-        explode(transform(slice(col("t"), lit(1), col("p")), x => x("sh"))).as("sh"))
+        posexplode(transform(slice(col("t"), lit(1), col("p")), x => x("sh"))))
+      .toDF("id", "n", "pos", "sh")
     // pair generation is ONE grouped pass over the prefix postings
     // ([[blockedJaccardPairs]]'s expansion, minus its doc-frequency
     // cap — prefix tokens are each document's RAREST, so posting lists
@@ -594,22 +599,39 @@ object Dedup {
     // A prefix⋈prefix self-join would instead evaluate the whole
     // posting→dfreq→window chain TWICE — measured 2.3 s of this
     // gate's 4 s at sf0.1 before the rewrite.
-    // the PPJoin LENGTH filter rides the expansion for free: J ≥ t
-    // forces |smaller| ≥ t·|larger| (J ≤ min/max for any pair), so
-    // size-mismatched pairs never materialize. On the gate corpus this
-    // prunes 409k → 310k candidates; on real corpora with wider length
-    // spreads it is the stronger of the two filters.
-    prefix.groupBy(col("sh")).agg(collect_list(struct(col("id"), col("n"))).as("ids"))
+    // TWO PPJoin filters ride the expansion for free:
+    //  - LENGTH: J ≥ t forces |smaller| ≥ t·|larger| (J ≤ min/max for
+    //    any pair), so size-mismatched pairs never materialize.
+    //  - POSITIONAL: J ≥ t ⇔ |A∩B| ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉. A shared
+    //    token at 1-based sorted ranks (i, j) bounds the overlap IF it
+    //    is the pair's first common token: everything common sits at
+    //    rank ≥ i in A and ≥ j in B, so |A∩B| ≤ 1 + min(|A|-i, |B|-j).
+    //    Dropping a (pair, token) posting whose bound < α is lossless:
+    //    a qualifying pair's FIRST common token sits inside both
+    //    prefixes (the prefix theorem's witness) and for it the bound
+    //    ≥ the true overlap ≥ α — so the pair always survives via that
+    //    witness even when later shared tokens are (correctly) pruned.
+    // Measured on the sf0.1 gate corpus (tiny shared vocabulary — the
+    // adversarial regime): length alone 409k → 310k candidates,
+    // length+positional → 125k for the same 256 true pairs, and the
+    // verify stage's array-fetch joins shrink with it.
+    prefix.groupBy(col("sh"))
+      .agg(collect_list(struct(col("id"), col("n"), col("pos"))).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(col("ids")).as[Seq[(Long, Long)]]
+      .select(col("ids")).as[Seq[(Long, Long, Int)]]
       .flatMap { ids =>
         val sorted = ids.sortBy(_._1)
         for {
           i <- sorted.indices.iterator
           j <- (i + 1) until sorted.length
-          na = sorted(i)._2; nb = sorted(j)._2
+          (ida, na, pa) = sorted(i)
+          (idb, nb, pb) = sorted(j)
           if math.min(na, nb).toDouble >= threshold * math.max(na, nb) - 1e-9
-        } yield (sorted(i)._1, sorted(j)._1)
+          if !positional || {
+            val alpha = math.ceil(threshold / (1.0 + threshold) * (na + nb) - 1e-9)
+            (1L + math.min(na - (pa + 1L), nb - (pb + 1L))).toDouble >= alpha
+          }
+        } yield (ida, idb)
       }
       .toDF("id_a", "id_b")
       .distinct()

@@ -335,6 +335,14 @@ class DedupSpec extends AnyFunSuite {
     val candidates = Dedup.prefixCandidates(docsh, 0.5).count()
     assert(candidates < sharedTokenPairs / 2,
       s"prefix filter pruned nothing: $candidates candidates vs $sharedTokenPairs shared-token pairs")
+    // the positional filter must be a pure refinement: strictly fewer
+    // (or equal) candidates than prefix+length alone, while the
+    // losslessness test above pins that no TRUE pair is lost
+    val noPositional = Dedup.prefixCandidates(docsh, 0.5, positional = false).count()
+    assert(candidates <= noPositional,
+      s"positional filter ADDED candidates: $candidates vs $noPositional without it")
+    assert(candidates < noPositional,
+      s"positional filter pruned nothing on the gate corpus: $candidates == $noPositional")
   }
 
   test("dedup_components agrees with a plain-Scala union-find on the same pairs") {
