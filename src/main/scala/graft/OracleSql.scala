@@ -716,6 +716,29 @@ object OracleSql {
         |SELECT lang, predicted, count(*) AS n_docs FROM pred
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
 
+    // Trained-classifier twin of lang_id: the oracle replays the
+    // TRAINED Naive Bayes constants (Verify inlines them — the
+    // PQ-codebook pattern) and recomputes every score as exact integer
+    // arithmetic: Σ count·ilp + iprior, argmax ties to the smaller
+    // label. Spark scores with the identical inlined longs, so the
+    // comparison is bit-exact with no float-summation-order hazard.
+    "classify_nb_lang" ->
+      """WITH model(tok, mlang, ilp) AS (VALUES __NB_MODEL_VALUES__),
+        |cls(clang, iprior) AS (VALUES __NB_CLASS_VALUES__),
+        |toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok FROM documents),
+        |dt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+        |ts AS (SELECT doc_id, mlang, SUM(cnt * ilp) AS s
+        |  FROM dt JOIN model USING (tok) GROUP BY doc_id, mlang),
+        |sc AS (SELECT d.doc_id, c.clang,
+        |    CAST(COALESCE(ts.s, 0) + c.iprior AS BIGINT) AS iscore
+        |  FROM documents d CROSS JOIN cls c
+        |  LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.mlang = c.clang),
+        |rk AS (SELECT doc_id, clang, iscore,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY iscore DESC, clang) AS r FROM sc)
+        |SELECT rk.doc_id, d.lang AS true_lang, rk.clang AS pred_lang, rk.iscore
+        |FROM rk JOIN documents d USING (doc_id)
+        |WHERE rk.r = 1 ORDER BY rk.doc_id""".stripMargin,
+
     "text_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS n_ws_tokens,

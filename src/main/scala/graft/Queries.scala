@@ -314,7 +314,11 @@ object Queries {
       "__KMEANS_CENTROIDS_CTE__" ->
         OracleHashSql.kmeansCentroidsCte(balanceCenters(spark, sfDir)),
       "__HNSW_WALK_ADJ__" ->
-        OracleHashSql.hnswWalkAdjValues(hnswWalkRows(spark, sfDir)))
+        OracleHashSql.hnswWalkAdjValues(hnswWalkRows(spark, sfDir)),
+      "__NB_MODEL_VALUES__" ->
+        graft.pipeline.NaiveBayes.modelValuesSql(nbModel(spark, sfDir)),
+      "__NB_CLASS_VALUES__" ->
+        graft.pipeline.NaiveBayes.classValuesSql(nbModel(spark, sfDir)))
   }
 
   private val hnswWalkCache = new SessionCache[String, Seq[graft.index.HnswWalk.WalkRow]]
@@ -1568,6 +1572,34 @@ object Queries {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  // the fitted NB model is a build artifact of the corpus snapshot
+  // (three aggregations, ≤ vocabCap × classes rows on the driver) —
+  // cached per (session, dataset) like the PQ codebook, so the gate
+  // benches scoring and the oracle substitution inlines the IDENTICAL
+  // trained constants
+  private val nbModelCache = new SessionCache[String, graft.pipeline.NaiveBayes.Model]
+
+  private def nbModel(spark: SparkSession, sfDir: String): graft.pipeline.NaiveBayes.Model =
+    nbModelCache.getOrElseUpdate(spark, sfDir)(
+      graft.pipeline.NaiveBayes.train(
+        Tables.documents(spark, sfDir), "text", "lang"))
+
+  /** Trained-classifier language labeling over the documents corpus
+    * ([[graft.pipeline.NaiveBayes]]) — the learned counterpart of the
+    * heuristic [[langId]] gate, i.e. the fasttext-classifier slot of a
+    * crawl-curation pipeline. Scoring is exact integer arithmetic over
+    * the frozen model (`Σ count·ilp + iprior`), so the DuckDB oracle
+    * replays every argmax bit-exactly from the inlined constants.
+    */
+  def classifyNbLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.pipeline.NaiveBayes.score(docs, "doc_id", "text", nbModel(spark, sfDir))
+      .join(docs.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+      .select(col("doc_id"), col("true_lang"), col("pred_label").as("pred_lang"),
+        col("iscore"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Within-document repetition signals (the Gopher/MassiveText
     * repetition filters, Rae et al. 2021 §A1.1): fraction of word
@@ -3666,6 +3698,7 @@ object Queries {
     "corpus_datasheet" -> (corpusDatasheet _),
     "quality_gate" -> (qualityGate _),
     "lang_id" -> (langId _),
+    "classify_nb_lang" -> (classifyNbLang _),
     "fingerprint" -> (fingerprint _),
     "dedup_trigram_jaccard" -> (dedupTrigramJaccard _),
     "simjoin_prefix_jaccard" -> (simjoinPrefixJaccard _),
