@@ -148,7 +148,12 @@ object DumpPlans {
       // explain unrolls the full iterative label-propagation lineage
       // to ~2.5 MB of text with no extra signal
       "decontaminate_semantic", "curriculum_order",
-      "token_fertility")
+      "token_fertility",
+      // trained NB classifier scoring: one tokenize-explode into a
+      // (doc, token) partial-agg'd count, ONE broadcast join against
+      // the <= vocabCap x classes model, the keyed score sum, and a
+      // per-doc WindowGroupLimit argmax — no driver loop, no UDF
+      "classify_nb_lang")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.01, generated by graft.DumpPlans)\n\n")
