@@ -755,9 +755,9 @@ object Queries {
     * present it exactly like the batch twin [[eventsSliding]], which
     * shares its DuckDB oracle.
     *
-    * A sentinel row 3 hours past the horizon is appended as the last
-    * micro-batch: it pushes the watermark beyond every real window's
-    * end, so append mode releases all of them to the sink; the
+    * A sentinel row 3 hours past the horizon rides the replay batch:
+    * it pushes the watermark beyond every real window's end, so the
+    * no-data release batch appends all of them to the sink; the
     * sentinel's own windows can never expire and thus never surface
     * (no overlap — real windows end by max_ts + 1 h, sentinel windows
     * start at max_ts + 2 h).
@@ -790,14 +790,21 @@ object Queries {
       schema: org.apache.spark.sql.types.StructType, tag: String,
       transform: DataFrame => DataFrame,
       present: DataFrame => DataFrame,
-      filesPerTrigger: Int = 1): DataFrame = {
+      filesPerTrigger: Int = 1,
+      noDataBatches: Boolean = true): DataFrame = {
     val base = streamTempDir(s"graft_${tag}_stream_run_")
     val outDir = s"${base.getAbsolutePath}/out"; val ckDir = s"${base.getAbsolutePath}/ck"
     // filesPerTrigger <= 0 → no cap: the whole replay arrives in ONE
-    // micro-batch. Only valid for stateless/no-watermark transforms
-    // (a watermarked agg would never see a batch AFTER the sentinel
-    // and so never release its windows); the stateful gates keep the
-    // 1-file replay their semantics depend on.
+    // micro-batch — fine for stateless/no-watermark transforms; the
+    // watermarked gates keep 1 so each staged FILE is a micro-batch
+    // and the sentinel-advanced watermark releases state across a real
+    // batch boundary (the scheduled no-data batch).
+    // noDataBatches = false suppresses that release batch — valid ONLY
+    // for transforms whose sink never depends on watermark release
+    // (the eager-emitting INNER stream-stream join: eviction still
+    // runs inside data batch 2 against batch 1's watermark, but no row
+    // is ever EMITTED by watermark passage, so the release batch is
+    // pure machinery — ~0.9 s of it, measured by StreamCostProbe).
     val reader0 = spark.readStream.schema(schema)
     val reader = if (filesPerTrigger > 0)
       reader0.option("maxFilesPerTrigger", filesPerTrigger) else reader0
@@ -828,6 +835,8 @@ object Queries {
     if (sys.env.get("SPARK_GRAFT_STREAM_STATESTORE").contains("rocksdb"))
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val savedNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
     // Sink knob (SPARK_GRAFT_STREAM_SINK=memory), kept as a MEASURED
     // NEGATIVE result like the RocksDB/tmpfs knobs above: the memory
     // sink funnels every row through the driver and was SLOWER than the
@@ -859,17 +868,41 @@ object Queries {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
+      savedNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
       rmTree(base) // also on failure — no orphaned checkpoint/sink trees
     }
     out
   }
 
-  /** The replay INPUT of [[eventsSlidingStream]] (events copy + the
-    * watermark-release sentinel) is immutable per dataset, so it is
-    * staged ONCE per (session, sfDir) like `Tables.load` — the staging
-    * write was ~⅔ of the query's benched cost. The checkpoint and sink
-    * stay per-call: the streaming run itself must be fresh for the
+  /** The shared replay INPUT of the single-phase streaming gates
+    * (events copy + the watermark-release sentinel, ONE parquet file →
+    * ONE data micro-batch; the append-mode releases then ride the
+    * no-data batch Spark schedules when the watermark advances past
+    * the data). It is immutable per dataset, so it is staged ONCE per
+    * (session, sfDir) like `Tables.load` — the staging write was ~⅔
+    * of the query's benched cost. The checkpoint and sink stay
+    * per-call: the streaming run itself must be fresh for the
     * correctness gate.
+    *
+    * WHY one file and not data-then-sentinel files: StreamCostProbe
+    * measured the per-micro-batch machinery floor at ~0.9 s REGARDLESS
+    * of rows (a 2-row sentinel batch: addBatch ~700 ms, state commit
+    * ~330 ms, planning ~160 ms) — and the separate sentinel batch
+    * bought no coverage, because the watermark it advances is applied
+    * identically whether the sentinel row arrives with the data (the
+    * watermark is computed from the batch MAX at batch END, so the
+    * release still crosses a real batch boundary into the no-data
+    * batch, and ALL operator state still persists across that
+    * boundary). Cross-batch data ARRIVAL — rows of one key split over
+    * multiple batches — is exercised at corpus scale by the gates
+    * that need it semantically ([[stagedEventsTwoPhaseReplayDir]]:
+    * attribution join, native session windows, the upsert; plus the
+    * dedup redelivery and the request-per-batch kNN serve) and by the
+    * hand-built multi-batch sequences in SessionStreamingSpec /
+    * StreamJoinSpec, which control exactly what crosses each boundary.
     */
   private val streamInputCache = new SessionCache[String, String]
 
@@ -879,37 +912,90 @@ object Queries {
     * [[Tables.events]] chokepoint — session TZ is pinned UTC, so the
     * NTZ wall-clock IS the UTC instant).
     */
-  private def maxTsMillis(ev: DataFrame): Long =
-    ev.agg(max(col("ts"))).head().get(0) match {
-      case t: java.sql.Timestamp        => t.getTime
-      case ldt: java.time.LocalDateTime => ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      case i: java.time.Instant         => i.toEpochMilli
-      case other => throw new IllegalStateException(
-        s"unexpected max(ts) driver type: ${other.getClass.getName}")
-    }
+  private def tsMillis(v: Any, what: String): Long = v match {
+    case t: java.sql.Timestamp        => t.getTime
+    case ldt: java.time.LocalDateTime => ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    case i: java.time.Instant         => i.toEpochMilli
+    case other => throw new IllegalStateException(
+      s"unexpected $what(ts) driver type: ${other.getClass.getName}")
+  }
 
-  private def stagedEventsReplayDir(spark: SparkSession, sfDir: String): String =
+  private def maxTsMillis(ev: DataFrame): Long =
+    tsMillis(ev.agg(max(col("ts"))).head().get(0), "max")
+
+  /** The watermark-release row: 3 h past the corpus horizon, user −1,
+    * type "sentinel" — every gate filters it at presentation. Built as
+    * a select over `ev.limit(1)` so it inherits the replay schema.
+    */
+  private def sentinelRow(ev: DataFrame, maxMs: Long): DataFrame =
+    ev.limit(1).select(
+      lit(-1L).as("event_id"),
+      lit(new java.sql.Timestamp(maxMs + 3L * 3600 * 1000)).as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+
+  private[graft] def stagedEventsReplayDir(spark: SparkSession, sfDir: String): String =
     streamInputCache.getOrElseUpdate(spark, sfDir) {
       val dir = streamTempDir("graft_stream_in_")
       Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir)))
       val inDir = dir.getAbsolutePath
       val ev = Tables.events(spark, sfDir)
-      ev.coalesce(1).write.mode("overwrite").parquet(inDir)
       val maxMs = maxTsMillis(ev)
+      // ONE file = one data micro-batch, sentinel row included: the
+      // watermark is computed from the batch max at batch end, so the
+      // append-mode release still happens across a batch boundary (in
+      // the scheduled no-data batch) — see the cache Scaladoc above.
+      ev.unionByName(sentinelRow(ev, maxMs)).coalesce(1)
+        .write.mode("overwrite").parquet(inDir)
+      inDir
+    }
+
+  /** TWO-PHASE replay input: the events table split at its event-time
+    * midpoint into two files (the sentinel rides the SECOND file), so
+    * `maxFilesPerTrigger = 1` delivers two REAL data micro-batches —
+    * the layout for the gates whose semantics are about state crossing
+    * a batch boundary with live data on both sides: the stream-stream
+    * attribution join (half-2 purchases must match half-1 clicks held
+    * in join state), the native session_window stream (sessions
+    * spanning the midpoint must merge inside the session state store),
+    * and the update-mode upsert (a (hour, type) key straddling the
+    * midpoint is emitted twice and must converge by last-write-wins).
+    *
+    * The split is SAFE for all three by construction, not by corpus
+    * luck: a half-1 session/window already released before batch 2 can
+    * never be extended by a half-2 row (the row would have to lie
+    * within the 30-min gap of a session that ended more than the 1-h
+    * watermark delay before the midpoint — an empty time range), and
+    * no click evictable by the post-batch-1 watermark (2 h delay) can
+    * still be needed by a half-2 purchase (1 h join interval).
+    */
+  private val twoPhaseInputCache = new SessionCache[String, String]
+
+  private[graft] def stagedEventsTwoPhaseReplayDir(spark: SparkSession, sfDir: String): String =
+    twoPhaseInputCache.getOrElseUpdate(spark, sfDir) {
+      val dir = streamTempDir("graft_stream_in2_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir)))
+      val inDir = dir.getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+      val maxMs = maxTsMillis(ev)
+      val minMs = tsMillis(ev.agg(min(col("ts"))).head().get(0), "min")
+      val midMs = minMs + (maxMs - minMs) / 2
       def parts(): Array[java.io.File] =
         dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      // unix_millis keeps sub-second precision — a cast-to-long floors
+      // to whole seconds and would leak boundary rows into both halves
+      ev.where(unix_millis(col("ts")) < midMs).coalesce(1)
+        .write.mode("overwrite").parquet(inDir)
       val before = parts().map(_.getName).toSet
-      ev.limit(1).select(
-          lit(-1L).as("event_id"),
-          lit(new java.sql.Timestamp(maxMs + 3L * 3600 * 1000)).as("ts"),
-          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
+      ev.where(unix_millis(col("ts")) >= midMs)
+        .unionByName(sentinelRow(ev, maxMs)).coalesce(1)
         .write.mode("append").parquet(inDir)
       // FileStreamSource replays files in modification-time order; the
-      // sentinel must come LAST or every real row is dropped as late
-      // data. Don't rely on the two writes landing in distinct mtime
-      // granules — stamp the sentinel file explicitly past the data.
-      val dataMtime = parts().filter(f => before(f.getName)).map(_.lastModified).max
+      // second half (with the sentinel) must come LAST or its rows are
+      // dropped as late data. Don't rely on the two writes landing in
+      // distinct mtime granules — stamp the second file explicitly.
+      val dataMtime = parts().filter(f => before(f.getName)).map(_.lastModified)
+        .foldLeft(0L)(math.max)
       parts().filterNot(f => before(f.getName))
         .foreach(f => f.setLastModified(dataMtime + 2000L))
       inDir
@@ -1071,12 +1157,18 @@ object Queries {
     if (ev.isEmpty)
       return ev.limit(0).select(col("user_id"), lit(0L).as("n_pairs"),
         lit(0L).as("n_clicks"), lit(0L).as("n_purchases"), lit(0.0).as("sum_value"))
-    runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "attr",
+    // Two-phase replay: half-2 purchases must find half-1 clicks in
+    // join state, and batch 2 runs eviction against batch 1's
+    // watermark — real cross-batch join coverage. No-data batches off:
+    // the inner join emits every match eagerly, so the release batch
+    // contributes nothing to the sink (see runReplayToSink).
+    runReplayToSink(spark, stagedEventsTwoPhaseReplayDir(spark, sfDir), ev.schema, "attr",
       stream => {
         val (clicks, purchases) = attributionSides(stream)
         graft.streaming.EventStreams.clickAttribution(clicks, purchases)
       },
-      attributionRollup)
+      attributionRollup,
+      noDataBatches = false)
   }
 
   /** Shared rollup for the OUTER attribution pair: every purchasing
@@ -1133,7 +1225,7 @@ object Queries {
     * rollup of the emitted CLOSED sessions must hash-match the batch
     * window-function sessionization — [[eventsSessionize]]'s exact
     * DuckDB oracle. The equivalence is total because the sentinel
-    * micro-batch pushes the watermark past every real session's
+    * row pushes the end-of-replay watermark past every real session's
     * timeout (session_end + gap ≤ max_ts + 30 min < max_ts + 1 h), so
     * EVERY session times out and is emitted; the sentinel's own
     * never-closing session belongs to user −1 and is filtered at
@@ -1218,9 +1310,10 @@ object Queries {
     * machinery [[eventsSessionizeStream]]'s hand-rolled fMGWS buffer
     * implements manually). Append mode: a (user, session) row reaches
     * the sink once the watermark passes the session's end, which the
-    * sentinel micro-batch guarantees for every real session
-    * (session_end + gap ≤ max_ts + 30 min; watermark after the
-    * sentinel batch = max_ts + 2 h). The per-user rollup shares
+    * sentinel row (riding the second replay batch) guarantees for
+    * every real session (session_end + gap ≤ max_ts + 30 min;
+    * watermark after that batch = max_ts + 2 h, so the no-data
+    * release batch emits everything). The per-user rollup shares
     * [[eventsSessionize]]'s exact DuckDB oracle with the other three
     * formulations — four implementations, one oracle.
     */
@@ -1229,7 +1322,10 @@ object Queries {
     if (ev.isEmpty)
       return ev.limit(0).select(col("user_id"),
         lit(0L).as("n_sessions"), lit(0L).as("n_events"))
-    runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "sesswin",
+    // Two-phase replay: sessions spanning the event-time midpoint
+    // split across micro-batches and must merge inside the session
+    // state store — the machinery this gate exists to exercise.
+    runReplayToSink(spark, stagedEventsTwoPhaseReplayDir(spark, sfDir), ev.schema, "sesswin",
       stream => stream
         .withWatermark("ts", "1 hour")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -1265,7 +1361,11 @@ object Queries {
     if (ev.isEmpty)
       return ev.limit(0).select(lit("").as("hour"), col("event_type"),
         lit(0L).as("n_events"), lit(0.0).as("sum_value"))
-    val inDir = stagedEventsReplayDir(spark, sfDir)
+    // Two-phase replay: (hour, type) keys straddling the midpoint are
+    // emitted in BOTH batches and must converge by last-write-wins —
+    // the convergence this gate pins (a single-batch replay would make
+    // the upsert trivially equal to the batch aggregate).
+    val inDir = stagedEventsTwoPhaseReplayDir(spark, sfDir)
     val base = streamTempDir("graft_upsert_stream_run_")
     val ckDir = s"${base.getAbsolutePath}/ck"
     val store = new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Double)]()
