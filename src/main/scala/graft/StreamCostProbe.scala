@@ -35,6 +35,18 @@ object StreamCostProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // A/B knob: checksum-free local fs for the checkpoint tree
+      // (Hadoop's default LocalFileSystem writes a .crc twin for
+      // every tiny state-delta file). POSIX rename stays atomic,
+      // which is all CheckpointFileManager needs. MEASURED NEGATIVE
+      // (like the RocksDB/tmpfs/memory-sink knobs): RawLocalFileSystem
+      // moved the warm outer-attribution run 2.5 → 2.5 s — the page
+      // cache absorbs the checksum twins too; the per-batch floor is
+      // CPU-side machinery (incremental planning, task scheduling,
+      // store version bookkeeping), not checkpoint I/O.
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_FS_IMPL",
+          "org.apache.hadoop.fs.LocalFileSystem"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
