@@ -149,10 +149,12 @@ object DumpPlans {
       // to ~2.5 MB of text with no extra signal
       "decontaminate_semantic", "curriculum_order",
       "token_fertility",
-      // trained NB classifier scoring: one tokenize-explode into a
-      // (doc, token) partial-agg'd count, ONE broadcast join against
-      // the <= vocabCap x classes model, the keyed score sum, and a
-      // per-doc WindowGroupLimit argmax — no driver loop, no UDF
+      // trained NB classifier scoring: tokenize-explode joined
+      // per-occurrence against the broadcast <= vocabCap x classes
+      // model, partial-agg'd straight to (doc, label) score sums
+      // (<= classes rows per doc in the only exchange — see
+      // NaiveBayes.score + NbScaleProbe), and a per-doc
+      // WindowGroupLimit argmax — no driver loop, no UDF
       "classify_nb_lang")
 
     val sb = new StringBuilder
