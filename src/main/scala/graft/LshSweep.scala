@@ -71,7 +71,10 @@ object LshSweep {
       val sigma = if (args.length > 3) args(3).toDouble else 0.25
       println(s"CLUSTERED corpus: n=$n clusters=$c sigma=$sigma dim=64")
       gaussianMixture(spark, n, 64, c, sigma)
-    } else Tables.embeddings(spark, sfDir)).cache()
+      // the schema allows null embeddings (every ANN consumer filters
+      // them — the O1 null-skip contract); a null here would NPE the
+      // query sample and crash the IVF assign's non-nullable decode
+    } else Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)).cache()
     val n = emb.count()
     val k = 10
     // HASH-sampled member queries, never an arithmetic stride: on the

@@ -53,9 +53,24 @@ object NbScaleProbe {
       }
     })
 
+    // the listener bus is async: drain it around each measured window
+    // or the fit phase's tail stages get credited to the score phase
+    // (Bench.drainBus does the same around every benched query)
+    def drainBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        val m = bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount <= 1).get
+        if (m.getParameterCount == 0) m.invoke(bus)
+        else m.invoke(bus, java.lang.Long.valueOf(10000L))
+      } catch { case _: Throwable => Thread.sleep(200) }
+
     def timed[A](f: => A): (A, Double, Double) = {
+      drainBus()
       val s0 = shuffle; val t0 = System.nanoTime()
       val a = f
+      drainBus()
       ((a, (System.nanoTime() - t0) / 1e9, (shuffle - s0) / 1e6))
     }
 

@@ -22,6 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** One-generation scratch-cache registry. Several operators here
+    * cache an intermediate (shingle arrays, a corpus index) that the
+    * RETURNED lazy DataFrame references more than once — a Mmr-style
+    * try/finally unpersist is impossible because the cache must stay
+    * live until the caller finishes consuming the result, which the
+    * operator never observes. Left alone, every invocation pins
+    * another corpus-scale cached copy for the session lifetime (the
+    * r12 review's leak catch). Instead each call site releases its
+    * PREVIOUS invocation's scratch cache on re-entry, bounding live
+    * caches at one generation per (session, site). Unpersisting a
+    * previous generation that is somehow still mid-consumption is
+    * safe — Spark recomputes evicted blocks from lineage.
+    */
+  private val scratch = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  private def scratchCache(tag: String, df: DataFrame): DataFrame = {
+    val prev = scratch.put((df.sparkSession, tag), df)
+    if (prev != null && (prev ne df)) prev.unpersist(false)
+    df.cache()
+  }
+
   /** Exact duplicate stats per group: n_docs, n_distinct (by md5 of raw
     * text), n_dupes. */
   def exactStats(docs: DataFrame, groupCol: Column, textCol: Column): DataFrame =
@@ -277,7 +299,8 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, shingleSize: Int = 3,
                       numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
-    val docsh = distinctShingleArrays(docs, idCol, textCol, shingleSize).cache()
+    val docsh = scratchCache("minhash_docsh",
+      distinctShingleArrays(docs, idCol, textCol, shingleSize))
     val sigs = docsh.select(col("id"), sigFromShingles(numHashes, seed)(col("shs")).as("sig"))
     val cands = minhashCandidatePairs(sigs, "id", numHashes, bands)
     cands
@@ -312,7 +335,7 @@ object Dedup {
                           shingleSize: Int = 3, numHashes: Int = 64,
                           bands: Int = 16, seed: Long = 42L): DataFrame = {
     val (shC, bandC) = corpusIndex(corpus, idCol, textCol, shingleSize, numHashes, bands, seed)
-    incrementalNearDupsAgainst(shC.cache(), bandC, batch, idCol, textCol,
+    incrementalNearDupsAgainst(scratchCache("incr_corpus_sh", shC), bandC, batch, idCol, textCol,
       threshold, shingleSize, numHashes, bands, seed)
   }
 
@@ -343,7 +366,8 @@ object Dedup {
                                  threshold: Double = 0.5, shingleSize: Int = 3,
                                  numHashes: Int = 64, bands: Int = 16,
                                  seed: Long = 42L): DataFrame = {
-    val shB = distinctShingleArrays(batch, idCol, textCol, shingleSize).cache()
+    val shB = scratchCache("incr_batch_sh",
+      distinctShingleArrays(batch, idCol, textCol, shingleSize))
     val bandB = bandedSignatures(
       shB.select(col("id"), sigFromShingles(numHashes, seed)(col("shs")).as("sig")),
       "id", numHashes, bands)
@@ -399,11 +423,11 @@ object Dedup {
     // conflicting (block, text). This aggregation + the two below are
     // the pipeline's wide shuffles; map-side combine collapses
     // duplicates before any array payload moves.
-    val docsh = docs.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
-        array_distinct(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shs"))
-      .groupBy(col("id")).agg(max(struct(col("block"), col("shs"))).as("bs"))
-      .select(col("id"), col("bs.block").as("block"), col("bs.shs").as("shs"))
-      .cache()
+    val docsh = scratchCache("blocked_docsh",
+      docs.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
+          array_distinct(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shs"))
+        .groupBy(col("id")).agg(max(struct(col("block"), col("shs"))).as("bs"))
+        .select(col("id"), col("bs.block").as("block"), col("bs.shs").as("shs")))
     val sizes = docsh.select(col("id"), size(col("shs")).cast("long").as("n"))
     val interCounts = docsh
       .select(col("block"), col("id"), explode(col("shs")).as("shingle"))
@@ -466,7 +490,8 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double, shingleSize: Int = 3): DataFrame =
     prefixPairsFromShingles(
-      shingleArrays(docs, idCol, textCol, shingleSize).cache(), threshold)
+      scratchCache("prefix_docsh",
+        shingleArrays(docs, idCol, textCol, shingleSize)), threshold)
 
   /** The candidate+verify tail over an ALREADY-BUILT (id, shs) frame —
     * shared so [[prefixJaccardPairsCollapsed]] can reuse the one
@@ -527,7 +552,7 @@ object Dedup {
     // ONE shingle pass serves both the prefix join and the ≥1-shingle
     // validity guard below (cached — tokenizing every representative
     // twice was the r12 review's efficiency catch)
-    val repSh = shingleArrays(repDocs, "id", "t", shingleSize).cache()
+    val repSh = scratchCache("prefix_rep_sh", shingleArrays(repDocs, "id", "t", shingleSize))
     val repPairs = prefixPairsFromShingles(repSh, threshold)
     val cross = repPairs
       .join(membership.toDF("a", "rep_a"), col("rep_a") === col("id_a"))

@@ -9,11 +9,13 @@ import org.apache.spark.sql.expressions.Window
   * fasttext-classifier slot in pipelines like CCNet / RefinedWeb),
   * expressed so both phases are Spark-shaped:
   *
-  *  - TRAIN is three aggregations (class priors, token-class counts,
-  *    class totals) over a top-`vocabCap` vocabulary. The fitted model
-  *    is ≤ `vocabCap × classes` rows — a driver-side build artifact
-  *    like the PQ codebook, broadcast back for scoring. At 100 TB the
-  *    aggregations are the corpus pass; the model stays KBs.
+  *  - TRAIN is three aggregations (class priors, the top-`vocabCap`
+  *    vocabulary, token-class counts); the per-class totals are the
+  *    driver-side marginal of the collected token-class counts, not a
+  *    fourth corpus scan. The fitted model is ≤ `vocabCap × classes`
+  *    rows — a driver-side build artifact like the PQ codebook,
+  *    broadcast back for scoring. At 100 TB the aggregations are the
+  *    corpus pass; the model stays KBs.
   *  - SCORE is a per-(doc, token) count aggregate, one broadcast join
   *    against the model, a keyed sum, and a per-doc argmax window —
   *    no driver loop, no UDF in the hot path.
@@ -76,8 +78,12 @@ object NaiveBayes {
     val tokLang = inVocab.groupBy("label", "tok").count()
       .collect() // ≤ vocabCap × classes rows — the build artifact
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val totC = inVocab.groupBy("label").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-class in-vocab totals are the per-label marginal of the
+    // already-collected counts — deriving them here spares a fourth
+    // corpus scan (the r12 review catch: a whole extra tokenize pass
+    // for numbers summable in driver memory)
+    val totC = tokLang.toSeq.groupBy(_._1._1)
+      .map { case (l, xs) => l -> xs.map(_._2).sum }
     val v = vocab.length
     val labels = classDocs.keys.toSeq.sorted
     val classes = labels.map { l =>

@@ -208,18 +208,38 @@ final class Engine(clock: () => Instant = () => Instant.now(),
           .write.mode("overwrite").parquet(tmp.getAbsolutePath)
         val compacted = sp.spark.read.parquet(tmp.getAbsolutePath)
         val after = compacted.count()
-        spillBlooms.clear()
         if (after == 0) {
-          rmTree(dir); rmTree(tmp)
+          // flip the flag BEFORE deleting: spilledChunks gates on it,
+          // so no new plan can aim at the vanishing path
           spilled = false
+          spillBlooms.clear()
+          rmTree(dir); rmTree(tmp)
         } else {
+          // build the new Bloom BEFORE any destructive step, and keep
+          // the old tier as a rollback target until the new one is in
+          // place — a failed rename must leave the engine serving the
+          // OLD directory (blooms and flag untouched), never
+          // spilled=true over a vanished path
           val bf = org.apache.spark.util.sketch.BloomFilter.create(after, 0.01)
           compacted.select(col("id")).as[String].toLocalIterator()
             .forEachRemaining(id => bf.putString(id))
-          rmTree(dir)
-          if (!tmp.renameTo(dir))
-            throw new java.io.IOException(s"compaction rename failed: $tmp -> $dir")
+          val old = new java.io.File(sp.dir + ".compact-old")
+          rmTree(old)
+          if (!dir.renameTo(old)) {
+            rmTree(tmp)
+            throw new java.io.IOException(
+              s"compaction swap failed: $dir -> $old (old tier still serving)")
+          }
+          if (!tmp.renameTo(dir)) {
+            val restored = old.renameTo(dir)
+            rmTree(tmp)
+            throw new java.io.IOException(s"compaction swap failed: $tmp -> $dir" +
+              (if (restored) " (old tier restored)"
+               else s" (MANUAL RECOVERY: old tier preserved at $old)"))
+          }
+          spillBlooms.clear()
           spillBlooms += bf
+          rmTree(old)
         }
         (before, after)
       }
