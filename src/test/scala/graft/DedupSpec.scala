@@ -471,6 +471,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("scratch caches are one-generation: repeated invocations do not accumulate") {
+    // the operators cache an intermediate their lazy result references
+    // (shingle arrays); the registry must release generation N-1 on
+    // re-entry or every call pins another corpus-scale cached copy
+    // for the session lifetime (the r12 review's leak catch)
+    def persisted() = spark.sparkContext.getPersistentRDDs.size
+    def run(): Unit = {
+      Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.5).count()
+      Dedup.minhashNearDups(docs, "doc_id", "text", 0.5).count()
+    }
+    run() // generation 1 populates both sites' slots
+    val after1 = persisted()
+    run(); run() // generations 2 and 3 must displace, not accumulate
+    assert(persisted() <= after1,
+      s"scratch caches accumulated: $after1 -> ${persisted()} persisted RDDs")
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }

@@ -169,6 +169,38 @@ class EngineSpillSpec extends AnyFunSuite {
     } finally TestSpark.rmTree(dir)
   }
 
+  test("compactSpill's swap leaves no residue dirs and survives repetition") {
+    val (e, dir) = freshSpill("swapres")
+    try {
+      val lib = e.createLibrary("L")
+      e.addDocument(lib.id, "D1", id = Some("d1"))
+      e.addDocument(lib.id, "D2", id = Some("d2"))
+      (0 until 12).foreach(i =>
+        e.addChunk(lib.id, "d1", s"a $i", Some(oneHot(i)), id = Some(f"a$i%02d")))
+      (0 until 12).foreach(i =>
+        e.addChunk(lib.id, "d2", s"b $i", Some(oneHot(i)), id = Some(f"b$i%02d")))
+      e.deleteDocument(lib.id, "d1")
+      e.compactSpill()
+      // the failure-safe swap (build Bloom -> dir->old -> tmp->dir ->
+      // drop old) must clean up both staging dirs on the success path
+      val parent = dir.getParentFile
+      def residue() = parent.listFiles().filter(f =>
+        f.getName == dir.getName + ".compact-tmp" ||
+          f.getName == dir.getName + ".compact-old")
+      assert(residue().isEmpty, s"staging residue left: ${residue().map(_.getName).toSeq}")
+      // a second, nothing-to-reclaim compaction runs the same swap path
+      val Some((b2, a2)) = e.compactSpill()
+      assert(b2 == a2, "second compaction had nothing to reclaim")
+      assert(residue().isEmpty)
+      // serving and the spilled-tier probe still work after two swaps
+      assert(e.chunksDF(spark).count() == 12)
+      assert(e.listChunks(lib.id, "d2").size == 12)
+      // the immutability probe exercises isSpilled against the
+      // post-swap directory + rebuilt Bloom
+      intercept[BadRequestError](e.deleteChunk(lib.id, "d2", "b00"))
+    } finally TestSpark.rmTree(dir)
+  }
+
   test("without spill mode the capacity guard still throws") {
     val e = new Engine(maxChunks = 3)
     val lib = e.createLibrary("L")
