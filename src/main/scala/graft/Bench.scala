@@ -116,6 +116,16 @@ object Bench {
     // and bury the serving win it demonstrates).
     try Queries.knnLshCached(spark, sfDir).count()
     catch { case _: Throwable => }
+    // Warm the dedup tier's code path once: dedup_minhash's first-ever
+    // run pays shingle-UDF + signature JIT plus the first scratch-cache
+    // materialization (~7-8 s of one-time cost at sf0.1 vs ~1 s steady
+    // state in the r12 forensics). Paying it in warmup keeps run 1
+    // comparable to runs 2-3 — the same steady-state argument as the
+    // table read above. The scratch cache itself is released before
+    // every timed run below, so this warms JIT/page cache only, never
+    // subsidizes a timed materialization.
+    try SparkEntry.queries("dedup_minhash")(spark, sfDir).count()
+    catch { case _: Throwable => }
     val warmup = (System.nanoTime() - w0) / 1e9
     // Deterministic name order: a Map's iteration order reshuffles when
     // entries are added, silently changing which query inherits
@@ -123,6 +133,12 @@ object Bench {
     // round-over-round per-query numbers comparable.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 3).map { _ =>
+        // release the dedup tier's scratch caches OUTSIDE the timed
+        // window, synchronously: every timed run then pays exactly one
+        // honest materialization and never overlaps the previous
+        // generation's async block eviction (the r12 driver artifact's
+        // 4-25x GC inflation on the dedup gates)
+        graft.dedup.Dedup.releaseScratch(spark)
         drainBus(spark)
         val before = listener.snap
         val t0 = System.nanoTime()
@@ -213,6 +229,7 @@ object Bench {
     val adjudications = BenchBudget.adjudicate(
       suspects, queryRuns.toMap, anchors,
       name => {
+        graft.dedup.Dedup.releaseScratch(spark)
         drainBus(spark)
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count()

@@ -22,6 +22,8 @@ object BenchOne {
       val fn = Queries.all(q)
       if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
       for (i <- 1 to 3) {
+        // mirror Bench: scratch release outside the timed window
+        graft.dedup.Dedup.releaseScratch(spark)
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         println(f"RUN$i $q rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")

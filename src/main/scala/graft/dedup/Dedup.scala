@@ -39,9 +39,40 @@ object Dedup {
     (org.apache.spark.sql.SparkSession, String), DataFrame]()
 
   private def scratchCache(tag: String, df: DataFrame): DataFrame = {
+    // sweep entries of stopped sessions so the registry never pins a
+    // dead session (or its last cached frame) for the JVM lifetime —
+    // the same listener-free eviction SessionCache uses (r12 review)
+    scratch.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val prev = scratch.put((df.sparkSession, tag), df)
-    if (prev != null && (prev ne df)) prev.unpersist(false)
-    df.cache()
+    // blocking: a lazy unpersist leaves async block eviction running
+    // concurrently with the NEXT generation's materialization — the
+    // r12 driver bench showed that interleaving as 4-25x GC-inflated
+    // timings on the dedup gates with byte-identical plans
+    if (prev != null && (prev ne df)) prev.unpersist(blocking = true)
+    // serialized storage: these frames carry array<string>/array<long>
+    // shingle payloads whose deserialized form is millions of small
+    // objects — MEMORY_AND_DISK_SER keeps them as compact byte buffers
+    // (one object per block), trading a cheap per-access decode for an
+    // order of magnitude less GC scan pressure in long sessions
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
+  /** Release every scratch cache held for `spark`, synchronously.
+    * Benchmarks call this between timed queries so no timed run
+    * overlaps another generation's block eviction; long-running
+    * applications may call it at pipeline-stage boundaries to return
+    * the shingle caches' storage memory eagerly instead of waiting
+    * for the next invocation's one-generation swap.
+    */
+  def releaseScratch(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val it = scratch.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        it.remove()
+        e.getValue.unpersist(blocking = true)
+      }
+    }
   }
 
   /** Exact duplicate stats per group: n_docs, n_distinct (by md5 of raw
@@ -285,16 +316,23 @@ object Dedup {
     * shingles. One row per id even under a doubled input row (upstream
     * double-append — exactly what a dedup module must tolerate), which
     * would otherwise multiply every candidate pair through the verify
-    * joins. max(shs) (array ordering) picks DETERMINISTICALLY when the
-    * same id somehow carries different text — dropDuplicates would
-    * keep a partition-order-dependent row.
+    * joins. max_by over a 64-bit hash of the array picks
+    * DETERMINISTICALLY when the same id somehow carries different text
+    * (dropDuplicates would keep a partition-order-dependent row) while
+    * keeping the aggregate's ordering comparisons on an 8-byte long —
+    * max(shs) directly compared array<string> values element-wise in
+    * the SortAggregate's update path, the GC-heavy spot in the r12
+    * driver forensics. A hash collision between two DIFFERENT arrays
+    * under one id would make the pick arbitrary-but-stable; at 2^-64
+    * per conflicting id that is below every other determinism risk in
+    * the pipeline.
     */
   private def distinctShingleArrays(docs: DataFrame, idCol: String,
                                     textCol: String, shingleSize: Int): DataFrame =
     docs.select(col(idCol).as("id"),
         array_distinct(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shs"))
       .where(size(col("shs")) > 0)
-      .groupBy(col("id")).agg(max(col("shs")).as("shs"))
+      .groupBy(col("id")).agg(max_by(col("shs"), xxhash64(col("shs"))).as("shs"))
 
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, shingleSize: Int = 3,
@@ -419,14 +457,18 @@ object Dedup {
     // one row per id: a doubled input row would otherwise emit
     // self-pairs from the posting expansion and double the sizes join
     // (the old posting-level DISTINCT absorbed duplicates implicitly).
-    // max(struct) picks deterministically if an id ever carries
-    // conflicting (block, text). This aggregation + the two below are
-    // the pipeline's wide shuffles; map-side combine collapses
+    // max_by over a 64-bit hash picks deterministically if an id ever
+    // carries conflicting (block, text), with the aggregate ordering
+    // on a slim long rather than comparing (block, array) structs
+    // (see distinctShingleArrays). This aggregation + the two below
+    // are the pipeline's wide shuffles; map-side combine collapses
     // duplicates before any array payload moves.
     val docsh = scratchCache("blocked_docsh",
       docs.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
           array_distinct(TextFunctions.wordNgramsFast(shingleSize)(col(textCol))).as("shs"))
-        .groupBy(col("id")).agg(max(struct(col("block"), col("shs"))).as("bs"))
+        .groupBy(col("id")).agg(
+          max_by(struct(col("block"), col("shs")),
+            xxhash64(col("block"), col("shs"))).as("bs"))
         .select(col("id"), col("bs.block").as("block"), col("bs.shs").as("shs")))
     val sizes = docsh.select(col("id"), size(col("shs")).cast("long").as("n"))
     val interCounts = docsh
@@ -587,7 +629,8 @@ object Dedup {
           graft.functions.TextFunctions.wordNgramsFast(shingleSize)(col(textCol)),
           s => xxhash64(s))).as("shs"))
       .where(size(col("shs")) > 0)
-      .groupBy(col("id")).agg(max(col("shs")).as("shs"))
+      // slim-key determinism guard — see distinctShingleArrays
+      .groupBy(col("id")).agg(max_by(col("shs"), xxhash64(col("shs"))).as("shs"))
 
   /** Candidate (id_a, id_b) pairs sharing a prefix token — exposed to
     * the spec so the blocking win (candidates ≪ shared-token pairs) is
