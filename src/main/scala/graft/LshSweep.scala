@@ -83,13 +83,26 @@ object LshSweep {
     // geometry (the r12 review catch: n=50000/clusters=100 made stride
     // 2000 pick 20 queries ALL from cluster 0, biasing every recall
     // number). xxhash64 decorrelates the sample from id arithmetic.
-    val queries = emb
+    val hashSampled = emb
       .where(pmod(xxhash64(col("vec_id")), lit((n / 25).max(1))) === 0)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
       .take(20)
+    // the hash sample has no floor: on a small or unlucky corpus it can
+    // select ZERO members, and the sweep would then divide by zero and
+    // print NaN recall rows as if they were measurements (r12 review
+    // catch). Fall back to the 20 smallest ids by hash order — still
+    // decorrelated from the cluster arithmetic above.
+    val queries =
+      if (hashSampled.nonEmpty) hashSampled
+      else emb.select(col("vec_id"), col("embedding"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(20)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+    require(queries.nonEmpty, s"empty corpus at $sfDir — nothing to sweep")
     val truth = AnnEval.groundTruth(emb, "vec_id", "embedding", queries, k).cache()
     truth.count()
 

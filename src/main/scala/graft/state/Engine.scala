@@ -49,41 +49,38 @@ final case class EngineCapacityError(chunks: Int, maxChunks: Int)
 final case class EngineSpill(spark: SparkSession, dir: String)
 
 /** On-disk row of a spilled segment: the chunk plus its parent
-  * document's `created_at`, which acts as the document INCARNATION id.
-  * Serving keys archived rows on (library_id, document_id,
-  * doc_created_at), so re-creating a document (or library) under the
-  * same client-supplied id can never resurrect cascade-deleted archived
-  * chunks — the new incarnation has a new created_at and the old rows
-  * simply stop matching (the r12 review's resurrection catch; assumes
-  * the engine clock never returns the same instant for two document
-  * creations, which the monotonic test clock guarantees and
-  * Instant.now violates only within its sub-millisecond granularity).
+  * document's `incarnation` nonce. Serving keys archived rows on
+  * (library_id, document_id, doc_incarnation), so re-creating a
+  * document (or library) under the same client-supplied id can never
+  * resurrect cascade-deleted archived chunks — the new incarnation
+  * carries a fresh nonce and the old rows simply stop matching (the
+  * r12 review's resurrection catch). An opaque nonce rather than the
+  * document's created_at: a created_at key silently collided when a
+  * delete + re-create landed inside one clock granule, and forced a
+  * micros-truncation contract between parquet timestamps and driver
+  * Instants (the r13 review catch) — a UUID has neither failure mode.
   */
 private[state] final case class SpilledChunkRow(
     library_id: String, document_id: String, id: String, text: String,
     embedding: Option[Array[Float]], metadata: Map[String, String],
-    created_at: Instant, updated_at: Instant, doc_created_at: Instant) {
+    created_at: Instant, updated_at: Instant, doc_incarnation: String) {
   def toChunk: ChunkRow = ChunkRow(library_id, document_id, id, text,
     embedding, metadata, created_at, updated_at)
 }
 
-private[state] object SpilledChunkRow {
-  /** Parquet timestamps carry microseconds; a resident Instant may
-    * carry nanos. Compare at the precision the roundtrip preserves —
-    * the DataFrame join truncates both sides identically, the
-    * driver-side comparisons must match it. */
-  def sameInstant(a: Instant, b: Instant): Boolean =
-    a.truncatedTo(java.time.temporal.ChronoUnit.MICROS) ==
-      b.truncatedTo(java.time.temporal.ChronoUnit.MICROS)
-}
-
-/** Entity rows (SURVEY §1.4 schema mapping). */
+/** Entity rows (SURVEY §1.4 schema mapping). `DocumentRow.incarnation`
+  * is an engine-internal nonce distinguishing same-id re-creations (see
+  * [[SpilledChunkRow]]); it rides along in the DataFrame views but is
+  * never part of the reference-parity API surface (HttpApi serializes
+  * explicit fields).
+  */
 final case class LibraryRow(id: String, name: String, description: Option[String],
                             tags: Option[String], version: Int,
                             created_at: Instant, updated_at: Instant)
 final case class DocumentRow(library_id: String, id: String, title: String,
                              category: Option[String],
-                             created_at: Instant, updated_at: Instant)
+                             created_at: Instant, updated_at: Instant,
+                             incarnation: String = "")
 final case class ChunkRow(library_id: String, document_id: String, id: String,
                           text: String, embedding: Option[Array[Float]],
                           metadata: Map[String, String],
@@ -99,9 +96,15 @@ final case class ChunkRow(library_id: String, document_id: String, id: String,
   * dimensions on the driver and exposing them as DataFrames is the
   * SURVEY §7.4 "rebuild from collected driver state" design.
   */
+/** `spillSegments` lists the parquet segment directories of the
+  * archived tier AS OF this snapshot — carrying it here (instead of a
+  * flag plus a directory listing at read time) is what makes every
+  * reader's (resident, archived) pair consistent under concurrent
+  * spills. */
 final case class EngineState(libraries: Vector[LibraryRow],
                              documents: Vector[DocumentRow],
-                             chunks: Vector[ChunkRow])
+                             chunks: Vector[ChunkRow],
+                             spillSegments: Vector[String] = Vector.empty)
 
 object EngineState {
   val empty: EngineState = EngineState(Vector.empty, Vector.empty, Vector.empty)
@@ -132,10 +135,14 @@ final class Engine(clock: () => Instant = () => Instant.now(),
 
   private val ref = new AtomicReference[EngineState](EngineState.empty)
 
-  /** True once at least one segment has been spilled — lets the
-    * DataFrame views skip the parquet read entirely on the common
-    * (never-spilled) path. Written only under the write lock. */
-  @volatile private var spilled = false
+  /** Monotonic suffix for spill-segment directory names. Each spill
+    * (and each compaction) writes a NEW directory under the spill root;
+    * the set of live segment paths travels INSIDE [[EngineState]], so a
+    * reader capturing one snapshot gets a consistent (resident chunks,
+    * archived segments) pair — the r13 review's double-serve catch: a
+    * spill landing between "capture resident" and "list the spill dir"
+    * served the moved segment from both tiers. */
+  private val segSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** One Bloom filter of chunk ids per spilled segment (driver-side,
     * ~1.2 MB per 1M-chunk segment at 1% fpp — bounded bookkeeping for
@@ -148,100 +155,95 @@ final class Engine(clock: () => Instant = () => Instant.now(),
   private val spillBlooms =
     scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.util.sketch.BloomFilter]
 
-  /** Snapshot `rows` as one immutable parquet segment (called under the
-    * write lock from addChunk; segment paths are unique per spill).
-    * Each row is stamped with its parent document's created_at — see
-    * [[SpilledChunkRow]] for why.
+  /** Snapshot `rows` as one immutable parquet segment in a fresh
+    * directory under the spill root and return its path (called under
+    * the write lock from addChunk; the caller publishes the path in the
+    * next EngineState). Each row is stamped with its parent document's
+    * incarnation nonce — see [[SpilledChunkRow]] for why.
     */
   private def spillSegment(sp: EngineSpill, s: EngineState,
-                           rows: Vector[ChunkRow]): Unit = {
+                           rows: Vector[ChunkRow]): String = {
     import sp.spark.implicits._
-    val docCreated = s.documents.map(d => (d.library_id, d.id) -> d.created_at).toMap
+    val docInc = s.documents.map(d => (d.library_id, d.id) -> d.incarnation).toMap
+    val seg = new java.io.File(sp.dir,
+      f"seg-${segSeq.getAndIncrement()}%06d").getAbsolutePath
     sp.spark.createDataset(rows.map(c => SpilledChunkRow(
         c.library_id, c.document_id, c.id, c.text, c.embedding, c.metadata,
-        c.created_at, c.updated_at, docCreated((c.library_id, c.document_id)))))
-      .write.mode("append").parquet(sp.dir)
+        c.created_at, c.updated_at, docInc((c.library_id, c.document_id)))))
+      .write.mode("errorifexists").parquet(seg)
     val bf = org.apache.spark.util.sketch.BloomFilter
       .create(math.max(rows.size.toLong, 1L), 0.01)
     rows.foreach(r => bf.putString(r.id))
     spillBlooms += bf
-    spilled = true
+    seg
   }
 
-  private def spilledChunks(spark: SparkSession): Option[DataFrame] =
-    spill.filter(_ => spilled).map(_ => spark.read.parquet(spill.get.dir))
+  /** The archived tier OF ONE SNAPSHOT: exactly the segments that state
+    * references, never "whatever is in the directory right now". */
+  private def spilledChunks(spark: SparkSession, s: EngineState): Option[DataFrame] =
+    if (spill.isEmpty || s.spillSegments.isEmpty) None
+    else Some(spark.read.parquet(s.spillSegments: _*))
 
-  /** Garbage-collect the spilled tier: rewrite the spill directory
-    * keeping only rows whose (library, document, incarnation) parents
-    * still live, and rebuild the Bloom filters from the survivors —
-    * cascade deletes hide retired rows immediately (see chunksDF), but
-    * their bytes stay on disk until this pass reclaims them. Returns
+  /** Garbage-collect the spilled tier: rewrite the archive keeping only
+    * rows whose (library, document, incarnation) parents still live,
+    * and rebuild the Bloom filters from the survivors — cascade deletes
+    * hide retired rows immediately (see chunksDF), but their bytes stay
+    * on disk until this pass reclaims them. Returns
     * (rowsBefore, rowsAfter), or None when nothing has spilled.
     *
-    * Runs under the write lock (no mutation can interleave) and swaps
-    * the directory atomically-enough for the single-process engine:
-    * compacted rows land in a sibling temp dir, then replace the spill
-    * dir with two renames. Queries PLANNED before the swap and executed
-    * after it would read a vanished path — quiesce readers first, the
-    * same contract every file-swap compaction (e.g. a non-transactional
-    * parquet table rewrite) carries.
+    * Runs under the write lock (no mutation can interleave). The swap
+    * is failure-safe by construction: survivors land in a NEW segment
+    * directory, the atomic step is publishing the new segment list in
+    * EngineState (any failure before that leaves the old state serving
+    * the old segments, blooms untouched), and only then are the old
+    * segment directories deleted. Queries PLANNED against a pre-swap
+    * snapshot and executed after the delete would read vanished paths —
+    * quiesce readers first, the same contract every file-swap
+    * compaction (e.g. a non-transactional parquet table rewrite)
+    * carries.
     */
   def compactSpill(): Option[(Long, Long)] =
-    spill.filter(_ => spilled).map { sp =>
+    spill.flatMap { sp =>
       writeLock.synchronized {
         import sp.spark.implicits._
         val s = ref.get()
-        val liveDocs = sp.spark.createDataset(s.documents
-            .map(d => (d.library_id, d.id, d.created_at)))
-          .toDF("library_id", "document_id", "doc_created_at")
-        val all = sp.spark.read.parquet(sp.dir)
-        val before = all.count()
-        val dir = new java.io.File(sp.dir)
-        val tmp = new java.io.File(sp.dir + ".compact-tmp")
-        rmTree(tmp)
-        // the rewrite stays DISTRIBUTED end to end — collecting the
-        // survivors would pull the very rows spill mode exists to keep
-        // off the driver heap; only the id stream (for the Bloom
-        // rebuild) and the count come back
-        all.join(broadcast(liveDocs),
-            Seq("library_id", "document_id", "doc_created_at"), "left_semi")
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val compacted = sp.spark.read.parquet(tmp.getAbsolutePath)
-        val after = compacted.count()
-        if (after == 0) {
-          // flip the flag BEFORE deleting: spilledChunks gates on it,
-          // so no new plan can aim at the vanishing path
-          spilled = false
-          spillBlooms.clear()
-          rmTree(dir); rmTree(tmp)
-        } else {
-          // build the new Bloom BEFORE any destructive step, and keep
-          // the old tier as a rollback target until the new one is in
-          // place — a failed rename must leave the engine serving the
-          // OLD directory (blooms and flag untouched), never
-          // spilled=true over a vanished path
-          val bf = org.apache.spark.util.sketch.BloomFilter.create(after, 0.01)
-          compacted.select(col("id")).as[String].toLocalIterator()
-            .forEachRemaining(id => bf.putString(id))
-          val old = new java.io.File(sp.dir + ".compact-old")
-          rmTree(old)
-          if (!dir.renameTo(old)) {
-            rmTree(tmp)
-            throw new java.io.IOException(
-              s"compaction swap failed: $dir -> $old (old tier still serving)")
+        if (s.spillSegments.isEmpty) None
+        else {
+          val liveDocs = sp.spark.createDataset(s.documents
+              .map(d => (d.library_id, d.id, d.incarnation)))
+            .toDF("library_id", "document_id", "doc_incarnation")
+          val all = sp.spark.read.parquet(s.spillSegments: _*)
+          val before = all.count()
+          // the rewrite stays DISTRIBUTED end to end — collecting the
+          // survivors would pull the very rows spill mode exists to keep
+          // off the driver heap; only the id stream (for the Bloom
+          // rebuild) and the count come back
+          val seg = new java.io.File(sp.dir,
+            f"seg-${segSeq.getAndIncrement()}%06d").getAbsolutePath
+          all.join(broadcast(liveDocs),
+              Seq("library_id", "document_id", "doc_incarnation"), "left_semi")
+            .write.mode("errorifexists").parquet(seg)
+          val compacted = sp.spark.read.parquet(seg)
+          val after = compacted.count()
+          if (after == 0) {
+            ref.set(s.copy(spillSegments = Vector.empty))
+            spillBlooms.clear()
+            s.spillSegments.foreach(p => rmTree(new java.io.File(p)))
+            rmTree(new java.io.File(seg))
+          } else {
+            // build the new Bloom BEFORE publishing, delete old segments
+            // only AFTER — at every step the published state points at
+            // directories that exist
+            val bf = org.apache.spark.util.sketch.BloomFilter.create(after, 0.01)
+            compacted.select(col("id")).as[String].toLocalIterator()
+              .forEachRemaining(id => bf.putString(id))
+            ref.set(s.copy(spillSegments = Vector(seg)))
+            spillBlooms.clear()
+            spillBlooms += bf
+            s.spillSegments.foreach(p => rmTree(new java.io.File(p)))
           }
-          if (!tmp.renameTo(dir)) {
-            val restored = old.renameTo(dir)
-            rmTree(tmp)
-            throw new java.io.IOException(s"compaction swap failed: $tmp -> $dir" +
-              (if (restored) " (old tier restored)"
-               else s" (MANUAL RECOVERY: old tier preserved at $old)"))
-          }
-          spillBlooms.clear()
-          spillBlooms += bf
-          rmTree(old)
+          Some((before, after))
         }
-        (before, after)
       }
     }
 
@@ -256,13 +258,14 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     * of a deleted/re-created document are retired, not archived.) */
   private def isSpilled(libId: String, doc: DocumentRow, chunkId: String): Boolean =
     spill.exists { sp =>
-      spilled && spillBlooms.exists(_.mightContainString(chunkId)) && {
+      val s = ref.get()
+      s.spillSegments.nonEmpty && spillBlooms.exists(_.mightContainString(chunkId)) && {
         import sp.spark.implicits._
-        sp.spark.read.parquet(sp.dir)
+        sp.spark.read.parquet(s.spillSegments: _*)
           .where(col("library_id") === libId && col("document_id") === doc.id &&
             col("id") === chunkId)
           .as[SpilledChunkRow].collect()
-          .exists(r => SpilledChunkRow.sameInstant(r.doc_created_at, doc.created_at))
+          .exists(_.doc_incarnation == doc.incarnation)
       }
     }
 
@@ -327,10 +330,10 @@ final class Engine(clock: () => Instant = () => Instant.now(),
 
   def deleteLibrary(libId: String): Boolean = mutate { s =>
     if (!s.libraries.exists(_.id == libId)) (s, false)
-    else (EngineState(
-      s.libraries.filterNot(_.id == libId),
-      s.documents.filterNot(_.library_id == libId),
-      s.chunks.filterNot(_.library_id == libId)), true)
+    else (s.copy( // copy, not re-construct: spillSegments must survive
+      libraries = s.libraries.filterNot(_.id == libId),
+      documents = s.documents.filterNot(_.library_id == libId),
+      chunks = s.chunks.filterNot(_.library_id == libId)), true)
   }
 
   // ---- documents (O20) ----
@@ -339,7 +342,11 @@ final class Engine(clock: () => Instant = () => Instant.now(),
                   id: Option[String] = None): DocumentRow = mutate { s =>
     requireLibrary(s, libId)
     val now = clock()
-    val row = DocumentRow(libId, id.getOrElse(newId()), title, category, now, now)
+    // incarnation nonce: distinguishes this creation from any past or
+    // future document under the same client-supplied id (see
+    // SpilledChunkRow) — never exposed on the API surface
+    val row = DocumentRow(libId, id.getOrElse(newId()), title, category, now, now,
+      incarnation = newId())
     (s.copy(documents = s.documents :+ row, libraries = bumpLibrary(s, libId, now)), row)
   }
 
@@ -401,15 +408,19 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     // EngineCapacityError for the parquet escape hatch). In spill mode
     // the bound triggers an archive instead of an error: the resident
     // segment snapshots to parquet and the heap is freed.
-    val base =
-      if (s.chunks.size < maxChunks) s.chunks
+    val (base, segs) =
+      if (s.chunks.size < maxChunks) (s.chunks, s.spillSegments)
       else spill match {
         case None => throw EngineCapacityError(s.chunks.size, maxChunks)
-        case Some(sp) => spillSegment(sp, s, s.chunks); Vector.empty[ChunkRow]
+        case Some(sp) =>
+          // the new segment path is published WITH the emptied resident
+          // vector in one atomic snapshot swap below — no reader can
+          // observe the moved rows in both tiers
+          (Vector.empty[ChunkRow], s.spillSegments :+ spillSegment(sp, s, s.chunks))
       }
     val now = clock()
     val row = ChunkRow(libId, docId, id.getOrElse(newId()), text, embedding, metadata, now, now)
-    (s.copy(chunks = base :+ row,
+    (s.copy(chunks = base :+ row, spillSegments = segs,
       documents = touchDocument(s.documents, docId, now),
       libraries = bumpLibrary(s, libId, now)), row)
   }
@@ -420,14 +431,17 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     if (!s.documents.exists(d => d.library_id == libId && d.id == docId))
       throw NotFoundError("document", docId)
     val resident = s.chunks.filter(c => c.library_id == libId && c.document_id == docId)
-    spill.filter(_ => spilled).map { sp =>
+    // segments and incarnation both come from the SAME snapshot `s` as
+    // the resident slice — a concurrent spill publishes a new snapshot,
+    // it can never make this one serve a row twice
+    spill.flatMap(sp => spilledChunks(sp.spark, s).map((sp, _))).map { case (sp, archivedDf) =>
       import sp.spark.implicits._
-      val docCreated = s.documents
-        .find(d => d.library_id == libId && d.id == docId).get.created_at
-      val archived = sp.spark.read.parquet(sp.dir)
+      val docInc = s.documents
+        .find(d => d.library_id == libId && d.id == docId).get.incarnation
+      val archived = archivedDf
         .where(col("library_id") === libId && col("document_id") === docId)
         .as[SpilledChunkRow].collect().toVector
-        .filter(r => SpilledChunkRow.sameInstant(r.doc_created_at, docCreated)) // not a prior incarnation's rows
+        .filter(_.doc_incarnation == docInc) // not a prior incarnation's rows
         .map(_.toChunk)
         .sortBy(c => (c.created_at, c.id)) // segments are older than resident
       archived ++ resident
@@ -510,22 +524,27 @@ final class Engine(clock: () => Instant = () => Instant.now(),
   }
   def chunksDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val resident = spark.createDataset(state.chunks).toDF()
-    spilledChunks(spark).map { archived =>
+    // ONE snapshot feeds resident rows, the archived segment list AND
+    // the liveness side: resident/archived can't double-serve across a
+    // concurrent spill, and liveness can't run ahead of the chunk view
+    // (the r13 review's atomicity catch)
+    val s = ref.get()
+    val resident = spark.createDataset(s.chunks).toDF()
+    spilledChunks(spark, s).map { archived =>
       // cascade-delete correctness without parquet rewrites: an archived
       // row is served only while its (library, document) parents are
       // live — deleting either hides the rows immediately (they stay as
       // dead bytes until a compaction pass). The liveness key includes
-      // the document's created_at (its incarnation id), so re-creating
-      // a document under the same id does NOT resurrect the deleted
-      // incarnation's archived rows. The liveness side is the
-      // driver-resident document metadata: tiny, so broadcast.
-      val live = documentsDF(spark)
+      // the document's incarnation nonce, so re-creating a document
+      // under the same id does NOT resurrect the deleted incarnation's
+      // archived rows. The liveness side is the driver-resident document
+      // metadata: tiny, so broadcast.
+      val live = spark.createDataset(s.documents).toDF()
         .select(col("library_id"), col("id").as("document_id"),
-          col("created_at").as("doc_created_at"))
+          col("incarnation").as("doc_incarnation"))
       archived
         .join(broadcast(live),
-          Seq("library_id", "document_id", "doc_created_at"), "left_semi")
+          Seq("library_id", "document_id", "doc_incarnation"), "left_semi")
         .select(resident.columns.map(col).toIndexedSeq: _*)
         .unionByName(resident)
     }.getOrElse(resident)

@@ -152,8 +152,10 @@ class EngineSpillSpec extends AnyFunSuite {
       e.deleteDocument(lib.id, "d1") // retires d1's archived rows (dead bytes)
       val Some((before, after)) = e.compactSpill()
       assert(before > after, s"nothing reclaimed: $before -> $after")
-      // on-disk rows are now exactly d2's archived ones
-      assert(spark.read.parquet(dir.getAbsolutePath)
+      // on-disk rows are now exactly d2's archived ones (segments are
+      // subdirectories of the spill root, hence the recursive lookup)
+      assert(spark.read.option("recursiveFileLookup", "true")
+        .parquet(dir.getAbsolutePath)
         .select("document_id").distinct().collect().map(_.getString(0)).toSeq == Seq("d2"))
       // serving identical to pre-compaction
       assert(e.chunksDF(spark).count() == 12)
@@ -169,6 +171,50 @@ class EngineSpillSpec extends AnyFunSuite {
     } finally TestSpark.rmTree(dir)
   }
 
+  test("a chunksDF snapshot taken before a spill never serves the moved segment twice") {
+    // r13 review catch: resident rows were captured from one state while
+    // the archived tier was listed from the directory at read time — a
+    // spill in between served the moved segment from BOTH tiers. The
+    // segment list now travels inside EngineState, so a snapshot's
+    // (resident, archived) pair is consistent by construction.
+    val (e, dir) = freshSpill("atomic")
+    try {
+      val lib = e.createLibrary("L")
+      val doc = e.addDocument(lib.id, "D")
+      (0 until 10).foreach { i => // exactly at maxChunks: next add spills
+        e.addChunk(lib.id, doc.id, s"t $i", Some(oneHot(i)), id = Some(f"c$i%02d"))
+      }
+      val before = e.chunksDF(spark) // snapshot: 10 resident, 0 archived
+      e.addChunk(lib.id, doc.id, "t 10", Some(oneHot(10)), id = Some("c10")) // spills the 10
+      assert(before.count() == 10, "pre-spill snapshot double-served spilled rows")
+      assert(before.select("id").distinct().count() == 10)
+      assert(e.chunksDF(spark).count() == 11) // fresh snapshot sees all rows once
+    } finally TestSpark.rmTree(dir)
+  }
+
+  test("re-creation within ONE clock instant still gets a fresh incarnation") {
+    // r13 review catch: keying archived rows on the parent document's
+    // created_at resurrects them when delete + re-create land inside one
+    // timestamp granule. The key is an opaque nonce now — prove it with
+    // a clock frozen to a single instant.
+    val dir = java.nio.file.Files.createTempDirectory("graft_spill_frozen").toFile
+    TestSpark.rmTree(dir)
+    val e = new Engine(clock = () => java.time.Instant.ofEpochSecond(42),
+      maxChunks = 10, spill = Some(EngineSpill(spark, dir.getAbsolutePath)))
+    try {
+      val lib = e.createLibrary("L")
+      e.addDocument(lib.id, "old D", id = Some("doc1"))
+      (0 until 12).foreach(i =>
+        e.addChunk(lib.id, "doc1", s"old $i", Some(oneHot(i)), id = Some(f"old$i%02d")))
+      e.deleteDocument(lib.id, "doc1")
+      e.addDocument(lib.id, "new D", id = Some("doc1")) // same id, same instant
+      e.addChunk(lib.id, "doc1", "fresh", Some(oneHot(0)), id = Some("fresh0"))
+      val served = e.chunksDF(spark).select("id").collect().map(_.getString(0)).toSeq
+      assert(served == Seq("fresh0"), s"same-instant re-creation resurrected: $served")
+      assert(e.listChunks(lib.id, "doc1").map(_.id) == Vector("fresh0"))
+    } finally TestSpark.rmTree(dir)
+  }
+
   test("compactSpill's swap leaves no residue dirs and survives repetition") {
     val (e, dir) = freshSpill("swapres")
     try {
@@ -181,17 +227,15 @@ class EngineSpillSpec extends AnyFunSuite {
         e.addChunk(lib.id, "d2", s"b $i", Some(oneHot(i)), id = Some(f"b$i%02d")))
       e.deleteDocument(lib.id, "d1")
       e.compactSpill()
-      // the failure-safe swap (build Bloom -> dir->old -> tmp->dir ->
-      // drop old) must clean up both staging dirs on the success path
-      val parent = dir.getParentFile
-      def residue() = parent.listFiles().filter(f =>
-        f.getName == dir.getName + ".compact-tmp" ||
-          f.getName == dir.getName + ".compact-old")
-      assert(residue().isEmpty, s"staging residue left: ${residue().map(_.getName).toSeq}")
+      // the failure-safe swap (write new segment -> publish state ->
+      // delete old segments) must leave the spill root holding exactly
+      // the one live compacted segment
+      def segDirs() = dir.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+      assert(segDirs().size == 1, s"stale segments left: ${segDirs()}")
       // a second, nothing-to-reclaim compaction runs the same swap path
       val Some((b2, a2)) = e.compactSpill()
       assert(b2 == a2, "second compaction had nothing to reclaim")
-      assert(residue().isEmpty)
+      assert(segDirs().size == 1, s"stale segments left: ${segDirs()}")
       // serving and the spilled-tier probe still work after two swaps
       assert(e.chunksDF(spark).count() == 12)
       assert(e.listChunks(lib.id, "d2").size == 12)
