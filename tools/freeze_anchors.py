@@ -1,37 +1,73 @@
 #!/usr/bin/env python3
-"""Freeze bench anchors for gates missing from BENCH_BUDGET.json.
+"""Freeze / refresh bench anchors in BENCH_BUDGET.json.
 
-Reads a forensics file (docs/BENCH_FORENSICS.json or a copy), adds an
-anchor row (median + profile signature, budget = 2x median) for every
-query in it that has no anchor yet, and rewrites BENCH_BUDGET.json
-sorted by name. Existing anchors are NEVER touched — the whole point of
-the freeze is that anchors don't drift with the code they gate.
+Default mode adds an anchor row (median + profile signature, budget =
+2x median) for every query in the forensics file that has no anchor
+yet. Existing anchors are NEVER touched — anchors must not drift with
+the code they gate.
 
-Usage: python3 tools/freeze_anchors.py <forensics.json> <round-tag>
+--refresh additionally RE-anchors every existing gate whose current
+profile signature differs from its anchor's, using BenchBudget's exact
+mismatch rule (jobs != , stages != , |shuffle_mb delta| > 1.0). This is
+the one legitimate reason to touch an anchor: the gated PLAN changed,
+so the old profile no longer describes the query and the profile-change
+condition would otherwise be permanently true — degenerating the
+over-budget gate into a pure time check against an obsolete plan (the
+r12 round's dedup_minhash/dedup_incremental false flags, plus 146
+gates still anchored at r10 plans). Gates whose profile still matches
+keep their frozen times untouched. Every refresh prints the old->new
+profile and anchor delta so the commit can record it.
+
+The forensics input MUST come from a clean SPARK_GRAFT_CPUS=32 run
+(the driver's operating point): shuffle-block bytes scale with the
+partition count, so an 8-cpu profile falsely trips over_budget on
+every 32-cpu run.
+
+Usage: python3 tools/freeze_anchors.py <forensics.json> <round-tag> [--refresh]
 """
 import json
 import sys
 
 
-def main(forensics_path, tag):
+def profile_changed(m, a):
+    return (m["jobs"] != a["jobs"] or m["stages"] != a["stages"]
+            or abs(m["shuffle_mb"] - a["shuffle_mb"]) > 1.0)
+
+
+def main(forensics_path, tag, refresh=False):
     f = json.load(open(forensics_path))
     qm = f["query_metrics"]
     budget_path = "BENCH_BUDGET.json"
     budget = json.load(open(budget_path))
     added = []
+    refreshed = []
     skipped = []
     for name, m in qm.items():
-        if name in budget:
-            continue
         # -1.0 is the bench's failed-run sentinel: freezing it would
         # permanently poison anchor/budget for the query. Anchor on the
         # successful runs only; with none, skip (the query stays
         # unanchored until a green freeze round).
         ok_runs = [t for t in m["runs_sec"] if t >= 0]
-        if not ok_runs:
-            skipped.append(name)
-            continue
-        med = sorted(ok_runs)[len(ok_runs) // 2]
+        if name in budget:
+            if not refresh or not profile_changed(m, budget[name]):
+                continue
+            if not ok_runs:
+                skipped.append(name)
+                continue
+            a = budget[name]
+            med = sorted(ok_runs)[len(ok_runs) // 2]
+            print(f"refresh {name} (was {a.get('anchor_round', '?')}): "
+                  f"jobs {a['jobs']}->{m['jobs']} "
+                  f"stages {a['stages']}->{m['stages']} "
+                  f"shuffle_mb {a['shuffle_mb']}->{m['shuffle_mb']} "
+                  f"anchor_sec {a['anchor_sec']}->{round(med, 4)}")
+            refreshed.append(name)
+        else:
+            if not ok_runs:
+                skipped.append(name)
+                continue
+            med = sorted(ok_runs)[len(ok_runs) // 2]
+            added.append(name)
         budget[name] = {
             "anchor_round": tag,
             "anchor_sec": round(med, 4),
@@ -40,15 +76,16 @@ def main(forensics_path, tag):
             "stages": m["stages"],
             "shuffle_mb": m["shuffle_mb"],
         }
-        added.append(name)
     with open(budget_path, "w") as out:
         json.dump({k: budget[k] for k in sorted(budget)}, out, indent=1, sort_keys=True)
         out.write("\n")
     print(f"added {len(added)} anchors: {added}")
+    if refresh:
+        print(f"refreshed {len(refreshed)} profile-mismatched anchors")
     if skipped:
         print(f"SKIPPED (no successful runs, still unanchored): {skipped}")
     print(f"total anchors: {len(budget)}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], refresh="--refresh" in sys.argv[3:])
