@@ -762,13 +762,25 @@ object Queries {
     * (no overlap — real windows end by max_ts + 1 h, sentinel windows
     * start at max_ts + 2 h).
     */
-  def eventsSlidingStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsSlidingStream(spark: SparkSession, sfDir: String): DataFrame =
+    eventsSlidingStreamFrom(spark, sfDir, stagedEventsReplayDir(spark, sfDir))
+
+  /** [[eventsSlidingStream]] against an explicit replay dir — the gate
+    * uses the one-file staging (one data batch is the semantic minimum
+    * for an append-mode windowed agg); TwoPhaseBoundarySpec replays the
+    * SAME transform/present over a two-file split so a window
+    * straddling the batch boundary is forced to accumulate across
+    * batches. Split-safety: a window released after batch 1 has
+    * end < (half-1 max − 1 h), so it can only cover half-1 rows —
+    * no half-2 row can ever be late into a released window. */
+  private[graft] def eventsSlidingStreamFrom(spark: SparkSession, sfDir: String,
+                                             inDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     if (ev.isEmpty)
       // no events → no windows; also no sentinel to key the watermark off
       return ev.limit(0).select(lit("").as("wstart"), col("event_type"),
         lit(0L).as("n_events"), lit(0.0).as("sum_value"))
-    runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "sliding",
+    runReplayToSink(spark, inDir, ev.schema, "sliding",
       graft.streaming.EventStreams.slidingCounts,
       sink => sink
         .where(col("event_type") =!= "sentinel")
@@ -1248,12 +1260,22 @@ object Queries {
     * SAME DuckDB oracle as the batch gate (two implementations, one
     * oracle, like the sessionize family).
     */
-  def eventsFunnelStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsFunnelStream(spark: SparkSession, sfDir: String): DataFrame =
+    eventsFunnelStreamFrom(spark, sfDir, stagedEventsReplayDir(spark, sfDir))
+
+  /** [[eventsFunnelStream]] against an explicit replay dir (see
+    * [[eventsSlidingStreamFrom]]). Split-safety: a user with events in
+    * both halves receives batch-2 data, and a group with data in a
+    * batch is never timed out in that batch — so the half-1 buffer can
+    * only be folded by the release batch, with the half-2 events
+    * merged in. */
+  private[graft] def eventsFunnelStreamFrom(spark: SparkSession, sfDir: String,
+                                            inDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     if (ev.isEmpty)
       return ev.limit(0).select(lit("").as("step"), lit(0L).as("n_users"))
     import spark.implicits._
-    runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "funnel",
+    runReplayToSink(spark, inDir, ev.schema, "funnel",
       stream => graft.streaming.EventStreams.funnelReach(spark,
         stream.select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value")).as[graft.streaming.Event]).toDF(),
@@ -1275,13 +1297,25 @@ object Queries {
     * inside the replay (the corpus spans 30 days; first-seen days
     * cluster at the start), so stream == batch exactly.
     */
-  def eventsRetentionStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsRetentionStream(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRetentionStreamFrom(spark, sfDir, stagedEventsReplayDir(spark, sfDir))
+
+  /** [[eventsRetentionStream]] against an explicit replay dir (see
+    * [[eventsSlidingStreamFrom]]). Split-safety: a user's fold fires
+    * only when the watermark passes cohort + horizon + 1 day, at which
+    * point the row is final BY DEFINITION — any event still able to
+    * arrive (i.e. above that watermark) lies past the horizon and is
+    * filtered from offsets, and the tombstone prevents re-emission —
+    * so a fold firing between the halves produces exactly the
+    * release-batch result. */
+  private[graft] def eventsRetentionStreamFrom(spark: SparkSession, sfDir: String,
+                                               inDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     if (ev.isEmpty)
       return ev.limit(0).select(lit("").as("cohort_day"),
         lit(0L).as("offset_d"), lit(0L).as("n_users"))
     import spark.implicits._
-    runReplayToSink(spark, stagedEventsReplayDir(spark, sfDir), ev.schema, "retention",
+    runReplayToSink(spark, inDir, ev.schema, "retention",
       stream => graft.streaming.EventStreams.retentionDays(spark,
         stream.select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value")).as[graft.streaming.Event]).toDF(),
@@ -1442,7 +1476,7 @@ object Queries {
     */
   private val dedupStreamInputCache = new SessionCache[String, String]
 
-  private def stagedDedupReplayDir(spark: SparkSession, sfDir: String): String =
+  private[graft] def stagedDedupReplayDir(spark: SparkSession, sfDir: String): String =
     dedupStreamInputCache.getOrElseUpdate(spark, sfDir) {
       val dir = streamTempDir("graft_dedup_stream_in_")
       Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir)))
