@@ -18,6 +18,12 @@ final case class QScore(qid: Long, score: Double)
   * window per query takes top-k; recall = |method ∩ truth| / k averaged
   * over queries. Corpus size scales the scan, not the shuffle (≤ k rows
   * per query per partition reach the window).
+  *
+  * The measured operating points this harness produced — the random and
+  * clustered recall tables and the corpus-shape × constraint decision
+  * table (which index, which params, at what scan budget) — live in
+  * README § "ANN operating points"; reproduce them with
+  * `runMain graft.LshSweep [clustered n clusters sigma]`.
   */
 object AnnEval {
 
