@@ -568,6 +568,30 @@ object OracleHashSql {
        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
        |FROM rankedg WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 
+  /** knn_serve_stream_rule: the 5-request serving stream answered
+    * through the optimizer-rule probe. Replays each request's bucket
+    * union (self EXCLUDED — serving semantics) and exact-cosine rerank
+    * per request, rn ≤ 5 — [[knnJoinGraphLshSql]]'s shape at the
+    * serving gate's request set and k. */
+  private def knnServeStreamRuleSql: String =
+    s"""WITH $lshCtes,
+       |qset AS (SELECT vec_id AS q_id FROM embeddings
+       |  WHERE vec_id < 5 AND embedding IS NOT NULL),
+       |cpairs AS (SELECT DISTINCT qs.q_id, b.vec_id AS c_id
+       |  FROM qset qs JOIN buckets qb2 ON qb2.vec_id = qs.q_id
+       |  JOIN buckets b ON b.t = qb2.t AND b.bkt = qb2.bkt AND b.vec_id <> qs.q_id),
+       |px AS (SELECT cp.q_id, cp.c_id, unnest(a.embedding) AS x, unnest(bb.embedding) AS y
+       |  FROM cpairs cp JOIN embeddings a ON a.vec_id = cp.q_id
+       |  JOIN embeddings bb ON bb.vec_id = cp.c_id),
+       |ps AS (SELECT q_id, c_id,
+       |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+       |  FROM px GROUP BY q_id, c_id),
+       |rankeds AS (SELECT q_id, c_id, s,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM ps)
+       |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
+       |FROM rankeds WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   private def knnLshMultiprobeSql: String =
     s"""WITH $lshCtes,
        |cand AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN qb ON qb.t = b.t
@@ -1179,6 +1203,9 @@ object OracleHashSql {
     // the LSH-blocked kNN graph replays plane matrix, bucket equi-join,
     // set-union and rerank independently
     "knn_join_graph_lsh" -> knnJoinGraphLshSql,
+    // the serving stream answered through the optimizer-rule probe:
+    // per-request bucket unions + rerank replayed from scratch
+    "knn_serve_stream_rule" -> knnServeStreamRuleSql,
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     "ann_sq" -> annSqSql,
     "ann_ivf" -> annIvfSql,

@@ -138,7 +138,12 @@ object Queries {
   // serving layer lists once and reuses the FileIndex; partition
   // pruning from the probe filter still applies per query.
   private val lshRuleIndexCache = new SessionCache[String, DataFrame]
-  def knnLshRule(spark: SparkSession, sfDir: String): DataFrame = {
+
+  /** The at-rest rule-registered index table plus rule/strategy
+    * injection — one registration and one cached FileIndex shared by
+    * the point-query gate ([[knnLshRule]]) and the serving stream
+    * ([[knnServeStreamRule]]). */
+  private def lshRuleIndexTable(spark: SparkSession, sfDir: String): DataFrame = {
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
     val base = lshRuleIndexCache.getOrElseUpdate(spark, sfDir) {
       val p = s"target/gate-index/lsh-rule-${math.abs(sfDir.hashCode)}"
@@ -153,6 +158,11 @@ object Queries {
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(spark)
+    base
+  }
+
+  def knnLshRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lshRuleIndexTable(spark, sfDir)
     val q = queryVec(spark, sfDir)
     val out = base
       .withColumn("score",
@@ -3386,6 +3396,72 @@ object Queries {
     }
   }
 
+  /** [[knnServeStream]]'s twin THROUGH THE OPTIMIZER RULE: each request
+    * micro-batch is answered by writing the PLAIN exact top-k — `ORDER
+    * BY cosine(embedding, request) DESC LIMIT k` over the registered
+    * at-rest index table — and letting [[graft.plans.LshProbeRewrite]]
+    * rewrite every per-request plan into the bucket probe
+    * ([[graft.plans.LshProbeTopK]]). This makes the optimizer path the
+    * PRODUCTION serving path, not a parallel demo: the registration is
+    * the index choice, the request loop never names the index (r12
+    * verdict stretch #8). The `require` per request turns a silent
+    * non-rewrite (exact scan — right rows, wrong component) into a
+    * loud failure, exactly like [[knnLshRule]].
+    *
+    * Oracle: the 5 requests' LSH probes replayed from scratch in SQL —
+    * plane matrix inlined, per-request bucket union, exact-cosine
+    * rerank, self excluded (serving semantics, like [[knnServeStream]]).
+    * A request dropped, duplicated, served from the wrong bucket set,
+    * or cross-contaminated between micro-batches flips the hash.
+    */
+  def knnServeStreamRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lshRuleIndexTable(spark, sfDir)
+    val inDir = stagedKnnQueryDir(spark, sfDir)
+    val qSchema = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).schema
+    val runDir = streamTempDir("graft_knnserve_rule_run_")
+    val outDir = s"${runDir.getAbsolutePath}/out"; val ckDir = s"${runDir.getAbsolutePath}/ck"
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    try {
+      val serveBatch: (DataFrame, Long) => Unit = (batch, _) =>
+        batch.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+          val qId = r.getLong(0)
+          val qv = r.getSeq[Float](1)
+          val out = base
+            .where(col("vec_id") =!= lit(qId)) // serving excludes self
+            .withColumn("score",
+              graft.expressions.CosineSimilarity(col("embedding"), typedlit(qv)))
+            .orderBy(col("score").desc, col("vec_id").asc)
+            .limit(5)
+            .select(lit(qId).as("q_id"), col("vec_id").as("neighbor_id"),
+              col("score")) // RAW score to the sink; round at presentation
+          require(out.queryExecution.optimizedPlan.toString.contains("LshProbeTopK"),
+            s"LshProbeRewrite did not fire for request $qId — the serving " +
+              "stream must answer through the rule, not the exact scan")
+          out.write.mode("append").parquet(outDir)
+        }
+      val q = spark.readStream.schema(qSchema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream.option("checkpointLocation", ckDir)
+        .foreachBatch(serveBatch)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      val result = spark.read.parquet(outDir)
+        .withColumn("rn", row_number().over(w))
+        .select(col("q_id"), col("rn"), col("neighbor_id"),
+          (round(col("score"), 4) + lit(0.0)).as("score"))
+        .orderBy(col("q_id"), col("rn"))
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      rmTree(runDir)
+    }
+  }
+
   /** Sparse random projection 64→16
     * ([[graft.functions.VectorFunctions.randomProject]]): one row per
     * vector with the projected-to-original L2 norm RATIO — the
@@ -3912,6 +3988,7 @@ object Queries {
     "token_budget" -> (tokenBudget _),
     "embedding_outliers" -> (embeddingOutliers _),
     "knn_serve_stream" -> (knnServeStream _),
+    "knn_serve_stream_rule" -> (knnServeStreamRule _),
     "ngram_top20" -> (ngramTop20 _),
     "regex_extract_stats" -> (regexExtractStats _),
     "agg_salted_skew" -> (aggSaltedSkew _),

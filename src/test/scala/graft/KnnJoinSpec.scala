@@ -125,6 +125,43 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length === 5, "a request was dropped or merged")
   }
 
+  test("rule-served stream equals the hand-built LSH probe per request") {
+    // the serving twin that answers through LshProbeRewrite: every
+    // request's (candidates, rerank, top-5) must equal the hand-built
+    // bucket probe over the same planes with the request excluded —
+    // and the gate's own require() has already asserted each
+    // per-request optimized plan contained LshProbeTopK
+    val got = Queries.knnServeStreamRule(spark, sfDir)
+      .select(col("q_id"), col("rn"), col("neighbor_id"), col("score"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    val lsh = graft.index.RandomHyperplaneLsh(8, 12, 42L)
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    // the raw bucket probe + exact rerank, NOT searchBucketed — that
+    // one carries the O10 adaptive brute fallback, which a small spec
+    // corpus would trigger, silently comparing against brute instead
+    // of the probe the rule serves. A request whose (self-excluded)
+    // bucket union is EMPTY yields no rows — LSH serving semantics,
+    // and the DuckDB oracle agrees — so the answered set is derived,
+    // not assumed.
+    var answered = Set.empty[Long]
+    for (qid <- 0L to 4L) {
+      val qVec = emb.where(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cands = emb.where(col("vec_id") =!= qid &&
+        lsh.candidateMatch(col("embedding"), lsh.queryBuckets(qVec, 64), 64, 0))
+      val want = graft.index.BruteForceKnn.search(
+          cands, col("embedding"), col("vec_id"), qVec, 5)
+        .select(col("vec_id"), (round(col("score"), 4) + lit(0.0)).as("s"))
+        .as[(Long, Double)].collect().toSeq
+      if (want.nonEmpty) answered += qid
+      assert(got.getOrElse(qid, Seq.empty) === want,
+        s"request $qid diverged from the hand-built probe")
+    }
+    assert(got.keySet === answered, "answered-request sets diverged")
+    assert(answered.nonEmpty, "fixture degenerate: no request had any candidate")
+  }
+
   test("per-query top-k runs as WindowGroupLimit") {
     val plan = Queries.knnJoinGraph(spark, sfDir)
       .queryExecution.executedPlan.toString
