@@ -1184,6 +1184,11 @@ object OracleHashSql {
     "pipeline_media_survivors" -> pipelineMediaSurvivorsSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    // the streamed ingest filter: per-micro-batch probes of the at-rest
+    // corpus index union to exactly the one-shot incremental result
+    // (disjoint batches, fixed corpus side) — one oracle, three
+    // implementations
+    "dedup_ingest_stream" -> dedupIncrementalSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "curriculum_order" -> curriculumOrderSql,

@@ -488,6 +488,48 @@ class DedupSpec extends AnyFunSuite {
       s"scratch caches accumulated: $after1 -> ${persisted()} persisted RDDs")
   }
 
+  test("streamed ingest dedup equals the one-shot incremental gate, batch by batch") {
+    // crafted crawl: corpus = even ids; odd ids arrive in three
+    // micro-batches (doc_id mod 6 ∈ {1,3,5}). Every admission semantic
+    // is pinned individually:
+    //  - doc 1 (batch 1) near-dups corpus doc 0 (one trailing token
+    //    differs) → rejected with the cross-corpus evidence;
+    //  - doc 3 (batch 3) is an exact copy of corpus doc 2 → rejected
+    //    at J = 1.0 (identical signatures band deterministically);
+    //  - docs 5 and 7 are exact copies of EACH OTHER but unlike any
+    //    corpus doc → BOTH admitted (the ingest filter probes the
+    //    standing corpus only; intra-crawl dups are the next
+    //    snapshot's full-dedup job) — and they arrive in DIFFERENT
+    //    micro-batches, so no per-batch self-join could catch them
+    //    accidentally;
+    //  - doc 11 is unique → admitted.
+    val d = java.nio.file.Files.createTempDirectory("graft_ingest_spec_").toFile
+    try {
+      Seq(
+        (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2L, "spark shuffles wide data across the cluster nodes every stage tonight"),
+        (4L, "completely different text with nothing shared here at all okay"),
+        (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+        (3L, "spark shuffles wide data across the cluster nodes every stage tonight"),
+        (5L, "unique crawl document about catalyst optimizer rules and codegen paths"),
+        (7L, "unique crawl document about catalyst optimizer rules and codegen paths"),
+        (11L, "eleven has its own words entirely unlike anything in the corpus"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${d.getAbsolutePath}/documents.parquet")
+      val streamed = Queries.dedupIngestStream(spark, d.getAbsolutePath)
+        .as[(Long, Long, Double)].collect().toSeq
+      val oneShot = Queries.dedupIncremental(spark, d.getAbsolutePath)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(streamed == oneShot, "stream diverged from the one-shot incremental gate")
+      assert(streamed.map(_._1).contains(3L), s"exact dup not rejected: $streamed")
+      assert(streamed.filter(_._1 == 3L).map(_._3) == Seq(1.0))
+      val admitted = Set(5L, 7L, 11L)
+      assert(streamed.map(_._1).toSet.intersect(admitted).isEmpty,
+        s"standing-corpus-only admission violated: $streamed")
+    } finally TestSpark.rmTree(d)
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
