@@ -397,25 +397,66 @@ object Dedup {
     * form an ingest job actually runs: only the batch is signed; the
     * corpus contributes its stored band table to the candidate
     * equi-join and its stored shingle arrays to the (candidate-only)
-    * verify join. Per-ingest cost is batch-signing + candidate work,
-    * independent of corpus size. */
+    * verify join.
+    *
+    * Shuffle discipline (the r13 IngestScaleProbe catch): the naive
+    * equi-join formulation SHUFFLED both corpus-sized tables per
+    * ingest — 100 MB at a 100k corpus growing to 869 MB at 1M for the
+    * same 10k batch, i.e. per-ingest cost ∝ corpus, exactly the term
+    * the incremental shape exists to avoid. When the batch is small
+    * (the structural case: nightly batch ≪ standing corpus,
+    * `batchDocs ≤ maxBroadcastBatchDocs`), the batch band table is
+    * BROADCAST into the candidate join (the corpus band table is
+    * scanned, never shuffled) and the verify fetches corpus arrays
+    * through a broadcast semi-join on the distinct candidate ids
+    * (bounded by a count, so a skew-pathological index cannot OOM the
+    * driver) — per-ingest shuffle is then ∝ batch + candidates.
+    * Oversized batches fall back to the plain shuffled equi-joins,
+    * which is the right plan when batch ≈ corpus. Either path is
+    * exact — the hash-gated `dedup_incremental` / `dedup_ingest_stream`
+    * results are unchanged. Measured (IngestScaleProbe, 10k batch):
+    * per-ingest shuffle 100→869 MB across a 100k→1M corpus before,
+    * FLAT 19.5 MB after; wall time still grows (2.4 → 3.5 s at
+    * local[32]) because the remaining corpus-side term is the CACHED
+    * slim-index scan (16 band rows/doc + the semi-join's array scan) —
+    * scans parallelize across executors with zero network, which is
+    * precisely the term one accepts per ingest; the full re-dedup this
+    * avoids re-shingles raw text at 12.3 s / 2.08 GB shuffle on the
+    * same corpus.
+    */
   def incrementalNearDupsAgainst(corpusShingles: DataFrame, corpusBands: DataFrame,
                                  batch: DataFrame, idCol: String, textCol: String,
                                  threshold: Double = 0.5, shingleSize: Int = 3,
                                  numHashes: Int = 64, bands: Int = 16,
-                                 seed: Long = 42L): DataFrame = {
+                                 seed: Long = 42L,
+                                 maxBroadcastBatchDocs: Long = 100000L): DataFrame = {
     val shB = scratchCache("incr_batch_sh",
       distinctShingleArrays(batch, idCol, textCol, shingleSize))
+    // one cheap job over the (now cached) batch shingles: decides the
+    // broadcast plan AND pre-materializes the cache outside the joins
+    val batchDocs = shB.count()
+    val small = batchDocs <= maxBroadcastBatchDocs
     val bandB = bandedSignatures(
       shB.select(col("id"), sigFromShingles(numHashes, seed)(col("shs")).as("sig")),
       "id", numHashes, bands)
-    val cands = bandB.toDF("batch_id", "band_id", "band_hash")
-      .join(corpusBands.toDF("corpus_id", "band_id", "band_hash"),
-        Seq("band_id", "band_hash"))
-      .select(col("batch_id"), col("corpus_id")).distinct()
-    cands
-      .join(shB.toDF("batch_id", "shs_b"), "batch_id")
-      .join(corpusShingles.toDF("corpus_id", "shs_c"), "corpus_id")
+    val cands = scratchCache("incr_cands",
+      (if (small) broadcast(bandB) else bandB).toDF("batch_id", "band_id", "band_hash")
+        .join(corpusBands.toDF("corpus_id", "band_id", "band_hash"),
+          Seq("band_id", "band_hash"))
+        .select(col("batch_id"), col("corpus_id")).distinct())
+    val withBatchArrays = cands.join(shB.toDF("batch_id", "shs_b"), "batch_id")
+    val corpusC = corpusShingles.toDF("corpus_id", "shs_c")
+    val corpusNeeded =
+      if (small) {
+        // candidate ids are slim (8 B); the count bounds the broadcast
+        // even when a hot band bucket explodes the candidate set
+        val candIds = cands.select(col("corpus_id")).distinct()
+        if (candIds.count() <= 5000000L)
+          corpusC.join(broadcast(candIds), Seq("corpus_id"), "left_semi")
+        else corpusC
+      } else corpusC
+    withBatchArrays
+      .join(corpusNeeded, "corpus_id")
       .withColumn("jaccard",
         size(array_intersect(col("shs_b"), col("shs_c"))).cast("double") /
           size(array_union(col("shs_b"), col("shs_c"))).cast("double"))
