@@ -1212,6 +1212,9 @@ object OracleHashSql {
     // per-request bucket unions + rerank replayed from scratch
     "knn_serve_stream_rule" -> knnServeStreamRuleSql,
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
+    // the same 1-bit candidate rule served through the optimizer rule's
+    // registered multi-probe policy — one oracle for both probes
+    "knn_lsh_rule_multiprobe" -> knnLshMultiprobeSql,
     "ann_sq" -> annSqSql,
     "ann_ivf" -> annIvfSql,
     // persisted-adjacency walk replay; Verify inlines the examined

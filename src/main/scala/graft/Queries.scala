@@ -142,14 +142,19 @@ object Queries {
   /** The at-rest rule-registered index table plus rule/strategy
     * injection — one registration and one cached FileIndex shared by
     * the point-query gate ([[knnLshRule]]) and the serving stream
-    * ([[knnServeStreamRule]]). */
-  private def lshRuleIndexTable(spark: SparkSession, sfDir: String): DataFrame = {
+    * ([[knnServeStreamRule]]). The registration's `maxHamming` is the
+    * path's serving policy (0 = exact bucket, 1 = 1-bit multi-probe),
+    * so each policy gets its own at-rest copy of the layout — the
+    * registration IS the index choice. */
+  private def lshRuleIndexTable(spark: SparkSession, sfDir: String,
+                                maxHamming: Int = 0): DataFrame = {
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
-    val base = lshRuleIndexCache.getOrElseUpdate(spark, sfDir) {
-      val p = s"target/gate-index/lsh-rule-${math.abs(sfDir.hashCode)}"
+    val tag = if (maxHamming == 0) "" else s"-mp$maxHamming"
+    val base = lshRuleIndexCache.getOrElseUpdate(spark, s"$tag:$sfDir") {
+      val p = s"target/gate-index/lsh-rule$tag-${math.abs(sfDir.hashCode)}"
       graft.index.LshIndexStore(lsh, 64)
         .write(Tables.embeddings(spark, sfDir), "embedding", p)
-      graft.plans.LshProbeRewrite.register(p, lsh, 64)
+      graft.plans.LshProbeRewrite.register(p, lsh, 64, maxHamming = maxHamming)
       spark.read.parquet(p)
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LshProbeRewrite))
@@ -159,6 +164,29 @@ object Queries {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(spark)
     base
+  }
+
+  /** [[knnLshRule]] at the 1-bit MULTI-PROBE serving policy — the
+    * clustered-sweep-recommended LSH operating point (8×12 + 1-bit
+    * probing, see README's decision table) served through the
+    * optimizer rule: the caller still writes the plain exact top-k;
+    * the registered policy widens each table's probe to the
+    * numPlanes+1 bucket Hamming ball. Shares the hand-built
+    * multi-probe gate's DuckDB oracle (same candidate rule
+    * `bit_count(xor) <= 1`, same rerank). */
+  def knnLshRuleMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lshRuleIndexTable(spark, sfDir, maxHamming = 1)
+    val q = queryVec(spark, sfDir)
+    val out = base
+      .withColumn("score",
+        graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    require(out.queryExecution.optimizedPlan.toString.contains("LshProbeTopK"),
+      "LshProbeRewrite did not fire — the multi-probe gate must serve " +
+        "through the rule, not fall back to the exact scan")
+    out
   }
 
   def knnLshRule(spark: SparkSession, sfDir: String): DataFrame = {
@@ -3937,6 +3965,7 @@ object Queries {
     "knn_topk_per_label_agg" -> (knnTopkPerLabelAgg _),
     "knn_lsh" -> (knnLsh _),
     "knn_lsh_rule" -> (knnLshRule _),
+    "knn_lsh_rule_multiprobe" -> (knnLshRuleMultiprobe _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "knn_lsh_cached" -> (knnLshCached _),
     "knn_lsh_append" -> (knnLshAppend _),

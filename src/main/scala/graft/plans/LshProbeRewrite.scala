@@ -28,7 +28,14 @@ import org.apache.spark.sql.types.IntegerType
   */
 object LshProbeRewrite extends Rule[LogicalPlan] {
 
-  final case class Registration(lsh: RandomHyperplaneLsh, dim: Int, numPhysicalPartitions: Int)
+  /** `maxHamming` is the registered SERVING POLICY of the path: 0 =
+    * exact-bucket probe, 1 = 1-bit multi-probe (each table also probes
+    * the numPlanes buckets one sign-flip away — the recall knob the
+    * clustered sweep recommends, free of extra storage). Only 0 and 1
+    * are supported: the 1-bit ball is numPlanes+1 buckets per table;
+    * wider balls grow combinatorially and stop being a probe. */
+  final case class Registration(lsh: RandomHyperplaneLsh, dim: Int,
+                                numPhysicalPartitions: Int, maxHamming: Int = 0)
 
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, Registration]()
 
@@ -36,9 +43,12 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     java.net.URI.create(p.replace(" ", "%20")).getPath.stripSuffix("/")
 
   def register(path: String, lsh: RandomHyperplaneLsh, dim: Int,
-               numPhysicalPartitions: Int = 256): Unit =
+               numPhysicalPartitions: Int = 256, maxHamming: Int = 0): Unit = {
+    require(maxHamming >= 0 && maxHamming <= 1,
+      s"maxHamming $maxHamming unsupported — 0 (exact bucket) or 1 (1-bit multi-probe)")
     registry.put(normalize(new java.io.File(path).getAbsolutePath),
-      Registration(lsh, dim, numPhysicalPartitions))
+      Registration(lsh, dim, numPhysicalPartitions, maxHamming))
+  }
 
   def clear(): Unit = registry.clear()
 
@@ -123,18 +133,28 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         if dedupeKeys.nonEmpty
       } yield {
         val qb = queryBuckets(reg, qvec)
+        // The probed bucket set per table: the query's own bucket, plus
+        // (under the 1-bit multi-probe policy) every bucket one
+        // sign-flip away — identical to candidateMatch(maxHamming = 1).
+        def ball(b: Int): Seq[Int] =
+          if (reg.maxHamming <= 0) Seq(b)
+          else b +: (0 until reg.lsh.numPlanes).map(p => b ^ (1 << p))
+        def inOrEq(attr: Attribute, vs: Seq[Int]): Expression =
+          if (vs.size == 1) EqualTo(attr, Literal(vs.head, IntegerType))
+          else In(attr, vs.map(Literal(_, IntegerType)))
         // Partition-col-only disjunction (prunable by Catalyst) AND the
         // exact per-table bucket disjunction (row filtering). The first
         // is implied by the second (bucket determines bucket_part), so
         // the conjunction is exactly the per-table candidate union.
         val pruneOr = qb.zipWithIndex.map { case (b, t) =>
           And(EqualTo(tableAttr, Literal(t, IntegerType)),
-            EqualTo(partAttr, Literal(math.floorMod(b, reg.numPhysicalPartitions), IntegerType)))
+            inOrEq(partAttr,
+              ball(b).map(math.floorMod(_, reg.numPhysicalPartitions)).distinct))
             .asInstanceOf[Expression]
         }.reduce(Or(_, _))
         val exactOr = qb.zipWithIndex.map { case (b, t) =>
           And(EqualTo(tableAttr, Literal(t, IntegerType)),
-            EqualTo(bucketAttr, Literal(b, IntegerType)))
+            inOrEq(bucketAttr, ball(b).distinct))
             .asInstanceOf[Expression]
         }.reduce(Or(_, _))
         // Collapse dedupe + score + sort + limit into the custom

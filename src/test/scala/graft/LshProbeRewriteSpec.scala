@@ -121,6 +121,44 @@ class LshProbeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a maxHamming=1 registration serves the 1-bit multi-probe candidate set") {
+    val s = TestSpark.spark
+    if (!s.experimental.extraOptimizations.contains(LshProbeRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ LshProbeRewrite
+    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(s)
+    try {
+      LshProbeRewrite.clear()
+      val lsh = RandomHyperplaneLsh(8, 12, 42L)
+      LshProbeRewrite.register(indexPath, lsh, 64, maxHamming = 1)
+      val q = Queries.queryVec(s, "/root/testdata/sf0.001")
+      val topk = s.read.parquet(indexPath)
+        .withColumn("score", CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+      val plan = topk.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LshProbeTopK"), s"multi-probe rewrite did not fire:\n$plan")
+      // the widened policy must equal the hand-built 1-bit probe —
+      // candidateMatch(maxHamming = 1) + exact rerank, the same rule the
+      // knn_lsh_multiprobe gate and its oracle pin
+      import s.implicits._
+      val got = topk.select("vec_id", "score").as[(Long, Double)].collect().toSeq
+      val want = lsh.searchMultiProbe(
+          Tables.embeddings(s, "/root/testdata/sf0.001"), col("embedding"), col("vec_id"), q, 5)
+        .select(col("vec_id"), col("score")).as[(Long, Double)].collect().toSeq
+      assert(got.map(_._1) == want.map(_._1), s"got=$got want=$want")
+      got.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+      // and it is a strictly-wider (or equal) candidate policy than the
+      // exact-bucket registration over the same layout
+      LshProbeRewrite.register(indexPath, lsh, 64, maxHamming = 0)
+      val exactIds = topk.select("vec_id").as[Long].collect().toSet
+      assert(exactIds.subsetOf(got.map(_._1).toSet) || got.size == 5,
+        "multi-probe served fewer candidates than the exact-bucket probe")
+    } finally LshProbeRewrite.clear()
+  }
+
   test("rule is idempotent and leaves non-cosine sorts alone") {
     withExtSession { s =>
       LshProbeRewrite.clear()
