@@ -23,7 +23,19 @@ The forensics input MUST come from a clean SPARK_GRAFT_CPUS=32 run
 partition count, so an 8-cpu profile falsely trips over_budget on
 every 32-cpu run.
 
-Usage: python3 tools/freeze_anchors.py <forensics.json> <round-tag> [--refresh]
+CAVEAT (r13): STREAMING gates' job counts are not perfectly
+load-invariant — a slow run can schedule extra no-data micro-batches
+(watermark release timing), which reads as a "profile change" and
+would freeze a degraded anchor (seen once: events_attribution_outer
+_stream 11->15 jobs / 2.2->5.8 s on an ambient-slow run). So --refresh
+only re-anchors a gate whose new median is SLOWER than its old anchor
+when --only names it explicitly (a deliberate plan change); unnamed
+slower-and-profile-changed gates are reported for manual review
+instead. Faster-or-equal refreshes (the common case after an
+optimization or a batch-count reduction) stay automatic.
+
+Usage: python3 tools/freeze_anchors.py <forensics.json> <round-tag>
+         [--refresh] [--only name1,name2]
 """
 import json
 import sys
@@ -34,7 +46,7 @@ def profile_changed(m, a):
             or abs(m["shuffle_mb"] - a["shuffle_mb"]) > 1.0)
 
 
-def main(forensics_path, tag, refresh=False):
+def main(forensics_path, tag, refresh=False, only=None):
     f = json.load(open(forensics_path))
     qm = f["query_metrics"]
     budget_path = "BENCH_BUDGET.json"
@@ -42,6 +54,7 @@ def main(forensics_path, tag, refresh=False):
     added = []
     refreshed = []
     skipped = []
+    held = []
     for name, m in qm.items():
         # -1.0 is the bench's failed-run sentinel: freezing it would
         # permanently poison anchor/budget for the query. Anchor on the
@@ -56,6 +69,18 @@ def main(forensics_path, tag, refresh=False):
                 continue
             a = budget[name]
             med = sorted(ok_runs)[len(ok_runs) // 2]
+            # slower + profile-changed could be a degraded run whose load
+            # altered the profile (streaming no-data batches) — only a
+            # deliberate, named re-anchor may make a budget LOOSER
+            if med > a["anchor_sec"] and (only is None or name not in only):
+                held.append(name)
+                print(f"HELD {name}: profile changed "
+                      f"(jobs {a['jobs']}->{m['jobs']}, "
+                      f"stages {a['stages']}->{m['stages']}, "
+                      f"shuffle_mb {a['shuffle_mb']}->{m['shuffle_mb']}) but "
+                      f"median {round(med, 4)} > anchor {a['anchor_sec']} — "
+                      f"pass --only {name} if the plan change is deliberate")
+                continue
             print(f"refresh {name} (was {a.get('anchor_round', '?')}): "
                   f"jobs {a['jobs']}->{m['jobs']} "
                   f"stages {a['stages']}->{m['stages']} "
@@ -88,4 +113,8 @@ def main(forensics_path, tag, refresh=False):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], refresh="--refresh" in sys.argv[3:])
+    rest = sys.argv[3:]
+    only = None
+    if "--only" in rest:
+        only = set(rest[rest.index("--only") + 1].split(","))
+    main(sys.argv[1], sys.argv[2], refresh="--refresh" in rest, only=only)
