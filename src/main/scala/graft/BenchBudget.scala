@@ -41,16 +41,29 @@ object BenchBudget {
 
   val sameProfileFactor = 3.0
 
-  def profileChanged(r: QueryRun, a: Anchor): Boolean =
-    r.jobs != a.jobs || r.stages != a.stages ||
+  /** Streaming gates' job/stage counts are NOT load-invariant: a slow
+    * run can schedule extra no-data micro-batches (watermark-release
+    * timing), which is scheduling noise, not a plan change — r13 saw
+    * events_attribution_outer_stream at 11 jobs on a calm run and 15
+    * on an ambient-slow one with byte-identical shuffle. Their profile
+    * signature is therefore shuffle bytes only; batch gates keep the
+    * full (jobs, stages, shuffle) signature. Real streaming same-plan
+    * regressions stay covered by the 3× same-profile advisory + re-run
+    * adjudication.
+    */
+  def profileChanged(name: String, r: QueryRun, a: Anchor): Boolean =
+    if (name.endsWith("_stream"))
       math.abs(r.shuffleMb - a.shuffleMb) > 1.0
+    else
+      r.jobs != a.jobs || r.stages != a.stages ||
+        math.abs(r.shuffleMb - a.shuffleMb) > 1.0
 
   /** Hard flag: min run over the 2× budget AND the profile moved. */
   def overBudget(runs: Seq[(String, QueryRun)],
                  anchors: Map[String, Anchor]): Seq[String] =
     runs.collect {
       case (name, r) if r.minSec >= 0 && anchors.get(name).exists(a =>
-        r.minSec > a.budgetSec && profileChanged(r, a)) => name
+        r.minSec > a.budgetSec && profileChanged(name, r, a)) => name
     }
 
   /** Advisory suspects: median > factor× anchor, profile unchanged. */
@@ -58,7 +71,7 @@ object BenchBudget {
                           anchors: Map[String, Anchor]): Seq[String] =
     runs.collect {
       case (name, r) if r.medianSec >= 0 && anchors.get(name).exists(a =>
-        r.medianSec > sameProfileFactor * a.anchorSec && !profileChanged(r, a))
+        r.medianSec > sameProfileFactor * a.anchorSec && !profileChanged(name, r, a))
         => name
     }
 

@@ -32,6 +32,28 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(overBudget(Seq("new" -> run(9.0, 9.0, jobs = 9)), anchors).isEmpty)
   }
 
+  test("streaming gates: job/stage wobble is load noise, shuffle is the signature") {
+    // r13 catch: an ambient-slow run scheduled extra no-data
+    // micro-batches for a streamed gate (11 -> 15 jobs, identical
+    // shuffle), which read as a plan change and turned load into a
+    // hard over_budget flag. Streaming profile = shuffle bytes only.
+    val anchors = Map("x_stream" -> anchor, "x" -> anchor)
+    // jobs+stages moved, shuffle identical, min over budget: NOT a
+    // flag for the streamed gate...
+    assert(overBudget(
+      Seq("x_stream" -> run(2.0, 1.9, jobs = 15, stages = 17)), anchors).isEmpty)
+    // ...but still the real flag for a batch gate with the same shape
+    assert(overBudget(
+      Seq("x" -> run(2.0, 1.9, jobs = 15, stages = 17)), anchors) == Seq("x"))
+    // a streamed gate whose SHUFFLE moved is a genuine plan change
+    assert(overBudget(
+      Seq("x_stream" -> run(2.0, 1.9, shuffleMb = 5.0)), anchors) == Seq("x_stream"))
+    // and with jobs wobbling but shuffle stable, a 3x median IS a
+    // same-profile suspect for the streamed gate (adjudicated by re-run)
+    assert(sameProfileSuspects(
+      Seq("x_stream" -> run(0.7, 0.2, jobs = 15, stages = 17)), anchors) == Seq("x_stream"))
+  }
+
   test("same-profile suspects: median > 3x anchor with unchanged profile") {
     val anchors = Map("q" -> anchor)
     assert(sameProfileSuspects(Seq("q" -> run(0.7, 0.2)), anchors) == Seq("q"))

@@ -41,7 +41,12 @@ import json
 import sys
 
 
-def profile_changed(m, a):
+def profile_changed(name, m, a):
+    # streaming job/stage counts vary with load (no-data micro-batches):
+    # their signature is shuffle bytes only — mirrors
+    # BenchBudget.profileChanged exactly
+    if name.endswith("_stream"):
+        return abs(m["shuffle_mb"] - a["shuffle_mb"]) > 1.0
     return (m["jobs"] != a["jobs"] or m["stages"] != a["stages"]
             or abs(m["shuffle_mb"] - a["shuffle_mb"]) > 1.0)
 
@@ -62,7 +67,7 @@ def main(forensics_path, tag, refresh=False, only=None):
         # unanchored until a green freeze round).
         ok_runs = [t for t in m["runs_sec"] if t >= 0]
         if name in budget:
-            if not refresh or not profile_changed(m, budget[name]):
+            if not refresh or not profile_changed(name, m, budget[name]):
                 continue
             if not ok_runs:
                 skipped.append(name)
