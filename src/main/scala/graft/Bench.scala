@@ -81,6 +81,47 @@ object Bench {
       case c             => c.toString
     }
 
+  /** Fork one suspect's confirmation run into a FRESH JVM ([[BenchOne]]
+    * on this JVM's own classpath and flags) and parse its warm median.
+    * In r13 the in-session adjudication rerun inherited the session's
+    * GC distress and "confirmed" a 4.9 s-warm gate at 17.97 s — the one
+    * failure mode a same-JVM rerun is structurally blind to. Returns
+    * None when the fork cannot launch or prints no verdict line (the
+    * caller then lets the in-session verdict stand — loud, never a
+    * silent pass); a parsed negative means the query died fresh, which
+    * [[BenchBudget.adjudicate]] flags.
+    */
+  private[graft] def freshJvmRerun(sfDir: String)(name: String): Option[Double] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"),
+          "graft.BenchOne", name, sfDir)).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      // drain stdout on a daemon thread (a full pipe buffer would
+      // deadlock the child against our bounded wait below)
+      val buf = new java.io.ByteArrayOutputStream()
+      val drainer = new Thread(() =>
+        try p.getInputStream.transferTo(buf) catch { case _: Throwable => })
+      drainer.setDaemon(true)
+      drainer.start()
+      // bounded wait: a hung fresh JVM must not hang the whole bench —
+      // 15 min covers BenchOne's 3 runs of any gate with a wide margin
+      if (!p.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
+      drainer.join(5000)
+      val out = buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+      val re = ("(?m)^BENCHONE_MEDIAN " +
+        java.util.regex.Pattern.quote(name) + " (-?[0-9.]+)$").r
+      re.findFirstMatchIn(out).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -235,10 +276,12 @@ object Bench {
         try { SparkEntry.queries(name)(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      })
+      },
+      freshJvmRerun(sfDir))
     val sameProfile = adjudications.filter(_.reproduced).map(_.name)
     val adjJson = adjudications.map { a =>
-      f"""{"name":"${jsonStr(a.name)}","median_sec":${a.medianSec}%.4f,"anchor_sec":${a.anchorSec}%.4f,"rerun_sec":${a.rerunSec}%.4f,"reproduced":${a.reproduced}}"""
+      val freshField = a.freshJvmSec.map(f => f"$f%.4f").getOrElse("null")
+      f"""{"name":"${jsonStr(a.name)}","median_sec":${a.medianSec}%.4f,"anchor_sec":${a.anchorSec}%.4f,"rerun_sec":${a.rerunSec}%.4f,"fresh_jvm_sec":$freshField,"reproduced":${a.reproduced}}"""
     }.mkString("[", ",", "]")
     val overBudgetJson = overBudget.map(n => "\"" + jsonStr(n) + "\"")
       .mkString("[", ",", "]")

@@ -21,13 +21,19 @@ object BenchOne {
     name.split(",").foreach { q =>
       val fn = Queries.all(q)
       if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
-      for (i <- 1 to 3) {
+      val times = (1 to 3).map { i =>
         // mirror Bench: scratch release outside the timed window
         graft.dedup.Dedup.releaseScratch(spark)
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
-        println(f"RUN$i $q rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"RUN$i $q rows=$n time=$sec%.2f s")
+        sec
       }
+      // machine-parseable verdict line — [[Bench]]'s forked fresh-JVM
+      // adjudication greps for it; median of 3 absorbs this JVM's one
+      // cold (JIT/page-cache) run
+      println(f"BENCHONE_MEDIAN $q ${times.sorted.apply(1)}%.4f")
     }
     spark.stop()
   }

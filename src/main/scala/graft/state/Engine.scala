@@ -143,6 +143,17 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     * spill landing between "capture resident" and "list the spill dir"
     * served the moved segment from both tiers. */
   private val segSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // Seed past any seg-* directories already under the spill root: a new
+  // Engine pointed at a previously-used dir would otherwise fail its
+  // FIRST spill on mode("errorifexists") against a leftover seg-000000
+  // (r13 ADVICE). Pre-existing segments are NOT adopted — they belong to
+  // a dead engine's state and are never served or reclaimed here; the
+  // seed only guarantees fresh names never collide with them.
+  spill.foreach { sp =>
+    val existing = Option(new java.io.File(sp.dir).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^seg-(\\d+)$".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+    if (existing.nonEmpty) segSeq.set(existing.max + 1)
+  }
 
   /** One Bloom filter of chunk ids per spilled segment (driver-side,
     * ~1.2 MB per 1M-chunk segment at 1% fpp — bounded bookkeeping for

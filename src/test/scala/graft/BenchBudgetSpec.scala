@@ -81,4 +81,51 @@ class BenchBudgetSpec extends AnyFunSuite {
       Map("q" -> anchor), _ => -1.0)
     assert(out.head.reproduced)
   }
+
+  test("fresh-JVM fork: a GC-degraded session cannot confirm its own flag") {
+    // the r13 simjoin_prefix_collapsed case replayed: the in-session
+    // rerun inherits the session's GC distress and reads slow (the old
+    // single-rerun adjudication flagged on this alone), but the forked
+    // fresh JVM runs warm at ~1.2x anchor -> the suspect self-clears,
+    // with BOTH numbers on the forensics record
+    val anchors = Map("q" -> anchor) // anchor 0.2, factor 3 -> bar 0.6
+    val out = adjudicate(Seq("q"), Map("q" -> run(0.9, 0.85)), anchors,
+      rerun = _ => 0.9, freshRerun = _ => Some(0.25))
+    assert(!out.head.reproduced)
+    assert(out.head.rerunSec == 0.9 && out.head.freshJvmSec.contains(0.25))
+  }
+
+  test("fresh-JVM fork: a regression that reproduces fresh stays flagged") {
+    val out = adjudicate(Seq("q"), Map("q" -> run(0.9, 0.85)),
+      Map("q" -> anchor), rerun = _ => 0.9, freshRerun = _ => Some(0.88))
+    assert(out.head.reproduced)
+    // and a suspect that DIES in the fresh JVM flags too
+    val dead = adjudicate(Seq("q"), Map("q" -> run(0.9, 0.85)),
+      Map("q" -> anchor), rerun = _ => 0.9, freshRerun = _ => Some(-1.0))
+    assert(dead.head.reproduced)
+  }
+
+  test("fresh-JVM fork: an unlaunchable fork lets the in-session verdict stand") {
+    // None = the fork could not launch or printed no verdict line; the
+    // adjudicator must stay loud rather than silently passing suspects
+    val out = adjudicate(Seq("q"), Map("q" -> run(0.9, 0.85)),
+      Map("q" -> anchor), rerun = _ => 0.9, freshRerun = _ => None)
+    assert(out.head.reproduced && out.head.freshJvmSec.isEmpty)
+  }
+
+  test("fresh-JVM fork: skipped entirely when the in-session rerun clears") {
+    var forked = 0
+    val out = adjudicate(Seq("q"), Map("q" -> run(0.9, 0.2)),
+      Map("q" -> anchor), rerun = _ => 0.21,
+      freshRerun = _ => { forked += 1; Some(0.2) })
+    assert(!out.head.reproduced && forked == 0 && out.head.freshJvmSec.isEmpty)
+  }
+
+  test("fresh-JVM fork: an IN-SESSION death always flags, even if fresh is fast") {
+    // a query that dies under adjudication is a correctness event, not
+    // a timing event — a fast fresh run must not launder it
+    val out = adjudicate(Seq("q"), Map("q" -> run(0.9, 0.85)),
+      Map("q" -> anchor), rerun = _ => -1.0, freshRerun = _ => Some(0.2))
+    assert(out.head.reproduced)
+  }
 }

@@ -44,6 +44,33 @@ class EngineSpillSpec extends AnyFunSuite {
     } finally TestSpark.rmTree(dir)
   }
 
+  test("a new Engine over a previously-used spill dir spills without colliding") {
+    // r13 ADVICE: segSeq restarted at 0 per instance, so engine #2's
+    // first spill hit errorifexists against engine #1's seg-000000
+    val (e1, dir) = freshSpill("reuse")
+    try {
+      val lib1 = e1.createLibrary("L1")
+      val d1 = e1.addDocument(lib1.id, "D1")
+      (0 until 25).foreach(i =>
+        e1.addChunk(lib1.id, d1.id, s"one $i", Some(oneHot(i)), id = Some(f"a$i%02d")))
+      assert(Option(dir.listFiles()).get.count(_.getName.startsWith("seg-")) >= 2)
+      // engine #2 points at the SAME dir (e.g. a restart with a stale
+      // scratch path): its spills must mint fresh segment names
+      var t = 100L
+      val clock = () => { t += 1; java.time.Instant.ofEpochSecond(t) }
+      val e2 = new Engine(clock = clock, maxChunks = 10,
+        spill = Some(EngineSpill(spark, dir.getAbsolutePath)))
+      val lib2 = e2.createLibrary("L2")
+      val d2 = e2.addDocument(lib2.id, "D2")
+      (0 until 25).foreach(i =>
+        e2.addChunk(lib2.id, d2.id, s"two $i", Some(oneHot(i)), id = Some(f"b$i%02d")))
+      // e2 serves exactly ITS rows: the orphaned engine-#1 segments are
+      // neither overwritten nor adopted
+      val served = e2.chunksDF(spark).select("id").collect().map(_.getString(0)).sorted
+      assert(served.toSeq == (0 until 25).map(i => f"b$i%02d").sorted)
+    } finally TestSpark.rmTree(dir)
+  }
+
   test("search is correct across the archived/resident boundary") {
     val (e, dir) = freshSpill("search")
     try {
@@ -103,7 +130,8 @@ class EngineSpillSpec extends AnyFunSuite {
   test("re-creating a document under the same id does NOT resurrect archived chunks") {
     // r12 review catch: liveness keyed on (library_id, document_id)
     // alone matched a NEW incarnation of a deleted document; the key now
-    // includes the document's created_at (its incarnation id)
+    // includes the document's incarnation nonce (opaque, minted per
+    // create — not created_at, which a frozen clock can collide)
     val (e, dir) = freshSpill("resurrect")
     try {
       val lib = e.createLibrary("L")

@@ -44,8 +44,9 @@ import sys
 def profile_changed(name, m, a):
     # streaming job/stage counts vary with load (no-data micro-batches):
     # their signature is shuffle bytes only — mirrors
-    # BenchBudget.profileChanged exactly
-    if name.endswith("_stream"):
+    # BenchBudget.profileChanged exactly. contains, not endswith:
+    # knn_serve_stream_rule is streamed but ends in _rule (r13 ADVICE)
+    if "_stream" in name:
         return abs(m["shuffle_mb"] - a["shuffle_mb"]) > 1.0
     return (m["jobs"] != a["jobs"] or m["stages"] != a["stages"]
             or abs(m["shuffle_mb"] - a["shuffle_mb"]) > 1.0)
