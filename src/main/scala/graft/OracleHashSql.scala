@@ -673,6 +673,44 @@ object OracleHashSql {
        |ORDER BY s.s DESC, a.vec_id LIMIT 5""".stripMargin
   }
 
+  // ---- ann_ivf_rule_clustered -------------------------------------
+  // The clustered-fixture serving gate: corpus = the staged
+  // mixture-of-Gaussians parquet (written once by the engine to a
+  // stable path; the oracle replays from the SAME bytes — floats are
+  // never regenerated in SQL), centroids = `vec_id % 61 = 0` (pure
+  // arithmetic, no inlined constants), probe = top-4 centroids by
+  // cosine to query vec 0, assignment = argmax cosine with
+  // first-max (ascending centroid id) tie-break, rerank = exact
+  // cosine. Same CTE shapes as ann_ivf.
+  private def annIvfRuleClusteredSql: String = {
+    val fix = new java.io.File("target/gate-fixtures/clustered-n4000-c25-s010").getAbsolutePath
+    s"""WITH corpus AS (SELECT vec_id, embedding
+       |    FROM read_parquet('$fix/*.parquet') WHERE embedding IS NOT NULL),
+       |cents AS (SELECT vec_id AS cid FROM corpus WHERE vec_id % 61 = 0),
+       |centv AS (SELECT c2.cid, e2.embedding AS ce FROM cents c2 JOIN corpus e2 ON e2.vec_id = c2.cid),
+       |rcp AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS y FROM corpus e, centv c),
+       |rc AS (SELECT vec_id, cid,
+       |    CASE WHEN SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) = 0 OR SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) = 0 THEN 0.0
+       |         ELSE SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |              (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) END AS s
+       |  FROM rcp GROUP BY vec_id, cid),
+       |assigned AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM rc)
+       |  WHERE rn = 1),
+       |probe AS (SELECT cid FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn FROM rc WHERE vec_id = 0)
+       |  WHERE rn <= 4),
+       |qpairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+       |           FROM corpus e, (SELECT embedding AS qe FROM corpus WHERE vec_id = 0) q),
+       |scores AS (SELECT vec_id,
+       |    SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |    (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+       |  FROM qpairs GROUP BY vec_id)
+       |SELECT a.vec_id, ROUND(s.s, 4) AS score
+       |FROM assigned a JOIN probe p ON p.cid = a.cid JOIN scores s ON s.vec_id = a.vec_id
+       |ORDER BY s.s DESC, a.vec_id LIMIT 10""".stripMargin
+  }
+
   // ---- ann_recall / ann_recall_exact ------------------------------
   // Full SQL replay of the recall harness
   // (AnnEval.recallSinglePass with lsh(8,6,42)/mp1, ivf stride-53
@@ -1217,6 +1255,8 @@ object OracleHashSql {
     "knn_lsh_rule_multiprobe" -> knnLshMultiprobeSql,
     "ann_sq" -> annSqSql,
     "ann_ivf" -> annIvfSql,
+    "ann_ivf_rule" -> annIvfSql,
+    "ann_ivf_rule_clustered" -> annIvfRuleClusteredSql,
     // persisted-adjacency walk replay; Verify inlines the examined
     // neighbor lists into __HNSW_WALK_ADJ__ before DuckDB sees the SQL
     "ann_hnsw_walk" -> annHnswWalkSql,

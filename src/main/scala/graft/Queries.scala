@@ -157,13 +157,146 @@ object Queries {
       graft.plans.LshProbeRewrite.register(p, lsh, 64, maxHamming = maxHamming)
       spark.read.parquet(p)
     }
+    injectProbeRule(spark)
+    base
+  }
+
+  /** Idempotent per-session injection of the probe rewrite + its
+    * planner strategy (the driver's Verify/Bench sessions are built
+    * without [[graft.GraftExtensions]]) — shared by every rule-served
+    * gate regardless of the registered index kind. */
+  private def injectProbeRule(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LshProbeRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LshProbeRewrite
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(spark)
+  }
+
+  /** The at-rest IVF layout registered with the optimizer rule — same
+    * FileIndex-caching rationale as [[lshRuleIndexTable]]; the
+    * registration carries the index KIND (centroids + nprobe), so the
+    * caller's plain top-k is rewritten to the centroid probe without
+    * ever naming IVF. Centroids are [[IvfKnn.centroids]]' deterministic
+    * stride-53 sample — the exact model `ann_ivf` serves and its DuckDB
+    * oracle replays. */
+  private val ivfRuleIndexCache = new SessionCache[String, DataFrame]
+  private def ivfRuleIndexTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ivfRuleIndexCache.getOrElseUpdate(spark, sfDir) {
+      val emb = Tables.embeddings(spark, sfDir)
+      val cents = IvfKnn.centroids(emb, col("vec_id"), col("embedding"), stride = 53L)
+      val p = s"target/gate-index/ivf-rule-${math.abs(sfDir.hashCode)}"
+      graft.index.IvfIndexStore(cents).write(emb, "embedding", p)
+      graft.plans.LshProbeRewrite.registerIvf(p, cents, nprobe = 2)
+      spark.read.parquet(p)
+    }
+    injectProbeRule(spark)
     base
+  }
+
+  /** Deterministic CLUSTERED embedding fixture (r13 verdict #5): the
+    * random-vector tables are the adversarial recall case the ANN
+    * decision table itself calls unrepresentative — real encoder output
+    * is clustered. This is [[LshSweep.gaussianMixture]]'s seeded
+    * mixture-of-Gaussians (25 unit-norm centers, σ=0.1 — within-cluster
+    * cosine ≈ 0.8, the "what encoders produce" shape the decision
+    * table's clustered row describes; σ=0.25 at 64-d gives noise norm
+    * ~2× the unit center, i.e. barely-clustered — measured recall 0.62
+    * there, which is the ISOTROPIC row's territory) at n=4000, 64-d, written ONCE to a
+    * stable path under target/ so the DuckDB oracle can replay the
+    * probe from the SAME parquet bytes (the generator is
+    * splitmix64-seeded pure function of the row id, so a rewrite is
+    * byte-identical; floats are never regenerated on the SQL side).
+    * Small by design: the oracle's assignment replay is a corpus ×
+    * centroids cross join in DuckDB.
+    */
+  private val clusteredFixtureCache = new SessionCache[String, String]
+  private[graft] def clusteredFixtureDir(spark: SparkSession): String =
+    clusteredFixtureCache.getOrElseUpdate(spark, "v1") {
+      val dir = new java.io.File("target/gate-fixtures/clustered-n4000-c25-s010")
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        LshSweep.gaussianMixture(spark, 4000L, 64, 25, 0.1)
+          .coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      dir.getAbsolutePath
+    }
+
+  /** The clustered fixture's centroid set: one representative per
+    * `vec_id % 61 == 0` (61 is prime and coprime with the generator's
+    * 25-cluster id arithmetic, so the sampled ids cycle through ALL
+    * clusters — an arithmetic stride sharing a factor with `clusters`
+    * samples a single cluster's geometry, the r12 sweep catch). ~66
+    * centroids ≈ 2.6× the natural cluster count — the √n-ish sampled
+    * operating point the decision table measured (~250 centroids for
+    * 100 clusters), and
+    * trivially replayable in the oracle SQL (`WHERE vec_id % 61 = 0`
+    * over the fixture — no inlined constants needed).
+    */
+  private[graft] def clusteredCents(emb: DataFrame): Array[(Long, Array[Float])] =
+    emb.where(col("vec_id") % 61 === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** The ANN decision table's RECOMMENDED operating point for
+    * clustered (real-shaped) corpora, gated end-to-end through the
+    * serving path: an at-rest [[graft.index.IvfIndexStore]] layout of
+    * the clustered fixture, registered with the optimizer rule at
+    * nprobe=4, served by the caller's plain exact top-k. Every ann_*
+    * gate before this ran on the random-vector fixture — the case the
+    * table itself says IVF recall numbers don't transfer from.
+    * Recall at this operating point is asserted in AnnEvalSpec; THIS
+    * gate pins the served rows to the oracle's from-scratch replay
+    * (assignment, probe ranking, rerank, tie-breaks).
+    */
+  private val clusteredIvfRuleCache = new SessionCache[String, DataFrame]
+  def annIvfRuleClustered(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = clusteredIvfRuleCache.getOrElseUpdate(spark, "v1") {
+      val emb = spark.read.parquet(clusteredFixtureDir(spark))
+      val cents = clusteredCents(emb)
+      val p = "target/gate-index/ivf-rule-clustered-n4000-c25-s010"
+      graft.index.IvfIndexStore(cents).write(emb, "embedding", p)
+      graft.plans.LshProbeRewrite.registerIvf(p, cents, nprobe = 4)
+      spark.read.parquet(p)
+    }
+    injectProbeRule(spark)
+    val q = base.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val out = base
+      .withColumn("score",
+        graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    require(out.queryExecution.optimizedPlan.toString.contains("LshProbeTopK"),
+      "LshProbeRewrite did not fire — the clustered gate must serve through " +
+        "the rule's centroid probe, not fall back to the exact scan")
+    out
+  }
+
+  /** [[annIvf]] served THROUGH THE OPTIMIZER RULE (r13 verdict #4):
+    * the caller writes the plain exact top-k over the registered IVF
+    * table; [[graft.plans.LshProbeRewrite]] injects `cluster_id IN
+    * (top-2 centroids)` — a pure partition-column predicate, so the
+    * scan reads nprobe of nlist directories — and collapses the tail
+    * into the bounded-heap top-k operator. Same centroids (stride 53),
+    * same probe ranking and assignment tie-breaks as [[annIvf]], so it
+    * shares ann_ivf's DuckDB replay oracle. The `require` turns a
+    * silent non-rewrite (exact scan — right rows only when IVF recall
+    * is 1) into a loud failure, exactly like [[knnLshRule]]. */
+  def annIvfRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ivfRuleIndexTable(spark, sfDir)
+    val q = queryVec(spark, sfDir)
+    val out = base
+      .withColumn("score",
+        graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    require(out.queryExecution.optimizedPlan.toString.contains("LshProbeTopK"),
+      "LshProbeRewrite did not fire — the IVF gate must serve through the " +
+        "rule's centroid probe, not fall back to the exact scan")
+    out
   }
 
   /** [[knnLshRule]] at the 1-bit MULTI-PROBE serving policy — the
@@ -925,6 +1058,47 @@ object Queries {
       rmTree(base) // also on failure — no orphaned checkpoint/sink trees
     }
     out
+  }
+
+  /** Shared runner of the foreachBatch streaming gates (the ingest
+    * dedup + the two kNN serving streams): a bounded file-source
+    * replay (one staged file per micro-batch) drives `onBatch`, which
+    * writes whatever the gate sinks to `outDir`; the sink is read
+    * back, `present`ed, and pinned on the driver so the per-run
+    * checkpoint/sink tree can be deleted. Same contract as
+    * [[runReplayToSink]] (fresh streaming run per call, staging
+    * once-per-session, stream shuffles at [[streamShufflePartitions]],
+    * NOT REENTRANT for the same session-global-conf reason) — this one
+    * exists because foreachBatch gates own their sink writes, so the
+    * append-mode runner's writeStream-to-parquet shape doesn't fit.
+    * Factored in r14: three gates hand-rolled this scaffold, and the
+    * boundary-semantics bugs the streamed gates guard against live
+    * exactly in this machinery.
+    */
+  private def runReplayForeachBatch(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, tag: String,
+      onBatch: (DataFrame, String) => Unit,
+      present: DataFrame => DataFrame,
+      cleanup: () => Unit = () => ()): DataFrame = {
+    val runDir = streamTempDir(s"graft_${tag}_run_")
+    val outDir = s"${runDir.getAbsolutePath}/out"; val ckDir = s"${runDir.getAbsolutePath}/ck"
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    try {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream.option("checkpointLocation", ckDir)
+        .foreachBatch((batch: DataFrame, _: Long) => onBatch(batch, outDir))
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      val result = present(spark.read.parquet(outDir))
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      cleanup()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      rmTree(runDir) // also on failure — no orphaned checkpoint/sink trees
+    }
   }
 
   /** The shared replay INPUT of the single-phase streaming gates
@@ -2501,30 +2675,14 @@ object Queries {
     }
     val inDir = stagedIngestDocsDir(spark, sfDir)
     val qSchema = docs.select(col("doc_id"), col("text")).schema
-    val runDir = streamTempDir("graft_ingest_run_")
-    val outDir = s"${runDir.getAbsolutePath}/out"; val ckDir = s"${runDir.getAbsolutePath}/ck"
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
-    try {
-      val ingestBatch: (DataFrame, Long) => Unit = (batch, _) =>
+    runReplayForeachBatch(spark, inDir, qSchema, "ingest",
+      onBatch = (batch, outDir) =>
         if (!batch.isEmpty)
           Dedup.incrementalNearDupsAgainst(shC, bandC, batch, "doc_id", "text", 0.5)
             .groupBy(col("batch_id"))
             .agg(count(lit(1)).as("n_matches"), round(max(col("jaccard")), 4).as("best_j"))
-            .write.mode("append").parquet(outDir)
-      val q = spark.readStream.schema(qSchema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir)
-        .writeStream.option("checkpointLocation", ckDir)
-        .foreachBatch(ingestBatch)
-        .start()
-      try { q.processAllAvailable() } finally q.stop()
-      val result = spark.read.parquet(outDir).orderBy(col("batch_id"))
-      val rows = result.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-      rmTree(runDir)
-    }
+            .write.mode("append").parquet(outDir),
+      present = _.orderBy(col("batch_id")))
   }
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
@@ -3509,33 +3667,17 @@ object Queries {
     val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull).persist()
     val inDir = stagedKnnQueryDir(spark, sfDir)
     val qSchema = emb.select(col("vec_id"), col("embedding")).schema
-    val base = streamTempDir("graft_knnserve_run_")
-    val outDir = s"${base.getAbsolutePath}/out"; val ckDir = s"${base.getAbsolutePath}/ck"
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
-    try {
-      val serveBatch: (DataFrame, Long) => Unit = (batch, _) =>
+    runReplayForeachBatch(spark, inDir, qSchema, "knnserve",
+      onBatch = (batch, outDir) =>
         if (!batch.isEmpty)
           graft.index.KnnJoin.exact(batch, emb, "vec_id", "embedding", 5)
-            .write.mode("append").parquet(outDir)
-      val q = spark.readStream.schema(qSchema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir)
-        .writeStream.option("checkpointLocation", ckDir)
-        .foreachBatch(serveBatch)
-        .start()
-      try { q.processAllAvailable() } finally q.stop()
-      val result = spark.read.parquet(outDir)
+            .write.mode("append").parquet(outDir),
+      present = sunk => sunk
         // + 0.0 collapses IEEE negative zero (see embeddingPool)
         .select(col("q_id"), col("rn"), col("neighbor_id"),
           (round(col("cos"), 4) + lit(0.0)).as("score"))
-        .orderBy(col("q_id"), col("rn"))
-      val rows = result.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally {
-      emb.unpersist()
-      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-      rmTree(base)
-    }
+        .orderBy(col("q_id"), col("rn")),
+      cleanup = () => emb.unpersist())
   }
 
   /** [[knnServeStream]]'s twin THROUGH THE OPTIMIZER RULE: each request
@@ -3561,12 +3703,8 @@ object Queries {
     val inDir = stagedKnnQueryDir(spark, sfDir)
     val qSchema = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding")).schema
-    val runDir = streamTempDir("graft_knnserve_rule_run_")
-    val outDir = s"${runDir.getAbsolutePath}/out"; val ckDir = s"${runDir.getAbsolutePath}/ck"
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
-    try {
-      val serveBatch: (DataFrame, Long) => Unit = (batch, _) =>
+    runReplayForeachBatch(spark, inDir, qSchema, "knnserve_rule",
+      onBatch = (batch, outDir) =>
         batch.select(col("vec_id"), col("embedding")).collect().foreach { r =>
           val qId = r.getLong(0)
           val qv = r.getSeq[Float](1)
@@ -3582,26 +3720,16 @@ object Queries {
             s"LshProbeRewrite did not fire for request $qId — the serving " +
               "stream must answer through the rule, not the exact scan")
           out.write.mode("append").parquet(outDir)
-        }
-      val q = spark.readStream.schema(qSchema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir)
-        .writeStream.option("checkpointLocation", ckDir)
-        .foreachBatch(serveBatch)
-        .start()
-      try { q.processAllAvailable() } finally q.stop()
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("score").desc, col("neighbor_id").asc)
-      val result = spark.read.parquet(outDir)
-        .withColumn("rn", row_number().over(w))
-        .select(col("q_id"), col("rn"), col("neighbor_id"),
-          (round(col("score"), 4) + lit(0.0)).as("score"))
-        .orderBy(col("q_id"), col("rn"))
-      val rows = result.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-      rmTree(runDir)
-    }
+        },
+      present = sunk => {
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)
+        sunk
+          .withColumn("rn", row_number().over(w))
+          .select(col("q_id"), col("rn"), col("neighbor_id"),
+            (round(col("score"), 4) + lit(0.0)).as("score"))
+          .orderBy(col("q_id"), col("rn"))
+      })
   }
 
   /** Sparse random projection 64→16
@@ -3995,6 +4123,8 @@ object Queries {
     "knn_lsh_cached" -> (knnLshCached _),
     "knn_lsh_append" -> (knnLshAppend _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_rule" -> (annIvfRule _),
+    "ann_ivf_rule_clustered" -> (annIvfRuleClustered _),
     "ann_nsw" -> (annNsw _),
     "ann_hnsw" -> (annHnsw _),
     "ann_hnsw_walk" -> (annHnswWalk _),

@@ -114,3 +114,40 @@ final case class LshIndexStore(lsh: RandomHyperplaneLsh, dim: Int,
     BruteForceKnn.search(candidates, col(embCol), col(idCol), query, k)
   }
 }
+
+/** At-rest IVF layout: the clustered twin of [[LshIndexStore]]. One
+  * pass assigns every row to its nearest centroid ([[IvfKnn.assign]] —
+  * argmax cosine, first-max tie-break) and writes the corpus
+  * partitioned by `cluster_id`; a probe for a query is a scan of the
+  * `nprobe` best directories + exact rerank, so the read cost is
+  * nprobe/nlist of the corpus with NO per-table storage multiplier
+  * (the trade vs LSH: one layout, but candidate quality depends on the
+  * centroids matching the corpus shape — see README's ANN decision
+  * table, which recommends IVF exactly where embeddings are clustered).
+  *
+  * Storage is ×1 (vs LshIndexStore's ×T) and the layout key IS the
+  * semantic cluster, so a 100 TB corpus reads nprobe directories per
+  * query. `repartition(cluster_id)` before the write keeps each
+  * directory one task's single file, not tasks × clusters slivers.
+  */
+final case class IvfIndexStore(cents: Array[(Long, Array[Float])]) {
+
+  def write(corpus: DataFrame, embCol: String, path: String): Unit =
+    IvfKnn.assign(corpus.where(col(embCol).isNotNull), col(embCol), cents)
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite")
+      .partitionBy("cluster_id")
+      .parquet(path)
+
+  /** Hand-built probe twin of the optimizer-rule path
+    * ([[graft.plans.LshProbeRewrite.registerIvf]]): scan the nprobe
+    * best cluster directories, exact rerank. */
+  def search(spark: SparkSession, path: String, embCol: String, idCol: String,
+             query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val probeIds = IvfKnn.rankClusters(query, cents).take(nprobe).map(_._1)
+    val candidates = spark.read.parquet(path)
+      .where(col("cluster_id").isin(probeIds.map(Long.box): _*))
+      .drop("cluster_id")
+    BruteForceKnn.search(candidates, col(embCol), col(idCol), query, k)
+  }
+}

@@ -28,6 +28,14 @@ import org.apache.spark.sql.types.IntegerType
   */
 object LshProbeRewrite extends Rule[LogicalPlan] {
 
+  /** A registered at-rest index path. The registration carries the
+    * INDEX KIND plus its serving policy — the registration IS the
+    * index choice; callers always write the same plain exact top-k
+    * (r13 verdict #4: the engine's own ANN decision table recommends
+    * IVF for clustered/real-shaped corpora, so the rule must be able
+    * to serve more than LSH). */
+  sealed trait IndexRegistration
+
   /** `maxHamming` is the registered SERVING POLICY of the path: 0 =
     * exact-bucket probe, 1 = 1-bit multi-probe (each table also probes
     * the numPlanes buckets one sign-flip away — the recall knob the
@@ -36,8 +44,19 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     * wider balls grow combinatorially and stop being a probe. */
   final case class Registration(lsh: RandomHyperplaneLsh, dim: Int,
                                 numPhysicalPartitions: Int, maxHamming: Int = 0)
+    extends IndexRegistration
 
-  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Registration]()
+  /** IVF policy: the trained centroid array (id → vector, the same
+    * driver-side floats [[graft.index.IvfKnn]] broadcasts) and the
+    * probe width. The probe filter is `cluster_id IN (top-nprobe
+    * centroids by cosine to the query)` — a pure partition-column
+    * predicate over the [[graft.index.IvfIndexStore]] layout, so
+    * Catalyst prunes to nprobe/nlist of the files. */
+  final case class IvfRegistration(cents: Array[(Long, Array[Float])], nprobe: Int)
+    extends IndexRegistration
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexRegistration]()
 
   private def normalize(p: String): String =
     java.net.URI.create(p.replace(" ", "%20")).getPath.stripSuffix("/")
@@ -50,9 +69,17 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
       Registration(lsh, dim, numPhysicalPartitions, maxHamming))
   }
 
+  def registerIvf(path: String, cents: Array[(Long, Array[Float])],
+                  nprobe: Int): Unit = {
+    require(cents.nonEmpty, "IVF registration needs at least one centroid")
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    registry.put(normalize(new java.io.File(path).getAbsolutePath),
+      IvfRegistration(cents, nprobe))
+  }
+
   def clear(): Unit = registry.clear()
 
-  private def registrationFor(plan: LogicalPlan): Option[Registration] =
+  private def registrationFor(plan: LogicalPlan): Option[IndexRegistration] =
     plan.collectFirst {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] &&
         lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.exists { rp =>
@@ -66,10 +93,14 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         registry.get(key)
     }
 
+  private val layoutNames = Set("table", "bucket", "bucket_part", "cluster_id")
+
   private def alreadyProbed(plan: LogicalPlan): Boolean = plan.exists {
     case Filter(cond, _) =>
       cond.exists {
-        case EqualTo(a: Attribute, _) => a.name == "bucket_part" || a.name == "bucket"
+        case EqualTo(a: Attribute, _) =>
+          a.name == "bucket_part" || a.name == "bucket" || a.name == "cluster_id"
+        case In(a: Attribute, _) => a.name == "cluster_id"
         case _ => false
       }
     case _ => false
@@ -116,9 +147,6 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
           case _ => None
         }
         reg <- registrationFor(child)
-        tableAttr <- child.output.find(_.name == "table")
-        partAttr <- child.output.find(_.name == "bucket_part")
-        bucketAttr <- child.output.find(_.name == "bucket")
         // the physical operator re-derives ordering from its projected
         // rows, so every sort expression must flow through the
         // projection; dedupe keys are child attrs and the operator
@@ -128,44 +156,79 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
           case a: Attribute => outIds.contains(a.exprId)
           case _ => false
         })
-        layoutNames = Set("table", "bucket", "bucket_part")
         dedupeKeys = child.output.filterNot(a => layoutNames.contains(a.name))
         if dedupeKeys.nonEmpty
-      } yield {
-        val qb = queryBuckets(reg, qvec)
-        // The probed bucket set per table: the query's own bucket, plus
-        // (under the 1-bit multi-probe policy) every bucket one
-        // sign-flip away — identical to candidateMatch(maxHamming = 1).
-        def ball(b: Int): Seq[Int] =
-          if (reg.maxHamming <= 0) Seq(b)
-          else b +: (0 until reg.lsh.numPlanes).map(p => b ^ (1 << p))
-        def inOrEq(attr: Attribute, vs: Seq[Int]): Expression =
-          if (vs.size == 1) EqualTo(attr, Literal(vs.head, IntegerType))
-          else In(attr, vs.map(Literal(_, IntegerType)))
-        // Partition-col-only disjunction (prunable by Catalyst) AND the
-        // exact per-table bucket disjunction (row filtering). The first
-        // is implied by the second (bucket determines bucket_part), so
-        // the conjunction is exactly the per-table candidate union.
-        val pruneOr = qb.zipWithIndex.map { case (b, t) =>
-          And(EqualTo(tableAttr, Literal(t, IntegerType)),
-            inOrEq(partAttr,
-              ball(b).map(math.floorMod(_, reg.numPhysicalPartitions)).distinct))
-            .asInstanceOf[Expression]
-        }.reduce(Or(_, _))
-        val exactOr = qb.zipWithIndex.map { case (b, t) =>
-          And(EqualTo(tableAttr, Literal(t, IntegerType)),
-            inOrEq(bucketAttr, ball(b).distinct))
-            .asInstanceOf[Expression]
-        }.reduce(Or(_, _))
+        probeFilter <- reg match {
+          case r: Registration    => lshProbeFilter(r, qvec, child)
+          case r: IvfRegistration => ivfProbeFilter(r, qvec, child)
+        }
+      } yield
         // Collapse dedupe + score + sort + limit into the custom
         // whole-operator node ([[LshProbeTopK]]); [[LshProbeStrategy]]
-        // plans it into the bounded-heap physical operator. A row sits
-        // in every table's sub-layout, so the operator dedupes the
-        // payload columns — as per-partition hash-skip + merge, not the
-        // full-shuffle Aggregate the logical form would need.
+        // plans it into the bounded-heap physical operator. Under the
+        // LSH layout a row sits in every table's sub-layout, so the
+        // operator dedupes the payload columns — as per-partition
+        // hash-skip + merge, not the full-shuffle Aggregate the logical
+        // form would need (IVF rows are unique; the dedupe is a no-op
+        // hash probe there).
         LshProbeTopK(kVal, sort.order, projectList, dedupeKeys,
-          Filter(And(pruneOr, exactOr), child))
-      }
+          Filter(probeFilter, child))
       rewrite
   }
+
+  /** The LSH candidate-union filter: per-table Hamming-ball bucket
+    * disjunctions over the [[graft.index.LshIndexStore]] layout. */
+  private def lshProbeFilter(reg: Registration, qvec: Array[Float],
+                             child: LogicalPlan): Option[Expression] =
+    for {
+      tableAttr <- child.output.find(_.name == "table")
+      partAttr <- child.output.find(_.name == "bucket_part")
+      bucketAttr <- child.output.find(_.name == "bucket")
+    } yield {
+      val qb = queryBuckets(reg, qvec)
+      // The probed bucket set per table: the query's own bucket, plus
+      // (under the 1-bit multi-probe policy) every bucket one
+      // sign-flip away — identical to candidateMatch(maxHamming = 1).
+      def ball(b: Int): Seq[Int] =
+        if (reg.maxHamming <= 0) Seq(b)
+        else b +: (0 until reg.lsh.numPlanes).map(p => b ^ (1 << p))
+      def inOrEq(attr: Attribute, vs: Seq[Int]): Expression =
+        if (vs.size == 1) EqualTo(attr, Literal(vs.head, IntegerType))
+        else In(attr, vs.map(Literal(_, IntegerType)))
+      // Partition-col-only disjunction (prunable by Catalyst) AND the
+      // exact per-table bucket disjunction (row filtering). The first
+      // is implied by the second (bucket determines bucket_part), so
+      // the conjunction is exactly the per-table candidate union.
+      val pruneOr = qb.zipWithIndex.map { case (b, t) =>
+        And(EqualTo(tableAttr, Literal(t, IntegerType)),
+          inOrEq(partAttr,
+            ball(b).map(math.floorMod(_, reg.numPhysicalPartitions)).distinct))
+          .asInstanceOf[Expression]
+      }.reduce(Or(_, _))
+      val exactOr = qb.zipWithIndex.map { case (b, t) =>
+        And(EqualTo(tableAttr, Literal(t, IntegerType)),
+          inOrEq(bucketAttr, ball(b).distinct))
+          .asInstanceOf[Expression]
+      }.reduce(Or(_, _))
+      And(pruneOr, exactOr)
+    }
+
+  /** The IVF probe filter: `cluster_id IN (top-nprobe centroids by
+    * cosine to the query, id tie-break)` — the same probe list as
+    * [[graft.index.IvfKnn.rankClusters]], expressed purely over the
+    * layout's PARTITION column so the scan reads nprobe directories.
+    * Literal type follows the attribute: a partition column read back
+    * from disk is inferred IntegerType when every cluster id fits. */
+  private def ivfProbeFilter(reg: IvfRegistration, qvec: Array[Float],
+                             child: LogicalPlan): Option[Expression] =
+    child.output.find(_.name == "cluster_id").map { clusterAttr =>
+      val probeIds = graft.index.IvfKnn.rankClusters(qvec, reg.cents)
+        .take(reg.nprobe).map(_._1).toSeq
+      def lt(v: Long): Literal = clusterAttr.dataType match {
+        case IntegerType => Literal(v.toInt, IntegerType)
+        case dt          => Literal(v, dt)
+      }
+      if (probeIds.size == 1) EqualTo(clusterAttr, lt(probeIds.head))
+      else In(clusterAttr, probeIds.map(lt))
+    }
 }

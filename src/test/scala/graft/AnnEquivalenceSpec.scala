@@ -33,5 +33,12 @@ class AnnEquivalenceSpec extends AnyFunSuite {
     test(s"ann_ivfpq == exact stride-IVF (ann_ivf) at $sf") {
       assert(rows("ann_ivfpq", sf) == rows("ann_ivf", sf))
     }
+
+    test(s"ann_ivf_rule (optimizer centroid probe) == ann_ivf at $sf") {
+      // same centroids (stride 53), same probe ranking, same assignment
+      // tie-breaks — the rule path must reproduce the hand-built IVF
+      // search row-for-row, which licenses sharing ann_ivf's oracle
+      assert(rows("ann_ivf_rule", sf) == rows("ann_ivf", sf))
+    }
   }
 }

@@ -159,6 +159,50 @@ class LshProbeRewriteSpec extends AnyFunSuite {
     } finally LshProbeRewrite.clear()
   }
 
+  test("an IVF registration serves the centroid probe through the same rule") {
+    val s = TestSpark.spark
+    val ivfPath = "target/test-index/rewrite-ivf"
+    TestSpark.rmTree(new java.io.File(ivfPath))
+    if (!s.experimental.extraOptimizations.contains(LshProbeRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ LshProbeRewrite
+    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(s)
+    try {
+      LshProbeRewrite.clear()
+      val emb = Tables.embeddings(s, "/root/testdata/sf0.001")
+      val cents = graft.index.IvfKnn.centroids(
+        emb, col("vec_id"), col("embedding"), stride = 7L)
+      assert(cents.length >= 2, "fixture too small for a 2-probe IVF test")
+      graft.index.IvfIndexStore(cents).write(emb, "embedding", ivfPath)
+      LshProbeRewrite.registerIvf(ivfPath, cents, nprobe = 2)
+      val q = Queries.queryVec(s, "/root/testdata/sf0.001")
+      val topk = s.read.parquet(ivfPath)
+        .withColumn("score", CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+      val plan = topk.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LshProbeTopK") && plan.contains("cluster_id"),
+        s"IVF rewrite did not fire / probe not on cluster_id:\n$plan")
+      // the probe predicate must reach the scan as a PARTITION filter
+      // (reads nprobe directories), not a post-scan row filter
+      val physical = topk.queryExecution.executedPlan.toString
+      assert(physical.contains("PartitionFilters") &&
+        physical.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("cluster_id"),
+        s"cluster_id probe did not prune partitions:\n$physical")
+      // row-identical to the hand-built IVF search (same centroids,
+      // same probe ranking, same rerank + tie-break)
+      import s.implicits._
+      val got = topk.select("vec_id", "score").as[(Long, Double)].collect().toSeq
+      val want = graft.index.IvfIndexStore(cents)
+        .search(s, ivfPath, "embedding", "vec_id", q, 5, nprobe = 2)
+        .select(col("vec_id"), col("score")).as[(Long, Double)].collect().toSeq
+      assert(got == want, s"got=$got want=$want")
+    } finally LshProbeRewrite.clear()
+  }
+
   test("rule is idempotent and leaves non-cosine sorts alone") {
     withExtSession { s =>
       LshProbeRewrite.clear()
