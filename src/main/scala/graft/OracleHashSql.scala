@@ -411,6 +411,30 @@ object OracleHashSql {
        |FROM jac WHERE j >= 0.5 AND (id_a % 2) <> (id_b % 2)
        |GROUP BY 1 ORDER BY batch_id""".stripMargin
 
+  // ---- dedup_ingest_stream_wb ---------------------------------------
+  // The within-batch variant: evidence = cross-parity matches (the
+  // standing-corpus probe, attributed to the odd/batch side) UNION
+  // within-batch pairs (both odd, SAME doc_id mod 6 micro-batch class,
+  // attributed to BOTH ends — either doc is the duplicate depending on
+  // admission order). The engine computes the second kind with a
+  // batch-local MinHash self-join; banding family and verify are
+  // identical to the corpus probe, so this one full-replay restriction
+  // covers both evidence kinds.
+  private def dedupIngestWithinBatchSql: String =
+    s"""$dedupMinhashCtes
+       |SELECT batch_id, count(*) AS n_matches, ROUND(MAX(j), 4) AS best_j
+       |FROM (
+       |  SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS batch_id, j
+       |  FROM jac WHERE j >= 0.5 AND (id_a % 2) <> (id_b % 2)
+       |  UNION ALL
+       |  SELECT id_a AS batch_id, j FROM jac
+       |  WHERE j >= 0.5 AND id_a % 2 = 1 AND id_b % 2 = 1 AND (id_a % 6) = (id_b % 6)
+       |  UNION ALL
+       |  SELECT id_b AS batch_id, j FROM jac
+       |  WHERE j >= 0.5 AND id_a % 2 = 1 AND id_b % 2 = 1 AND (id_a % 6) = (id_b % 6)
+       |)
+       |GROUP BY 1 ORDER BY batch_id""".stripMargin
+
   /** Connected components of the MinHash pair graph, walked with a
     * recursive reachability CTE: node reaches itself; if an edge joins
     * u—v and v reaches r, then u reaches r (edges symmetrized, UNION
@@ -1227,6 +1251,7 @@ object OracleHashSql {
     // (disjoint batches, fixed corpus side) — one oracle, three
     // implementations
     "dedup_ingest_stream" -> dedupIncrementalSql,
+    "dedup_ingest_stream_wb" -> dedupIngestWithinBatchSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "curriculum_order" -> curriculumOrderSql,

@@ -2656,15 +2656,35 @@ object Queries {
     * micro-batch dropped, or a banded probe diverging from the full
     * re-dedup's conclusions flips the hash.
     *
-    * Admission policy honesty: the probe checks batch docs against the
-    * STANDING CORPUS only — two near-dup docs arriving in the same
-    * crawl (or in two batches of it) are both admitted tonight and
-    * collapse at the next snapshot's full dedup ([[dedupMinhash]]).
-    * That is the standard contract of index-probing ingest: checking
-    * intra-crawl pairs would need the full self-join machinery per
-    * batch, which is the nightly job, not the ingest filter.
+    * Admission policy honesty: by default the probe checks batch docs
+    * against the STANDING CORPUS only — two near-dup docs arriving in
+    * the same crawl batch are both admitted tonight and collapse at
+    * the next snapshot's full dedup ([[dedupMinhash]]). That is the
+    * standard contract of index-probing ingest. The `withinBatch`
+    * variant ([[dedupIngestStreamWb]]) closes the common real-world
+    * hole — a same-night syndication storm landing many copies in one
+    * batch — with a batch-LOCAL MinHash self-join
+    * ([[Dedup.minhashNearDups]] on the batch alone): the batch is
+    * small by construction, so the self-join cost is ∝ batch², never
+    * ∝ corpus, and the candidate rule is the SAME banding family as
+    * the corpus probe, so one full-dedup oracle covers both kinds of
+    * evidence.
     */
-  def dedupIngestStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupIngestStream(spark: SparkSession, sfDir: String): DataFrame =
+    dedupIngestStreamImpl(spark, sfDir, withinBatch = false)
+
+  /** [[dedupIngestStream]] with the within-batch self-check ON: each
+    * micro-batch's evidence counts corpus matches AND same-batch
+    * near-dup partners (a within-batch pair charges BOTH ends — either
+    * doc would be the duplicate depending on admission order, and the
+    * oracle replays the same both-ends attribution). Oracle: the full
+    * MinHash re-dedup restricted to cross-parity ∪ within-batch
+    * (same doc_id mod 6 class) pairs. */
+  def dedupIngestStreamWb(spark: SparkSession, sfDir: String): DataFrame =
+    dedupIngestStreamImpl(spark, sfDir, withinBatch = true)
+
+  private def dedupIngestStreamImpl(spark: SparkSession, sfDir: String,
+                                    withinBatch: Boolean): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val (shC, bandC) = ingestCorpusIndexCache.getOrElseUpdate(spark, sfDir) {
       val (s, b) = Dedup.corpusIndex(
@@ -2675,13 +2695,25 @@ object Queries {
     }
     val inDir = stagedIngestDocsDir(spark, sfDir)
     val qSchema = docs.select(col("doc_id"), col("text")).schema
-    runReplayForeachBatch(spark, inDir, qSchema, "ingest",
+    runReplayForeachBatch(spark, inDir, qSchema,
+      if (withinBatch) "ingest_wb" else "ingest",
       onBatch = (batch, outDir) =>
-        if (!batch.isEmpty)
-          Dedup.incrementalNearDupsAgainst(shC, bandC, batch, "doc_id", "text", 0.5)
-            .groupBy(col("batch_id"))
+        if (!batch.isEmpty) {
+          val cross = Dedup
+            .incrementalNearDupsAgainst(shC, bandC, batch, "doc_id", "text", 0.5)
+            .select(col("batch_id"), col("jaccard"))
+          val hits =
+            if (!withinBatch) cross
+            else {
+              val w = Dedup.minhashNearDups(batch, "doc_id", "text", 0.5)
+              cross
+                .unionByName(w.select(col("id_a").as("batch_id"), col("jaccard")))
+                .unionByName(w.select(col("id_b").as("batch_id"), col("jaccard")))
+            }
+          hits.groupBy(col("batch_id"))
             .agg(count(lit(1)).as("n_matches"), round(max(col("jaccard")), 4).as("best_j"))
-            .write.mode("append").parquet(outDir),
+            .write.mode("append").parquet(outDir)
+        },
       present = _.orderBy(col("batch_id")))
   }
 
@@ -4207,6 +4239,7 @@ object Queries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_ingest_stream" -> (dedupIngestStream _),
+    "dedup_ingest_stream_wb" -> (dedupIngestStreamWb _),
     "dedup_simhash" -> (dedupSimhash _),
     "text_bpe_tokens" -> (textBpeTokens _),
     "bpe_pair_counts" -> (bpePairCounts _),
