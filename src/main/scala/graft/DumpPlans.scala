@@ -155,7 +155,13 @@ object DumpPlans {
       // (<= classes rows per doc in the only exchange — see
       // NaiveBayes.score + NbScaleProbe), and a per-doc
       // WindowGroupLimit argmax — no driver loop, no UDF
-      "classify_nb_lang")
+      "classify_nb_lang",
+      // round-14 IVF-through-the-rule plans: both must show the custom
+      // LshProbeTopK operator over a scan whose PartitionFilters is the
+      // cluster_id IN (...) centroid probe — partition pruning reads
+      // nprobe of nlist directories, no post-scan row filter, no
+      // exchange before the bounded-heap top-k
+      "ann_ivf_rule", "ann_ivf_rule_clustered")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.01, generated by graft.DumpPlans)\n\n")

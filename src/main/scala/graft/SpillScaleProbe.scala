@@ -1,0 +1,102 @@
+package graft
+
+import graft.state.{Engine, EngineSpill}
+import org.apache.spark.sql.SparkSession
+
+/** Engine spill tier at scale (r13 verdict stretch #8): EngineSpillSpec
+  * proves semantics at 2.5× past the bound; nothing measured the
+  * archived-tier CONTRACT at a realistic archive ratio — search latency
+  * across resident+archived, and the Bloom filter's promise that a
+  * definite miss never pays a distributed parquet scan while holding
+  * the write lock.
+  *
+  * Shape: 1M chunks through a maxChunks=200k engine → 4 spill segments
+  * (800k archived, 80%) + 200k resident. Measures:
+  *  - load wall (1M driver-side adds incl. 4 segment writes),
+  *  - chunksDF count + exact top-10 search over the full store ×3,
+  *  - write-lock probe cost split by Bloom outcome: archived-id updates
+  *    (Bloom HIT → one pruned parquet probe → typed immutability error)
+  *    vs absent-id updates (Bloom MISS → no scan → NotFound), 20 each.
+  *
+  * Usage: runMain graft.SpillScaleProbe [nChunks] [maxResident]
+  */
+object SpillScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 1000000
+    val maxResident = if (args.length > 1) args(1).toInt else n / 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft_spill_probe_").toFile
+    dir.delete()
+    val dim = 16
+    def vec(i: Int): Array[Float] = {
+      // deterministic non-degenerate direction per chunk
+      val a = Array.tabulate(dim)(j =>
+        math.sin(0.7 * i + 1.3 * j + 0.1).toFloat)
+      a
+    }
+    try {
+      val e = new Engine(maxChunks = maxResident,
+        spill = Some(EngineSpill(spark, dir.getAbsolutePath)))
+      val lib = e.createLibrary("L")
+      val doc = e.addDocument(lib.id, "D")
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) {
+        e.addChunk(lib.id, doc.id, s"chunk text $i", Some(vec(i)), id = Some(s"c$i"))
+        i += 1
+      }
+      val loadSec = (System.nanoTime() - t0) / 1e9
+      val segs = e.state.spillSegments.size
+      println(f"LOAD n=$n maxResident=$maxResident segments=$segs " +
+        f"resident=${e.state.chunks.size} load_sec=$loadSec%.1f")
+
+      // full-store serving: count + exact top-10 search, 3 runs each
+      for (r <- 1 to 3) {
+        val c0 = System.nanoTime()
+        val cnt = e.chunksDF(spark).count()
+        val cSec = (System.nanoTime() - c0) / 1e9
+        val s0 = System.nanoTime()
+        val svc = new graft.search.SearchService(spark, e)
+        val hits = svc.search(lib.id, queryEmbedding = Some(vec(7)), k = 10).hits
+        val sSec = (System.nanoTime() - s0) / 1e9
+        println(f"RUN$r count=$cnt count_sec=$cSec%.2f search_sec=$sSec%.2f " +
+          s"top=${hits.head.chunk_id}")
+      }
+
+      // Bloom-split probe cost under the write lock: archived ids are
+      // early adds (spilled), absent ids never existed. Both run
+      // updateChunk, the path that needs the resident-miss / archived /
+      // not-found distinction.
+      def probeMs(ids: Seq[String]): (Double, Seq[String]) = {
+        val outcomes = scala.collection.mutable.ListBuffer.empty[String]
+        val t = System.nanoTime()
+        ids.foreach { id =>
+          try { e.updateChunk(lib.id, doc.id, id, text = Some("x")); outcomes += "updated" }
+          catch {
+            case ex: graft.state.BadRequestError => outcomes += "immutable"
+            case _: graft.state.NotFoundError    => outcomes += "notfound"
+          }
+        }
+        ((System.nanoTime() - t) / 1e6 / ids.size, outcomes.distinct.toSeq)
+      }
+      val archivedIds = (0 until 20).map(k => s"c${k * 997}") // early adds -> spilled
+      val absentIds = (0 until 20).map(k => s"nope$k")
+      val (hitMs, hitOut) = probeMs(archivedIds)
+      val (missMs, missOut) = probeMs(absentIds)
+      println(f"BLOOM hit_ms_per_probe=$hitMs%.1f outcomes=$hitOut " +
+        f"miss_ms_per_probe=$missMs%.2f outcomes=$missOut ratio=${hitMs / missMs}%.0f")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+      spark.stop()
+    }
+  }
+}
