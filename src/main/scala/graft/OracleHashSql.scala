@@ -1281,6 +1281,7 @@ object OracleHashSql {
     "ann_sq" -> annSqSql,
     "ann_ivf" -> annIvfSql,
     "ann_ivf_rule" -> annIvfSql,
+    "ann_ivf_append" -> annIvfSql,
     "ann_ivf_rule_clustered" -> annIvfRuleClusteredSql,
     // persisted-adjacency walk replay; Verify inlines the examined
     // neighbor lists into __HNSW_WALK_ADJ__ before DuckDB sees the SQL

@@ -150,13 +150,18 @@ object Queries {
                                 maxHamming: Int = 0): DataFrame = {
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
     val tag = if (maxHamming == 0) "" else s"-mp$maxHamming"
+    val p = s"target/gate-index/lsh-rule$tag-${math.abs(sfDir.hashCode)}"
     val base = lshRuleIndexCache.getOrElseUpdate(spark, s"$tag:$sfDir") {
-      val p = s"target/gate-index/lsh-rule$tag-${math.abs(sfDir.hashCode)}"
       graft.index.LshIndexStore(lsh, 64)
         .write(Tables.embeddings(spark, sfDir), "embedding", p)
-      graft.plans.LshProbeRewrite.register(p, lsh, 64, maxHamming = maxHamming)
       spark.read.parquet(p)
     }
+    // register on EVERY call, not only on the cache-miss build: the
+    // registry is global and clear()-able (LshProbeRewriteSpec does),
+    // while the cached FileIndex is per-session — registering inside
+    // the miss branch let a registry clear strand later gate calls on
+    // a cached-but-unregistered table, failing their rewrite `require`
+    graft.plans.LshProbeRewrite.register(p, lsh, 64, maxHamming = maxHamming)
     injectProbeRule(spark)
     base
   }
@@ -182,15 +187,19 @@ object Queries {
     * stride-53 sample — the exact model `ann_ivf` serves and its DuckDB
     * oracle replays. */
   private val ivfRuleIndexCache = new SessionCache[String, DataFrame]
+  // centroids are cached alongside so the every-call re-registration
+  // (see lshRuleIndexTable) never re-collects them
+  private val ivfRuleCentsCache = new SessionCache[String, Array[(Long, Array[Float])]]
   private def ivfRuleIndexTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = ivfRuleCentsCache.getOrElseUpdate(spark, sfDir)(
+      IvfKnn.centroids(Tables.embeddings(spark, sfDir),
+        col("vec_id"), col("embedding"), stride = 53L))
+    val p = s"target/gate-index/ivf-rule-${math.abs(sfDir.hashCode)}"
     val base = ivfRuleIndexCache.getOrElseUpdate(spark, sfDir) {
-      val emb = Tables.embeddings(spark, sfDir)
-      val cents = IvfKnn.centroids(emb, col("vec_id"), col("embedding"), stride = 53L)
-      val p = s"target/gate-index/ivf-rule-${math.abs(sfDir.hashCode)}"
-      graft.index.IvfIndexStore(cents).write(emb, "embedding", p)
-      graft.plans.LshProbeRewrite.registerIvf(p, cents, nprobe = 2)
+      graft.index.IvfIndexStore(cents).write(Tables.embeddings(spark, sfDir), "embedding", p)
       spark.read.parquet(p)
     }
+    graft.plans.LshProbeRewrite.registerIvf(p, cents, nprobe = 2)
     injectProbeRule(spark)
     base
   }
@@ -250,15 +259,17 @@ object Queries {
     * (assignment, probe ranking, rerank, tie-breaks).
     */
   private val clusteredIvfRuleCache = new SessionCache[String, DataFrame]
+  private val clusteredCentsCache = new SessionCache[String, Array[(Long, Array[Float])]]
   def annIvfRuleClustered(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = "target/gate-index/ivf-rule-clustered-n4000-c25-s010"
+    val cents = clusteredCentsCache.getOrElseUpdate(spark, "v1")(
+      clusteredCents(spark.read.parquet(clusteredFixtureDir(spark))))
     val base = clusteredIvfRuleCache.getOrElseUpdate(spark, "v1") {
-      val emb = spark.read.parquet(clusteredFixtureDir(spark))
-      val cents = clusteredCents(emb)
-      val p = "target/gate-index/ivf-rule-clustered-n4000-c25-s010"
-      graft.index.IvfIndexStore(cents).write(emb, "embedding", p)
-      graft.plans.LshProbeRewrite.registerIvf(p, cents, nprobe = 4)
+      graft.index.IvfIndexStore(cents)
+        .write(spark.read.parquet(clusteredFixtureDir(spark)), "embedding", p)
       spark.read.parquet(p)
     }
+    graft.plans.LshProbeRewrite.registerIvf(p, cents, nprobe = 4)
     injectProbeRule(spark)
     val q = base.where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -271,6 +282,47 @@ object Queries {
     require(out.queryExecution.optimizedPlan.toString.contains("LshProbeTopK"),
       "LshProbeRewrite did not fire — the clustered gate must serve through " +
         "the rule's centroid probe, not fall back to the exact scan")
+    out
+  }
+
+  /** Incrementally-maintained IVF index served through the rule — the
+    * [[knnLshAppend]] story on the clustered layout: the at-rest base
+    * holds the non-multiple-of-5 vec_ids, "the new arrivals" (vec_id %
+    * 5 == 0, query vec 0 among them) are [[graft.index.IvfIndexStore.
+    * append]]ed with the SAME centroids, and the plain rule-served
+    * top-k runs over the combined layout. Assignment is a pure per-row
+    * function of (centroids, embedding), so base ∪ appended delta is
+    * row-identical to the one-pass full write (pinned by
+    * IndexAppendSpec's IVF test) — the gate therefore shares ann_ivf's
+    * full-corpus DuckDB replay oracle, and O(delta) ingest is proven by
+    * the hash, not claimed. Base build + append are one-time snapshot
+    * costs (session-cached); the timed run is the served probe.
+    */
+  private val ivfAppendCache = new SessionCache[String, DataFrame]
+  def annIvfAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = ivfRuleCentsCache.getOrElseUpdate(spark, sfDir)(
+      IvfKnn.centroids(Tables.embeddings(spark, sfDir),
+        col("vec_id"), col("embedding"), stride = 53L))
+    val p = s"target/gate-index/ivf-append-${math.abs(sfDir.hashCode)}"
+    val base = ivfAppendCache.getOrElseUpdate(spark, sfDir) {
+      val emb = Tables.embeddings(spark, sfDir)
+      val store = graft.index.IvfIndexStore(cents)
+      store.write(emb.where(col("vec_id") % 5 =!= 0), "embedding", p)
+      store.append(emb.where(col("vec_id") % 5 === 0), "embedding", p)
+      spark.read.parquet(p)
+    }
+    graft.plans.LshProbeRewrite.registerIvf(p, cents, nprobe = 2)
+    injectProbeRule(spark)
+    val q = queryVec(spark, sfDir)
+    val out = base
+      .withColumn("score",
+        graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    require(out.queryExecution.optimizedPlan.toString.contains("LshProbeTopK"),
+      "LshProbeRewrite did not fire — the appended-IVF gate must serve " +
+        "through the rule's centroid probe")
     out
   }
 
@@ -4156,6 +4208,7 @@ object Queries {
     "knn_lsh_append" -> (knnLshAppend _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_rule" -> (annIvfRule _),
+    "ann_ivf_append" -> (annIvfAppend _),
     "ann_ivf_rule_clustered" -> (annIvfRuleClustered _),
     "ann_nsw" -> (annNsw _),
     "ann_hnsw" -> (annHnsw _),

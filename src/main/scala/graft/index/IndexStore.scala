@@ -133,9 +133,28 @@ final case class LshIndexStore(lsh: RandomHyperplaneLsh, dim: Int,
 final case class IvfIndexStore(cents: Array[(Long, Array[Float])]) {
 
   def write(corpus: DataFrame, embCol: String, path: String): Unit =
+    writeLayout(corpus, embCol, path, "overwrite")
+
+  /** Incremental maintenance, the [[LshIndexStore.append]] twin: assign
+    * a DELTA of new rows with the SAME centroids and append its files
+    * into the existing cluster directories. Assignment is a pure
+    * per-row function of (centroids, embedding), so base ∪ delta
+    * appended separately is row-identical to one full write — new rows
+    * are probe-visible the moment the append commits, and ingest stays
+    * O(delta) instead of an O(corpus) rebuild. The honest residual vs
+    * LSH append: centroids are a TRAINED artifact — a delta whose
+    * distribution drifts from the training corpus degrades recall
+    * until re-clustering, which is the standard IVF contract (the
+    * decision table's "continuous ingest, no re-clustering window" row
+    * recommends LSH for exactly that reason). */
+  def append(delta: DataFrame, embCol: String, path: String): Unit =
+    writeLayout(delta, embCol, path, "append")
+
+  private def writeLayout(corpus: DataFrame, embCol: String, path: String,
+                          mode: String): Unit =
     IvfKnn.assign(corpus.where(col(embCol).isNotNull), col(embCol), cents)
       .repartition(col("cluster_id"))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .partitionBy("cluster_id")
       .parquet(path)
 

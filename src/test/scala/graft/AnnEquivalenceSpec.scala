@@ -34,6 +34,14 @@ class AnnEquivalenceSpec extends AnyFunSuite {
       assert(rows("ann_ivfpq", sf) == rows("ann_ivf", sf))
     }
 
+    test(s"ann_ivf_append (base + appended delta layout) == ann_ivf at $sf") {
+      // same frozen centroids, same probe; base ∪ appended delta must
+      // serve exactly what the one-pass layout serves — the O(delta)
+      // ingest claim is this row identity (IndexAppendSpec pins the
+      // underlying assignment equality)
+      assert(rows("ann_ivf_append", sf) == rows("ann_ivf", sf))
+    }
+
     test(s"ann_ivf_rule (optimizer centroid probe) == ann_ivf at $sf") {
       // same centroids (stride 53), same probe ranking, same assignment
       // tie-breaks — the rule path must reproduce the hand-built IVF
