@@ -616,6 +616,45 @@ object OracleHashSql {
        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
        |FROM rankeds WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** knn_serve_stream_ivf: the 5-request serving stream answered from
+    * the registered IVF layout. Assignment (argmax cosine vs the
+    * stride-53 centroids, lowest-cid tie-break) is computed once; each
+    * request probes ITS top-2 centroids and exact-reranks within them,
+    * self excluded. Reuses ann_ivf's xxh/cents/assignment CTE shapes.
+    */
+  private def knnServeStreamIvfSql: String =
+    s"""WITH $xxhCte,
+       |$centsCte,
+       |$corpusCte,
+       |centv AS (SELECT c2.cid, e2.embedding AS ce FROM cents c2 JOIN corpus e2 ON e2.vec_id = c2.cid),
+       |rcp AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS y FROM corpus e, centv c),
+       |rc AS (SELECT vec_id, cid,
+       |    CASE WHEN SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) = 0 OR SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) = 0 THEN 0.0
+       |         ELSE SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |              (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) END AS s
+       |  FROM rcp GROUP BY vec_id, cid),
+       |assigned AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM rc)
+       |  WHERE rn = 1),
+       |qset AS (SELECT vec_id AS q_id FROM corpus WHERE vec_id < 5),
+       |probeq AS (SELECT q_id, cid FROM (
+       |    SELECT q.q_id, r.cid, row_number() OVER (PARTITION BY q.q_id ORDER BY r.s DESC, r.cid) AS rn
+       |    FROM qset q JOIN rc r ON r.vec_id = q.q_id)
+       |  WHERE rn <= 2),
+       |cpairs AS (SELECT DISTINCT p.q_id, a.vec_id AS c_id
+       |  FROM probeq p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+       |px AS (SELECT cp.q_id, cp.c_id, unnest(a.embedding) AS x, unnest(bb.embedding) AS y
+       |  FROM cpairs cp JOIN corpus a ON a.vec_id = cp.q_id
+       |  JOIN corpus bb ON bb.vec_id = cp.c_id),
+       |ps AS (SELECT q_id, c_id,
+       |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+       |  FROM px GROUP BY q_id, c_id),
+       |rankeds AS (SELECT q_id, c_id, s,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM ps)
+       |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
+       |FROM rankeds WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   private def knnLshMultiprobeSql: String =
     s"""WITH $lshCtes,
        |cand AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN qb ON qb.t = b.t
@@ -1274,6 +1313,7 @@ object OracleHashSql {
     // the serving stream answered through the optimizer-rule probe:
     // per-request bucket unions + rerank replayed from scratch
     "knn_serve_stream_rule" -> knnServeStreamRuleSql,
+    "knn_serve_stream_ivf" -> knnServeStreamIvfSql,
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     // the same 1-bit candidate rule served through the optimizer rule's
     // registered multi-probe policy — one oracle for both probes

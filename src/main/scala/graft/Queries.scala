@@ -3816,6 +3816,50 @@ object Queries {
       })
   }
 
+  /** [[knnServeStreamRule]]'s IVF twin — the registration really IS
+    * the index choice now: the request loop is byte-identical (plain
+    * exact top-k per request, `require` on the rewrite), only the
+    * REGISTERED PATH differs, and the optimizer serves the centroid
+    * probe instead of the bucket probe. Shares ann_ivf_rule's at-rest
+    * layout, FileIndex cache and registration (stride-53 centroids,
+    * nprobe=2). Oracle: per-request IVF replay — assignment once,
+    * top-2 centroid probe per request, exact-cosine rerank, self
+    * excluded (serving semantics).
+    */
+  def knnServeStreamIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ivfRuleIndexTable(spark, sfDir)
+    val inDir = stagedKnnQueryDir(spark, sfDir)
+    val qSchema = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).schema
+    runReplayForeachBatch(spark, inDir, qSchema, "knnserve_ivf",
+      onBatch = (batch, outDir) =>
+        batch.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+          val qId = r.getLong(0)
+          val qv = r.getSeq[Float](1)
+          val out = base
+            .where(col("vec_id") =!= lit(qId)) // serving excludes self
+            .withColumn("score",
+              graft.expressions.CosineSimilarity(col("embedding"), typedlit(qv)))
+            .orderBy(col("score").desc, col("vec_id").asc)
+            .limit(5)
+            .select(lit(qId).as("q_id"), col("vec_id").as("neighbor_id"),
+              col("score")) // RAW score to the sink; round at presentation
+          require(out.queryExecution.optimizedPlan.toString.contains("LshProbeTopK"),
+            s"LshProbeRewrite did not fire for request $qId — the IVF serving " +
+              "stream must answer through the rule's centroid probe")
+          out.write.mode("append").parquet(outDir)
+        },
+      present = sunk => {
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)
+        sunk
+          .withColumn("rn", row_number().over(w))
+          .select(col("q_id"), col("rn"), col("neighbor_id"),
+            (round(col("score"), 4) + lit(0.0)).as("score"))
+          .orderBy(col("q_id"), col("rn"))
+      })
+  }
+
   /** Sparse random projection 64→16
     * ([[graft.functions.VectorFunctions.randomProject]]): one row per
     * vector with the projected-to-original L2 norm RATIO — the
@@ -4349,6 +4393,7 @@ object Queries {
     "embedding_outliers" -> (embeddingOutliers _),
     "knn_serve_stream" -> (knnServeStream _),
     "knn_serve_stream_rule" -> (knnServeStreamRule _),
+    "knn_serve_stream_ivf" -> (knnServeStreamIvf _),
     "ngram_top20" -> (ngramTop20 _),
     "regex_extract_stats" -> (regexExtractStats _),
     "agg_salted_skew" -> (aggSaltedSkew _),
