@@ -95,6 +95,18 @@ object IngestScaleProbe {
         f"shuffle ${best._2 / 1e6}%.1f MB")
       if (best._1 != half)
         println(s"INGEST WARNING: matches ${best._1} != expected $half")
+      // the WITHIN-BATCH self-check (dedup_ingest_stream_wb's extra
+      // term): a batch-local MinHash self-join whose cost must stay
+      // FLAT across corpus sizes — it never touches the corpus index.
+      // Printed per corpus size so the flatness is measured, not argued.
+      Dedup.releaseScratch(spark)
+      Dedup.minhashNearDups(batch, "doc_id", "text", 0.5).count() // JIT/warm
+      val wbRuns = (1 to 3).map(_ => Probe.withShuffleBytes(spark) {
+        Dedup.minhashNearDups(batch, "doc_id", "text", 0.5).count()
+      })
+      val wbBest = wbRuns.minBy(_._3)
+      println(f"INGEST corpus=$n%d within-batch self-join: ${wbBest._3}%.2f s " +
+        f"(min of 3), pairs=${wbBest._1}%d, shuffle ${wbBest._2 / 1e6}%.1f MB")
       sh.unpersist(blocking = true); bd.unpersist(blocking = true)
       Dedup.releaseScratch(spark)
     }
