@@ -616,6 +616,20 @@ object OracleHashSql {
        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
        |FROM rankeds WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** knn_lsh_rule_filtered: the 1-bit multi-probe candidates
+    * intersected with the user's `label <> 3` predicate,
+    * exact-reranked — the filtered analog of knn_lsh_multiprobe,
+    * served through the rule. */
+  private def knnLshRuleFilteredSql: String =
+    s"""WITH $lshCtes,
+       |cand AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN qb ON qb.t = b.t
+       |         WHERE bit_count(xor(qb.bkt::UBIGINT, b.bkt::UBIGINT)) <= 1)
+       |SELECT c.vec_id, ROUND(s.s, 4) AS score
+       |FROM cand c
+       |JOIN embeddings e ON e.vec_id = c.vec_id AND e.label <> 3
+       |JOIN scores s ON s.vec_id = c.vec_id
+       |ORDER BY s.s DESC, c.vec_id LIMIT 5""".stripMargin
+
   /** knn_serve_stream_ivf: the 5-request serving stream answered from
     * the registered IVF layout. Assignment (argmax cosine vs the
     * stride-53 centroids, lowest-cid tie-break) is computed once; each
@@ -1300,6 +1314,7 @@ object OracleHashSql {
     // the optimizer-rule serving path: same planes, candidate union,
     // and rerank — one oracle serves the hand-built and rule-rewritten probes
     "knn_lsh_rule" -> knnLshSql,
+    "knn_lsh_rule_filtered" -> knnLshRuleFilteredSql,
     // the at-rest/cached layout probes stored buckets but is candidate-
     // and rerank-identical to the transient probe — one oracle for both
     "knn_lsh_cached" -> knnLshSql,

@@ -374,6 +374,35 @@ object Queries {
     out
   }
 
+  /** FILTERED search through the optimizer rule — the reference's O2
+    * metadata filter composed with the rule-served index path: the
+    * caller writes `WHERE label <> 3` + plain top-k over the registered
+    * table; the rewrite stacks the bucket probe ON TOP of the user
+    * predicate (both reach the scan — the label predicate as a pushed
+    * parquet filter, the probe as the partition/bucket conjunction),
+    * and the top-k reranks the filtered candidate set. Semantics =
+    * LSH candidates ∩ filter, exact rerank — the filtered analog of
+    * knn_lsh_multiprobe, and the oracle replays exactly that (1-bit
+    * Hamming-ball candidates joined to non-label-3 rows). Served at
+    * the MULTI-PROBE policy because the exact-bucket candidate set at
+    * the gate SFs is nearly self-only — a filter over it would gate an
+    * empty intersection (hash-green but vacuous). */
+  def knnLshRuleFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lshRuleIndexTable(spark, sfDir, maxHamming = 1)
+    val q = queryVec(spark, sfDir)
+    val out = base
+      .where(col("label") =!= 3)
+      .withColumn("score",
+        graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    require(out.queryExecution.optimizedPlan.toString.contains("LshProbeTopK"),
+      "LshProbeRewrite did not fire — the filtered gate must serve through " +
+        "the rule with the user predicate intact, not fall back to the exact scan")
+    out
+  }
+
   def knnLshRule(spark: SparkSession, sfDir: String): DataFrame = {
     val base = lshRuleIndexTable(spark, sfDir)
     val q = queryVec(spark, sfDir)
@@ -4246,6 +4275,7 @@ object Queries {
     "knn_topk_per_label_agg" -> (knnTopkPerLabelAgg _),
     "knn_lsh" -> (knnLsh _),
     "knn_lsh_rule" -> (knnLshRule _),
+    "knn_lsh_rule_filtered" -> (knnLshRuleFiltered _),
     "knn_lsh_rule_multiprobe" -> (knnLshRuleMultiprobe _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "knn_lsh_cached" -> (knnLshCached _),
