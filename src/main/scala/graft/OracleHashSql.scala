@@ -519,8 +519,11 @@ object OracleHashSql {
   // SqKnn normalization). `scores`: exact cosine of every row against
   // corpus member vec_id 0 — the rerank used by the LSH and IVF
   // oracles (same shape as OracleSql.knnScores).
-  private val corpusCte =
-    "corpus AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL)"
+  // parameterized over the corpus source so the clustered-fixture
+  // gates replay the SAME machinery against read_parquet('<fixture>')
+  private def corpusCteOver(from: String) =
+    s"corpus AS (SELECT vec_id, embedding FROM $from WHERE embedding IS NOT NULL)"
+  private val corpusCte = corpusCteOver("embeddings")
 
   private val vnCtes =
     s"""comps AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1)::BIGINT AS i FROM corpus),
@@ -529,13 +532,14 @@ object OracleHashSql {
        |         CAST(CASE WHEN n.nrm = 0 THEN CAST(c.x AS DOUBLE) ELSE CAST(c.x AS DOUBLE) / n.nrm END AS FLOAT) AS x
        |       FROM comps c JOIN norms n ON n.vec_id = c.vec_id)""".stripMargin
 
-  private val qScoresCtes =
+  private def qScoresCtesOver(from: String) =
     s"""qpairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
-       |           FROM corpus e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q),
+       |           FROM corpus e, (SELECT embedding AS qe FROM $from WHERE vec_id = 0) q),
        |scores AS (SELECT vec_id,
        |    SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
        |    (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
        |  FROM qpairs GROUP BY vec_id)""".stripMargin
+  private val qScoresCtes = qScoresCtesOver("embeddings")
 
   // ---- knn_lsh / knn_lsh_multiprobe -------------------------------
   // RandomHyperplaneLsh(8, 12, 42): the plane matrix is inlined from
@@ -543,21 +547,22 @@ object OracleHashSql {
   // rows hash their FLOAT-normalized vectors (candidateMatch
   // semantics); the query is corpus member vec_id 0, so its bucket
   // comes from the same CTE. Rerank = exact cosine on RAW embeddings.
-  private def lshCtes: String = {
+  private def lshCtesOver(from: String): String = {
     val lsh = index.RandomHyperplaneLsh(8, 12, 42L)
     val flat = lsh.planes(64).flatten.flatten
     val flatLit = flat.mkString("[", ",", "]")
     s"""plvals AS (SELECT unnest($flatLit) AS w, unnest(range(0, ${flat.length})) AS f),
        |planes AS (SELECT f // 768 AS t, (f // 64) % 12 AS p, (f % 64)::BIGINT + 1 AS i, CAST(w AS FLOAT) AS w FROM plvals),
-       |$corpusCte,
+       |${corpusCteOver(from)},
        |$vnCtes,
        |dots AS (SELECT v.vec_id, pl.t, pl.p, SUM(CAST(v.x AS DOUBLE) * CAST(pl.w AS DOUBLE)) AS d
        |         FROM vn v JOIN planes pl ON pl.i = v.i GROUP BY v.vec_id, pl.t, pl.p),
        |buckets AS (SELECT vec_id, t, SUM(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END)::BIGINT AS bkt
        |            FROM dots GROUP BY vec_id, t),
        |qb AS (SELECT t, bkt FROM buckets WHERE vec_id = 0),
-       |$qScoresCtes""".stripMargin
+       |${qScoresCtesOver(from)}""".stripMargin
   }
+  private def lshCtes: String = lshCtesOver("embeddings")
 
   private def knnLshSql: String =
     s"""WITH $lshCtes,
@@ -748,6 +753,21 @@ object OracleHashSql {
        |SELECT a.vec_id, ROUND(s.s, 4) AS score
        |FROM assigned a JOIN probe p ON p.cid = a.cid JOIN scores s ON s.vec_id = a.vec_id
        |ORDER BY s.s DESC, a.vec_id LIMIT 5""".stripMargin
+  }
+
+  // ---- ann_lsh_rule_clustered -------------------------------------
+  // The decision table's CONTINUOUS-INGEST row (LSH 8×12 + 1-bit
+  // multi-probe) on the same clustered fixture as the IVF gate: full
+  // plane/bucket replay over read_parquet of the staged fixture,
+  // Hamming-ball candidates, exact rerank.
+  private def annLshRuleClusteredSql: String = {
+    val fix = new java.io.File("target/gate-fixtures/clustered-n4000-c25-s010").getAbsolutePath
+    s"""WITH ${lshCtesOver(s"read_parquet('$fix/*.parquet')")},
+       |cand AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN qb ON qb.t = b.t
+       |         WHERE bit_count(xor(qb.bkt::UBIGINT, b.bkt::UBIGINT)) <= 1)
+       |SELECT c.vec_id, ROUND(s.s, 4) AS score
+       |FROM cand c JOIN scores s ON s.vec_id = c.vec_id
+       |ORDER BY s.s DESC, c.vec_id LIMIT 10""".stripMargin
   }
 
   // ---- ann_ivf_rule_clustered -------------------------------------
@@ -1338,6 +1358,7 @@ object OracleHashSql {
     "ann_ivf_rule" -> annIvfSql,
     "ann_ivf_append" -> annIvfSql,
     "ann_ivf_rule_clustered" -> annIvfRuleClusteredSql,
+    "ann_lsh_rule_clustered" -> annLshRuleClusteredSql,
     // persisted-adjacency walk replay; Verify inlines the examined
     // neighbor lists into __HNSW_WALK_ADJ__ before DuckDB sees the SQL
     "ann_hnsw_walk" -> annHnswWalkSql,

@@ -326,6 +326,40 @@ object Queries {
     out
   }
 
+  /** The decision table's CONTINUOUS-INGEST row gated on the same
+    * clustered fixture: LSH 8×12 + 1-bit multi-probe — the index the
+    * table recommends when appends must stay per-row hashes with no
+    * re-clustering window — served through the optimizer rule over an
+    * at-rest [[graft.index.LshIndexStore]] layout of the fixture.
+    * With [[annIvfRuleClustered]] this pins BOTH recommended clustered
+    * operating points end-to-end; recall for each is asserted in
+    * AnnEvalSpec, and each gate's oracle replays its full candidate
+    * rule from the staged fixture bytes. */
+  private val clusteredLshRuleCache = new SessionCache[String, DataFrame]
+  def annLshRuleClustered(spark: SparkSession, sfDir: String): DataFrame = {
+    val lsh = RandomHyperplaneLsh(8, 12, 42L)
+    val p = "target/gate-index/lsh-rule-clustered-n4000-c25-s010"
+    val base = clusteredLshRuleCache.getOrElseUpdate(spark, "v1") {
+      graft.index.LshIndexStore(lsh, 64)
+        .write(spark.read.parquet(clusteredFixtureDir(spark)), "embedding", p)
+      spark.read.parquet(p)
+    }
+    graft.plans.LshProbeRewrite.register(p, lsh, 64, maxHamming = 1)
+    injectProbeRule(spark)
+    val q = base.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val out = base
+      .withColumn("score",
+        graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    require(out.queryExecution.optimizedPlan.toString.contains("LshProbeTopK"),
+      "LshProbeRewrite did not fire — the clustered LSH gate must serve " +
+        "through the rule's multi-probe, not fall back to the exact scan")
+    out
+  }
+
   /** [[annIvf]] served THROUGH THE OPTIMIZER RULE (r13 verdict #4):
     * the caller writes the plain exact top-k over the registered IVF
     * table; [[graft.plans.LshProbeRewrite]] injects `cluster_id IN
@@ -4284,6 +4318,7 @@ object Queries {
     "ann_ivf_rule" -> (annIvfRule _),
     "ann_ivf_append" -> (annIvfAppend _),
     "ann_ivf_rule_clustered" -> (annIvfRuleClustered _),
+    "ann_lsh_rule_clustered" -> (annLshRuleClustered _),
     "ann_nsw" -> (annNsw _),
     "ann_hnsw" -> (annHnsw _),
     "ann_hnsw_walk" -> (annHnswWalk _),

@@ -70,14 +70,29 @@ class AnnEvalSpec extends AnyFunSuite {
       assert(cents.length >= 60, s"centroid rule lost coverage: nlist=${cents.length}")
       val truth = AnnEval.groundTruth(emb, "vec_id", "embedding", qs, 10).cache()
       val ivf = AnnEval.ivfTopK(emb, "vec_id", "embedding", qs, 10, cents, nprobe = 4)
-      val rep = AnnEval.recallReport(spark, truth, Seq("ivf_clustered" -> ivf), 10)
-        .as[(String, Int, Long, Double, Double)].head()
+      // the continuous-ingest row's index on the same fixture: LSH
+      // 8x12 + 1-bit multi-probe (the ann_lsh_rule_clustered gate)
+      val lshMp = AnnEval.lshTopK(emb, "vec_id", "embedding", qs, 10,
+        RandomHyperplaneLsh(8, 12, 42L), dim = 64, maxHamming = 1)
+      val reps = AnnEval.recallReport(spark, truth,
+          Seq("ivf_clustered" -> ivf, "lsh_mp_clustered" -> lshMp), 10)
+        .as[(String, Int, Long, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      val rep = reps("ivf_clustered")
+      val repL = reps("lsh_mp_clustered")
       info(f"clustered IVF nlist=${cents.length} nprobe=4: avg_recall=${rep._4}%.4f min_recall=${rep._5}%.4f scan=${4.0 / cents.length}%.3f")
+      info(f"clustered LSH 8x12 mp1: avg_recall=${repL._4}%.4f min_recall=${repL._5}%.4f")
       // measured 1.000/1.000 at 6.1% scan on this fixture (σ=0.1,
       // within-cluster cos ≈ 0.8); ≥0.95 is the serving bar — the
       // sweep grid showed 0.62 on the σ=0.25 barely-clustered shape,
       // so a fixture-geometry regression fails this loudly
       assert(rep._4 >= 0.95, s"avg recall ${rep._4} below the clustered serving bar")
+      // measured 0.81 avg on THIS fixture (n=4000 is sparser per
+      // bucket than the 50k sweep that published 0.91 — recall is a
+      // corpus-density property, which is itself worth pinning); the
+      // 0.75 bar is a geometry-regression canary: a plane-seed or
+      // banding change craters this far below
+      assert(repL._4 >= 0.75, s"LSH mp avg recall ${repL._4} below the fixture's measured point")
     } finally emb.unpersist()
   }
 
