@@ -81,17 +81,46 @@ object Bench {
       case c             => c.toString
     }
 
+  /** The ambient canary timed in every forked confirmation JVM: a
+    * frozen mid-weight batch gate whose plan has been stable since the
+    * r10 freeze and whose inputs are absolute-path parquet (so it is
+    * immune to the fork's isolated working directory). If the canary
+    * itself reads inflated in the fork, the MACHINE is loaded and the
+    * suspect's slow fresh run classifies `ambient` (r14 verdict #1b). */
+  private[graft] val canaryGate = "q1_pricing_summary"
+
+  private def rmTreeQuiet(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTreeQuiet))
+    f.delete(): Unit
+  }
+
   /** Fork one suspect's confirmation run into a FRESH JVM ([[BenchOne]]
-    * on this JVM's own classpath and flags) and parse its warm median.
+    * on this JVM's own classpath and flags) and parse its warm medians
+    * — the suspect's and the [[canaryGate]]'s, timed in the same JVM.
     * In r13 the in-session adjudication rerun inherited the session's
     * GC distress and "confirmed" a 4.9 s-warm gate at 17.97 s — the one
-    * failure mode a same-JVM rerun is structurally blind to. Returns
-    * None when the fork cannot launch or prints no verdict line (the
-    * caller then lets the in-session verdict stand — loud, never a
-    * silent pass); a parsed negative means the query died fresh, which
-    * [[BenchBudget.adjudicate]] flags.
+    * failure mode a same-JVM rerun is structurally blind to.
+    *
+    * The fork runs in an ISOLATED temp working directory (r14 ADVICE,
+    * medium): the gate-index / gate-fixture paths are cwd-relative, so
+    * a fork sharing the parent's cwd would rewrite the
+    * `target/gate-index` trees with mode(overwrite) UNDER the parent's
+    * cached FileIndexes — a later in-session rerun of any gate sharing
+    * that layout then dies on FileNotFoundException and the
+    * death-always-flags rule records a false reproduction. The fork
+    * pays an honest cold rebuild of any layout it needs (run 1; the
+    * median of 3 absorbs it) and its tree is deleted afterwards.
+    *
+    * Returns None when the fork cannot launch or prints no verdict
+    * line (the caller then lets the in-session verdict stand — loud,
+    * never a silent pass); a parsed negative suspect median means the
+    * query DIED fresh (BenchOne catches per-run failures and prints
+    * -1.0), which [[BenchBudget.adjudicate]] flags as `died_fresh`.
     */
-  private[graft] def freshJvmRerun(sfDir: String)(name: String): Option[Double] =
+  private[graft] def freshJvmRerun(sfDir: String)(name: String): Option[BenchBudget.FreshRun] = {
+    val workDir =
+      try java.nio.file.Files.createTempDirectory("graft_fork_").toFile
+      catch { case _: Throwable => return None }
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths.get(
@@ -99,10 +128,14 @@ object Bench {
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.toSeq
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      // suspect first (its timing must not ride the canary's JIT),
+      // canary second; skip the canary when the suspect IS the canary
+      val gateArg = if (name == canaryGate) name else s"$name,$canaryGate"
       val cmd = (Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"),
-          "graft.BenchOne", name, sfDir)).asJava
+          "graft.BenchOne", gateArg, sfDir)).asJava
       val pb = new ProcessBuilder(cmd)
+      pb.directory(workDir)
       pb.redirectErrorStream(true)
       val p = pb.start()
       // drain stdout on a daemon thread (a full pipe buffer would
@@ -117,10 +150,15 @@ object Bench {
       if (!p.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
       drainer.join(5000)
       val out = buf.toString(java.nio.charset.StandardCharsets.UTF_8)
-      val re = ("(?m)^BENCHONE_MEDIAN " +
-        java.util.regex.Pattern.quote(name) + " (-?[0-9.]+)$").r
-      re.findFirstMatchIn(out).map(_.group(1).toDouble)
+      def median(gate: String): Option[Double] = {
+        val re = ("(?m)^BENCHONE_MEDIAN " +
+          java.util.regex.Pattern.quote(gate) + " (-?[0-9.]+)$").r
+        re.findFirstMatchIn(out).map(_.group(1).toDouble)
+      }
+      median(name).map(m => BenchBudget.FreshRun(m, median(canaryGate).filter(_ => name != canaryGate)))
     } catch { case _: Throwable => None }
+    finally rmTreeQuiet(workDir)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -285,11 +323,13 @@ object Bench {
           (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       },
-      freshJvmRerun(sfDir))
+      freshJvmRerun(sfDir),
+      canaryAnchorSec = anchors.get(canaryGate).map(_.anchorSec))
     val sameProfile = adjudications.filter(_.reproduced).map(_.name)
     val adjJson = adjudications.map { a =>
       val freshField = a.freshJvmSec.map(f => f"$f%.4f").getOrElse("null")
-      f"""{"name":"${jsonStr(a.name)}","median_sec":${a.medianSec}%.4f,"anchor_sec":${a.anchorSec}%.4f,"rerun_sec":${a.rerunSec}%.4f,"fresh_jvm_sec":$freshField,"reproduced":${a.reproduced}}"""
+      val canaryField = a.freshCanarySec.map(f => f"$f%.4f").getOrElse("null")
+      f"""{"name":"${jsonStr(a.name)}","median_sec":${a.medianSec}%.4f,"anchor_sec":${a.anchorSec}%.4f,"rerun_sec":${a.rerunSec}%.4f,"fresh_jvm_sec":$freshField,"fresh_canary_sec":$canaryField,"verdict":"${jsonStr(a.verdict)}","reproduced":${a.reproduced}}"""
     }.mkString("[", ",", "]")
     val overBudgetJson = overBudget.map(n => "\"" + jsonStr(n) + "\"")
       .mkString("[", ",", "]")

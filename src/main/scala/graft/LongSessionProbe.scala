@@ -79,7 +79,8 @@ object LongSessionProbe {
 
     // ---- phase 3: fresh-JVM twin per gate (the clean baseline) ------
     val fresh = heavyTier.map { name =>
-      name -> Bench.freshJvmRerun(sfBench)(name).getOrElse(-1.0)
+      name -> Bench.freshJvmRerun(sfBench)(name)
+        .map(_.suspectSec).getOrElse(-1.0)
     }.toMap
 
     val gates = inSession.map { case (name, med, gcSum, heap, runs) =>

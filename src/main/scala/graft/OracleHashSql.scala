@@ -761,7 +761,10 @@ object OracleHashSql {
   // plane/bucket replay over read_parquet of the staged fixture,
   // Hamming-ball candidates, exact rerank.
   private def annLshRuleClusteredSql: String = {
-    val fix = new java.io.File("target/gate-fixtures/clustered-n4000-c25-s010").getAbsolutePath
+    // path built from the SAME versioned constant the engine stages to
+    // (r14 ADVICE: a generator change bumps the version, so the oracle
+    // can never replay stale fixture bytes the engine no longer serves)
+    val fix = new java.io.File(Queries.clusteredFixtureRelPath).getAbsolutePath
     s"""WITH ${lshCtesOver(s"read_parquet('$fix/*.parquet')")},
        |cand AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN qb ON qb.t = b.t
        |         WHERE bit_count(xor(qb.bkt::UBIGINT, b.bkt::UBIGINT)) <= 1)
@@ -780,7 +783,9 @@ object OracleHashSql {
   // first-max (ascending centroid id) tie-break, rerank = exact
   // cosine. Same CTE shapes as ann_ivf.
   private def annIvfRuleClusteredSql: String = {
-    val fix = new java.io.File("target/gate-fixtures/clustered-n4000-c25-s010").getAbsolutePath
+    // same versioned-constant path as the engine's staging (see
+    // annLshRuleClusteredSql)
+    val fix = new java.io.File(Queries.clusteredFixtureRelPath).getAbsolutePath
     s"""WITH corpus AS (SELECT vec_id, embedding
        |    FROM read_parquet('$fix/*.parquet') WHERE embedding IS NOT NULL),
        |cents AS (SELECT vec_id AS cid FROM corpus WHERE vec_id % 61 = 0),

@@ -221,9 +221,21 @@ object Queries {
     * centroids cross join in DuckDB.
     */
   private val clusteredFixtureCache = new SessionCache[String, String]
+  /** GENERATOR VERSION, encoded in the staged directory name (r14
+    * ADVICE): the `_SUCCESS`-gated reuse below serves whatever parquet
+    * sits at the path, so a generator change (seed, mixture shape,
+    * [[LshSweep.gaussianMixture]] internals) WITHOUT a version bump
+    * would keep both the engine and the oracle hash-green on stale
+    * geometry while AnnEvalSpec's recall bars silently measured the
+    * wrong fixture. Bump this with ANY generator change; the oracle SQL
+    * builds its read_parquet path from [[clusteredFixtureRelPath]], so
+    * engine and oracle can never disagree on which bytes they replay. */
+  private[graft] val clusteredFixtureGen = "g1"
+  private[graft] def clusteredFixtureRelPath: String =
+    s"target/gate-fixtures/clustered-n4000-c25-s010-$clusteredFixtureGen"
   private[graft] def clusteredFixtureDir(spark: SparkSession): String =
     clusteredFixtureCache.getOrElseUpdate(spark, "v1") {
-      val dir = new java.io.File("target/gate-fixtures/clustered-n4000-c25-s010")
+      val dir = new java.io.File(clusteredFixtureRelPath)
       if (!new java.io.File(dir, "_SUCCESS").exists())
         LshSweep.gaussianMixture(spark, 4000L, 64, 25, 0.1)
           .coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)

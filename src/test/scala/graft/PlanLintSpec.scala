@@ -20,13 +20,12 @@ class PlanLintSpec extends AnyFunSuite {
 
   test("no batch gate plans a CartesianProduct") {
     val sfDir = "/root/testdata/sf0.001"
-    // contains, not endsWith: knn_serve_stream_rule / dedup_ingest_
-    // stream_wb are streamed gates whose names end in _rule / _wb —
-    // invoking them here would RUN their bounded streaming job and
-    // lint the pinned LocalRelation result (vacuous), the same suffix
-    // trap the r13 ADVICE caught in BenchBudget.profileChanged
+    // keyed on the explicit registry, not a name substring (r14
+    // ADVICE): invoking a streamed gate here would RUN its bounded
+    // streaming job and lint the pinned LocalRelation result (vacuous);
+    // GateRegistrySpec guarantees the registry tracks the gate map
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.contains("_stream"))
+      .filterNot(q => GateRegistry.streamed(q._1))
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct")) Some(name) else None

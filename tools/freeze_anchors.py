@@ -41,12 +41,23 @@ import json
 import sys
 
 
+import os
+
+# The streamed-gate registry (graft.GateRegistry.streamed), mirrored to
+# JSON because python cannot read the Scala object; GateRegistrySpec
+# fails the build if the two drift. Keying on the registry instead of a
+# name substring (r14 ADVICE): a batch gate whose name contains
+# "_stream" must NOT silently inherit the weak shuffle-only signature.
+_STREAMED_PATH = os.path.join(os.path.dirname(__file__), "..",
+                              "docs", "STREAMED_GATES.json")
+STREAMED = set(json.load(open(_STREAMED_PATH)))
+
+
 def profile_changed(name, m, a):
     # streaming job/stage counts vary with load (no-data micro-batches):
     # their signature is shuffle bytes only — mirrors
-    # BenchBudget.profileChanged exactly. contains, not endswith:
-    # knn_serve_stream_rule is streamed but ends in _rule (r13 ADVICE)
-    if "_stream" in name:
+    # BenchBudget.profileChanged exactly
+    if name in STREAMED:
         return abs(m["shuffle_mb"] - a["shuffle_mb"]) > 1.0
     return (m["jobs"] != a["jobs"] or m["stages"] != a["stages"]
             or abs(m["shuffle_mb"] - a["shuffle_mb"]) > 1.0)
