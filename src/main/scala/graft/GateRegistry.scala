@@ -40,6 +40,7 @@ object GateRegistry {
     "events_sessionize_stream",
     "events_sliding_stream",
     "knn_serve_stream",
+    "knn_serve_stream_batched",
     "knn_serve_stream_ivf",
     "knn_serve_stream_rule")
 }

@@ -1353,6 +1353,11 @@ object OracleHashSql {
     // the serving stream answered through the optimizer-rule probe:
     // per-request bucket unions + rerank replayed from scratch
     "knn_serve_stream_rule" -> knnServeStreamRuleSql,
+    // the BATCHED serving stream: same exact-bucket candidate union,
+    // self-exclusion and rerank as the per-request rule probe — the
+    // batching is a plan-shape change, not a semantics change, so one
+    // oracle pins both (a batch answered differently flips the hash)
+    "knn_serve_stream_batched" -> knnServeStreamRuleSql,
     "knn_serve_stream_ivf" -> knnServeStreamIvfSql,
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     // the same 1-bit candidate rule served through the optimizer rule's

@@ -1206,14 +1206,15 @@ object Queries {
       schema: org.apache.spark.sql.types.StructType, tag: String,
       onBatch: (DataFrame, String) => Unit,
       present: DataFrame => DataFrame,
-      cleanup: () => Unit = () => ()): DataFrame = {
+      cleanup: () => Unit = () => (),
+      filesPerTrigger: Int = 1): DataFrame = {
     val runDir = streamTempDir(s"graft_${tag}_run_")
     val outDir = s"${runDir.getAbsolutePath}/out"; val ckDir = s"${runDir.getAbsolutePath}/ck"
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
     try {
       val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(inDir)
         .writeStream.option("checkpointLocation", ckDir)
         .foreachBatch((batch: DataFrame, _: Long) => onBatch(batch, outDir))
         .start()
@@ -3880,15 +3881,58 @@ object Queries {
               "stream must answer through the rule, not the exact scan")
           out.write.mode("append").parquet(outDir)
         },
-      present = sunk => {
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)
-        sunk
-          .withColumn("rn", row_number().over(w))
-          .select(col("q_id"), col("rn"), col("neighbor_id"),
-            (round(col("score"), 4) + lit(0.0)).as("score"))
-          .orderBy(col("q_id"), col("rn"))
-      })
+      present = presentServeTopK)
+  }
+
+  /** The shared presentation of the serving-stream sinks (r14 verdict
+    * stretch #8 — three gates repeated this block verbatim): re-rank
+    * the raw sunk scores per request ((score DESC, neighbor_id) — the
+    * same total order the serving plans use) and round at presentation.
+    * Zero behavior change vs the inlined copies; the gates' hashes are
+    * pinned by their unchanged oracles. */
+  private def presentServeTopK(sunk: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    sunk
+      .withColumn("rn", row_number().over(w))
+      .select(col("q_id"), col("rn"), col("neighbor_id"),
+        // + 0.0 collapses IEEE negative zero (see embeddingPool)
+        (round(col("score"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** [[knnServeStreamRule]]'s BATCHED form (r14 verdict #2): every
+    * request micro-batch is answered by ONE
+    * [[graft.index.KnnJoin.lshServeBatched]] plan — the request batch
+    * is hashed with the layout's planes, broadcast, and equi-joined
+    * against the SAME at-rest exact-bucket layout the rule serves, so
+    * the per-batch plan count is 1 no matter how many requests arrive
+    * (the driver-loop gates plan one query per request — correct at
+    * gate QPS, but at production QPS the driver becomes the queue;
+    * BatchedServeProbe prices the difference at 100 requests/batch).
+    * The replay delivers 2 staged request files per micro-batch
+    * (batches of 2/2/1), so the gate exercises REAL multi-request
+    * batches AND a cross-batch boundary. Candidate rule and rerank are
+    * identical to the per-request rule probe, so the gate shares
+    * knn_serve_stream_rule's DuckDB oracle — a request dropped,
+    * duplicated, served from the wrong bucket set, self-matched, or
+    * cross-contaminated between batches flips the hash.
+    */
+  def knnServeStreamBatched(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lshRuleIndexTable(spark, sfDir) // exact-bucket at-rest layout
+    val lsh = RandomHyperplaneLsh(8, 12, 42L)
+    val inDir = stagedKnnQueryDir(spark, sfDir)
+    val qSchema = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).schema
+    runReplayForeachBatch(spark, inDir, qSchema, "knnserve_batched",
+      onBatch = (batch, outDir) =>
+        if (!batch.isEmpty)
+          graft.index.KnnJoin.lshServeBatched(batch, base, lsh, 64, k = 5)
+            .select(col("q_id"), col("neighbor_id"),
+              col("cos").as("score")) // RAW score to the sink; round at presentation
+            .write.mode("append").parquet(outDir),
+      present = presentServeTopK,
+      filesPerTrigger = 2)
   }
 
   /** [[knnServeStreamRule]]'s IVF twin — the registration really IS
@@ -3924,15 +3968,7 @@ object Queries {
               "stream must answer through the rule's centroid probe")
           out.write.mode("append").parquet(outDir)
         },
-      present = sunk => {
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)
-        sunk
-          .withColumn("rn", row_number().over(w))
-          .select(col("q_id"), col("rn"), col("neighbor_id"),
-            (round(col("score"), 4) + lit(0.0)).as("score"))
-          .orderBy(col("q_id"), col("rn"))
-      })
+      present = presentServeTopK)
   }
 
   /** Sparse random projection 64→16
@@ -4471,6 +4507,7 @@ object Queries {
     "knn_serve_stream" -> (knnServeStream _),
     "knn_serve_stream_rule" -> (knnServeStreamRule _),
     "knn_serve_stream_ivf" -> (knnServeStreamIvf _),
+    "knn_serve_stream_batched" -> (knnServeStreamBatched _),
     "ngram_top20" -> (ngramTop20 _),
     "regex_extract_stats" -> (regexExtractStats _),
     "agg_salted_skew" -> (aggSaltedSkew _),

@@ -66,6 +66,60 @@ object KnnJoin {
       .select(col("q_id"), col("rn"), col("neighbor_id"), col("cos"))
   }
 
+  /** BATCHED serving against an at-rest [[LshIndexStore]] layout: ALL
+    * requests of a micro-batch answered by ONE plan — the serving form
+    * the driver-loop streams can't scale to (r14 verdict #2: a loop
+    * that plans one query per request makes the driver the queue at
+    * production QPS; here requests/plan grows with the batch while the
+    * plan count stays 1).
+    *
+    * Shape: hash the request batch with the layout's own planes
+    * ([[RandomHyperplaneLsh.withBuckets]] over L2-normalized vectors,
+    * posexploded to one row per (request, table)), BROADCAST it, and
+    * equi-join the layout scan on (table, bucket_part, bucket) — the
+    * per-request candidate union as one join, never a cartesian. The
+    * join keys include the layout's PARTITION columns, so the scan is
+    * prunable to the union of the requests' buckets (statically for a
+    * literal request set via dynamic partition pruning off the
+    * broadcast; at worst one full layout scan serves the WHOLE batch,
+    * amortized across its requests — vs one scan per request in the
+    * loop form). Self-matches are excluded in the join (serving
+    * semantics), candidates dedupe on the (q_id, neighbor_id) pair
+    * (set-union across tables), exact cosine rerank, per-request top-k
+    * via the WindowGroupLimit-executed row_number — ≤ k·requests rows
+    * cross the exchange.
+    *
+    * Candidate rule + rerank are identical to the rule-served
+    * per-request probe at the exact-bucket policy, so a gate over this
+    * path shares knn_serve_stream_rule's DuckDB oracle.
+    */
+  def lshServeBatched(requests: DataFrame, layout: DataFrame,
+                      lsh: RandomHyperplaneLsh, dim: Int, k: Int,
+                      idCol: String = "vec_id", embCol: String = "embedding",
+                      numPhysicalPartitions: Int = 256): DataFrame = {
+    import graft.functions.VectorFunctions
+    val q = lsh.withBuckets(requests.where(col(embCol).isNotNull),
+        VectorFunctions.l2Normalize(col(embCol)), dim)
+      .select(col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"),
+        sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm"),
+        posexplode(col("buckets")).as(Seq("q_t", "q_bkt")))
+      .withColumn("q_part", pmod(col("q_bkt"), lit(numPhysicalPartitions)))
+    layout.join(broadcast(q),
+        col("table") === col("q_t") && col("bucket_part") === col("q_part") &&
+          col("bucket") === col("q_bkt") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        col(idCol).cast("long").as("neighbor_id"), col(embCol).as("c_emb"),
+        sqrt(DotProduct(col(embCol), col(embCol))).as("c_norm"))
+      .dropDuplicates("q_id", "neighbor_id") // set-union across tables
+      .withColumn("cos",
+        when(col("q_norm") === 0.0 || col("c_norm") === 0.0, 0.0)
+          .otherwise(DotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("neighbor_id"), col("cos"))
+  }
+
   /** `carryCorpusCols`: corpus columns passed through to the neighbor
     * rows of the output (e.g. a label for [[classify]]) — carried in
     * the ONE corpus scan instead of a corpus-sized join-back later. */

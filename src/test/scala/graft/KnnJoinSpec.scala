@@ -162,6 +162,45 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(answered.nonEmpty, "fixture degenerate: no request had any candidate")
   }
 
+  test("batched serve: ONE broadcast plan equals the per-request probe") {
+    // the r14 verdict #2 contract: all requests of a batch answered by
+    // one plan (broadcast request side + layout equi-join), semantics
+    // identical to the per-request exact-bucket probe (self excluded,
+    // set-union across tables, exact rerank, (cos DESC, id) tiebreak)
+    val lsh = index.RandomHyperplaneLsh(8, 12, 42L)
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    val path = "target/spec-index/knn-batched-spec"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      index.LshIndexStore(lsh, 64).write(emb, "embedding", path)
+    val layout = spark.read.parquet(path)
+    val requests = emb.where(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+    val batched = KnnJoin.lshServeBatched(requests, layout, lsh, 64, k = 5)
+    val plan = batched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    val got = batched.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e4) / 1e4))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._3, x._4)).toSeq).toMap
+    for (qid <- 0L to 4L) {
+      val qv = emb.where(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val qn = graft.functions.VectorFunctions.l2NormalizeArr(qv)
+      val qb = lsh.planes(64).map(tp => lsh.hash(qn.toSeq, tp))
+      val exactOr = qb.zipWithIndex.map { case (b, t) =>
+        col("table") === t && col("bucket") === b
+      }.reduce(_ || _)
+      val expect = layout.where(exactOr && col("vec_id") =!= qid)
+        .dropDuplicates("vec_id")
+        .withColumn("score",
+          expressions.CosineSimilarity(col("embedding"), typedlit(qv.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+        .select(col("vec_id"), col("score")).collect()
+        .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4) / 1e4)).toSeq
+      assert(got.getOrElse(qid, Nil) == expect, s"request $qid diverges from the probe")
+    }
+  }
+
   test("per-query top-k runs as WindowGroupLimit") {
     val plan = Queries.knnJoinGraph(spark, sfDir)
       .queryExecution.executedPlan.toString
