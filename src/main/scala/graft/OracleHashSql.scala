@@ -635,6 +635,37 @@ object OracleHashSql {
        |JOIN scores s ON s.vec_id = c.vec_id
        |ORDER BY s.s DESC, c.vec_id LIMIT 5""".stripMargin
 
+  /** knn_filtered_adaptive: the guaranteed-k filtered ladder
+    * ([[graft.index.LshIndexStore.searchFilteredAdaptive]]) replayed
+    * RULE AND ALL: candidate counts at the exact-bucket and 1-bit
+    * levels (each intersected with the `vec_id % 47 = 0` filter), the
+    * escalation decision (first level with ≥ k survivors, else the
+    * filtered subset), the chosen set's exact-cosine rerank, and the
+    * reported `index_used`. An engine that escalates at the wrong
+    * boundary — or serves the right neighbors from the wrong level —
+    * flips the hash. */
+  private def knnFilteredAdaptiveSql: String =
+    s"""WITH $lshCtes,
+       |filt AS (SELECT vec_id FROM corpus WHERE vec_id % 47 = 0),
+       |cand0 AS (SELECT DISTINCT b.vec_id FROM buckets b
+       |          JOIN qb ON qb.t = b.t AND qb.bkt = b.bkt
+       |          JOIN filt f ON f.vec_id = b.vec_id),
+       |cand1 AS (SELECT DISTINCT b.vec_id FROM buckets b
+       |          JOIN qb ON qb.t = b.t
+       |          JOIN filt f ON f.vec_id = b.vec_id
+       |          WHERE bit_count(xor(qb.bkt::UBIGINT, b.bkt::UBIGINT)) <= 1),
+       |lvl AS (SELECT CASE WHEN (SELECT COUNT(*) FROM cand0) >= 5 THEN 0
+       |                    WHEN (SELECT COUNT(*) FROM cand1) >= 5 THEN 1
+       |                    ELSE 2 END AS l),
+       |chosen AS (SELECT vec_id FROM cand0 WHERE (SELECT l FROM lvl) = 0
+       |  UNION ALL SELECT vec_id FROM cand1 WHERE (SELECT l FROM lvl) = 1
+       |  UNION ALL SELECT vec_id FROM filt WHERE (SELECT l FROM lvl) = 2)
+       |SELECT c.vec_id, ROUND(s.s, 4) AS score,
+       |  CASE (SELECT l FROM lvl) WHEN 0 THEN 'lsh'
+       |       WHEN 1 THEN 'lsh_mp1' ELSE 'brute' END AS index_used
+       |FROM chosen c JOIN scores s ON s.vec_id = c.vec_id
+       |ORDER BY s.s DESC, c.vec_id LIMIT 5""".stripMargin
+
   /** knn_serve_stream_ivf: the 5-request serving stream answered from
     * the registered IVF layout. Assignment (argmax cosine vs the
     * stride-53 centroids, lowest-cid tie-break) is computed once; each
@@ -1340,6 +1371,7 @@ object OracleHashSql {
     // and rerank — one oracle serves the hand-built and rule-rewritten probes
     "knn_lsh_rule" -> knnLshSql,
     "knn_lsh_rule_filtered" -> knnLshRuleFilteredSql,
+    "knn_filtered_adaptive" -> knnFilteredAdaptiveSql,
     // the at-rest/cached layout probes stored buckets but is candidate-
     // and rerank-identical to the transient probe — one oracle for both
     "knn_lsh_cached" -> knnLshSql,

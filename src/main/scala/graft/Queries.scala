@@ -449,6 +449,33 @@ object Queries {
     out
   }
 
+  /** FILTERED search with GUARANTEED k
+    * ([[graft.index.LshIndexStore.searchFilteredAdaptive]], r14 verdict
+    * #3): a ~2%-selectivity predicate (`vec_id % 47 = 0`) composed with
+    * the at-rest LSH layout, served by the adaptive ladder — count the
+    * candidates surviving the filter at each widening level and
+    * escalate exact-bucket → 1-bit ball → exact-over-filtered-subset
+    * until ≥ k survive, reporting `index_used` per the O10 fallback
+    * contract. This closes knn_lsh_rule_filtered's documented residual
+    * (its static multi-probe policy was the only recall knob under a
+    * filter; at gate SFs the exact-bucket ∩ filter intersection is
+    * nearly empty, so a static policy either over-probes easy filters
+    * or under-fills hard ones). The DuckDB oracle replays the WHOLE
+    * escalation rule — both candidate counts, the level choice, the
+    * chosen set, rerank and the reported level — so an engine that
+    * escalates at the wrong boundary flips the hash even when the
+    * returned neighbors happen to coincide. FilteredKnnSpec pins each
+    * rung on a crafted corpus where the ladder's stop level is forced.
+    */
+  def knnFilteredAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lshRuleIndexTable(spark, sfDir) // same at-rest layout + cached FileIndex
+    val q = queryVec(spark, sfDir)
+    graft.index.LshIndexStore(RandomHyperplaneLsh(8, 12, 42L), 64)
+      .searchFilteredAdaptive(base, "embedding", "vec_id",
+        pmod(col("vec_id"), lit(47)) === 0, q, k = 5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"), col("index_used"))
+  }
+
   def knnLshRule(spark: SparkSession, sfDir: String): DataFrame = {
     val base = lshRuleIndexTable(spark, sfDir)
     val q = queryVec(spark, sfDir)
@@ -4358,6 +4385,7 @@ object Queries {
     "knn_lsh" -> (knnLsh _),
     "knn_lsh_rule" -> (knnLshRule _),
     "knn_lsh_rule_filtered" -> (knnLshRuleFiltered _),
+    "knn_filtered_adaptive" -> (knnFilteredAdaptive _),
     "knn_lsh_rule_multiprobe" -> (knnLshRuleMultiprobe _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "knn_lsh_cached" -> (knnLshCached _),

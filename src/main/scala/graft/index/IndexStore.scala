@@ -113,6 +113,75 @@ final case class LshIndexStore(lsh: RandomHyperplaneLsh, dim: Int,
       .dropDuplicates(idCol)
     BruteForceKnn.search(candidates, col(embCol), col(idCol), query, k)
   }
+
+  /** FILTERED search with GUARANTEED k via adaptive probe widening
+    * (r14 verdict #3). A static probe policy composed with a selective
+    * user predicate can return fewer than k rows — at the gate SFs the
+    * exact-bucket candidate set ∩ a 2%-selectivity filter is typically
+    * EMPTY, which is "hash-green but vacuous" serving. This is the
+    * selectivity-aware ladder: count the candidates that survive the
+    * filter at each widening level and escalate until ≥ k survive (or
+    * the ladder tops out at an exact scan of the FILTERED subset):
+    *
+    *   1. exact-bucket probe ∩ filter       → `index_used = "lsh"`
+    *   2. 1-bit Hamming-ball probe ∩ filter → `index_used = "lsh_mp1"`
+    *   3. brute over the filtered subset    → `index_used = "brute"`
+    *
+    * — the O10 adaptive-fallback contract (reference
+    * search_service.py:127-131 reports `index_used = "brute"` when it
+    * abandons the index) extended with the intermediate multi-probe
+    * rung. The ladder is monotone (exact ⊆ 1-bit ball ⊆ corpus), so
+    * escalation only ever ADDS candidates; the final rerank is exact
+    * cosine either way, so wider probes can only improve recall, never
+    * change scoring. Rung 3 scans the `table = 0` sub-layout (every
+    * corpus row exactly once — the at-rest layout stores each row per
+    * table) under the filter, so no second un-bucketed copy of the
+    * corpus is needed.
+    *
+    * Cost shape at scale: at most two driver-side COUNT jobs, each an
+    * aggregate over the partition-pruned probe scan ∩ pushed filter
+    * (the counts read the same few directories the probe itself
+    * reads), then one ranked query. The brute rung reads the filtered
+    * subset once — exactly what a correct answer requires when the
+    * index's candidate set cannot satisfy the filter.
+    */
+  def searchFilteredAdaptive(layout: DataFrame, embCol: String, idCol: String,
+                             userFilter: Column, query: Array[Float],
+                             k: Int): DataFrame = {
+    val qNorm = {
+      val n = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+      if (n == 0.0) query else query.map(x => (x / n).toFloat)
+    }
+    val qBuckets = lsh.planes(dim).map(tp => lsh.hash(qNorm.toSeq, tp))
+    def ball(b: Int, maxHamming: Int): Seq[Int] =
+      if (maxHamming <= 0) Seq(b)
+      else b +: (0 until lsh.numPlanes).map(p => b ^ (1 << p))
+    def candidatesAt(maxHamming: Int): DataFrame = {
+      val pruneOr = qBuckets.zipWithIndex.map { case (qb, t) =>
+        col("table") === t && col("bucket_part").isin(
+          ball(qb, maxHamming).map(b => math.floorMod(b, numPhysicalPartitions))
+            .distinct.map(Int.box): _*)
+      }.reduce(_ || _)
+      val exactOr = qBuckets.zipWithIndex.map { case (qb, t) =>
+        col("table") === t && col("bucket").isin(
+          ball(qb, maxHamming).distinct.map(Int.box): _*)
+      }.reduce(_ || _)
+      layout.where(pruneOr && exactOr && userFilter)
+        .drop("table", "bucket", "bucket_part")
+        .dropDuplicates(idCol)
+    }
+    val exact = candidatesAt(0)
+    val (candidates, used) =
+      if (exact.count() >= k) (exact, "lsh")
+      else {
+        val widened = candidatesAt(1)
+        if (widened.count() >= k) (widened, "lsh_mp1")
+        else (layout.where(col("table") === 0 && userFilter)
+          .drop("table", "bucket", "bucket_part"), "brute")
+      }
+    BruteForceKnn.search(candidates, col(embCol), col(idCol), query, k)
+      .withColumn("index_used", lit(used))
+  }
 }
 
 /** At-rest IVF layout: the clustered twin of [[LshIndexStore]]. One

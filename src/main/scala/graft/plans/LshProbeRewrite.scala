@@ -95,12 +95,20 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
 
   private val layoutNames = Set("table", "bucket", "bucket_part", "cluster_id")
 
+  /** A plan that already constrains any LAYOUT column (`table`,
+    * `bucket`, `bucket_part`, `cluster_id` — by equality or IN-list) is
+    * a hand-built probe: stacking the registered policy's filter on top
+    * would NARROW the caller's candidate set (r15 catch: the adaptive
+    * filtered ladder's brute rung scans `table = 0` of the registered
+    * layout — the rewrite silently turned its exact filtered scan into
+    * a bucket probe, serving 1 vacuous row instead of the filtered
+    * subset; the gate's oracle flagged it). The rewrite serves only
+    * layout-OBLIVIOUS plans — that is its whole contract. */
   private def alreadyProbed(plan: LogicalPlan): Boolean = plan.exists {
     case Filter(cond, _) =>
       cond.exists {
-        case EqualTo(a: Attribute, _) =>
-          a.name == "bucket_part" || a.name == "bucket" || a.name == "cluster_id"
-        case In(a: Attribute, _) => a.name == "cluster_id"
+        case EqualTo(a: Attribute, _) => layoutNames.contains(a.name)
+        case In(a: Attribute, _)      => layoutNames.contains(a.name)
         case _ => false
       }
     case _ => false

@@ -1,0 +1,115 @@
+package graft
+
+import graft.index.{LshIndexStore, RandomHyperplaneLsh}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the adaptive filtered-search ladder's ESCALATION BOUNDARY
+  * ([[graft.index.LshIndexStore.searchFilteredAdaptive]], r14 verdict
+  * #3) on a crafted corpus where each rung's stop condition is forced:
+  * the corpus mixes exact-bucket members (copies of the query vector —
+  * Hamming 0 in every table by construction), 1-bit neighbors and
+  * far vectors CLASSIFIED BY HASHING THEM with the index's own planes
+  * (no geometric hand-waving), and three filters select id sets that
+  * make the surviving-candidate count cross k at a known level.
+  */
+class FilteredKnnSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val lsh = RandomHyperplaneLsh(8, 12, 7L)
+  private val k = 5
+
+  // deterministic corpus: ids 0..19 are COPIES of the query vector
+  // (every table Hamming 0); ids 100.. are seeded random vectors whose
+  // min per-table Hamming to the query is COMPUTED, then bucketed into
+  // exact / 1-bit / far classes
+  private val rng = new scala.util.Random(5)
+  private val qVec = Array.fill(dim)(rng.nextGaussian().toFloat)
+  private val randVecs = Array.fill(3000)(Array.fill(dim)(rng.nextGaussian().toFloat))
+
+  private def minHamming(v: Array[Float]): Int = {
+    val vn = graft.functions.VectorFunctions.l2NormalizeArr(v)
+    val qn = graft.functions.VectorFunctions.l2NormalizeArr(qVec)
+    lsh.planes(dim).map { tp =>
+      Integer.bitCount(lsh.hash(vn.toSeq, tp) ^ lsh.hash(qn.toSeq, tp))
+    }.min
+  }
+
+  private lazy val classes: Map[Long, Int] = // id -> min Hamming
+    randVecs.zipWithIndex.map { case (v, i) => (100L + i, minHamming(v)) }.toMap
+  private lazy val oneBitIds = classes.collect { case (id, h) if h == 1 => id }.toSeq.sorted
+  private lazy val farIds = classes.collect { case (id, h) if h >= 2 => id }.toSeq.sorted
+
+  private lazy val layoutPath = {
+    val path = "target/spec-index/filtered-adaptive"
+    val rows = (0L until 20L).map(i => (i, qVec.toSeq)) ++
+      randVecs.zipWithIndex.map { case (v, i) => (100L + i, v.toSeq) }
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      LshIndexStore(lsh, dim).write(
+        rows.toDF("vec_id", "embedding")
+          .select(col("vec_id"), col("embedding").cast("array<float>")),
+        "embedding", path)
+    path
+  }
+  private lazy val layout = spark.read.parquet(layoutPath)
+  private val store = LshIndexStore(lsh, dim)
+
+  test("the crafted classes are populated (the fixture can force every rung)") {
+    assert(oneBitIds.size >= 5, s"need >=5 one-bit neighbors, got ${oneBitIds.size}")
+    assert(farIds.size >= 6, s"need >=6 far vectors, got ${farIds.size}")
+  }
+
+  test("rung 1: enough exact-bucket survivors -> index_used=lsh, no widening") {
+    // filter keeps 10 exact-bucket copies: 10 >= k stops at level 0
+    val out = store.searchFilteredAdaptive(layout, "embedding", "vec_id",
+      col("vec_id") < 10, qVec, k).collect()
+    assert(out.length == k)
+    assert(out.forall(_.getString(out.head.length - 1) == "lsh"))
+    // copies of the query score 1.0; tie-break by id -> ids 0..4
+    assert(out.map(_.getLong(0)).toSeq == (0L until 5L))
+  }
+
+  test("rung 2: exact short of k but 1-bit ball reaches it -> index_used=lsh_mp1") {
+    // 2 exact copies + 5 one-bit neighbors survive the filter:
+    // exact count 2 < k, widened count 7 >= k
+    val ids = Seq(0L, 1L) ++ oneBitIds.take(5)
+    val out = store.searchFilteredAdaptive(layout, "embedding", "vec_id",
+      col("vec_id").isin(ids.map(Long.box): _*), qVec, k).collect()
+    assert(out.length == k)
+    assert(out.forall(_.getString(out.head.length - 1) == "lsh_mp1"))
+    // the two exact copies rank 1-2 at score 1.0
+    assert(out.take(2).map(_.getLong(0)).toSeq == Seq(0L, 1L))
+  }
+
+  test("rung 3: no probe level reaches k -> exact scan of the filtered subset, full k") {
+    // 6 far vectors (min Hamming >= 2 in every table): both probe
+    // levels count 0 < k, so the ladder tops out at brute-over-filter
+    // and still returns a FULL k rows — the guaranteed-k contract
+    val ids = farIds.take(6)
+    val out = store.searchFilteredAdaptive(layout, "embedding", "vec_id",
+      col("vec_id").isin(ids.map(Long.box): _*), qVec, k).collect()
+    assert(out.length == k)
+    assert(out.forall(_.getString(out.head.length - 1) == "brute"))
+    // equals the brute top-k over exactly the filtered subset
+    val expect = graft.index.BruteForceKnn.search(
+        layout.where(col("table") === 0 && col("vec_id").isin(ids.map(Long.box): _*)),
+        col("embedding"), col("vec_id"), qVec, k)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    assert(out.map(_.getLong(0)).toSeq == expect)
+  }
+
+  test("escalation boundary is exactly k survivors") {
+    // k exact-bucket survivors: count == k stops at level 0 (>=, not >)
+    val atK = store.searchFilteredAdaptive(layout, "embedding", "vec_id",
+      col("vec_id") < k, qVec, k).collect()
+    assert(atK.forall(_.getString(atK.head.length - 1) == "lsh"))
+    // k-1 exact survivors and nothing else in the filter: level 0 and
+    // level 1 both count k-1 < k -> brute, which returns the k-1 rows
+    val belowK = store.searchFilteredAdaptive(layout, "embedding", "vec_id",
+      col("vec_id") < (k - 1), qVec, k).collect()
+    assert(belowK.length == k - 1)
+    assert(belowK.forall(_.getString(belowK.head.length - 1) == "brute"))
+  }
+}

@@ -223,4 +223,40 @@ class LshProbeRewriteSpec extends AnyFunSuite {
       LshProbeRewrite.clear()
     }
   }
+
+  test("hand-built probes over a registered table are never stacked on") {
+    // r15 catch (flagged by knn_filtered_adaptive's oracle): the
+    // adaptive ladder's brute rung scans `table = 0` of the REGISTERED
+    // layout — the rewrite stacking its bucket probe on that narrows a
+    // deliberate exact-over-filtered-subset scan to 1 vacuous row. Any
+    // plan already constraining a layout column (=, IN — `table`,
+    // `bucket`, `bucket_part`, `cluster_id`) is layout-AWARE and must
+    // pass through untouched.
+    withExtSession { s =>
+      LshProbeRewrite.clear()
+      LshProbeRewrite.register(indexPath, RandomHyperplaneLsh(8, 12, 42L), 64)
+      val q = Queries.queryVec(TestSpark.spark, "/root/testdata/sf0.001")
+      def assertUntouched(filtered: org.apache.spark.sql.DataFrame): Unit = {
+        val topk = filtered
+          .withColumn("score", CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(5)
+        assert(!topk.queryExecution.optimizedPlan.toString.contains("LshProbeTopK"),
+          "rewrite stacked on a hand-built layout-column probe")
+      }
+      // the brute rung's shape: every corpus row once via one sub-layout
+      assertUntouched(s.read.parquet(indexPath).where(col("table") === 0))
+      // an IN-list bucket probe (the adaptive ladder's widened rung)
+      assertUntouched(s.read.parquet(indexPath)
+        .where(col("table") === 0 && col("bucket").isin(1, 2, 3)))
+      // and a layout-OBLIVIOUS filter still serves through the rule
+      val oblivious = s.read.parquet(indexPath)
+        .where(col("label") =!= 3)
+        .withColumn("score", CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+      assert(oblivious.queryExecution.optimizedPlan.toString.contains("LshProbeTopK"))
+      LshProbeRewrite.clear()
+    }
+  }
 }
