@@ -272,6 +272,11 @@ object OracleSql {
     "ann_nsw" -> knnBruteSql,
     "ann_hnsw" -> knnBruteSql,
     "ann_pq" -> knnBruteSql,
+    // the rule-served PQ path: same trainer, ADC arithmetic and
+    // 100-wide shortlist + exact rerank as ann_pq, so the same
+    // brute-equivalence argument applies (AnnEquivalenceSpec asserts
+    // shortlist survival; the gate's requires pin the staged rewrite)
+    "ann_pq_rule" -> knnBruteSql,
     "ann_ivf_kmeans" -> knnBruteSql,
 
     "knn_brute_filtered" ->

@@ -372,6 +372,62 @@ object Queries {
     out
   }
 
+  /** [[annPq]] served THROUGH THE OPTIMIZER RULE (r14 verdict #4, the
+    * registry's first SCORING kind): the caller writes the same plain
+    * exact top-k as every other rule gate over a registered
+    * codes+floats table; [[graft.plans.LshProbeRewrite]] rebuilds it as
+    * ADC-shortlist → exact-rerank — the inner [[graft.plans.LshProbeTopK]]
+    * ranks every row by [[graft.expressions.AdcScore]] (per-query
+    * lookup table computed at rewrite time from the REGISTERED
+    * codebooks, never named by the caller) and keeps the top-100, the
+    * outer reranks those 100 by exact cosine. Identical semantics to
+    * [[graft.index.PqKnn.searchRefined]] (same trainer, same ADC
+    * arithmetic, same (score, id) tie-breaks), and with the 100-wide
+    * shortlist the result is bit-identical to brute force at the gate
+    * SFs (the ann_pq equivalence argument, asserted in
+    * AnnEquivalenceSpec) — so the gate shares knn_brute's oracle. The
+    * `require`s pin BOTH stages: a silent non-rewrite would serve the
+    * exact scan (right rows, wrong component), and a rewrite that lost
+    * the ADC stage would be an exact top-k in disguise. Layout build +
+    * training are one-time snapshot costs (session-cached); the timed
+    * run is the served probe.
+    */
+  private val pqRuleIndexCache = new SessionCache[String, DataFrame]
+  private val pqRuleCbCache = new SessionCache[String, graft.index.PqKnn.Codebooks]
+  def annPqRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"target/gate-index/pq-rule-${math.abs(sfDir.hashCode)}"
+    val cb = pqRuleCbCache.getOrElseUpdate(spark, sfDir) {
+      val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+      graft.index.PqKnn.train(emb, col("vec_id"), col("embedding"), dim = 64)
+    }
+    val base = pqRuleIndexCache.getOrElseUpdate(spark, sfDir) {
+      val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+      val codes = graft.index.PqKnn.encode(emb, col("vec_id"), col("embedding"), cb)
+        .withColumnRenamed("id", "vec_id")
+      emb.select(col("vec_id"), col("embedding"), col("label"))
+        .join(codes, "vec_id")
+        .write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    graft.plans.LshProbeRewrite.registerPq(p, cb, shortlist = 100)
+    injectProbeRule(spark)
+    val q = queryVec(spark, sfDir)
+    val out = base
+      .withColumn("score",
+        graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    require(plan.contains("LshProbeTopK"),
+      "LshProbeRewrite did not fire — the PQ gate must serve through the " +
+        "staged rewrite, not fall back to the exact scan")
+    require(plan.contains("adc_score"),
+      "the PQ rewrite lost its ADC stage — an exact top-k in disguise is " +
+        "not the component this gate exists to exercise")
+    out
+  }
+
   /** [[annIvf]] served THROUGH THE OPTIMIZER RULE (r13 verdict #4):
     * the caller writes the plain exact top-k over the registered IVF
     * table; [[graft.plans.LshProbeRewrite]] injects `cluster_id IN
@@ -4542,6 +4598,7 @@ object Queries {
     "bm25_search" -> (bm25Search _),
     "embed_knn_text" -> (embedKnnText _),
     "ann_pq" -> (annPq _),
+    "ann_pq_rule" -> (annPqRule _),
     "ann_sq" -> (annSq _),
     "ann_ivfpq" -> (annIvfPq _),
     "hybrid_rrf" -> (hybridRrf _),

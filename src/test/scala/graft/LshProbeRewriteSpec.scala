@@ -224,6 +224,50 @@ class LshProbeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a PQ registration serves the staged ADC-shortlist + exact-rerank rewrite") {
+    // r14 verdict #4: the registry's first SCORING kind — the caller's
+    // plain cosine top-k over a registered codes+floats table becomes
+    // inner top-shortlist by adc_score(code) -> outer exact top-k, and
+    // with a 100-wide shortlist the result equals brute force
+    val base = TestSpark.spark
+    val emb = Tables.embeddings(base, "/root/testdata/sf0.001")
+      .where(col("embedding").isNotNull)
+    val cb = graft.index.PqKnn.train(emb, col("vec_id"), col("embedding"), dim = 64)
+    val pqPath = "target/test-index/rewrite-pq"
+    TestSpark.rmTree(new java.io.File(pqPath))
+    val codes = graft.index.PqKnn.encode(emb, col("vec_id"), col("embedding"), cb)
+      .withColumnRenamed("id", "vec_id")
+    emb.select(col("vec_id"), col("embedding"), col("label")).join(codes, "vec_id")
+      .write.mode("overwrite").parquet(pqPath)
+    val q = Queries.queryVec(base, "/root/testdata/sf0.001")
+    // independent expectation from the UNREGISTERED embeddings table
+    val brute = BruteForceKnn.search(emb, col("embedding"), col("vec_id"), q, 5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    withExtSession { s =>
+      LshProbeRewrite.clear()
+      LshProbeRewrite.registerPq(pqPath, cb, shortlist = 100)
+      val topk = s.read.parquet(pqPath)
+        .withColumn("score", CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+      val plan = topk.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LshProbeTopK"), plan.take(3000))
+      assert(plan.contains("adc_score"), plan.take(3000))
+      // two staged operators, not one
+      assert(plan.split("LshProbeTopK").length - 1 >= 2, plan.take(3000))
+      // the explicit scan projection prunes unreferenced payload (label)
+      val read = topk.queryExecution.executedPlan.toString
+      val schemas = read.split("\n").filter(_.contains("ReadSchema"))
+      assert(schemas.nonEmpty && !schemas.exists(_.contains("label")),
+        schemas.mkString("\n"))
+      val got = topk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == brute, s"rule-served PQ diverges from brute: $got vs $brute")
+      LshProbeRewrite.clear()
+    }
+  }
+
   test("hand-built probes over a registered table are never stacked on") {
     // r15 catch (flagged by knn_filtered_adaptive's oracle): the
     // adaptive ladder's brute rung scans `table = 0` of the REGISTERED
