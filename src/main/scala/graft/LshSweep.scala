@@ -28,7 +28,7 @@ object LshSweep {
 
   private def splitmix(x0: Long): Long = graft.functions.TextFunctions.splitmix64(x0)
 
-  private def gauss(seed: Long, i: Int): Double = {
+  private[graft] def gauss(seed: Long, i: Int): Double = {
     def unit(s: Long): Double =
       ((splitmix(s) >>> 11).toDouble / (1L << 53).toDouble).max(1e-12)
     math.sqrt(-2.0 * math.log(unit(seed * 0x100000001B3L + 2L * i))) *
