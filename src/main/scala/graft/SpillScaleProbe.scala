@@ -73,24 +73,41 @@ object SpillScaleProbe {
       // early adds (spilled), absent ids never existed. Both run
       // updateChunk, the path that needs the resident-miss / archived /
       // not-found distinction.
-      def probeMs(ids: Seq[String]): (Double, Seq[String]) = {
+      // reported as (first, warm-mean): the resident lookup is the
+      // lazy per-snapshot chunkByKey map (r14 verdict #6), so the
+      // FIRST probe after a mutation pays its one O(resident) build
+      // and every later probe on that snapshot is a hash lookup —
+      // both numbers are the honest story (a write-heavy phase pays
+      // ~the old linear scan once per snapshot, a read-heavy phase
+      // amortizes it to ~zero)
+      // warm numbers are reported as MEDIAN + MAX, not mean: the warm
+      // miss distribution is bimodal — almost every probe is a hash
+      // lookup + Bloom reject (μs), but a ~1%-per-filter Bloom false
+      // positive pays one pruned parquet probe (~hundreds of ms), and
+      // a mean smears the two regimes into a number that describes
+      // neither. The max IS the FP cost, priced explicitly.
+      def probeMs(ids: Seq[String]): (Double, Double, Double, Seq[String]) = {
         val outcomes = scala.collection.mutable.ListBuffer.empty[String]
-        val t = System.nanoTime()
-        ids.foreach { id =>
+        val times = ids.map { id =>
+          val t = System.nanoTime()
           try { e.updateChunk(lib.id, doc.id, id, text = Some("x")); outcomes += "updated" }
           catch {
             case ex: graft.state.BadRequestError => outcomes += "immutable"
             case _: graft.state.NotFoundError    => outcomes += "notfound"
           }
+          (System.nanoTime() - t) / 1e6
         }
-        ((System.nanoTime() - t) / 1e6 / ids.size, outcomes.distinct.toSeq)
+        val warm = times.tail
+        val med = if (warm.isEmpty) -1.0 else warm.sorted.apply(warm.size / 2)
+        (times.head, med, if (warm.isEmpty) -1.0 else warm.max, outcomes.distinct.toSeq)
       }
       val archivedIds = (0 until 20).map(k => s"c${k * 997}") // early adds -> spilled
       val absentIds = (0 until 20).map(k => s"nope$k")
-      val (hitMs, hitOut) = probeMs(archivedIds)
-      val (missMs, missOut) = probeMs(absentIds)
-      println(f"BLOOM hit_ms_per_probe=$hitMs%.1f outcomes=$hitOut " +
-        f"miss_ms_per_probe=$missMs%.2f outcomes=$missOut ratio=${hitMs / missMs}%.0f")
+      val (missFirst, missMed, missMax, missOut) = probeMs(absentIds)
+      val (hitFirst, hitMed, hitMax, hitOut) = probeMs(archivedIds)
+      println(f"BLOOM hit_first_ms=$hitFirst%.1f hit_warm_median_ms=$hitMed%.1f hit_warm_max_ms=$hitMax%.1f outcomes=$hitOut " +
+        f"miss_first_ms=$missFirst%.2f miss_warm_median_ms=$missMed%.4f miss_warm_max_ms=$missMax%.1f outcomes=$missOut " +
+        f"warm_median_ratio=${hitMed / missMed}%.0f")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

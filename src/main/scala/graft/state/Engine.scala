@@ -104,7 +104,24 @@ final case class ChunkRow(library_id: String, document_id: String, id: String,
 final case class EngineState(libraries: Vector[LibraryRow],
                              documents: Vector[DocumentRow],
                              chunks: Vector[ChunkRow],
-                             spillSegments: Vector[String] = Vector.empty)
+                             spillSegments: Vector[String] = Vector.empty) {
+  /** O(1) resident-chunk lookup keyed on the FULL address triple (a
+    * chunk id under the wrong document must read as absent — the
+    * reference's 404 contract). LAZY and per-snapshot: the map is a
+    * pure derivation of `chunks`, built on first lookup after a
+    * mutation publishes a new snapshot and shared by every reader of
+    * that snapshot — so it can never go stale, and the ~20 mutation
+    * sites that rebuild `chunks` need no bookkeeping. Cost shape
+    * (r14 verdict #6, the SpillScaleProbe catch): the definite-miss
+    * probe under the write lock was a 23 ms LINEAR scan of the 200k
+    * resident rows per call; now the first lookup after a mutation
+    * pays one O(n) build and every subsequent lookup on that snapshot
+    * is a hash probe — a read-heavy phase amortizes the build to
+    * ~zero, and a write-heavy phase pays what the old linear scan paid
+    * per probe anyway. */
+  @transient lazy val chunkByKey: Map[(String, String, String), ChunkRow] =
+    chunks.iterator.map(c => ((c.library_id, c.document_id, c.id), c)).toMap
+}
 
 object EngineState {
   val empty: EngineState = EngineState(Vector.empty, Vector.empty, Vector.empty)
@@ -473,7 +490,7 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     requireLibrary(s, libId)
     val parentDoc = s.documents.find(d => d.library_id == libId && d.id == docId)
       .getOrElse(throw NotFoundError("document", docId))
-    val existing = s.chunks.find(c => c.library_id == libId && c.document_id == docId && c.id == chunkId)
+    val existing = s.chunkByKey.get((libId, docId, chunkId))
       .getOrElse {
         if (isSpilled(libId, parentDoc, chunkId))
           throw BadRequestError(s"chunk $chunkId is archived in the spilled tier " +
@@ -504,7 +521,7 @@ final class Engine(clock: () => Instant = () => Instant.now(),
 
   def deleteChunk(libId: String, docId: String, chunkId: String): Boolean = mutate { s =>
     if (!s.libraries.exists(_.id == libId)) throw NotFoundError("library", libId)
-    if (!s.chunks.exists(c => c.library_id == libId && c.document_id == docId && c.id == chunkId)) {
+    if (!s.chunkByKey.contains((libId, docId, chunkId))) {
       // probe the archive only while the parent document LIVES: a chunk
       // whose document was cascade-deleted is retired, not archived —
       // its bytes in the spill dir must read as plain absence
