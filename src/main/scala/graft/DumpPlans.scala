@@ -161,7 +161,13 @@ object DumpPlans {
       // cluster_id IN (...) centroid probe — partition pruning reads
       // nprobe of nlist directories, no post-scan row filter, no
       // exchange before the bounded-heap top-k
-      "ann_ivf_rule", "ann_ivf_rule_clustered")
+      "ann_ivf_rule", "ann_ivf_rule_clustered",
+      // round-15 scoring-kind plans: both must show TWO staged
+      // LshProbeTopK operators (compressed shortlist -> exact rerank)
+      // with the adc_score/sq8_score alias in the inner projection and
+      // a ReadSchema pruned to (id, embedding, code) — no label, no
+      // exchange between the stages
+      "ann_pq_rule", "ann_sq8_rule")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.01, generated by graft.DumpPlans)\n\n")

@@ -41,6 +41,8 @@ object GateRegistry {
     "events_sliding_stream",
     "knn_serve_stream",
     "knn_serve_stream_batched",
+    "knn_serve_stream_batched_ivf",
+    "knn_serve_stream_batched_mp",
     "knn_serve_stream_ivf",
     "knn_serve_stream_rule")
 }

@@ -621,6 +621,33 @@ object OracleHashSql {
        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
        |FROM rankeds WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** knn_serve_stream_batched_mp: the 5-request serving stream at the
+    * 1-bit multi-probe policy, answered batched. Per request: every
+    * corpus row whose bucket is within Hamming 1 of the request's in
+    * ANY table (the ball expansion [[graft.index.KnnJoin.lshServeBatched]]
+    * applies request-side), self excluded, exact-cosine rerank, rn ≤ 5
+    * — [[knnServeStreamRuleSql]] with the per-table bucket equality
+    * widened to `bit_count(xor) <= 1`. */
+  private def knnServeStreamBatchedMpSql: String =
+    s"""WITH $lshCtes,
+       |qset AS (SELECT vec_id AS q_id FROM embeddings
+       |  WHERE vec_id < 5 AND embedding IS NOT NULL),
+       |cpairs AS (SELECT DISTINCT qs.q_id, b.vec_id AS c_id
+       |  FROM qset qs JOIN buckets qb2 ON qb2.vec_id = qs.q_id
+       |  JOIN buckets b ON b.t = qb2.t AND b.vec_id <> qs.q_id
+       |  WHERE bit_count(xor(qb2.bkt::UBIGINT, b.bkt::UBIGINT)) <= 1),
+       |px AS (SELECT cp.q_id, cp.c_id, unnest(a.embedding) AS x, unnest(bb.embedding) AS y
+       |  FROM cpairs cp JOIN embeddings a ON a.vec_id = cp.q_id
+       |  JOIN embeddings bb ON bb.vec_id = cp.c_id),
+       |ps AS (SELECT q_id, c_id,
+       |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+       |  FROM px GROUP BY q_id, c_id),
+       |rankeds AS (SELECT q_id, c_id, s,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM ps)
+       |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
+       |FROM rankeds WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   /** knn_lsh_rule_filtered: the 1-bit multi-probe candidates
     * intersected with the user's `label <> 3` predicate,
     * exact-reranked — the filtered analog of knn_lsh_multiprobe,
@@ -1390,6 +1417,11 @@ object OracleHashSql {
     // batching is a plan-shape change, not a semantics change, so one
     // oracle pins both (a batch answered differently flips the hash)
     "knn_serve_stream_batched" -> knnServeStreamRuleSql,
+    "knn_serve_stream_batched_mp" -> knnServeStreamBatchedMpSql,
+    // the batched IVF serving path replays the SAME per-request rule
+    // as the driver-loop gate (bit-identical probe ranking — see
+    // KnnJoin.ivfServeBatched), so it shares its oracle
+    "knn_serve_stream_batched_ivf" -> knnServeStreamIvfSql,
     "knn_serve_stream_ivf" -> knnServeStreamIvfSql,
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     // the same 1-bit candidate rule served through the optimizer rule's

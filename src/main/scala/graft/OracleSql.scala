@@ -277,6 +277,18 @@ object OracleSql {
     // brute-equivalence argument applies (AnnEquivalenceSpec asserts
     // shortlist survival; the gate's requires pin the staged rewrite)
     "ann_pq_rule" -> knnBruteSql,
+    // the split-layout PQ serve: same trainer/ADC/shortlist/rerank as
+    // ann_pq over the stored codes + pushed-IN float fetch, so the
+    // same brute-equivalence argument (the gate's require pins the
+    // pushed vec_id filter on the float scan)
+    "ann_pq_split" -> knnBruteSql,
+    // the rule-served SQ8 path (the registry's second scoring kind):
+    // SQ8 is near-exact (<= 1/254 per-component error), so the 100-wide
+    // quantized shortlist covers the exact top-5 with far more margin
+    // than PQ's — the same brute-equivalence argument, asserted against
+    // brute in LshProbeRewriteSpec; the gate's requires pin the staged
+    // rewrite and its sq8_score stage
+    "ann_sq8_rule" -> knnBruteSql,
     "ann_ivf_kmeans" -> knnBruteSql,
 
     "knn_brute_filtered" ->

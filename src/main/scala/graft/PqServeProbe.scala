@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prices the split-PQ-layout serving claim (r15 open thread #2) with
+  * MEASURED reads, not an argument. Three quantities, reported as
+  * parquet ROWS READ per stage (`inputMetrics.recordsRead` — byte
+  * counters are unreliable on the local filesystem scheme, and rows ×
+  * row width is the honest proxy: a float row is ~264 B, a codes row
+  * ~17 B):
+  *
+  *  1. FUSED serve (the rule's ann_pq_rule shape): one scan of the
+  *     codes+floats table reads every row at FLOAT width — the
+  *     baseline.
+  *  2. SPLIT shortlist stage: the codes-only scan reads every row at
+  *     CODES width (~15× fewer bytes for the same row count).
+  *  3. SPLIT float fetch: the pushed `id IN (shortlist)` prunes row
+  *     groups off min/max stats, so its effect depends on the FLOAT
+  *     LAYOUT — over an unsorted single file nothing can be skipped
+  *     (every row group spans the full id range; the fetch reads the
+  *     corpus and only the post-scan filter drops it), while over an
+  *     id-range-partitioned, id-sorted layout the fetch reads only the
+  *     row groups containing shortlist ids. Both layouts are measured
+  *     side by side; the ranged number shrinks with file count (100
+  *     shortlist ids touch ≤ 100 files no matter how many exist — at
+  *     100 TB that is ≤ 100 of ~100k).
+  *
+  * The fused side runs THROUGH THE OPTIMIZER RULE (registerPq + the
+  * staged LshProbeTopK rewrite) — the real serving path, not an
+  * emulation. Results identical across all paths is asserted.
+  *
+  * Usage: runMain graft.PqServeProbe [rows]   (default 1,000,000)
+  * Results recorded in README's ANN serving section.
+  */
+object PqServeProbe {
+
+  private final class RowsRead extends SparkListener {
+    @volatile var inputRecords = 0L
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) inputRecords += m.inputMetrics.recordsRead
+    }
+    def reset(): Unit = inputRecords = 0L
+  }
+
+  private def smix(x: Long): Long = graft.functions.TextFunctions.splitmix64(x)
+
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      // above this threshold Spark pushes an IN-list to parquet as a
+      // single [min,max] RANGE — 100 uniform shortlist ids span the
+      // whole id range, so nothing is skipped (measured: 990k of 1M
+      // rows still read). Sized >= the shortlist, the or-chained
+      // point predicates skip precisely.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "200")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new RowsRead
+    spark.sparkContext.addSparkListener(listener)
+
+    // deterministic 64-d corpus (uniform per coordinate — PQ recall is
+    // not under test here; reads are)
+    val dim = 64
+    val vecOf = udf { (id: Long) =>
+      Array.tabulate(dim)(j => ((smix(id * dim + j) % 2000L) / 1000.0).toFloat)
+    }
+    val naivePath = "target/pq-serve-probe/floats-naive"   // 1 unsorted file
+    val rangedPath = "target/pq-serve-probe/floats-ranged" // 512 id-ranged sorted files
+    val indexPath = "target/pq-serve-probe/index"
+    val fusedPath = "target/pq-serve-probe/fused"
+    if (!new java.io.File(naivePath, "_SUCCESS").exists()) {
+      val gen = spark.range(rows)
+        .select(col("id").as("vec_id"), vecOf(col("id")).as("embedding"))
+      gen.coalesce(1).write.mode("overwrite").parquet(naivePath)
+      gen.repartitionByRange(512, col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(rangedPath)
+    }
+    val naive = spark.read.parquet(naivePath)
+    val ranged = spark.read.parquet(rangedPath)
+
+    val store = graft.index.PqIndexStore()
+    if (!new java.io.File(s"$indexPath/codes/_SUCCESS").exists()) {
+      val t0 = System.nanoTime()
+      store.write(naive, col("vec_id"), col("embedding"), dim, indexPath,
+        knownCount = rows)
+      println(f"PQSERVE build (train+encode, one-time): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    } else println("PQSERVE build: skipped (exists)")
+    val cb = store.loadCodebooks(spark, indexPath, dim)
+    if (!new java.io.File(fusedPath, "_SUCCESS").exists()) {
+      naive.join(
+          spark.read.parquet(s"$indexPath/codes").withColumnRenamed("id", "vec_id"),
+          "vec_id")
+        .write.mode("overwrite").parquet(fusedPath)
+    }
+
+    val q = naive.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    def probe[A](label: String)(f: => A): A = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val out = f
+      Thread.sleep(1000) // listener bus is async; let TaskEnd drain
+      println(f"PQSERVE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        f"rowsRead=${listener.inputRecords}")
+      out
+    }
+
+    // ---- fused: through the optimizer rule (the ann_pq_rule path) ----
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LshProbeRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LshProbeRewrite
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(spark)
+    graft.plans.LshProbeRewrite.registerPq(fusedPath, cb, shortlist = 100)
+    def fusedServe(): Seq[(Long, Double)] = {
+      val out = spark.read.parquet(fusedPath)
+        .withColumn("score",
+          graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+      require(out.queryExecution.optimizedPlan.toString.contains("adc_score"),
+        "fused probe must serve through the staged rewrite")
+      out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val f1 = probe("fused rule serve, every row at FLOAT+code width (cold)")(fusedServe())
+    probe("fused rule serve (warm)")(fusedServe())
+
+    // ---- split, staged so each stage's reads are separately visible ----
+    def shortlistIds(): Array[Long] =
+      graft.index.PqKnn.searchEncoded(
+          spark.read.parquet(s"$indexPath/codes"), q, cb, 100)
+        .select(col("id")).collect().map(_.getLong(0))
+    val ids = probe("split stage 1: codes-only shortlist scan (~17 B/row)")(shortlistIds())
+    probe("split stage 1 (warm)")(shortlistIds())
+
+    def fetch(floats: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      graft.index.BruteForceKnn.search(
+          floats.where(col("vec_id").isin(ids.map(Long.box): _*)),
+          col("embedding"), col("vec_id"), q, 5)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val sNaive = probe("split stage 2: float fetch, UNSORTED 1-file layout " +
+      "(no row group skippable)")(fetch(naive))
+    val sRanged = probe("split stage 2: float fetch, id-RANGED 512-file layout " +
+      "(pushed IN + inFilterThreshold>=shortlist skips non-matching row groups)")(fetch(ranged))
+    probe("split stage 2 ranged (warm)")(fetch(ranged))
+
+    // end-to-end split serve (the gate's exact path) for the identity check
+    val sFull = store.searchRefinedSplit(spark, indexPath, ranged, "vec_id",
+        "embedding", q, k = 5, dim = dim, candidates = 100)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    require(f1 == sNaive && f1 == sRanged && f1 == sFull,
+      s"paths diverged: fused=$f1 naive=$sNaive ranged=$sRanged full=$sFull")
+    println(s"PQSERVE results identical across paths: ${f1.mkString(", ")}")
+    spark.stop()
+  }
+}

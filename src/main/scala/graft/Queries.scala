@@ -190,10 +190,12 @@ object Queries {
   // centroids are cached alongside so the every-call re-registration
   // (see lshRuleIndexTable) never re-collects them
   private val ivfRuleCentsCache = new SessionCache[String, Array[(Long, Array[Float])]]
-  private def ivfRuleIndexTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = ivfRuleCentsCache.getOrElseUpdate(spark, sfDir)(
+  private def ivfRuleCents(spark: SparkSession, sfDir: String): Array[(Long, Array[Float])] =
+    ivfRuleCentsCache.getOrElseUpdate(spark, sfDir)(
       IvfKnn.centroids(Tables.embeddings(spark, sfDir),
         col("vec_id"), col("embedding"), stride = 53L))
+  private def ivfRuleIndexTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = ivfRuleCents(spark, sfDir)
     val p = s"target/gate-index/ivf-rule-${math.abs(sfDir.hashCode)}"
     val base = ivfRuleIndexCache.getOrElseUpdate(spark, sfDir) {
       graft.index.IvfIndexStore(cents).write(Tables.embeddings(spark, sfDir), "embedding", p)
@@ -320,7 +322,13 @@ object Queries {
       val emb = Tables.embeddings(spark, sfDir)
       val store = graft.index.IvfIndexStore(cents)
       store.write(emb.where(col("vec_id") % 5 =!= 0), "embedding", p)
-      store.append(emb.where(col("vec_id") % 5 === 0), "embedding", p)
+      val stats = store.append(emb.where(col("vec_id") % 5 === 0), "embedding", p)
+      // the drift trigger's QUIET side, pinned where the signal is
+      // emitted: this delta is drawn from the training distribution,
+      // so the ingest-batch alarm must stay silent (the loud side —
+      // a fully drifted delta trips it — is pinned in IndexAppendSpec)
+      require(stats.reclusterAdvised().contains(false),
+        s"in-distribution append tripped the drift alarm: $stats")
       spark.read.parquet(p)
     }
     graft.plans.LshProbeRewrite.registerIvf(p, cents, nprobe = 2)
@@ -425,6 +433,60 @@ object Queries {
     require(plan.contains("adc_score"),
       "the PQ rewrite lost its ADC stage — an exact top-k in disguise is " +
         "not the component this gate exists to exercise")
+    out
+  }
+
+  /** [[annSq]] served THROUGH THE OPTIMIZER RULE — the registry's
+    * SECOND scoring kind (r15 open thread #1), proving the staged
+    * shortlist→rerank machinery the PQ kind established generalizes:
+    * the caller writes the same plain exact top-k over a registered
+    * codes+floats table; [[graft.plans.LshProbeRewrite]] rebuilds it as
+    * SQ8-shortlist → exact-rerank, where the inner stage ranks every
+    * row by the SAME [[graft.expressions.AdcScore]] codegen expression
+    * PQ uses — SQ8's per-dimension scales fold with the query into a
+    * 256-entry signed-byte lookup table per dimension
+    * ([[graft.index.SqKnn.adcTable]]), so the quantized dot is bitwise
+    * [[graft.index.SqKnn.searchEncoded]]'s accumulation with zero new
+    * codegen. SQ8 is near-exact (≤ 1/254 per-component error), so the
+    * 100-wide shortlist trivially covers the exact top-5 and the gate
+    * shares knn_brute's oracle (shortlist survival asserted against
+    * brute in LshProbeRewriteSpec, the PQ equivalence argument at a
+    * 4× weaker compression). The `require`s pin both stages; the alias
+    * is `sq8_score` so a plan that silently served the PQ kind — or no
+    * scoring stage at all — fails loudly. */
+  private val sq8RuleIndexCache = new SessionCache[String, DataFrame]
+  private val sq8RuleScalesCache = new SessionCache[String, Array[Double]]
+  def annSq8Rule(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"target/gate-index/sq8-rule-${math.abs(sfDir.hashCode)}"
+    val scales = sq8RuleScalesCache.getOrElseUpdate(spark, sfDir) {
+      val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+      graft.index.SqKnn.trainScales(emb, col("embedding"), dim = 64)
+    }
+    val base = sq8RuleIndexCache.getOrElseUpdate(spark, sfDir) {
+      val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+      val codes = graft.index.SqKnn.encode(emb, col("vec_id"), col("embedding"), scales)
+        .withColumnRenamed("id", "vec_id")
+      emb.select(col("vec_id"), col("embedding"), col("label"))
+        .join(codes, "vec_id")
+        .write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    graft.plans.LshProbeRewrite.registerSq8(p, scales, shortlist = 100)
+    injectProbeRule(spark)
+    val q = queryVec(spark, sfDir)
+    val out = base
+      .withColumn("score",
+        graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    require(plan.contains("LshProbeTopK"),
+      "LshProbeRewrite did not fire — the SQ8 gate must serve through the " +
+        "staged rewrite, not fall back to the exact scan")
+    require(plan.contains("sq8_score"),
+      "the SQ8 rewrite lost its quantized scoring stage — an exact top-k " +
+        "in disguise is not the component this gate exists to exercise")
     out
   }
 
@@ -4054,6 +4116,69 @@ object Queries {
       present = presentServeTopK)
   }
 
+  /** [[knnServeStreamBatched]] at the 1-BIT MULTI-PROBE policy (r15
+    * open thread #3): the same one-plan-per-micro-batch
+    * [[graft.index.KnnJoin.lshServeBatched]] join, with each request's
+    * per-table bucket expanded to its Hamming-1 ball BEFORE the join —
+    * the recall knob the rule's `maxHamming = 1` registration offers,
+    * now available at batch QPS. The ball expansion multiplies only
+    * the broadcast request side (13 probe rows per request-table at
+    * 8×12); the layout side is unchanged. Candidate rule
+    * (`bit_count(xor) <= 1` per table, set-union) and rerank are
+    * identical to the per-request multi-probe policy, so the oracle
+    * replays each request's 1-bit-ball candidates + exact rerank, self
+    * excluded. Same 2/2/1 file batching as the exact-bucket gate —
+    * real multi-request batches and a cross-batch boundary.
+    */
+  def knnServeStreamBatchedMp(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lshRuleIndexTable(spark, sfDir, maxHamming = 1)
+    val lsh = RandomHyperplaneLsh(8, 12, 42L)
+    val inDir = stagedKnnQueryDir(spark, sfDir)
+    val qSchema = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).schema
+    runReplayForeachBatch(spark, inDir, qSchema, "knnserve_batched_mp",
+      onBatch = (batch, outDir) =>
+        if (!batch.isEmpty)
+          graft.index.KnnJoin.lshServeBatched(batch, base, lsh, 64, k = 5,
+              maxHamming = 1)
+            .select(col("q_id"), col("neighbor_id"),
+              col("cos").as("score")) // RAW score to the sink; round at presentation
+            .write.mode("append").parquet(outDir),
+      present = presentServeTopK,
+      filesPerTrigger = 2)
+  }
+
+  /** [[knnServeStreamIvf]]'s BATCHED form — the third serving policy
+    * at one plan per micro-batch (r15 open thread #3):
+    * [[graft.index.KnnJoin.ivfServeBatched]] ranks the broadcast
+    * centroid table per request IN THE PLAN (bit-identical arithmetic
+    * to [[graft.index.IvfKnn.rankClusters]] — both accumulate
+    * dot/na/nb in one double pass), then broadcast-joins the
+    * per-request top-2 (q_id, cluster_id) probe pairs against the
+    * at-rest IVF layout on its partition column. Shares
+    * knn_serve_stream_ivf's per-request replay oracle: same centroids
+    * (stride 53), same probe ranking, same rerank and tie-breaks — a
+    * request answered from the wrong cluster pair, self-matched, or
+    * cross-contaminated between batches flips the hash. 2/2/1 file
+    * batching as the other batched gates.
+    */
+  def knnServeStreamBatchedIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ivfRuleIndexTable(spark, sfDir)
+    val cents = ivfRuleCents(spark, sfDir)
+    val inDir = stagedKnnQueryDir(spark, sfDir)
+    val qSchema = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).schema
+    runReplayForeachBatch(spark, inDir, qSchema, "knnserve_batched_ivf",
+      onBatch = (batch, outDir) =>
+        if (!batch.isEmpty)
+          graft.index.KnnJoin.ivfServeBatched(batch, base, cents, nprobe = 2, k = 5)
+            .select(col("q_id"), col("neighbor_id"),
+              col("cos").as("score")) // RAW score to the sink; round at presentation
+            .write.mode("append").parquet(outDir),
+      present = presentServeTopK,
+      filesPerTrigger = 2)
+  }
+
   /** Sparse random projection 64→16
     * ([[graft.functions.VectorFunctions.randomProject]]): one row per
     * vector with the projected-to-original L2 norm RATIO — the
@@ -4256,6 +4381,59 @@ object Queries {
     graft.index.PqKnn.searchRefined(Tables.embeddings(spark, sfDir), col("vec_id"),
         col("embedding"), queryVec(spark, sfDir), k = 5, dim = 64, candidates = 100)
       .select(col("vec_id"), round(col("score"), 4).as("score"))
+
+  /** [[annPq]] served from the SPLIT at-rest layout (r15 open thread
+    * #2, the fused rule rewrite's documented I/O residual closed):
+    * the shortlist stage scans the [[graft.index.PqIndexStore]] CODES
+    * table only (~9 B/row — at 100 TB the ANN scan reads a ~30×
+    * smaller table and the float vectors are never resident), then the
+    * float fetch is a literal `vec_id IN (shortlist)` predicate PUSHED
+    * INTO the float table's parquet scan — the bounded two-plan staged
+    * execution [[graft.index.PqIndexStore.searchRefinedSplit]]
+    * documents (a 100-long driver hop, the runtime dynamic filter
+    * static planning can't express). Same trainer, ADC arithmetic,
+    * shortlist width and rerank tie-breaks as ann_pq, so the same
+    * brute-equivalence argument applies and the gate shares
+    * knn_brute's oracle. The `require` pins the mechanism: the float
+    * scan must show the pushed vec_id filter, or the gate is reading
+    * the corpus it exists to avoid. Layout build + training are
+    * one-time snapshot costs (session-cached); the timed run is the
+    * served probe. PqServeProbe prices the I/O claim at 1M rows.
+    */
+  private val pqSplitPathCache = new SessionCache[String, String]
+  def annPqSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"target/gate-index/pq-split-${math.abs(sfDir.hashCode)}"
+    val path = pqSplitPathCache.getOrElseUpdate(spark, sfDir) {
+      val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+      graft.index.PqIndexStore().write(emb, col("vec_id"), col("embedding"),
+        dim = 64, p)
+      // the layout's own at-rest float partition: serving must fetch
+      // from DISK with the pushed filter (reading the session-cached
+      // embeddings table would satisfy the rows but hide the pushdown
+      // mechanism this gate pins — Spark's CacheManager substitutes any
+      // matching plan fragment, PushedFilters never appear on an
+      // InMemoryTableScan). Range-partitioned + sorted BY THE ID the
+      // shortlist filters on: parquet skipping works off per-row-group
+      // min/max stats, so an id-clustered layout is what turns the
+      // pushed IN into actual skipped bytes — PqServeProbe measures
+      // ~10× fewer rows read vs the same filter over an unsorted
+      // single-file layout, and the ratio grows with the file count
+      // (at 100 TB, 100 shortlist ids touch ≤100 of ~100k files)
+      emb.repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(s"$p/floats")
+      p
+    }
+    val floats = spark.read.parquet(s"$path/floats")
+    val out = graft.index.PqIndexStore().searchRefinedSplit(spark, path, floats,
+        "vec_id", "embedding", queryVec(spark, sfDir), k = 5, dim = 64,
+        candidates = 100)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.matches("(?s).*PushedFilters: \\[[^\\]]*vec_id.*"),
+      "the shortlist filter did not reach the float scan — a split serve " +
+        "that reads the whole float table is the fused path in disguise")
+    out
+  }
 
   /** Document chunking — the reference's own document→chunk data model
     * (SURVEY §1.1) as a distributed operator: overlapping token-window
@@ -4592,6 +4770,8 @@ object Queries {
     "knn_serve_stream_rule" -> (knnServeStreamRule _),
     "knn_serve_stream_ivf" -> (knnServeStreamIvf _),
     "knn_serve_stream_batched" -> (knnServeStreamBatched _),
+    "knn_serve_stream_batched_mp" -> (knnServeStreamBatchedMp _),
+    "knn_serve_stream_batched_ivf" -> (knnServeStreamBatchedIvf _),
     "ngram_top20" -> (ngramTop20 _),
     "regex_extract_stats" -> (regexExtractStats _),
     "agg_salted_skew" -> (aggSaltedSkew _),
@@ -4599,7 +4779,9 @@ object Queries {
     "embed_knn_text" -> (embedKnnText _),
     "ann_pq" -> (annPq _),
     "ann_pq_rule" -> (annPqRule _),
+    "ann_pq_split" -> (annPqSplit _),
     "ann_sq" -> (annSq _),
+    "ann_sq8_rule" -> (annSq8Rule _),
     "ann_ivfpq" -> (annIvfPq _),
     "hybrid_rrf" -> (hybridRrf _),
     "search_mmr" -> (searchMmr _),

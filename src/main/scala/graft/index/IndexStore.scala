@@ -201,8 +201,20 @@ final case class LshIndexStore(lsh: RandomHyperplaneLsh, dim: Int,
   */
 final case class IvfIndexStore(cents: Array[(Long, Array[Float])]) {
 
-  def write(corpus: DataFrame, embCol: String, path: String): Unit =
-    writeLayout(corpus, embCol, path, "overwrite")
+  import IvfIndexStore.AppendStats
+
+  def write(corpus: DataFrame, embCol: String, path: String): AppendStats = {
+    val (rows, mean) = writeLayout(corpus, embCol, path, "overwrite")
+    // persist the TRAINING-TIME baseline next to the layout (a `_`-
+    // prefixed sidecar — FileIndex listing ignores it, the scans are
+    // untouched) so later appends can compare against it without the
+    // caller threading state
+    val sidecar = java.nio.file.Paths.get(path, "_ivf_baseline")
+    java.nio.file.Files.createDirectories(sidecar.getParent)
+    java.nio.file.Files.write(sidecar,
+      f"$mean%.17g".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    AppendStats(rows, mean, Some(mean))
+  }
 
   /** Incremental maintenance, the [[LshIndexStore.append]] twin: assign
     * a DELTA of new rows with the SAME centroids and append its files
@@ -215,17 +227,49 @@ final case class IvfIndexStore(cents: Array[(Long, Array[Float])]) {
     * distribution drifts from the training corpus degrades recall
     * until re-clustering, which is the standard IVF contract (the
     * decision table's "continuous ingest, no re-clustering window" row
-    * recommends LSH for exactly that reason). */
-  def append(delta: DataFrame, embCol: String, path: String): Unit =
-    writeLayout(delta, embCol, path, "append")
+    * recommends LSH for exactly that reason).
+    *
+    * The returned [[IvfIndexStore.AppendStats]] carries the batch's
+    * mean ASSIGNMENT cosine — IvfDriftProbe's measured online drift
+    * trigger (r15: the probe found it; this wires it into the ingest
+    * path so an OPERATOR alarms instead of a probe). It rides the
+    * append job itself via `Dataset.observe` — the assignment loop
+    * already computes the score, so the signal is free: no second
+    * scan, no ground truth. Compare against the training-time baseline
+    * with [[IvfIndexStore.AppendStats.reclusterAdvised]] (the decision
+    * table's `< 0.8 × baseline` rule). */
+  def append(delta: DataFrame, embCol: String, path: String): AppendStats = {
+    val (rows, mean) = writeLayout(delta, embCol, path, "append")
+    AppendStats(rows, mean, readBaseline(path))
+  }
+
+  private def readBaseline(path: String): Option[Double] = {
+    val sidecar = java.nio.file.Paths.get(path, "_ivf_baseline")
+    if (java.nio.file.Files.exists(sidecar))
+      Some(new String(java.nio.file.Files.readAllBytes(sidecar),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toDouble)
+    else None
+  }
 
   private def writeLayout(corpus: DataFrame, embCol: String, path: String,
-                          mode: String): Unit =
-    IvfKnn.assign(corpus.where(col(embCol).isNotNull), col(embCol), cents)
+                          mode: String): (Long, Double) = {
+    val obs = org.apache.spark.sql.Observation()
+    IvfKnn.assignScored(corpus.where(col(embCol).isNotNull), col(embCol), cents)
+      .observe(obs, avg(col("assign_cos")).as("mean_cos"),
+        count(lit(1)).as("n"))
+      .drop("assign_cos") // observed, never stored: layout bytes unchanged
       .repartition(col("cluster_id"))
       .write.mode(mode)
       .partitionBy("cluster_id")
       .parquet(path)
+    val m = obs.get
+    val rows = m("n").asInstanceOf[Long]
+    val mean = m("mean_cos") match {
+      case null => 0.0 // empty batch: no signal, callers see rows == 0
+      case d: java.lang.Double => d.doubleValue()
+    }
+    (rows, mean)
+  }
 
   /** Hand-built probe twin of the optimizer-rule path
     * ([[graft.plans.LshProbeRewrite.registerIvf]]): scan the nprobe
@@ -237,5 +281,30 @@ final case class IvfIndexStore(cents: Array[(Long, Array[Float])]) {
       .where(col("cluster_id").isin(probeIds.map(Long.box): _*))
       .drop("cluster_id")
     BruteForceKnn.search(candidates, col(embCol), col(idCol), query, k)
+  }
+}
+
+object IvfIndexStore {
+
+  /** Ingest-batch statistics emitted by [[IvfIndexStore.write]] /
+    * [[IvfIndexStore.append]] — the drift trigger wired into the
+    * ingest path (r15 open thread #4). `meanAssignCos` is the batch's
+    * mean assignment cosine (free — the assignment loop computes it;
+    * `Dataset.observe` collects it during the write job itself);
+    * `baselineCos` is the training corpus's value, persisted by
+    * [[IvfIndexStore.write]] in the `_ivf_baseline` sidecar (None when
+    * appending into a layout written before the sidecar existed). */
+  final case class AppendStats(rows: Long, meanAssignCos: Double,
+                               baselineCos: Option[Double]) {
+
+    /** The decision table's re-cluster rule: alarm when the batch's
+      * mean assignment cosine falls below `factor` × the training-time
+      * baseline (IvfDriftProbe: in-distribution batches sit AT the
+      * baseline, fully-drifted ones at ~0.4× of it — 0.8 splits the
+      * two regimes with margin on both sides). None when the layout
+      * has no recorded baseline, or the batch was empty (no signal is
+      * not a quiet signal). */
+    def reclusterAdvised(factor: Double = 0.8): Option[Boolean] =
+      baselineCos.collect { case b if rows > 0 => meanAssignCos < factor * b }
   }
 }

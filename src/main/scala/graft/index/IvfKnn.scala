@@ -83,6 +83,42 @@ object IvfKnn {
     emb.withColumn("cluster_id", assignUdf(embCol))
   }
 
+  /** [[assign]] plus the assignment SCORE (the argmax cosine value) —
+    * same UDF pass, one extra double per row. The score is the FREE
+    * online drift signal IvfDriftProbe measured: it is already
+    * computed by the assignment loop, needs no ground truth, and a
+    * batch's MEAN of it drops sharply exactly when arrivals drift away
+    * from every trained centroid (0.66 in-distribution vs 0.28 fully
+    * drifted at the probe's operating point). Rows: (input columns,
+    * cluster_id LONG nullable, assign_cos DOUBLE nullable — null
+    * embedding assigns null/null like [[assign]]). */
+  def assignScored(emb: DataFrame, embCol: Column,
+                   cents: Array[(Long, Array[Float])]): DataFrame = {
+    if (cents.isEmpty)
+      return emb.withColumn("cluster_id", lit(null).cast("long"))
+        .withColumn("assign_cos", lit(null).cast("double"))
+    val centVecs = cents.map(_._2)
+    val centIds = cents.map(_._1)
+    val scoredUdf = udf { (v0: collection.Seq[Float]) =>
+      if (v0 == null) null
+      else {
+        val v = graft.functions.VectorFunctions.toArr(v0)
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < centVecs.length) {
+          val s = cosineArr(v, centVecs(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        (centIds(best), bestScore)
+      }
+    }
+    emb.withColumn("_assign", scoredUdf(embCol))
+      .withColumn("cluster_id", col("_assign._1"))
+      .withColumn("assign_cos", col("_assign._2"))
+      .drop("_assign")
+  }
+
   /** Probe the `nprobe` closest clusters, exact-rerank inside them. */
   def search(spark: SparkSession, emb: DataFrame, embCol: Column, idCol: Column,
              query: Array[Float], k: Int, stride: Long = 53L, nprobe: Int = 2): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.index
 
-import graft.expressions.DotProduct
+import graft.expressions.{CosineSimilarity, DotProduct}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -92,17 +92,37 @@ object KnnJoin {
     * Candidate rule + rerank are identical to the rule-served
     * per-request probe at the exact-bucket policy, so a gate over this
     * path shares knn_serve_stream_rule's DuckDB oracle.
+    *
+    * `maxHamming = 1` serves the 1-bit MULTI-PROBE policy in the same
+    * single plan (r15 open thread #3): each request's per-table bucket
+    * is expanded to its numPlanes+1 Hamming-1 ball BEFORE the join —
+    * one more explode on the (already tiny, broadcast) request side,
+    * 13× more probe rows per request at 8×12 but zero change to the
+    * layout side — so batched serving covers the same recall knob the
+    * rule's registration policy offers. Ball buckets are pairwise
+    * distinct (b and b^(1<<p) never collide), so no dedupe is needed
+    * before the join; the (q_id, neighbor_id) dropDuplicates already
+    * set-unions across tables AND ball positions.
     */
   def lshServeBatched(requests: DataFrame, layout: DataFrame,
                       lsh: RandomHyperplaneLsh, dim: Int, k: Int,
                       idCol: String = "vec_id", embCol: String = "embedding",
-                      numPhysicalPartitions: Int = 256): DataFrame = {
+                      numPhysicalPartitions: Int = 256,
+                      maxHamming: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions
-    val q = lsh.withBuckets(requests.where(col(embCol).isNotNull),
+    require(maxHamming >= 0 && maxHamming <= 1,
+      s"maxHamming $maxHamming unsupported — 0 (exact bucket) or 1 (1-bit multi-probe)")
+    val exact = lsh.withBuckets(requests.where(col(embCol).isNotNull),
         VectorFunctions.l2Normalize(col(embCol)), dim)
       .select(col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"),
         sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm"),
         posexplode(col("buckets")).as(Seq("q_t", "q_bkt")))
+    val balled =
+      if (maxHamming <= 0) exact
+      else exact.withColumn("q_bkt", explode(array(
+        col("q_bkt") +: (0 until lsh.numPlanes)
+          .map(p => col("q_bkt").bitwiseXOR(lit(1 << p))): _*)))
+    val q = balled
       .withColumn("q_part", pmod(col("q_bkt"), lit(numPhysicalPartitions)))
     layout.join(broadcast(q),
         col("table") === col("q_t") && col("bucket_part") === col("q_part") &&
@@ -111,6 +131,54 @@ object KnnJoin {
         col(idCol).cast("long").as("neighbor_id"), col(embCol).as("c_emb"),
         sqrt(DotProduct(col(embCol), col(embCol))).as("c_norm"))
       .dropDuplicates("q_id", "neighbor_id") // set-union across tables
+      .withColumn("cos",
+        when(col("q_norm") === 0.0 || col("c_norm") === 0.0, 0.0)
+          .otherwise(DotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("neighbor_id"), col("cos"))
+  }
+
+  /** BATCHED serving against an at-rest [[IvfIndexStore]] layout — the
+    * IVF twin of [[lshServeBatched]] (r15 open thread #3): ALL requests
+    * of a micro-batch answered by ONE plan. The request batch
+    * cross-joins the (tiny, broadcast) centroid table and ranks it
+    * per request with the SAME arithmetic as
+    * [[IvfKnn.rankClusters]] — [[graft.expressions.CosineSimilarity]]
+    * accumulates dot/na/nb in one double pass exactly like cosineArr,
+    * so the (cosine DESC, cid ASC) window selects bit-identical probe
+    * lists — then the per-request top-`nprobe` (q_id, cluster_id)
+    * probe pairs broadcast-join the layout scan on its PARTITION
+    * column. Requests × nprobe rows probe the build side; the layout —
+    * the 100 TB side — is scanned once per batch at worst (the probed
+    * clusters' union of directories once dynamic partition pruning
+    * kicks in), never once per request. Exact cosine rerank +
+    * per-request top-k via WindowGroupLimit, identical to
+    * [[lshServeBatched]]'s tail — so a gate over this path shares
+    * knn_serve_stream_ivf's per-request replay oracle.
+    */
+  def ivfServeBatched(requests: DataFrame, layout: DataFrame,
+                      cents: Array[(Long, Array[Float])], nprobe: Int, k: Int,
+                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val centDf = cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("c_cid", "cent")
+    val probe = requests.where(col(embCol).isNotNull)
+      .select(col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"),
+        sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("c_s", CosineSimilarity(col("q_emb"), col("cent")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c_s").desc, col("c_cid"))))
+      .where(col("crn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("c_cid"))
+    layout.join(broadcast(probe),
+        col("cluster_id") === col("c_cid") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        col(idCol).cast("long").as("neighbor_id"), col(embCol).as("c_emb"),
+        sqrt(DotProduct(col(embCol), col(embCol))).as("c_norm"))
       .withColumn("cos",
         when(col("q_norm") === 0.0 || col("c_norm") === 0.0, 0.0)
           .otherwise(DotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))

@@ -356,6 +356,51 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
     searchEncoded(spark.read.parquet(s"$path/codes"), query,
       loadCodebooks(spark, path, dim), k)
 
+  /** SPLIT-LAYOUT refined serving (r15 open thread #2) — the I/O win
+    * the fused-table rule rewrite documents as its residual, made
+    * real: the shortlist stage scans the CODES table only (~9 B/row,
+    * ~30× smaller than the float vectors), and the float vectors are
+    * fetched for exactly the `candidates` shortlist rows by a literal
+    * `id IN (shortlist)` predicate pushed into the float table's
+    * parquet scan (row-group stats + dictionary filtering skip
+    * everything else — at 100 TB the float side reads a handful of row
+    * groups, not the corpus).
+    *
+    * Stated honestly: this is a TWO-PLAN staged execution with a
+    * bounded driver hop between them — the `candidates` ids (100 longs)
+    * are collected and inlined as the literal filter, the runtime
+    * "dynamic filter off a materialized shortlist" Spark's static
+    * planning cannot express in one plan (DPP keys on partition
+    * columns; runtime row-filters only seed from join builds). The
+    * collect is the same bounded, documented class as the serving
+    * loops' per-request results — `candidates` rows, never the corpus.
+    * Semantics are identical to [[PqKnn.searchRefined]] (same ADC
+    * shortlist, same exact rerank and tie-breaks), so the brute-
+    * equivalence argument carries over and a gate over this path
+    * shares knn_brute's oracle.
+    *
+    * Two operating-point requirements, both MEASURED in PqServeProbe:
+    * (1) the float table must be id-range-partitioned and id-sorted —
+    * parquet skips off per-row-group min/max stats, so an unsorted
+    * layout reads the corpus no matter what is pushed; (2)
+    * `spark.sql.parquet.pushdown.inFilterThreshold` must be ≥
+    * `candidates` — above it Spark pushes the IN as one [min,max]
+    * RANGE, which uniform shortlist ids stretch across the whole table
+    * (measured: 990k of 1M rows read vs 175k with the sized or-chain
+    * at 512 files, shrinking as 100/#files).
+    */
+  def searchRefinedSplit(spark: org.apache.spark.sql.SparkSession, path: String,
+                         floats: DataFrame, idColName: String, embColName: String,
+                         query: Array[Float], k: Int, dim: Int,
+                         candidates: Int = 100): DataFrame = {
+    val cb = loadCodebooks(spark, path, dim)
+    val shortlist = searchEncoded(spark.read.parquet(s"$path/codes"), query, cb,
+        candidates)
+      .select(col("id")).collect().map(_.getLong(0))
+    val pool = floats.where(col(idColName).isin(shortlist.map(Long.box): _*))
+    BruteForceKnn.search(pool, col(embColName), col(idColName), query, k)
+  }
+
   /** Incremental maintenance: encode a DELTA of new rows with the
     * STORED codebooks and append — new vectors are searchable the
     * moment the append commits, with no retraining (the standard PQ

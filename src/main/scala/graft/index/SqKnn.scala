@@ -67,6 +67,29 @@ object SqKnn {
       .select(idCol.cast("long").as("id"), codeUdf(embCol).as("code"))
   }
 
+  /** Per-query SQ8 lookup table in [[graft.expressions.AdcScore]]'s
+    * shape — lut(d)(b) = sbyte(b) · qn(d) · scale(d), 256 entries per
+    * dimension — which makes SQ8 scoring EXPRESSIBLE AS PQ's ADC
+    * expression with no new codegen: `AdcScore` indexes `lut(d)(code(d)
+    * & 0xFF)`, and building the table over the two's-complement byte
+    * value (128..255 ⇒ −128..−1) recovers the signed multiply
+    * `code(d) * qScaled(d)` bit-for-bit ([[searchEncoded]]'s
+    * accumulation, same order, same doubles — a LUT entry is the
+    * IDENTICAL `Byte * Double` product, precomputed). 64 dims × 256
+    * doubles = 128 KB riding the codegen references array once per
+    * task. This is what lets [[graft.plans.LshProbeRewrite]] serve a
+    * registered SQ8 table through the same staged scoring rewrite as
+    * PQ — the scoring KIND machinery is shared; only the table builder
+    * differs. */
+  def adcTable(query: Array[Float], scales: Array[Double]): Array[Array[Double]] = {
+    val qn = normalize(query)
+    val n = math.min(qn.length, scales.length)
+    Array.tabulate(n) { d =>
+      val qScaled = qn(d).toDouble * scales(d)
+      Array.tabulate(256)(b => b.toByte * qScaled)
+    }
+  }
+
   /** Top-k by quantized dot: scales fold into the (normalized) query
     * driver-side; the scan multiplies bytes by prescaled doubles. */
   def searchEncoded(codes: DataFrame, query: Array[Float], scales: Array[Double],

@@ -70,6 +70,19 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
                                   shortlist: Int, idColName: String)
     extends IndexRegistration
 
+  /** SQ8 policy (round-15 open thread #1): the second SCORING kind.
+    * Same staged shortlist→rerank rewrite as PQ — SQ8's per-dimension
+    * scale table folds with the query into an [[graft.expressions.AdcScore]]
+    * lookup table ([[graft.index.SqKnn.adcTable]]: 256 signed-byte
+    * products per dimension), so the machinery the PQ kind established
+    * is reused whole; only the LUT builder differs. The inner stage
+    * ranks by the quantized dot (one byte-indexed add per dimension —
+    * near-exact, ≤ 1/254 per-component error), the outer exact-reranks
+    * the `shortlist` survivors. */
+  final case class Sq8Registration(scales: Array[Double],
+                                   shortlist: Int, idColName: String)
+    extends IndexRegistration
+
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, IndexRegistration]()
 
@@ -98,6 +111,14 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
     registry.put(normalize(new java.io.File(path).getAbsolutePath),
       PqRegistration(cb, shortlist, idColName))
+  }
+
+  def registerSq8(path: String, scales: Array[Double],
+                  shortlist: Int = 100, idColName: String = "vec_id"): Unit = {
+    require(scales.nonEmpty, "SQ8 registration needs trained scales")
+    require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
+    registry.put(normalize(new java.io.File(path).getAbsolutePath),
+      Sq8Registration(scales, shortlist, idColName))
   }
 
   def clear(): Unit = registry.clear()
@@ -193,7 +214,13 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
           case r: IvfRegistration =>
             filterProbe(kVal, sort, projectList, child, ivfProbeFilter(r, qvec, child))
           case r: PqRegistration =>
-            pqStagedProbe(kVal, sort, projectList, child, qvec, r)
+            stagedScoringProbe(kVal, sort, projectList, child,
+              graft.index.PqKnn.adcTable(qvec, r.cb), "adc_score",
+              r.shortlist, r.idColName)
+          case r: Sq8Registration =>
+            stagedScoringProbe(kVal, sort, projectList, child,
+              graft.index.SqKnn.adcTable(qvec, r.scales), "sq8_score",
+              r.shortlist, r.idColName)
         }
       } yield node
       rewrite
@@ -217,48 +244,53 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
       LshProbeTopK(kVal, sort.order, projectList, dedupeKeys, Filter(f, child)))
   }
 
-  /** The PQ SCORING rewrite (r14 verdict #4): no filter can express
-    * ADC, so the plan becomes two staged [[LshProbeTopK]] operators
-    * over ONE scan —
+  /** The SCORING rewrite, shared by the PQ kind (r14 verdict #4) and
+    * the SQ8 kind (r15 open thread #1): no filter can express a
+    * compressed-domain score, so the plan becomes two staged
+    * [[LshProbeTopK]] operators over ONE scan —
     *
     *   outer: exact top-k under the CALLER's (cosine DESC, id) order
-    *     └ inner: top-`shortlist` by `adc_score(code)` (the per-query
+    *     └ inner: top-`shortlist` by `<scoreName>(code)` (the per-query
     *       lookup table is computed here, driver-side, from the
-    *       registered codebooks — [[graft.index.PqKnn.adcTable]]),
+    *       registration — [[graft.index.PqKnn.adcTable]] for PQ,
+    *       [[graft.index.SqKnn.adcTable]] for SQ8; both feed the same
+    *       [[graft.expressions.AdcScore]] codegen expression),
     *       passing through only the columns the caller's projection
     *       needs
     *         └ the registered codes+floats scan
     *
-    * i.e. ADC-scan → exact-rerank-of-shortlist, the FAISS `refine`
-    * composition with semantics identical to
-    * [[graft.index.PqKnn.searchRefined]]. The inner stage's heap
-    * ordering costs m byte-indexed adds per row instead of a dim-float
-    * dot, and only `shortlist` rows reach the exact rerank. Scale
-    * note, stated honestly: THIS layout fuses codes and floats in one
-    * table, so the scan still READS the float column for all rows —
-    * the compute win is real (measured in PqRuleProbe), but the I/O
-    * win of a codes-only scan needs the split layout
-    * ([[graft.index.PqIndexStore]], gated by ann_pq/ann_ivfpq) plus a
-    * runtime id-IN-shortlist pushdown for the float fetch, which
-    * Spark's static planning cannot express today — that residual is
-    * the documented next step, not hidden behind this gate.
+    * i.e. compressed-scan → exact-rerank-of-shortlist, the FAISS
+    * `refine` composition with semantics identical to
+    * [[graft.index.PqKnn.searchRefined]] / SQ8's shortlist analog. The
+    * inner stage's heap ordering costs one byte-indexed add per LUT
+    * dimension instead of a dim-float dot, and only `shortlist` rows
+    * reach the exact rerank. Scale note, stated honestly: THIS layout
+    * fuses codes and floats in one table, so the scan still READS the
+    * float column for all rows — the compute win is real (the ADC heap
+    * costs m byte adds/row vs dim float multiplies), but the I/O win
+    * of a codes-only scan needs the split layout plus a runtime
+    * id-IN-shortlist fetch of the floats, which Spark's static
+    * planning cannot express in one plan —
+    * [[graft.index.PqIndexStore.searchRefinedSplit]] is that serving
+    * shape as a two-plan staged execution (gated by ann_pq_split;
+    * PqServeProbe prices the bytes at 1M rows).
     *
     * Pass-through attributes keep their exprIds through the inner
     * node's projection, so the caller's projectList and sort bind on
     * the outer node unchanged — no attribute remapping. Dedupe keys
-    * are the registered unique id (PQ layout rows are unique; the
+    * are the registered unique id (codes-layout rows are unique; the
     * dedupe is the no-op hash probe, kept for the operator's
     * contract). */
-  private def pqStagedProbe(kVal: Int, sort: Sort,
-                            projectList: Seq[NamedExpression],
-                            child: LogicalPlan, qvec: Array[Float],
-                            reg: PqRegistration): Option[LogicalPlan] =
+  private def stagedScoringProbe(kVal: Int, sort: Sort,
+                                 projectList: Seq[NamedExpression],
+                                 child: LogicalPlan,
+                                 lut: Array[Array[Double]], scoreName: String,
+                                 shortlist: Int, idColName: String): Option[LogicalPlan] =
     for {
-      idAttr <- child.output.find(_.name == reg.idColName)
+      idAttr <- child.output.find(_.name == idColName)
       codeAttr <- child.output.find(_.name == "code")
     } yield {
-      val lut = graft.index.PqKnn.adcTable(qvec, reg.cb)
-      val adcAlias = Alias(graft.expressions.AdcScore(codeAttr, lut), "adc_score")()
+      val adcAlias = Alias(graft.expressions.AdcScore(codeAttr, lut), scoreName)()
       // only the columns the caller's projection references ride the
       // shortlist heap (plus the id); `code` is consumed by the ADC
       // alias inside the inner projection, so the scan is pruned to
@@ -272,7 +304,7 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
       // between would leave the scan reading every column
       val scanProj = Project(
         (pass :+ codeAttr).distinctBy(_.exprId).map(a => a: NamedExpression), child)
-      val inner = LshProbeTopK(reg.shortlist,
+      val inner = LshProbeTopK(shortlist,
         Seq(SortOrder(adcAlias.toAttribute, Descending),
           SortOrder(idAttr, Ascending)),
         pass :+ adcAlias, Seq(idAttr), scanProj)

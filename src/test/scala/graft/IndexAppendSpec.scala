@@ -67,4 +67,59 @@ class IndexAppendSpec extends AnyFunSuite {
     val incremental = asgn(base) ++ asgn(delta)
     assert(incremental === onePass)
   }
+
+  /** The drift trigger wired into ingest (r15 open thread #4): every
+    * write/append emits the batch's mean assignment cosine via
+    * Dataset.observe — free, the assignment loop computes it — and
+    * reclusterAdvised compares against the persisted training-time
+    * baseline with the decision table's 0.8× rule. Loud side here
+    * (a fully drifted delta trips it); quiet side pinned inside the
+    * ann_ivf_append gate (in-distribution delta must NOT trip). */
+  test("IVF append emits the drift signal: drifted delta alarms, in-dist does not") {
+    // the trigger's regimes are a property of CLUSTERED corpora (the
+    // only shape the decision table recommends IVF for — on isotropic
+    // random vectors the baseline itself sits at ~0.18 and drift
+    // barely moves it), so this test uses the probe's mixture family:
+    // 25 unit-norm centers, σ=0.1; the drifted delta is the SAME
+    // mixture shape with MOVED means (a different center seed)
+    import graft.index.{IvfIndexStore, IvfKnn}
+    import spark.implicits._
+    val dim = 64
+    def mixture(centerSeed: Long, ids: Range, idOffset: Long): org.apache.spark.sql.DataFrame =
+      ids.map { i =>
+        val c = i % 25
+        val center = Array.tabulate(dim)(j => LshSweep.gauss(centerSeed + c, j))
+        val cn = math.sqrt(center.map(x => x * x).sum)
+        (idOffset + i, Array.tabulate(dim)(j =>
+          (center(j) / cn + 0.1 * LshSweep.gauss(0xBEEFL + idOffset + i, j)).toFloat))
+      }.toDF("vec_id", "embedding")
+    val base = mixture(0xC0FFEEL, 0 until 2000, 0L)
+    val cents = IvfKnn.centroids(base, col("vec_id"), col("embedding"), 53L)
+    assert(cents.length >= 10, s"stride sample too thin: ${cents.length}")
+    val store = IvfIndexStore(cents)
+    val p = "target/spec-index/ivf-drift-spec"
+    TestSpark.rmTree(new java.io.File(p))
+    val wrote = store.write(base, "embedding", p)
+    assert(wrote.rows == 2000 && wrote.baselineCos.contains(wrote.meanAssignCos))
+    // in-distribution delta: same centers, new ids -> mean at baseline
+    val quiet = store.append(mixture(0xC0FFEEL, 0 until 400, 10000L), "embedding", p)
+    assert(quiet.rows == 400)
+    assert(quiet.reclusterAdvised().contains(false),
+      s"in-distribution delta tripped the alarm: $quiet")
+    // fully drifted delta: moved means -> mean well below 0.8x baseline
+    val loud = store.append(mixture(0xD00DL, 0 until 400, 20000L), "embedding", p)
+    assert(loud.rows == 400)
+    assert(loud.meanAssignCos < quiet.meanAssignCos,
+      s"drifted mean ${loud.meanAssignCos} not below in-dist ${quiet.meanAssignCos}")
+    assert(loud.reclusterAdvised().contains(true),
+      s"fully drifted delta did not trip the alarm: $loud")
+    // no-signal cases are None, never a quiet false
+    val empty = store.append(base.where(col("vec_id") < 0), "embedding", p)
+    assert(empty.rows == 0 && empty.reclusterAdvised().isEmpty)
+    val nbPath = "target/spec-index/ivf-drift-nobase"
+    TestSpark.rmTree(new java.io.File(nbPath))
+    val noBaseline = IvfIndexStore(cents)
+      .append(mixture(0xD00DL, 0 until 50, 30000L), "embedding", nbPath)
+    assert(noBaseline.reclusterAdvised().isEmpty)
+  }
 }

@@ -201,6 +201,95 @@ class KnnJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("batched serve at maxHamming=1 equals the per-request 1-bit-ball probe") {
+    // r15 open thread #3: the ball expansion rides the broadcast
+    // request side; candidates per request = every layout row within
+    // Hamming 1 in ANY table, self excluded, exact rerank
+    val lsh = index.RandomHyperplaneLsh(8, 12, 42L)
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    val path = "target/spec-index/knn-batched-spec"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      index.LshIndexStore(lsh, 64).write(emb, "embedding", path)
+    val layout = spark.read.parquet(path)
+    val requests = emb.where(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+    val batched = KnnJoin.lshServeBatched(requests, layout, lsh, 64, k = 5,
+      maxHamming = 1)
+    assert(batched.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val got = batched.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e4) / 1e4))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._3, x._4)).toSeq).toMap
+    def ball(b: Int): Seq[Int] = b +: (0 until lsh.numPlanes).map(p => b ^ (1 << p))
+    var widerSomewhere = false
+    for (qid <- 0L to 4L) {
+      val qv = emb.where(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val qn = graft.functions.VectorFunctions.l2NormalizeArr(qv)
+      val qb = lsh.planes(64).map(tp => lsh.hash(qn.toSeq, tp))
+      val ballOr = qb.zipWithIndex.map { case (b, t) =>
+        col("table") === t && col("bucket").isin(ball(b): _*)
+      }.reduce(_ || _)
+      val exactOr = qb.zipWithIndex.map { case (b, t) =>
+        col("table") === t && col("bucket") === b
+      }.reduce(_ || _)
+      val expect = layout.where(ballOr && col("vec_id") =!= qid)
+        .dropDuplicates("vec_id")
+        .withColumn("score",
+          expressions.CosineSimilarity(col("embedding"), typedlit(qv.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+        .select(col("vec_id"), col("score")).collect()
+        .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4) / 1e4)).toSeq
+      assert(got.getOrElse(qid, Nil) == expect,
+        s"request $qid diverges from the 1-bit-ball probe")
+      // the widened policy must be a superset of the exact-bucket one
+      val nExact = layout.where(exactOr && col("vec_id") =!= qid)
+        .select("vec_id").distinct().count()
+      val nBall = layout.where(ballOr && col("vec_id") =!= qid)
+        .select("vec_id").distinct().count()
+      assert(nBall >= nExact, s"request $qid: ball narrower than exact bucket")
+      if (nBall > nExact) widerSomewhere = true
+    }
+    assert(widerSomewhere,
+      "fixture degenerate: the 1-bit ball never widened any candidate set")
+  }
+
+  test("batched IVF serve: one plan per batch equals the per-request centroid probe") {
+    // the third policy (r15 open thread #3): centroid ranking happens
+    // IN THE PLAN (CosineSimilarity == rankClusters bit-for-bit), probe
+    // pairs broadcast-join the layout's partition column
+    val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+    val cents = index.IvfKnn.centroids(emb, col("vec_id"), col("embedding"), stride = 7L)
+    assert(cents.length >= 3, "fixture too small for a 2-probe IVF test")
+    val path = "target/spec-index/knn-batched-ivf-spec"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      index.IvfIndexStore(cents).write(emb, "embedding", path)
+    val layout = spark.read.parquet(path)
+    val requests = emb.where(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+    val batched = KnnJoin.ivfServeBatched(requests, layout, cents, nprobe = 2, k = 5)
+    val plan = batched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    val got = batched.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e4) / 1e4))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._3, x._4)).toSeq).toMap
+    for (qid <- 0L to 4L) {
+      val qv = emb.where(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val probeIds = index.IvfKnn.rankClusters(qv, cents).take(2).map(_._1)
+      val expect = layout
+        .where(col("cluster_id").isin(probeIds.map(Long.box): _*) &&
+          col("vec_id") =!= qid)
+        .withColumn("score",
+          expressions.CosineSimilarity(col("embedding"), typedlit(qv.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+        .select(col("vec_id"), col("score")).collect()
+        .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4) / 1e4)).toSeq
+      assert(got.getOrElse(qid, Nil) == expect,
+        s"request $qid diverges from the per-request centroid probe")
+    }
+  }
+
   test("per-query top-k runs as WindowGroupLimit") {
     val plan = Queries.knnJoinGraph(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -268,6 +268,63 @@ class LshProbeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("an SQ8 registration serves the staged quantized-shortlist + exact-rerank rewrite") {
+    // r15 open thread #1: the registry's SECOND scoring kind — same
+    // staged machinery as PQ, the LUT built from SQ8's per-dimension
+    // scales (SqKnn.adcTable); with a 100-wide shortlist the near-exact
+    // quantized ranking cannot evict a true top-5 row, so the result
+    // equals brute force
+    val base = TestSpark.spark
+    val emb = Tables.embeddings(base, "/root/testdata/sf0.001")
+      .where(col("embedding").isNotNull)
+    val scales = graft.index.SqKnn.trainScales(emb, col("embedding"), dim = 64)
+    val sqPath = "target/test-index/rewrite-sq8"
+    TestSpark.rmTree(new java.io.File(sqPath))
+    val codes = graft.index.SqKnn.encode(emb, col("vec_id"), col("embedding"), scales)
+      .withColumnRenamed("id", "vec_id")
+    emb.select(col("vec_id"), col("embedding"), col("label")).join(codes, "vec_id")
+      .write.mode("overwrite").parquet(sqPath)
+    val q = Queries.queryVec(base, "/root/testdata/sf0.001")
+    val brute = BruteForceKnn.search(emb, col("embedding"), col("vec_id"), q, 5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    withExtSession { s =>
+      LshProbeRewrite.clear()
+      LshProbeRewrite.registerSq8(sqPath, scales, shortlist = 100)
+      val topk = s.read.parquet(sqPath)
+        .withColumn("score", CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+      val plan = topk.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LshProbeTopK"), plan.take(3000))
+      assert(plan.contains("sq8_score"), plan.take(3000))
+      assert(plan.split("LshProbeTopK").length - 1 >= 2, plan.take(3000))
+      val got = topk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == brute, s"rule-served SQ8 diverges from brute: $got vs $brute")
+      // and the LUT really IS searchEncoded's arithmetic: for every
+      // corpus row, AdcScore over the SQ8 LUT must equal the
+      // byte·prescaled-double accumulation bit-for-bit (one collect of
+      // the small fixture, pure driver-side arithmetic after)
+      val lut = graft.index.SqKnn.adcTable(q, scales)
+      val qn = graft.functions.VectorFunctions.l2NormalizeArr(q)
+      val qScaled = Array.tabulate(math.min(qn.length, scales.length))(d =>
+        qn(d).toDouble * scales(d))
+      emb.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+        val code = graft.index.SqKnn.encodeVecWithScales(
+          r.getSeq[Float](1).toArray, scales)
+        val lutScore = graft.index.PqKnn.adcScore(code, lut)
+        var acc = 0.0; var d = 0
+        while (d < math.min(code.length, qScaled.length)) {
+          acc += code(d) * qScaled(d); d += 1
+        }
+        assert(lutScore == acc,
+          s"LUT score diverges from searchEncoded for vec ${r.getLong(0)}")
+      }
+      LshProbeRewrite.clear()
+    }
+  }
+
   test("hand-built probes over a registered table are never stacked on") {
     // r15 catch (flagged by knn_filtered_adaptive's oracle): the
     // adaptive ladder's brute rung scans `table = 0` of the REGISTERED
