@@ -91,11 +91,86 @@ object BatchedServeProbe {
     def time(f: () => Unit): Double = {
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
     }
-    // 2 timed reps each, alternating so ambient drift hits both arms
-    val loopSecs = Seq(time(() => loopServe()), time(() => loopServe()))
-    val batchSecs = Seq(time(() => batchedServe()), time(() => batchedServe()))
-    val loopMed = loopSecs.min; val batchMed = batchSecs.min
-    println(f"""{"probe":"batched_serve","sf":"$sfDir","requests":${reqRows.length},"results_match":${mismatch.isEmpty},"loop_sec":$loopMed%.3f,"loop_rps":${reqRows.length / loopMed}%.1f,"batched_sec":$batchMed%.3f,"batched_rps":${reqRows.length / batchMed}%.1f,"speedup":${loopMed / batchMed}%.1f,"loop_runs":[${loopSecs.map(s => f"$s%.3f").mkString(",")}],"batched_runs":[${batchSecs.map(s => f"$s%.3f").mkString(",")}]}""")
+    def report(policy: String, match_ : Boolean,
+               loop: () => Unit, batched: () => Unit): Unit = {
+      // 2 timed reps each, alternating so ambient drift hits both arms
+      val loopSecs = Seq(time(loop), time(loop))
+      val batchSecs = Seq(time(batched), time(batched))
+      val loopMed = loopSecs.min; val batchMed = batchSecs.min
+      println(f"""{"probe":"batched_serve","policy":"$policy","sf":"$sfDir","requests":${reqRows.length},"results_match":${match_},"loop_sec":$loopMed%.3f,"loop_rps":${reqRows.length / loopMed}%.1f,"batched_sec":$batchMed%.3f,"batched_rps":${reqRows.length / batchMed}%.1f,"speedup":${loopMed / batchMed}%.1f,"loop_runs":[${loopSecs.map(s => f"$s%.3f").mkString(",")}],"batched_runs":[${batchSecs.map(s => f"$s%.3f").mkString(",")}]}""")
+    }
+    report("lsh_exact", mismatch.isEmpty, () => loopServe(), () => batchedServe())
+
+    // ---- the other two registered policies (r15): same A/B shape ----
+    // 1-bit multi-probe: loop widens each table's bucket to the
+    // Hamming-1 ball; batched explodes the ball on the request side
+    def ball(b: Int): Seq[Int] = b +: (0 until lsh.numPlanes).map(p => b ^ (1 << p))
+    def loopServeMp(): Map[Long, Seq[(Long, Double)]] = reqRows.map { case (qid, qv) =>
+      val qn = VectorFunctions.l2NormalizeArr(qv)
+      val qBuckets = lsh.planes(dim).map(tp => lsh.hash(qn.toSeq, tp))
+      val pruneOr = qBuckets.zipWithIndex.map { case (qb, t) =>
+        col("table") === t && col("bucket_part").isin(
+          ball(qb).map(x => math.floorMod(x, 256)).distinct.map(Int.box): _*)
+      }.reduce(_ || _)
+      val exactOr = qBuckets.zipWithIndex.map { case (qb, t) =>
+        col("table") === t && col("bucket").isin(ball(qb).distinct.map(Int.box): _*)
+      }.reduce(_ || _)
+      val hits = layout.where(pruneOr && exactOr && col("vec_id") =!= qid)
+        .dropDuplicates("vec_id")
+        .withColumn("score",
+          graft.expressions.CosineSimilarity(col("embedding"), typedlit(qv.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"), col("score"))
+        .collect()
+        .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4) / 1e4)).toSeq
+      qid -> hits
+    }.toMap
+    def batchedServeMp(): Map[Long, Seq[(Long, Double)]] =
+      graft.index.KnnJoin.lshServeBatched(requests, layout, lsh, dim, k = 5,
+          maxHamming = 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 1e4) / 1e4))
+        .groupBy(_._1)
+        .map { case (q, rows) => q -> rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq }
+    val am = loopServeMp(); val bm = batchedServeMp()
+    val misMp = reqRows.map(_._1).filter(q => am.getOrElse(q, Nil) != bm.getOrElse(q, Nil))
+    report("lsh_mp1", misMp.isEmpty, () => loopServeMp(), () => batchedServeMp())
+
+    // IVF: loop probes each request's top-2 clusters via a driver-side
+    // centroid rank; batched ranks centroids in the plan
+    val ivfPath = s"target/probe-index/serve-batched-ivf-${math.abs(sfDir.hashCode)}"
+    val cents = graft.index.IvfKnn.centroids(
+      Tables.embeddings(spark, sfDir), col("vec_id"), col("embedding"), 53L)
+    if (!new java.io.File(ivfPath, "_SUCCESS").exists())
+      graft.index.IvfIndexStore(cents)
+        .write(Tables.embeddings(spark, sfDir), "embedding", ivfPath)
+    val ivfLayout = spark.read.parquet(ivfPath)
+    def loopServeIvf(): Map[Long, Seq[(Long, Double)]] = reqRows.map { case (qid, qv) =>
+      val probeIds = graft.index.IvfKnn.rankClusters(qv, cents).take(2).map(_._1)
+      val hits = ivfLayout
+        .where(col("cluster_id").isin(probeIds.map(Long.box): _*) &&
+          col("vec_id") =!= qid)
+        .withColumn("score",
+          graft.expressions.CosineSimilarity(col("embedding"), typedlit(qv.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"), col("score"))
+        .collect()
+        .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4) / 1e4)).toSeq
+      qid -> hits
+    }.toMap
+    def batchedServeIvf(): Map[Long, Seq[(Long, Double)]] =
+      graft.index.KnnJoin.ivfServeBatched(requests, ivfLayout, cents, nprobe = 2, k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 1e4) / 1e4))
+        .groupBy(_._1)
+        .map { case (q, rows) => q -> rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq }
+    val ai = loopServeIvf(); val bi = batchedServeIvf()
+    val misIvf = reqRows.map(_._1).filter(q => ai.getOrElse(q, Nil) != bi.getOrElse(q, Nil))
+    report("ivf", misIvf.isEmpty, () => loopServeIvf(), () => batchedServeIvf())
     spark.stop()
   }
 }

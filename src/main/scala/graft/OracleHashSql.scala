@@ -693,6 +693,59 @@ object OracleHashSql {
        |FROM chosen c JOIN scores s ON s.vec_id = c.vec_id
        |ORDER BY s.s DESC, c.vec_id LIMIT 5""".stripMargin
 
+  /** knn_filtered_adaptive_batched: the guaranteed-k filtered ladder
+    * run for all 5 requests at once. Per request: ball candidates
+    * (Hamming ≤ 1 in any table) surviving the `vec_id % 3 = 0` filter
+    * with their MIN distance, exact-bucket/ball survivor counts, the
+    * first level with ≥ k survivors (starved requests → brute over
+    * the filtered subset), exact-cosine rerank of the chosen set, and
+    * the per-request `index_used` — self excluded throughout. An
+    * engine that escalates any single request at the wrong boundary,
+    * serves a starved request from a half-empty ball, or
+    * cross-contaminates levels between requests flips the hash. */
+  private def knnFilteredAdaptiveBatchedSql: String =
+    s"""WITH $lshCtes,
+       |qset AS (SELECT vec_id AS q_id FROM embeddings
+       |  WHERE vec_id < 5 AND embedding IS NOT NULL),
+       |filt AS (SELECT vec_id FROM corpus WHERE vec_id % 3 = 0),
+       |apairs AS (SELECT qs.q_id, b.vec_id AS c_id,
+       |    MIN(CASE WHEN b.bkt = qb2.bkt THEN 0 ELSE 1 END) AS min_dist
+       |  FROM qset qs
+       |  JOIN buckets qb2 ON qb2.vec_id = qs.q_id
+       |  JOIN buckets b ON b.t = qb2.t
+       |    AND bit_count(xor(qb2.bkt::UBIGINT, b.bkt::UBIGINT)) <= 1
+       |    AND b.vec_id <> qs.q_id
+       |  JOIN filt f ON f.vec_id = b.vec_id
+       |  GROUP BY qs.q_id, b.vec_id),
+       |astats AS (SELECT q_id, SUM(CASE WHEN min_dist = 0 THEN 1 ELSE 0 END) AS n0,
+       |    COUNT(*) AS n1
+       |  FROM apairs GROUP BY q_id),
+       |lvl AS (SELECT qs.q_id,
+       |    CASE WHEN COALESCE(s.n0, 0) >= 5 THEN 0
+       |         WHEN COALESCE(s.n1, 0) >= 5 THEN 1 ELSE 2 END AS l
+       |  FROM qset qs LEFT JOIN astats s ON s.q_id = qs.q_id),
+       |chosen AS (
+       |  SELECT p.q_id, p.c_id FROM apairs p
+       |    JOIN lvl ON lvl.q_id = p.q_id
+       |    WHERE lvl.l < 2 AND p.min_dist <= lvl.l
+       |  UNION ALL
+       |  SELECT qs.q_id, f.vec_id AS c_id FROM qset qs
+       |    JOIN lvl ON lvl.q_id = qs.q_id AND lvl.l = 2
+       |    JOIN filt f ON f.vec_id <> qs.q_id),
+       |px AS (SELECT cp.q_id, cp.c_id, unnest(a.embedding) AS x, unnest(bb.embedding) AS y
+       |  FROM chosen cp JOIN embeddings a ON a.vec_id = cp.q_id
+       |  JOIN embeddings bb ON bb.vec_id = cp.c_id),
+       |ps AS (SELECT q_id, c_id,
+       |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+       |  FROM px GROUP BY q_id, c_id),
+       |rankeds AS (SELECT q_id, c_id, s,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM ps)
+       |SELECT r.q_id, r.rn, r.c_id AS neighbor_id, ROUND(r.s, 4) + 0 AS score,
+       |  CASE lvl.l WHEN 0 THEN 'lsh' WHEN 1 THEN 'lsh_mp1' ELSE 'brute' END AS index_used
+       |FROM rankeds r JOIN lvl ON lvl.q_id = r.q_id
+       |WHERE r.rn <= 5 ORDER BY r.q_id, r.rn""".stripMargin
+
   /** knn_serve_stream_ivf: the 5-request serving stream answered from
     * the registered IVF layout. Assignment (argmax cosine vs the
     * stride-53 centroids, lowest-cid tie-break) is computed once; each
@@ -1416,6 +1469,7 @@ object OracleHashSql {
     // self-exclusion and rerank as the per-request rule probe — the
     // batching is a plan-shape change, not a semantics change, so one
     // oracle pins both (a batch answered differently flips the hash)
+    "knn_filtered_adaptive_batched" -> knnFilteredAdaptiveBatchedSql,
     "knn_serve_stream_batched" -> knnServeStreamRuleSql,
     "knn_serve_stream_batched_mp" -> knnServeStreamBatchedMpSql,
     // the batched IVF serving path replays the SAME per-request rule

@@ -154,13 +154,34 @@ object PqServeProbe {
       "(pushed IN + inFilterThreshold>=shortlist skips non-matching row groups)")(fetch(ranged))
     probe("split stage 2 ranged (warm)")(fetch(ranged))
 
+    // ---- single-plan join form (r16 open thread #1): the shortlist
+    // becomes the broadcast build side of one plan — no driver hop,
+    // codes-only compute win kept, but the float scan has no static
+    // pushdown, and Spark's runtime bloom filter only injects on
+    // SHUFFLE-application joins, so the broadcast form reads the float
+    // corpus. Measured here so the two-plan hop's value is a number,
+    // not an argument.
+    def joinedServe(floats: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] = {
+      val cand = graft.index.PqKnn.searchEncoded(
+          spark.read.parquet(s"$indexPath/codes"), q, cb, 100)
+        .select(col("id"))
+      val pool = floats.join(broadcast(cand), col("vec_id") === col("id")).drop("id")
+      graft.index.BruteForceKnn.search(pool, col("embedding"), col("vec_id"), q, 5)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val sJoined = probe("single-plan join form (broadcast shortlist, id-RANGED floats)")(
+      joinedServe(ranged))
+    probe("single-plan join form (warm)")(joinedServe(ranged))
+
     // end-to-end split serve (the gate's exact path) for the identity check
     val sFull = store.searchRefinedSplit(spark, indexPath, ranged, "vec_id",
         "embedding", q, k = 5, dim = dim, candidates = 100)
       .select(col("vec_id"), round(col("score"), 4).as("score"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    require(f1 == sNaive && f1 == sRanged && f1 == sFull,
-      s"paths diverged: fused=$f1 naive=$sNaive ranged=$sRanged full=$sFull")
+    require(f1 == sNaive && f1 == sRanged && f1 == sFull && f1 == sJoined,
+      s"paths diverged: fused=$f1 naive=$sNaive ranged=$sRanged " +
+        s"full=$sFull joined=$sJoined")
     println(s"PQSERVE results identical across paths: ${f1.mkString(", ")}")
     spark.stop()
   }

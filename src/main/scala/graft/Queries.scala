@@ -594,6 +594,41 @@ object Queries {
       .select(col("vec_id"), round(col("score"), 4).as("score"), col("index_used"))
   }
 
+  /** [[knnFilteredAdaptive]]'s BATCHED form (r15 open thread #4):
+    * every request of a batch runs the guaranteed-k filtered ladder,
+    * but the escalation decisions happen IN one plan
+    * ([[graft.index.KnnJoin.lshServeFilteredAdaptiveBatched]]) — one
+    * ball join computes each request's filter-surviving candidates
+    * with their Hamming distance, one aggregate derives both level
+    * counts per request, and only STARVED requests fall through to a
+    * broadcast brute rung over the filtered `table = 0` sub-layout
+    * (the per-request ladder pays up to two driver COUNT jobs per
+    * query — at batch QPS the driver becomes the escalation
+    * bottleneck exactly like the serving-loop case the batched gates
+    * fixed). Filter `vec_id % 3 = 0` (~33%) is picked so the gate's 5
+    * requests EXERCISE the ladder: at the gate SFs some requests stop
+    * at the 1-bit ball and some starve through to brute (measured
+    * mix at sf0.001 and sf0.01; level 0 is forced in KnnJoinSpec on a
+    * crafted corpus — at gate SFs exact-bucket ∩ filter is nearly
+    * empty, the documented knn_lsh_rule_filtered residual). The
+    * oracle replays the WHOLE per-request rule: ball candidates with
+    * min-distance, both counts, the level choice, the chosen set,
+    * rerank, and the reported `index_used` — self excluded throughout
+    * (serving semantics). */
+  def knnFilteredAdaptiveBatched(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lshRuleIndexTable(spark, sfDir) // same at-rest layout + cached FileIndex
+    val requests = Tables.embeddings(spark, sfDir)
+      .where(col("embedding").isNotNull && col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    graft.index.KnnJoin.lshServeFilteredAdaptiveBatched(
+        requests, base, RandomHyperplaneLsh(8, 12, 42L), 64, k = 5,
+        userFilter = pmod(col("vec_id"), lit(3)) === 0)
+      .select(col("q_id"), col("rn"), col("neighbor_id"),
+        // + 0.0 collapses IEEE negative zero (see embeddingPool)
+        (round(col("cos"), 4) + lit(0.0)).as("score"), col("index_used"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   def knnLshRule(spark: SparkSession, sfDir: String): DataFrame = {
     val base = lshRuleIndexTable(spark, sfDir)
     val q = queryVec(spark, sfDir)
@@ -4620,6 +4655,7 @@ object Queries {
     "knn_lsh_rule" -> (knnLshRule _),
     "knn_lsh_rule_filtered" -> (knnLshRuleFiltered _),
     "knn_filtered_adaptive" -> (knnFilteredAdaptive _),
+    "knn_filtered_adaptive_batched" -> (knnFilteredAdaptiveBatched _),
     "knn_lsh_rule_multiprobe" -> (knnLshRuleMultiprobe _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "knn_lsh_cached" -> (knnLshCached _),

@@ -243,6 +243,27 @@ final case class IvfIndexStore(cents: Array[(Long, Array[Float])]) {
     AppendStats(rows, mean, readBaseline(path))
   }
 
+  /** Streaming ingest with the drift alarm surfaced per micro-batch —
+    * the [[LshIndexStore.appendStream]] twin (IVF previously had no
+    * streaming ingest at all) plus r15's trigger on every batch:
+    * each micro-batch is assigned with the frozen centroids and
+    * appended ([[append]] — O(batch), stats ride the job via
+    * `Dataset.observe`), and `onBatch` receives the batch's
+    * [[IvfIndexStore.AppendStats]] so an operator can alarm/page on
+    * `reclusterAdvised()` instead of polling a probe. The callback
+    * runs on the streaming thread after the append COMMITS — an
+    * alarm can never fire for rows that didn't land. */
+  def appendStream(rows: DataFrame, embCol: String, path: String,
+                   checkpointDir: Option[String] = None,
+                   onBatch: IvfIndexStore.AppendStats => Unit = _ => ())
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    var w = rows.writeStream.outputMode("append")
+    checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+      onBatch(append(batch, embCol, path))
+    }.start()
+  }
+
   private def readBaseline(path: String): Option[Double] = {
     val sidecar = java.nio.file.Paths.get(path, "_ivf_baseline")
     if (java.nio.file.Files.exists(sidecar))
@@ -270,6 +291,37 @@ final case class IvfIndexStore(cents: Array[(Long, Array[Float])]) {
     }
     (rows, mean)
   }
+
+  /** The drift alarm's RESPONSE (the other half of
+    * [[IvfIndexStore.AppendStats.reclusterAdvised]]): retrain
+    * centroids on the layout's CURRENT contents — base plus every
+    * appended delta, i.e. exactly the distribution the frozen
+    * centroids stopped describing — and write a fresh layout at
+    * `newPath` with a fresh training-time baseline. Returns the new
+    * store (new centroids) and the new baseline stats; the caller
+    * swaps serving to it by re-registering the new path
+    * ([[graft.plans.LshProbeRewrite.registerIvf]]) and retiring the
+    * old directory once in-flight readers drain — a NEW path rather
+    * than an in-place overwrite because live FileIndexes hold the old
+    * file listing (the same reason the engine's spill tier versions
+    * its segments). IvfDriftProbe priced this trade: retraining on
+    * the combined corpus restores recall 1.0 at HALF the frozen
+    * layout's scan fraction. Centroid sampling is
+    * [[IvfKnn.centroids]]' deterministic stride rule, so the rebuilt
+    * layout is reproducible from the bytes alone. */
+  def recluster(spark: SparkSession, path: String, newPath: String,
+                embCol: String, idColName: String,
+                stride: Long): (IvfIndexStore, IvfIndexStore.AppendStats) = {
+    require(normalize(newPath) != normalize(path),
+      "recluster must write a NEW layout path — live readers hold the old file listing")
+    val corpus = spark.read.parquet(path).drop("cluster_id")
+    val cents2 = IvfKnn.centroids(corpus, col(idColName), col(embCol), stride)
+    val store2 = IvfIndexStore(cents2)
+    (store2, store2.write(corpus, embCol, newPath))
+  }
+
+  private def normalize(p: String): String =
+    new java.io.File(p).getAbsolutePath.stripSuffix("/")
 
   /** Hand-built probe twin of the optimizer-rule path
     * ([[graft.plans.LshProbeRewrite.registerIvf]]): scan the nprobe

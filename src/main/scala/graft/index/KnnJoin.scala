@@ -140,6 +140,109 @@ object KnnJoin {
       .select(col("q_id"), col("rn"), col("neighbor_id"), col("cos"))
   }
 
+  /** BATCHED filtered serving with GUARANTEED k — the
+    * [[LshIndexStore.searchFilteredAdaptive]] ladder at batch QPS
+    * (r15 open thread: the per-request ladder escalates with
+    * driver-side COUNT jobs per query; here every request's
+    * escalation decision happens IN one plan):
+    *
+    *  1. ONE ball join computes, per request, every layout row within
+    *     Hamming 1 of the request in any table that SURVIVES the user
+    *     filter, carrying `min_dist` (0 = exact bucket, 1 = one flip)
+    *     — the request side explodes its 1-bit ball exactly like
+    *     [[lshServeBatched]] with a distance tag, so the join stays a
+    *     broadcast equi-join on the layout's partition columns;
+    *  2. per-request survivor counts at both levels fall out of one
+    *     aggregate over those pairs (`n0` = exact-bucket survivors,
+    *     `n1` = ball survivors — monotone by construction);
+    *  3. each request picks the first level with ≥ k survivors
+    *     (`lsh` → `lsh_mp1`), STARVED requests (n1 < k, including
+    *     requests with zero ball candidates) fall through to the
+    *     brute rung — a broadcast of only the starved requests against
+    *     the FILTERED `table = 0` sub-layout (every corpus row once),
+    *     reported `index_used = "brute"` per the O10 fallback
+    *     contract;
+    *  4. the union reranks by exact cosine per request
+    *     (WindowGroupLimit), self excluded throughout (serving
+    *     semantics).
+    *
+    * The ladder is monotone (exact ⊆ ball ⊆ filtered corpus) and the
+    * rerank is exact either way, so escalation only ever ADDS
+    * candidates. Cost at scale: the ball join is the
+    * [[lshServeBatched]] maxHamming=1 join (layout side scanned once
+    * per batch), the stats aggregate carries ≤ candidates rows, and
+    * the brute rung's scan is proportional to the FILTERED subset ×
+    * starved requests — exactly what a correct answer requires when
+    * the index cannot satisfy the filter, and zero when no request
+    * starves. Output: (q_id, rn, neighbor_id, cos, index_used).
+    */
+  def lshServeFilteredAdaptiveBatched(requests: DataFrame, layout: DataFrame,
+                                      lsh: RandomHyperplaneLsh, dim: Int, k: Int,
+                                      userFilter: Column,
+                                      idCol: String = "vec_id",
+                                      embCol: String = "embedding",
+                                      numPhysicalPartitions: Int = 256): DataFrame = {
+    import graft.functions.VectorFunctions
+    val reqs = requests.where(col(embCol).isNotNull)
+    val q = lsh.withBuckets(reqs, VectorFunctions.l2Normalize(col(embCol)), dim)
+      .select(col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"),
+        sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm"),
+        posexplode(col("buckets")).as(Seq("q_t", "q_bkt")))
+      // the 1-bit ball, tagged with its Hamming distance: (0, own
+      // bucket) plus (1, each single flip) — values pairwise distinct,
+      // so a neighbor matches one ball row per table at most
+      .withColumn("bd", explode(array(
+        struct(lit(0).as("d"), col("q_bkt").as("b")) +:
+          (0 until lsh.numPlanes).map(p =>
+            struct(lit(1).as("d"),
+              col("q_bkt").bitwiseXOR(lit(1 << p)).as("b"))): _*)))
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("q_t"),
+        col("bd.b").as("q_bkt2"), col("bd.d").as("dist"))
+      .withColumn("q_part", pmod(col("q_bkt2"), lit(numPhysicalPartitions)))
+    val filteredLayout = layout.where(userFilter)
+    val pairs = filteredLayout.join(broadcast(q),
+        col("table") === col("q_t") && col("bucket_part") === col("q_part") &&
+          col("bucket") === col("q_bkt2") && col(idCol) =!= col("q_id"))
+      .groupBy(col("q_id"), col(idCol).cast("long").as("neighbor_id"))
+      .agg(min(col("dist")).as("min_dist"),
+        // identical across a neighbor's copies — first() is just the cheapest pick
+        first(col(embCol)).as("c_emb"),
+        first(col("q_emb")).as("q_emb"), first(col("q_norm")).as("q_norm"))
+    val reqIds = reqs.select(col(idCol).cast("long").as("q_id"),
+      col(embCol).as("q_emb"),
+      sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm"))
+    val levels = reqIds.join(
+        pairs.groupBy(col("q_id")).agg(
+          sum(when(col("min_dist") === 0, 1).otherwise(0)).as("n0"),
+          count(lit(1)).as("n1")),
+        Seq("q_id"), "left")
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        when(coalesce(col("n0"), lit(0L)) >= k, 0)
+          .when(coalesce(col("n1"), lit(0L)) >= k, 1)
+          .otherwise(2).as("level"))
+    val served = pairs.drop("q_emb", "q_norm")
+      .join(broadcast(levels), Seq("q_id"))
+      .where(col("level") < 2 && col("min_dist") <= col("level"))
+      .select(col("q_id"), col("neighbor_id"), col("c_emb"),
+        col("q_emb"), col("q_norm"), col("level"))
+    val starved = levels.where(col("level") === 2)
+    val brute = filteredLayout.where(col("table") === 0)
+      .join(broadcast(starved), col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).cast("long").as("neighbor_id"),
+        col(embCol).as("c_emb"), col("q_emb"), col("q_norm"), col("level"))
+    served.unionByName(brute)
+      .withColumn("c_norm", sqrt(DotProduct(col("c_emb"), col("c_emb"))))
+      .withColumn("cos",
+        when(col("q_norm") === 0.0 || col("c_norm") === 0.0, 0.0)
+          .otherwise(DotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("neighbor_id"), col("cos"),
+        when(col("level") === 0, "lsh").when(col("level") === 1, "lsh_mp1")
+          .otherwise("brute").as("index_used"))
+  }
+
   /** BATCHED serving against an at-rest [[IvfIndexStore]] layout — the
     * IVF twin of [[lshServeBatched]] (r15 open thread #3): ALL requests
     * of a micro-batch answered by ONE plan. The request batch

@@ -100,6 +100,87 @@ class FilteredKnnSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == expect)
   }
 
+  test("batched ladder: one plan serves all three rungs, request-identical to the per-request ladder") {
+    // r15 open thread #4: three requests in ONE batch, crafted (by
+    // hashing with the index's own planes) so each stops at a
+    // different rung — R0 at exact-bucket, R1 at the 1-bit ball, R2
+    // starved through to brute — and the batched plan's output per
+    // request equals the per-request ladder's. Request ids are NOT
+    // corpus ids, so self-exclusion is vacuous and the two forms must
+    // agree exactly (same filter, same counts, same boundary).
+    def minHammingTo(v: Array[Float], w: Array[Float]): Int = {
+      val vn = graft.functions.VectorFunctions.l2NormalizeArr(v)
+      val wn = graft.functions.VectorFunctions.l2NormalizeArr(w)
+      lsh.planes(dim).map { tp =>
+        Integer.bitCount(lsh.hash(vn.toSeq, tp) ^ lsh.hash(wn.toSeq, tp))
+      }.min
+    }
+    // R1: the first corpus random vector that is FAR from the qVec copy
+    // block (so R0's copies can't pollute its counts), short of k exact
+    // copies, but with a full ball — all three conditions verified by
+    // hashing, never assumed
+    val r1Vec = randVecs.find { v =>
+      minHammingTo(v, qVec) >= 2 && {
+        val cls = classesFor(v)
+        cls.count(_._2 == 0) < k && cls.count(_._2 == 1) >= 5
+      }
+    }.get
+    val r1Classes = classesFor(r1Vec)
+    val r1Exact = r1Classes.collect { case (id, 0) => id }.toSeq.sorted
+    val r1OneBit = r1Classes.collect { case (id, 1) => id }.toSeq.sorted
+    val fillers = randVecs.indices.map(i => 100L + i).filter { id =>
+      classes(id) >= 2 && r1Classes(id) >= 2
+    }.take(6)
+    val s0 = (0L until 10L) ++ r1Exact ++ r1OneBit.take(5) ++ fillers
+    val r2Vec = randVecs.indices.map(randVecs(_)).find { v =>
+      minHammingTo(v, qVec) >= 2 &&
+        s0.count { id =>
+          val cv = if (id < 100) qVec else randVecs((id - 100).toInt)
+          minHammingTo(cv, v) <= 1
+        } < k
+    }.get
+    val filterIds = s0
+    import spark.implicits._
+    val requests = Seq(
+      (9000L, qVec.toSeq), (9001L, r1Vec.toSeq), (9002L, r2Vec.toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val filter = col("vec_id").isin(filterIds.map(Long.box): _*)
+    val batched = graft.index.KnnJoin.lshServeFilteredAdaptiveBatched(
+        requests, layout, lsh, dim, k, filter)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e4) / 1e4, r.getString(4)))
+      .toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val wantLevels = Map(9000L -> "lsh", 9001L -> "lsh_mp1", 9002L -> "brute")
+    for ((qid, qv) <- Seq((9000L, qVec), (9001L, r1Vec), (9002L, r2Vec))) {
+      val rows = batched.getOrElse(qid, Nil)
+      assert(rows.nonEmpty, s"request $qid unanswered")
+      assert(rows.forall(_._5 == wantLevels(qid)),
+        s"request $qid served at ${rows.map(_._5).distinct.mkString} " +
+          s"not ${wantLevels(qid)}")
+      val want = store.searchFilteredAdaptive(layout, "embedding", "vec_id",
+          filter, qv, k)
+        .select(col("vec_id"), col("score"), col("index_used")).collect()
+        .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4) / 1e4,
+          r.getString(2)))
+      assert(rows.map(x => (x._3, x._4, x._5)).toSeq == want.toSeq,
+        s"request $qid: batched ${rows.toSeq} != per-request ${want.toSeq}")
+    }
+  }
+
+  private def classesFor(w: Array[Float]): Map[Long, Int] = {
+    def minHammingTo(v: Array[Float]): Int = {
+      val vn = graft.functions.VectorFunctions.l2NormalizeArr(v)
+      val wn = graft.functions.VectorFunctions.l2NormalizeArr(w)
+      lsh.planes(dim).map { tp =>
+        Integer.bitCount(lsh.hash(vn.toSeq, tp) ^ lsh.hash(wn.toSeq, tp))
+      }.min
+    }
+    randVecs.zipWithIndex.map { case (v, i) => (100L + i, minHammingTo(v)) }.toMap
+  }
+
   test("escalation boundary is exactly k survivors") {
     // k exact-bucket survivors: count == k stops at level 0 (>=, not >)
     val atK = store.searchFilteredAdaptive(layout, "embedding", "vec_id",

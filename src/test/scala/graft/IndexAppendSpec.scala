@@ -106,13 +106,34 @@ class IndexAppendSpec extends AnyFunSuite {
     assert(quiet.rows == 400)
     assert(quiet.reclusterAdvised().contains(false),
       s"in-distribution delta tripped the alarm: $quiet")
-    // fully drifted delta: moved means -> mean well below 0.8x baseline
-    val loud = store.append(mixture(0xD00DL, 0 until 400, 20000L), "embedding", p)
-    assert(loud.rows == 400)
+    // fully drifted delta: moved means -> mean well below 0.8x baseline.
+    // Substantial on purpose (the probe's regime): the recluster check
+    // below needs the stride sample of the combined corpus to cover
+    // the drifted family's 25 clusters, which a token delta cannot
+    val loud = store.append(mixture(0xD00DL, 0 until 2000, 20000L), "embedding", p)
+    assert(loud.rows == 2000)
     assert(loud.meanAssignCos < quiet.meanAssignCos,
       s"drifted mean ${loud.meanAssignCos} not below in-dist ${quiet.meanAssignCos}")
     assert(loud.reclusterAdvised().contains(true),
       s"fully drifted delta did not trip the alarm: $loud")
+    // the RESPONSE closes the loop: recluster on the combined layout
+    // (base + in-dist delta + drifted delta) -> new centroids describe
+    // BOTH families, the baseline refreshes, and the same drifted
+    // family that tripped the old layout's alarm is now in-distribution
+    val p2 = "target/spec-index/ivf-drift-spec-v2"
+    TestSpark.rmTree(new java.io.File(p2))
+    val (store2, rebuilt) = store.recluster(spark, p, p2, "embedding", "vec_id", 53L)
+    assert(rebuilt.rows == wrote.rows + quiet.rows + loud.rows,
+      s"recluster dropped rows: ${rebuilt.rows}")
+    assert(rebuilt.meanAssignCos > loud.meanAssignCos,
+      "retrained centroids do not describe the drifted family better than frozen ones")
+    val after = store2.append(mixture(0xD00DL, 0 until 400, 40000L), "embedding", p2)
+    assert(after.reclusterAdvised().contains(false),
+      s"post-recluster append of the formerly-drifted family still alarms: $after")
+    // and an in-place recluster is refused loudly
+    intercept[IllegalArgumentException] {
+      store.recluster(spark, p, p, "embedding", "vec_id", 53L)
+    }
     // no-signal cases are None, never a quiet false
     val empty = store.append(base.where(col("vec_id") < 0), "embedding", p)
     assert(empty.rows == 0 && empty.reclusterAdvised().isEmpty)

@@ -75,6 +75,50 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(hits.head._1 == late._1 && math.abs(hits.head._2 - 1.0) < 1e-9)
   }
 
+  test("IVF streaming ingest: per-batch drift stats reach the operator callback") {
+    // the LSH appendStream twin plus r15's alarm: two micro-batches —
+    // one in-distribution, one fully drifted (moved mixture means) —
+    // land in the layout AND surface their AppendStats to the
+    // callback, quiet then loud, after each append commits
+    import graft.index.{IvfIndexStore, IvfKnn}
+    val dim = 64
+    def mixPoint(centerSeed: Long, id: Long): Array[Float] = {
+      val c = id % 25
+      val center = Array.tabulate(dim)(j => LshSweep.gauss(centerSeed + c, j))
+      val cn = math.sqrt(center.map(x => x * x).sum)
+      Array.tabulate(dim)(j =>
+        (center(j) / cn + 0.1 * LshSweep.gauss(0xBEEFL + id, j)).toFloat)
+    }
+    import spark.implicits._
+    val base = (0L until 1500L).map(i => (i, mixPoint(0xC0FFEEL, i)))
+      .toDF("vec_id", "embedding")
+    val cents = IvfKnn.centroids(base, col("vec_id"), col("embedding"), 53L)
+    val store = IvfIndexStore(cents)
+    val path = "target/test-index/ivf-stream-append"
+    TestSpark.rmTree(new java.io.File(path))
+    store.write(base, "embedding", path)
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[IvfIndexStore.AppendStats]
+    val q = store.appendStream(mem.toDF().toDF("vec_id", "embedding"), "embedding",
+      path, onBatch = s => seen.synchronized { seen += s })
+    try {
+      mem.addData((10000L until 10200L).map(i => (i, mixPoint(0xC0FFEEL, i))): _*)
+      q.processAllAvailable()
+      mem.addData((20000L until 20200L).map(i => (i, mixPoint(0xD00DL, i))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(spark.read.parquet(path).select("vec_id").distinct().count() == 1900)
+    val stats = seen.synchronized(seen.toList)
+    assert(stats.map(_.rows) == List(200L, 200L), s"batch stats: $stats")
+    assert(stats.head.reclusterAdvised().contains(false),
+      s"in-distribution micro-batch alarmed: ${stats.head}")
+    assert(stats(1).reclusterAdvised().contains(true),
+      s"drifted micro-batch stayed quiet: ${stats(1)}")
+  }
+
   test("GraftExtensions registers cosine_similarity for SQL in a fresh session") {
     val prev = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
