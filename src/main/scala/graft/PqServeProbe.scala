@@ -174,6 +174,41 @@ object PqServeProbe {
       joinedServe(ranged))
     probe("single-plan join form (warm)")(joinedServe(ranged))
 
+    // ---- shuffle-join + runtime bloom filter experiment (r16 open
+    // thread #3): InjectRuntimeFilter only targets shuffle-application
+    // joins, so force the shortlist join to sort-merge (broadcast off)
+    // with the bloom knobs opened (the 10 GB application-side default
+    // would veto a probe-sized table), and report whether the float
+    // scan's reads actually drop — the one configuration under which
+    // the single-plan form COULD match the two-plan hop's I/O.
+    def shuffleJoinServe(): (Seq[(Long, Double)], Boolean) = {
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "100")
+      try {
+        val cand = graft.index.PqKnn.searchEncoded(
+            spark.read.parquet(s"$indexPath/codes"), q, cb, 100)
+          .select(col("id"))
+        val pool = ranged.join(cand, col("vec_id") === col("id")).drop("id")
+        val out = graft.index.BruteForceKnn.search(
+          pool, col("embedding"), col("vec_id"), q, 5)
+          .select(col("vec_id"), round(col("score"), 4).as("score"))
+        val bloomInjected =
+          out.queryExecution.optimizedPlan.toString.contains("bloom_filter") ||
+            out.queryExecution.executedPlan.toString.contains("bloom")
+        (out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq, bloomInjected)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      }
+    }
+    val (sShuffle, bloomed) = probe(
+      "shuffle-join + runtime bloom (broadcast off, thresholds opened)")(shuffleJoinServe())
+    println(s"PQSERVE bloom filter injected: $bloomed")
+    require(sShuffle == f1, s"shuffle-join serve diverged: $sShuffle")
+
     // end-to-end split serve (the gate's exact path) for the identity check
     val sFull = store.searchRefinedSplit(spark, indexPath, ranged, "vec_id",
         "embedding", q, k = 5, dim = dim, candidates = 100)

@@ -86,6 +86,18 @@ object SpillScaleProbe {
       // positive pays one pruned parquet probe (~hundreds of ms), and
       // a mean smears the two regimes into a number that describes
       // neither. The max IS the FP cost, priced explicitly.
+      // parquet rows materialized per archived-id probe: the id-sorted
+      // segment layout (r15, Engine.spillSegment) is a rows-READ win —
+      // at probe scale the latency is planning-dominated, so the
+      // pruning shows here, not in the ms columns
+      val rowsRead = new org.apache.spark.scheduler.SparkListener {
+        val n = new java.util.concurrent.atomic.AtomicLong
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            n.addAndGet(te.taskMetrics.inputMetrics.recordsRead): Unit
+      }
+      spark.sparkContext.addSparkListener(rowsRead)
       def probeMs(ids: Seq[String]): (Double, Double, Double, Seq[String]) = {
         val outcomes = scala.collection.mutable.ListBuffer.empty[String]
         val times = ids.map { id =>
@@ -104,10 +116,13 @@ object SpillScaleProbe {
       val archivedIds = (0 until 20).map(k => s"c${k * 997}") // early adds -> spilled
       val absentIds = (0 until 20).map(k => s"nope$k")
       val (missFirst, missMed, missMax, missOut) = probeMs(absentIds)
+      rowsRead.n.set(0L)
       val (hitFirst, hitMed, hitMax, hitOut) = probeMs(archivedIds)
+      Thread.sleep(1000) // listener bus is async
       println(f"BLOOM hit_first_ms=$hitFirst%.1f hit_warm_median_ms=$hitMed%.1f hit_warm_max_ms=$hitMax%.1f outcomes=$hitOut " +
         f"miss_first_ms=$missFirst%.2f miss_warm_median_ms=$missMed%.4f miss_warm_max_ms=$missMax%.1f outcomes=$missOut " +
-        f"warm_median_ratio=${hitMed / missMed}%.0f")
+        f"warm_median_ratio=${hitMed / missMed}%.0f " +
+        f"hit_rows_read_per_probe=${rowsRead.n.get / archivedIds.size}")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

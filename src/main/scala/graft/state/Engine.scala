@@ -195,7 +195,16 @@ final class Engine(clock: () => Instant = () => Instant.now(),
     val docInc = s.documents.map(d => (d.library_id, d.id) -> d.incarnation).toMap
     val seg = new java.io.File(sp.dir,
       f"seg-${segSeq.getAndIncrement()}%06d").getAbsolutePath
-    sp.spark.createDataset(rows.map(c => SpilledChunkRow(
+    // id-SORTED segment (r15, the PqServeProbe lesson applied to the
+    // archive): parquet skipping runs on per-row-group min/max stats,
+    // and the probe ([[isSpilled]]) filters on `id` equality — over an
+    // insertion-ordered segment every row group spans the whole id
+    // range and nothing can be skipped, while the sorted layout gives
+    // createDataset's partitions disjoint contiguous id ranges, so an
+    // id probe prunes to at most one file per segment. Driver-side
+    // sort of an already-resident Vector; the archive is a set, so
+    // row order is free
+    sp.spark.createDataset(rows.sortBy(_.id).map(c => SpilledChunkRow(
         c.library_id, c.document_id, c.id, c.text, c.embedding, c.metadata,
         c.created_at, c.updated_at, docInc((c.library_id, c.document_id)))))
       .write.mode("errorifexists").parquet(seg)
@@ -250,6 +259,10 @@ final class Engine(clock: () => Instant = () => Instant.now(),
             f"seg-${segSeq.getAndIncrement()}%06d").getAbsolutePath
           all.join(broadcast(liveDocs),
               Seq("library_id", "document_id", "doc_incarnation"), "left_semi")
+            // keep the compacted archive id-sorted too (see
+            // spillSegment): one extra exchange in a pass that already
+            // rewrites every byte, bought back on every later id probe
+            .sort(col("id"))
             .write.mode("errorifexists").parquet(seg)
           val compacted = sp.spark.read.parquet(seg)
           val after = compacted.count()
