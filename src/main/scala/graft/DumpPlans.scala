@@ -167,7 +167,11 @@ object DumpPlans {
       // with the adc_score/sq8_score alias in the inner projection and
       // a ReadSchema pruned to (id, embedding, code) — no label, no
       // exchange between the stages
-      "ann_pq_rule", "ann_sq8_rule")
+      "ann_pq_rule", "ann_sq8_rule",
+      // the composed kind: the same staged pair PLUS the coarse
+      // cluster_id partition filter on the scan (PartitionFilters
+      // non-empty — nprobe of nlist directories read)
+      "ann_ivfpq_rule")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.01, generated by graft.DumpPlans)\n\n")

@@ -1499,6 +1499,12 @@ object OracleHashSql {
     // (PqKnn.searchIvfPqRefined; equivalence pinned in
     // AnnEquivalenceSpec) — one replay oracle serves both
     "ann_ivfpq" -> annIvfSql,
+    // the rule-served composition: same coarse quantizer, trainer,
+    // 100-wide shortlist and exact rerank as ann_ivfpq, so the same
+    // equals-exact-IVF argument lets it share the IVF replay oracle
+    // (the gate's requires pin the staged rewrite, its ADC stage and
+    // the partition-filter probe)
+    "ann_ivfpq_rule" -> annIvfSql,
     // trained-constants replay; Verify inlines the fitted centroids
     // into __KMEANS_CENTROIDS_CTE__ before the SQL reaches DuckDB
     "cluster_balance" -> clusterBalanceSql,

@@ -490,6 +490,66 @@ object Queries {
     out
   }
 
+  /** [[annIvfPq]] served THROUGH THE OPTIMIZER RULE — the registry's
+    * first COMPOSED kind (probe filter × scoring rewrite stacked):
+    * the caller writes the same plain exact top-k over a registered
+    * codes+floats table PARTITIONED BY cluster_id;
+    * [[graft.plans.LshProbeRewrite]] injects the coarse `cluster_id
+    * IN (top-nprobe centroids)` partition filter (the IVF kind — the
+    * scan reads nprobe of nlist directories) AND rebuilds the plan as
+    * ADC-shortlist → exact-rerank over the survivors (the PQ kind).
+    * Same coarse quantizer (stride-53 centroids), trainer, shortlist
+    * and tie-breaks as [[annIvfPq]], so the same
+    * equals-exact-IVF-at-this-shortlist argument applies and the gate
+    * shares ann_ivf's replay oracle. The `require`s pin all three
+    * mechanisms: the staged operator, the ADC stage, and the coarse
+    * probe reaching the scan as a PARTITION filter (a post-scan row
+    * filter would be reading the whole layout). */
+  private val ivfpqRuleIndexCache = new SessionCache[String, DataFrame]
+  private val ivfpqRuleCbCache = new SessionCache[String, graft.index.PqKnn.Codebooks]
+  def annIvfPqRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = ivfRuleCents(spark, sfDir)
+    val p = s"target/gate-index/ivfpq-rule-${math.abs(sfDir.hashCode)}"
+    val cb = ivfpqRuleCbCache.getOrElseUpdate(spark, sfDir) {
+      val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+      graft.index.PqKnn.train(emb, col("vec_id"), col("embedding"), dim = 64)
+    }
+    val base = ivfpqRuleIndexCache.getOrElseUpdate(spark, sfDir) {
+      val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+      val codes = graft.index.PqKnn.encode(emb, col("vec_id"), col("embedding"), cb)
+        .withColumnRenamed("id", "vec_id")
+      IvfKnn.assign(emb, col("embedding"), cents)
+        .select(col("vec_id"), col("embedding"), col("label"), col("cluster_id"))
+        .join(codes, "vec_id")
+        .repartition(col("cluster_id"))
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(p)
+      spark.read.parquet(p)
+    }
+    graft.plans.LshProbeRewrite.registerIvfPq(p, cents, nprobe = 2, cb,
+      shortlist = 100)
+    injectProbeRule(spark)
+    val q = queryVec(spark, sfDir)
+    val out = base
+      .withColumn("score",
+        graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    require(plan.contains("LshProbeTopK"),
+      "LshProbeRewrite did not fire — the IVF-PQ gate must serve through " +
+        "the composed rewrite, not fall back to the exact scan")
+    require(plan.contains("adc_score"),
+      "the IVF-PQ rewrite lost its ADC stage")
+    val physical = out.queryExecution.executedPlan.toString
+    require(physical.contains("PartitionFilters") &&
+      physical.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("cluster_id"),
+      "the coarse probe did not prune partitions — the IVF half of the " +
+        "composition is a row filter in disguise")
+    out
+  }
+
   /** [[annIvf]] served THROUGH THE OPTIMIZER RULE (r13 verdict #4):
     * the caller writes the plain exact top-k over the registered IVF
     * table; [[graft.plans.LshProbeRewrite]] injects `cluster_id IN
@@ -4819,6 +4879,7 @@ object Queries {
     "ann_sq" -> (annSq _),
     "ann_sq8_rule" -> (annSq8Rule _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_ivfpq_rule" -> (annIvfPqRule _),
     "hybrid_rrf" -> (hybridRrf _),
     "search_mmr" -> (searchMmr _),
     "chunk_documents" -> (chunkDocuments _),

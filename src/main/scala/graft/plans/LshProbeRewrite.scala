@@ -70,6 +70,25 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
                                   shortlist: Int, idColName: String)
     extends IndexRegistration
 
+  /** IVF-PQ policy — the registry's first COMPOSED kind, proving the
+    * two rewrite families stack: the coarse quantizer contributes its
+    * `cluster_id IN (top-nprobe centroids)` PARTITION filter (the IVF
+    * kind's probe, pruning the scan to nprobe/nlist directories) and
+    * the codebooks contribute the staged ADC-shortlist → exact-rerank
+    * SCORING rewrite over the surviving rows (the PQ kind's plan
+    * shape) — one registration, one caller-side plain top-k, the FAISS
+    * IVFPQ+refine composition end to end. With a shortlist wide
+    * enough that PQ misranking cannot evict a true neighbor, the
+    * result equals the EXACT IVF search over the same coarse
+    * quantizer ([[graft.index.PqKnn.searchIvfPqRefined]]'s
+    * equivalence argument), which is what lets the gate share
+    * ann_ivf's replay oracle. */
+  final case class IvfPqRegistration(cents: Array[(Long, Array[Float])],
+                                     nprobe: Int,
+                                     cb: graft.index.PqKnn.Codebooks,
+                                     shortlist: Int, idColName: String)
+    extends IndexRegistration
+
   /** SQ8 policy (round-15 open thread #1): the second SCORING kind.
     * Same staged shortlist→rerank rewrite as PQ — SQ8's per-dimension
     * scale table folds with the query into an [[graft.expressions.AdcScore]]
@@ -111,6 +130,16 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
     registry.put(normalize(new java.io.File(path).getAbsolutePath),
       PqRegistration(cb, shortlist, idColName))
+  }
+
+  def registerIvfPq(path: String, cents: Array[(Long, Array[Float])], nprobe: Int,
+                    cb: graft.index.PqKnn.Codebooks, shortlist: Int = 100,
+                    idColName: String = "vec_id"): Unit = {
+    require(cents.nonEmpty && nprobe >= 1, "IVF-PQ registration needs centroids and nprobe >= 1")
+    require(cb.m >= 1 && cb.cents.nonEmpty, "IVF-PQ registration needs trained codebooks")
+    require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
+    registry.put(normalize(new java.io.File(path).getAbsolutePath),
+      IvfPqRegistration(cents, nprobe, cb, shortlist, idColName))
   }
 
   def registerSq8(path: String, scales: Array[Double],
@@ -221,6 +250,19 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
             stagedScoringProbe(kVal, sort, projectList, child,
               graft.index.SqKnn.adcTable(qvec, r.scales), "sq8_score",
               r.shortlist, r.idColName)
+          case r: IvfPqRegistration =>
+            // the composed kind: coarse partition probe UNDER the
+            // staged scoring rewrite — the Filter sits between the
+            // scan and the inner projection, so PhysicalOperation
+            // still collapses (Project, Filter, scan) into one pruned
+            // parquet read
+            for {
+              probe <- ivfProbeFilter(IvfRegistration(r.cents, r.nprobe), qvec, child)
+              node <- stagedScoringProbe(kVal, sort, projectList,
+                Filter(probe, child),
+                graft.index.PqKnn.adcTable(qvec, r.cb), "adc_score",
+                r.shortlist, r.idColName)
+            } yield node
         }
       } yield node
       rewrite

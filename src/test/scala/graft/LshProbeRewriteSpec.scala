@@ -325,6 +325,53 @@ class LshProbeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("an IVF-PQ registration composes the partition probe with the staged scoring rewrite") {
+    // the registry's first COMPOSED kind: coarse cluster_id partition
+    // filter (IVF half) under the ADC-shortlist -> exact-rerank staging
+    // (PQ half), row-identical to the hand-built searchIvfPqRefined
+    val base = TestSpark.spark
+    val emb = Tables.embeddings(base, "/root/testdata/sf0.001")
+      .where(col("embedding").isNotNull)
+    val cents = graft.index.IvfKnn.centroids(emb, col("vec_id"), col("embedding"), 53L)
+    assert(cents.length >= 2, "fixture too small for a 2-probe IVF-PQ test")
+    val cb = graft.index.PqKnn.train(emb, col("vec_id"), col("embedding"), dim = 64)
+    val path = "target/test-index/rewrite-ivfpq"
+    TestSpark.rmTree(new java.io.File(path))
+    val codes = graft.index.PqKnn.encode(emb, col("vec_id"), col("embedding"), cb)
+      .withColumnRenamed("id", "vec_id")
+    graft.index.IvfKnn.assign(emb, col("embedding"), cents)
+      .select(col("vec_id"), col("embedding"), col("label"), col("cluster_id"))
+      .join(codes, "vec_id")
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    val q = Queries.queryVec(base, "/root/testdata/sf0.001")
+    val want = graft.index.PqKnn.searchIvfPqRefined(emb, col("vec_id"),
+        col("embedding"), q, k = 5, dim = 64, candidates = 100)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    withExtSession { s =>
+      LshProbeRewrite.clear()
+      LshProbeRewrite.registerIvfPq(path, cents, nprobe = 2, cb, shortlist = 100)
+      val topk = s.read.parquet(path)
+        .withColumn("score", CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+      val plan = topk.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LshProbeTopK"), plan.take(3000))
+      assert(plan.contains("adc_score"), plan.take(3000))
+      assert(plan.split("LshProbeTopK").length - 1 >= 2, plan.take(3000))
+      val physical = topk.queryExecution.executedPlan.toString
+      assert(physical.contains("PartitionFilters") &&
+        physical.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("cluster_id"),
+        s"coarse probe did not prune partitions:\n$physical")
+      val got = topk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"rule-served IVF-PQ diverges from hand-built: $got vs $want")
+      LshProbeRewrite.clear()
+    }
+  }
+
   test("hand-built probes over a registered table are never stacked on") {
     // r15 catch (flagged by knn_filtered_adaptive's oracle): the
     // adaptive ladder's brute rung scans `table = 0` of the REGISTERED
