@@ -26,7 +26,11 @@ object LongSessionProbe {
   private val heavyTier = Seq(
     "simjoin_prefix_collapsed", "simjoin_prefix_jaccard",
     "dedup_trigram_jaccard", "tfidf_top_terms",
-    "dedup_minhash", "dedup_incremental", "dedup_substring")
+    "dedup_minhash", "dedup_incremental", "dedup_substring",
+    // r15 heavy additions: the batched serving joins and the batched
+    // escalation ladder — multi-join DAGs over broadcast request sides,
+    // the new allocator-heavy shapes a long session accumulates
+    "knn_serve_stream_batched_mp", "knn_filtered_adaptive_batched")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

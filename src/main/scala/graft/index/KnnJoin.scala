@@ -206,8 +206,7 @@ object KnnJoin {
       .groupBy(col("q_id"), col(idCol).cast("long").as("neighbor_id"))
       .agg(min(col("dist")).as("min_dist"),
         // identical across a neighbor's copies — first() is just the cheapest pick
-        first(col(embCol)).as("c_emb"),
-        first(col("q_emb")).as("q_emb"), first(col("q_norm")).as("q_norm"))
+        first(col(embCol)).as("c_emb"))
     val reqIds = reqs.select(col(idCol).cast("long").as("q_id"),
       col(embCol).as("q_emb"),
       sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm"))
@@ -220,8 +219,8 @@ object KnnJoin {
         when(coalesce(col("n0"), lit(0L)) >= k, 0)
           .when(coalesce(col("n1"), lit(0L)) >= k, 1)
           .otherwise(2).as("level"))
-    val served = pairs.drop("q_emb", "q_norm")
-      .join(broadcast(levels), Seq("q_id"))
+    val served = pairs
+      .join(broadcast(levels), Seq("q_id")) // q_emb/q_norm ride the levels row
       .where(col("level") < 2 && col("min_dist") <= col("level"))
       .select(col("q_id"), col("neighbor_id"), col("c_emb"),
         col("q_emb"), col("q_norm"), col("level"))
