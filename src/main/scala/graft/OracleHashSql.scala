@@ -1483,6 +1483,11 @@ object OracleHashSql {
     "knn_lsh_rule_multiprobe" -> knnLshMultiprobeSql,
     "ann_sq" -> annSqSql,
     "ann_ivf" -> annIvfSql,
+    // the lifecycle gate: stale write -> frozen append -> recluster ->
+    // swap; the retrained centroids are the stride-53 sample of the
+    // combined corpus = ann_ivf's model, so the shared oracle's hash
+    // PROVES recluster == a one-pass full write
+    "ann_ivf_recluster" -> annIvfSql,
     "ann_ivf_rule" -> annIvfSql,
     "ann_ivf_append" -> annIvfSql,
     "ann_ivf_rule_clustered" -> annIvfRuleClusteredSql,

@@ -346,6 +346,58 @@ object Queries {
     out
   }
 
+  /** The full IVF LIFECYCLE gated end to end (r15: the drift alarm's
+    * RESPONSE as a correctness gate, not just a spec): write a base
+    * layout with centroids trained on the BASE ONLY (deliberately
+    * stale — "the new arrivals" vec_id % 5 == 0 were not in the
+    * training corpus), append them under the frozen-centroid
+    * contract, then [[graft.index.IvfIndexStore.recluster]] — retrain
+    * on the combined layout's own bytes, write a FRESH path, register
+    * THAT path with the retrained centroids (the serving swap) — and
+    * serve the plain rule top-k from the new layout. The retrained
+    * centroids are the deterministic stride-53 sample of the full
+    * corpus, i.e. exactly [[annIvf]]'s model, so the gate shares
+    * ann_ivf's replay oracle: the hash proves recluster ≡ a one-pass
+    * full write over the combined corpus, byte-for-byte, while the
+    * lifecycle (stale write → O(delta) append → retrain → swap) is
+    * what actually executed. Lifecycle is a one-time snapshot cost
+    * (session-cached); the timed run is the served probe. */
+  private val ivfReclusterCache = new SessionCache[String, DataFrame]
+  private val ivfReclusterCentsCache = new SessionCache[String, Array[(Long, Array[Float])]]
+  def annIvfRecluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val pre = s"target/gate-index/ivf-recluster-pre-${math.abs(sfDir.hashCode)}"
+    val post = s"target/gate-index/ivf-recluster-post-${math.abs(sfDir.hashCode)}"
+    val base = ivfReclusterCache.getOrElseUpdate(spark, sfDir) {
+      val emb = Tables.embeddings(spark, sfDir)
+      val staleCents = IvfKnn.centroids(emb.where(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), stride = 53L)
+      val stale = graft.index.IvfIndexStore(staleCents)
+      stale.write(emb.where(col("vec_id") % 5 =!= 0), "embedding", pre)
+      val appended = stale.append(emb.where(col("vec_id") % 5 === 0), "embedding", pre)
+      require(appended.rows > 0, "lifecycle gate needs a non-empty delta")
+      val (fresh, rebuilt) = stale.recluster(spark, pre, post, "embedding", "vec_id", 53L)
+      require(rebuilt.baselineCos.isDefined,
+        "recluster must refresh the training-time baseline")
+      ivfReclusterCentsCache.getOrElseUpdate(spark, sfDir)(fresh.cents)
+      spark.read.parquet(post)
+    }
+    val cents = ivfReclusterCentsCache.getOrElseUpdate(spark, sfDir)(
+      sys.error("recluster centroids must be staged by the layout build"))
+    graft.plans.LshProbeRewrite.registerIvf(post, cents, nprobe = 2)
+    injectProbeRule(spark)
+    val q = queryVec(spark, sfDir)
+    val out = base
+      .withColumn("score",
+        graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    require(out.queryExecution.optimizedPlan.toString.contains("LshProbeTopK"),
+      "LshProbeRewrite did not fire — the reclustered gate must serve " +
+        "through the rule's centroid probe over the FRESH layout")
+    out
+  }
+
   /** The decision table's CONTINUOUS-INGEST row gated on the same
     * clustered fixture: LSH 8×12 + 1-bit multi-probe — the index the
     * table recommends when appends must stay per-row hashes with no
@@ -4723,6 +4775,7 @@ object Queries {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_rule" -> (annIvfRule _),
     "ann_ivf_append" -> (annIvfAppend _),
+    "ann_ivf_recluster" -> (annIvfRecluster _),
     "ann_ivf_rule_clustered" -> (annIvfRuleClustered _),
     "ann_lsh_rule_clustered" -> (annLshRuleClustered _),
     "ann_nsw" -> (annNsw _),
