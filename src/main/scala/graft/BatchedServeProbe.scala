@@ -171,6 +171,34 @@ object BatchedServeProbe {
     val ai = loopServeIvf(); val bi = batchedServeIvf()
     val misIvf = reqRows.map(_._1).filter(q => ai.getOrElse(q, Nil) != bi.getOrElse(q, Nil))
     report("ivf", misIvf.isEmpty, () => loopServeIvf(), () => batchedServeIvf())
+
+    // ---- the guaranteed-k filtered ladder (r15): the loop arm pays up
+    // to two driver COUNT jobs PLUS the ranked query per request (the
+    // escalation decision is driver-side); the batched arm decides all
+    // escalations in one plan. Loop filter carries the self-exclusion
+    // so both arms serve identical semantics.
+    val ladderStore = LshIndexStore(lsh, dim)
+    val ladderFilter = pmod(col("vec_id"), lit(3)) === 0
+    def loopServeLadder(): Map[Long, Seq[(Long, Double)]] = reqRows.map { case (qid, qv) =>
+      val hits = ladderStore.searchFilteredAdaptive(layout, "embedding", "vec_id",
+          ladderFilter && col("vec_id") =!= qid, qv, 5)
+        .select(col("vec_id"), col("score"))
+        .collect()
+        .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4) / 1e4)).toSeq
+      qid -> hits
+    }.toMap
+    def batchedServeLadder(): Map[Long, Seq[(Long, Double)]] =
+      graft.index.KnnJoin.lshServeFilteredAdaptiveBatched(requests, layout, lsh, dim,
+          k = 5, userFilter = ladderFilter)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 1e4) / 1e4))
+        .groupBy(_._1)
+        .map { case (q, rows) => q -> rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq }
+    val al = loopServeLadder(); val bl = batchedServeLadder()
+    val misLad = reqRows.map(_._1).filter(q => al.getOrElse(q, Nil) != bl.getOrElse(q, Nil))
+    report("filtered_adaptive", misLad.isEmpty,
+      () => loopServeLadder(), () => batchedServeLadder())
     spark.stop()
   }
 }
