@@ -171,7 +171,13 @@ object DumpPlans {
       // the composed kind: the same staged pair PLUS the coarse
       // cluster_id partition filter on the scan (PartitionFilters
       // non-empty — nprobe of nlist directories read)
-      "ann_ivfpq_rule")
+      "ann_ivfpq_rule",
+      // the batched escalation ladder: every per-request guaranteed-k
+      // decision in ONE plan — broadcast hash joins for the ball
+      // candidates and level attach, a BroadcastNestedLoopJoin (not a
+      // CartesianProduct) for the starved-request brute rung, and
+      // WindowGroupLimit for the per-request top-k
+      "knn_filtered_adaptive_batched")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.01, generated by graft.DumpPlans)\n\n")
