@@ -106,9 +106,12 @@ object PqServeProbe {
       listener.reset()
       val t0 = System.nanoTime()
       val out = f
+      // elapsed BEFORE the listener drain: the sleep is measurement
+      // plumbing, and inside the window it inflated every warm
+      // sub-second stage by ~1.0 s (r15 ADVICE)
+      val elapsed = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000) // listener bus is async; let TaskEnd drain
-      println(f"PQSERVE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
-        f"rowsRead=${listener.inputRecords}")
+      println(f"PQSERVE $label: $elapsed%.2f s, rowsRead=${listener.inputRecords}")
       out
     }
 
@@ -182,7 +185,15 @@ object PqServeProbe {
     // scan's reads actually drop — the one configuration under which
     // the single-plan form COULD match the two-plan hop's I/O.
     def shuffleJoinServe(): (Seq[(Long, Double)], Boolean) = {
-      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      // save ALL four knobs (r15 ADVICE: restoring only the broadcast
+      // threshold left the bloom/runtime-filter knobs set for the
+      // subsequent end-to-end split-serve measurement)
+      val knobs = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtimeFilter.number.threshold")
+      val prev = knobs.map(k => k -> spark.conf.getOption(k))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       spark.conf.set(
@@ -201,7 +212,10 @@ object PqServeProbe {
             out.queryExecution.executedPlan.toString.contains("bloom")
         (out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq, bloomInjected)
       } finally {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
       }
     }
     val (sShuffle, bloomed) = probe(

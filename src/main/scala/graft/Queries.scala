@@ -4579,6 +4579,15 @@ object Queries {
     require(plan.matches("(?s).*PushedFilters: \\[[^\\]]*vec_id.*"),
       "the shortlist filter did not reach the float scan — a split serve " +
         "that reads the whole float table is the fused path in disguise")
+    // the pushed filter string alone cannot distinguish a point-list
+    // pushdown from the degraded [min,max] range (ParquetFilters makes
+    // that choice BELOW the plan display, keyed on inFilterThreshold) —
+    // so also pin the threshold the store is contracted to set
+    // (searchRefinedSplit raises it to >= candidates; r15 ADVICE medium)
+    require(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold").toInt >= 100,
+      "inFilterThreshold below the shortlist width — the pushed IN is one " +
+        "[min,max] range and the float fetch reads ~the whole table " +
+        "(PqServeProbe measured 990k of 1M rows)")
     out
   }
 

@@ -116,6 +116,10 @@ object SpillScaleProbe {
       val archivedIds = (0 until 20).map(k => s"c${k * 997}") // early adds -> spilled
       val absentIds = (0 until 20).map(k => s"nope$k")
       val (missFirst, missMed, missMax, missOut) = probeMs(absentIds)
+      // drain the async listener bus BEFORE resetting the counter
+      // (r15 ADVICE): late TaskEnd events from the miss probes would
+      // otherwise leak into hit_rows_read_per_probe
+      Thread.sleep(1000)
       rowsRead.n.set(0L)
       val (hitFirst, hitMed, hitMax, hitOut) = probeMs(archivedIds)
       Thread.sleep(1000) // listener bus is async

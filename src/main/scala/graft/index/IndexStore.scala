@@ -211,8 +211,12 @@ final case class IvfIndexStore(cents: Array[(Long, Array[Float])]) {
     // caller threading state
     val sidecar = java.nio.file.Paths.get(path, "_ivf_baseline")
     java.nio.file.Files.createDirectories(sidecar.getParent)
+    // Double.toString, not printf: %.17g is LOCALE-DEPENDENT (a
+    // comma-decimal default locale writes "0,66…", and readBaseline's
+    // .toDouble then throws on every later append); toString is
+    // locale-fixed and shortest-round-trip exact
     java.nio.file.Files.write(sidecar,
-      f"$mean%.17g".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      mean.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     AppendStats(rows, mean, Some(mean))
   }
 

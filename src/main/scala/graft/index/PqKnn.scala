@@ -393,6 +393,17 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
                          floats: DataFrame, idColName: String, embColName: String,
                          query: Array[Float], k: Int, dim: Int,
                          candidates: Int = 100): DataFrame = {
+    // The STORE owns requirement (2), not the caller's session config
+    // (r15 ADVICE, medium: the Verify/Bench sessions never set the
+    // threshold, so the gate's pushed IN silently degraded to the one
+    // [min,max] range — the exact 990k-of-1M failure PqServeProbe
+    // measured — while the gate stayed green). Raising the session
+    // floor is safe: the threshold only bounds how many IN points
+    // parquet receives as an or-chain vs a range, and every other scan
+    // is unaffected below it.
+    val thresholdKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if (spark.conf.get(thresholdKey, "10").toInt < candidates)
+      spark.conf.set(thresholdKey, candidates.toString)
     val cb = loadCodebooks(spark, path, dim)
     val shortlist = searchEncoded(spark.read.parquet(s"$path/codes"), query, cb,
         candidates)
