@@ -312,6 +312,11 @@ object Bench {
         med._2, med._3, med._4 / 1e6)
     }
     val overBudget = BenchBudget.overBudget(queryRuns, anchors)
+    // the suite-level machine-load reading, machine-readable at last
+    // (r15 verdict Next #6): medians/anchors over UNCHANGED-profile
+    // gates — ~1.0 on a calm host, 1.3+ on an ambient-loaded session
+    val ambientFactor = BenchBudget.suiteAmbientFactor(queryRuns, anchors)
+    val ambientJson = ambientFactor.map(f => f"$f%.3f").getOrElse("null")
     val suspects = BenchBudget.sameProfileSuspects(queryRuns, anchors)
     val adjudications = BenchBudget.adjudicate(
       suspects, queryRuns.toMap, anchors,
@@ -342,7 +347,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "docs/BENCH_FORENSICS.json")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"over_time_same_profile":$sameProfileJson,"same_profile_adjudication":$adjJson,"budget_status":"${jsonStr(budgetStatus)}","query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"over_time_same_profile":$sameProfileJson,"same_profile_adjudication":$adjJson,"suite_ambient_factor":$ambientJson,"budget_status":"${jsonStr(budgetStatus)}","query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}"}"""
     // print the RESOLVED absolute path, not the raw input: with a
     // cwd-relative default, the raw string resolved against a
     // different directory aims the pointer at a stale file
@@ -355,7 +360,7 @@ object Bench {
         Some(p.toString)
       } catch { case _: Throwable => None }
     val forensicsField = wrote.map(p => "\"" + jsonStr(p) + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"over_time_same_profile":$sameProfileJson,"budget_status":"${jsonStr(budgetStatus)}","runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"over_time_same_profile":$sameProfileJson,"suite_ambient_factor":$ambientJson,"budget_status":"${jsonStr(budgetStatus)}","runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}""")
     spark.stop()
   }
 }

@@ -1452,6 +1452,11 @@ object OracleHashSql {
     "knn_lsh_rule" -> knnLshSql,
     "knn_lsh_rule_filtered" -> knnLshRuleFilteredSql,
     "knn_filtered_adaptive" -> knnFilteredAdaptiveSql,
+    // the rule-served form is decision-identical to the library ladder
+    // (same layout family, filter, k and reporting), so the SAME replay
+    // oracle adjudicates it — an engine whose REGISTRATION-level policy
+    // escalates at a different boundary than the library call diverges
+    "knn_filtered_rule_adaptive" -> knnFilteredAdaptiveSql,
     // the at-rest/cached layout probes stored buckets but is candidate-
     // and rerank-identical to the transient probe — one oracle for both
     "knn_lsh_cached" -> knnLshSql,

@@ -706,6 +706,57 @@ object Queries {
       .select(col("vec_id"), round(col("score"), 4).as("score"), col("index_used"))
   }
 
+  /** [[knnFilteredAdaptive]] served through the OPTIMIZER RULE (r16;
+    * the r15 verdict's #1): the caller writes the completely PLAIN
+    * filtered top-k — `where(filter).orderBy(score desc, id).limit(k)`
+    * with a literal `index_used` placeholder — and the REGISTRATION
+    * (`guaranteeK = true`) is what makes it escalate: the rewrite
+    * replaces the limit subtree with the in-plan ladder (exact bucket
+    * → 1-bit ball → brute-over-filtered-subset, first level with ≥ k
+    * filter-survivors wins) and overwrites the placeholder with the
+    * served level. This is the optimizer-rule analog of the
+    * reference's own fallback contract (search_service.py:127-131 —
+    * the ENGINE owns the escalation, never the caller): before this
+    * gate, recall-under-filter was a caller-side choice
+    * ([[knnFilteredAdaptive]] names the library ladder; a caller
+    * writing plain filtered top-k got the static policy and silently
+    * fewer than k rows). Same layout family, same filter, same k as
+    * knn_filtered_adaptive, so it SHARES that gate's DuckDB oracle —
+    * which replays both candidate counts, the escalation boundary,
+    * the chosen set, the rerank AND the reported level; the requires
+    * pin that the ladder (not the static probe, not the exact scan)
+    * actually served, and that the placeholder value cannot leak. */
+  def knnFilteredRuleAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
+    val lsh = RandomHyperplaneLsh(8, 12, 42L)
+    val p = s"target/gate-index/lsh-rule-gk-${math.abs(sfDir.hashCode)}"
+    val base = lshRuleIndexCache.getOrElseUpdate(spark, s"gk:$sfDir") {
+      graft.index.LshIndexStore(lsh, 64)
+        .write(Tables.embeddings(spark, sfDir), "embedding", p)
+      spark.read.parquet(p)
+    }
+    // its own at-rest copy: the registration IS the policy, and the
+    // registry keys policies by path (same rule as the -mp1 layout)
+    graft.plans.LshProbeRewrite.register(p, lsh, 64, guaranteeK = true)
+    injectProbeRule(spark)
+    val q = queryVec(spark, sfDir)
+    val out = base
+      .where(pmod(col("vec_id"), lit(47)) === 0)
+      .withColumn("score",
+        graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+      .withColumn("index_used", lit("auto"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"), col("index_used"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    require(plan.contains("gk_level"),
+      "the guaranteed-k ladder did not fire — a static probe (or the exact " +
+        "scan) under a selective filter serves fewer than k rows")
+    require(!plan.contains("auto"),
+      "the caller's index_used placeholder survived — the engine must own " +
+        "the served-level value")
+    out
+  }
+
   /** [[knnFilteredAdaptive]]'s BATCHED form (r15 open thread #4):
     * every request of a batch runs the guaranteed-k filtered ladder,
     * but the escalation decisions happen IN one plan
@@ -4776,6 +4827,7 @@ object Queries {
     "knn_lsh_rule" -> (knnLshRule _),
     "knn_lsh_rule_filtered" -> (knnLshRuleFiltered _),
     "knn_filtered_adaptive" -> (knnFilteredAdaptive _),
+    "knn_filtered_rule_adaptive" -> (knnFilteredRuleAdaptive _),
     "knn_filtered_adaptive_batched" -> (knnFilteredAdaptiveBatched _),
     "knn_lsh_rule_multiprobe" -> (knnLshRuleMultiprobe _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),

@@ -41,9 +41,29 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     * the numPlanes buckets one sign-flip away — the recall knob the
     * clustered sweep recommends, free of extra storage). Only 0 and 1
     * are supported: the 1-bit ball is numPlanes+1 buckets per table;
-    * wider balls grow combinatorially and stop being a probe. */
+    * wider balls grow combinatorially and stop being a probe.
+    *
+    * `guaranteeK` (r16, the r15 verdict's #1): the registration-level
+    * FILTERED policy. A static probe composed with a selective user
+    * predicate can return fewer than k rows (at the gate SFs the
+    * exact-bucket candidates ∩ a 2% filter is typically EMPTY —
+    * hash-green but vacuous serving). With `guaranteeK = true` a
+    * FILTERED top-k over this path rewrites to the in-plan escalation
+    * ladder (exact bucket → 1-bit ball → brute over the filtered
+    * subset, first level with ≥ k survivors wins — the
+    * [[graft.index.LshIndexStore.searchFilteredAdaptive]] contract
+    * with the escalation decision moved INTO the plan), so the ENGINE
+    * owns recall-under-filter exactly the way the reference's
+    * orchestrator owns the brute fallback (search_service.py:127-131)
+    * — the caller never names the ladder. Unfiltered top-k still plans
+    * the static probe (no starvation risk the ladder could fix that
+    * the probe itself doesn't have; identical plan to
+    * `guaranteeK = false`). Callers that project a literal column
+    * named `index_used` get it OVERWRITTEN with the served level
+    * (`lsh` / `lsh_mp1` / `brute` — the O10 reporting contract). */
   final case class Registration(lsh: RandomHyperplaneLsh, dim: Int,
-                                numPhysicalPartitions: Int, maxHamming: Int = 0)
+                                numPhysicalPartitions: Int, maxHamming: Int = 0,
+                                guaranteeK: Boolean = false)
     extends IndexRegistration
 
   /** IVF policy: the trained centroid array (id → vector, the same
@@ -109,11 +129,12 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     java.net.URI.create(p.replace(" ", "%20")).getPath.stripSuffix("/")
 
   def register(path: String, lsh: RandomHyperplaneLsh, dim: Int,
-               numPhysicalPartitions: Int = 256, maxHamming: Int = 0): Unit = {
+               numPhysicalPartitions: Int = 256, maxHamming: Int = 0,
+               guaranteeK: Boolean = false): Unit = {
     require(maxHamming >= 0 && maxHamming <= 1,
       s"maxHamming $maxHamming unsupported — 0 (exact bucket) or 1 (1-bit multi-probe)")
     registry.put(normalize(new java.io.File(path).getAbsolutePath),
-      Registration(lsh, dim, numPhysicalPartitions, maxHamming))
+      Registration(lsh, dim, numPhysicalPartitions, maxHamming, guaranteeK))
   }
 
   def registerIvf(path: String, cents: Array[(Long, Array[Float])],
@@ -198,7 +219,7 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         sort @ Sort(SortOrder(scoreAttr: Attribute, Descending, _, _) +: _, true,
           Project(projectList, child), _)))
         if !alreadyProbed(child) =>
-      buildProbe(kVal, sort, scoreAttr, projectList, child).getOrElse(limit)
+      buildProbe(kVal, sort, scoreAttr, projectList, None, child).getOrElse(limit)
     // The envelope shape: the optimizer pushes a row-wise projection
     // (e.g. `round(score, 4)`, literal envelope columns) BELOW the
     // limits, leaving Project between LocalLimit and Sort. Row-wise
@@ -211,13 +232,18 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
           sort @ Sort(SortOrder(scoreAttr: Attribute, Descending, _, _) +: _, true,
             Project(projectList, child), _))))
         if !alreadyProbed(child) && outerList.forall(_.deterministic) =>
-      buildProbe(kVal, sort, scoreAttr, projectList, child)
-        .map(node => Project(outerList, node)).getOrElse(limit)
+      buildProbe(kVal, sort, scoreAttr, projectList, Some(outerList), child)
+        .getOrElse(limit)
   }
 
   private def buildProbe(kVal: Int, sort: Sort, scoreAttr: Attribute,
                          projectList: Seq[NamedExpression],
+                         outerList: Option[Seq[NamedExpression]],
                          child: LogicalPlan): Option[LogicalPlan] = {
+      // non-ladder kinds: the outer envelope projection (when present)
+      // rides unchanged on top of the probe node
+      def wrap(node: LogicalPlan): LogicalPlan =
+        outerList.map(Project(_, node)).getOrElse(node)
       val rewrite = for {
         cs <- projectList.collectFirst {
           case a: Alias if a.exprId == scoreAttr.exprId && a.child.isInstanceOf[CosineSimilarity] =>
@@ -238,31 +264,42 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
           case _ => false
         })
         node <- reg match {
+          case r: Registration if r.guaranteeK && hasUserFilter(child) =>
+            // the registered FILTERED policy: the ladder owns its own
+            // outer-projection handling (the index_used slot may live
+            // in either list), so it returns the COMPLETE subtree; a
+            // ladder that cannot bind falls back to the static probe —
+            // under-filled but correct, never a silent exact scan
+            guaranteedKLadder(kVal, sort, projectList, outerList, child, r, qvec)
+              .orElse(filterProbe(kVal, sort, projectList, child,
+                lshProbeFilter(r, qvec, child)).map(wrap))
           case r: Registration =>
-            filterProbe(kVal, sort, projectList, child, lshProbeFilter(r, qvec, child))
+            filterProbe(kVal, sort, projectList, child,
+              lshProbeFilter(r, qvec, child)).map(wrap)
           case r: IvfRegistration =>
-            filterProbe(kVal, sort, projectList, child, ivfProbeFilter(r, qvec, child))
+            filterProbe(kVal, sort, projectList, child,
+              ivfProbeFilter(r, qvec, child)).map(wrap)
           case r: PqRegistration =>
             stagedScoringProbe(kVal, sort, projectList, child,
               graft.index.PqKnn.adcTable(qvec, r.cb), "adc_score",
-              r.shortlist, r.idColName)
+              r.shortlist, r.idColName).map(wrap)
           case r: Sq8Registration =>
             stagedScoringProbe(kVal, sort, projectList, child,
               graft.index.SqKnn.adcTable(qvec, r.scales), "sq8_score",
-              r.shortlist, r.idColName)
+              r.shortlist, r.idColName).map(wrap)
           case r: IvfPqRegistration =>
             // the composed kind: coarse partition probe UNDER the
             // staged scoring rewrite — the Filter sits between the
             // scan and the inner projection, so PhysicalOperation
             // still collapses (Project, Filter, scan) into one pruned
             // parquet read
-            for {
+            (for {
               probe <- ivfProbeFilter(IvfRegistration(r.cents, r.nprobe), qvec, child)
               node <- stagedScoringProbe(kVal, sort, projectList,
                 Filter(probe, child),
                 graft.index.PqKnn.adcTable(qvec, r.cb), "adc_score",
                 r.shortlist, r.idColName)
-            } yield node
+            } yield node).map(wrap)
         }
       } yield node
       rewrite
@@ -285,6 +322,153 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     else probeFilter.map(f =>
       LshProbeTopK(kVal, sort.order, projectList, dedupeKeys, Filter(f, child)))
   }
+
+  /** A plan that carries any Filter is a FILTERED query (layout-column
+    * filters never reach here — [[alreadyProbed]] excludes those plans
+    * wholesale), which is the only shape the guaranteed-k ladder
+    * serves: an unfiltered top-k's candidate set is the static probe's
+    * and starvation-by-predicate cannot occur, so it keeps the static
+    * plan bit-identical to a `guaranteeK = false` registration. */
+  private def hasUserFilter(plan: LogicalPlan): Boolean =
+    plan.exists { case _: Filter => true; case _ => false }
+
+  private val ladderNames = Set("gk_dist", "gk_min_dist", "gk_n0", "gk_n1",
+    "gk_level", "index_used")
+
+  /** The registered-policy GUARANTEED-K rewrite (r16; the r15
+    * verdict's #1): a filtered top-k over a `guaranteeK` registration
+    * becomes the IN-PLAN escalation ladder —
+    *
+    *   1. one pruned scan of the 1-bit Hamming ball ∩ user filter,
+    *      each surviving candidate tagged with its MIN probe distance
+    *      (0 = exact bucket in some table, 1 = one sign-flip away);
+    *   2. one single-row aggregate derives both survivor counts
+    *      (`n0` = exact-bucket, `n1` = ball — monotone by
+    *      construction) and picks the first level with ≥ k survivors;
+    *   3. candidates within the chosen level (broadcast of the 1-row
+    *      level) are served; a STARVED query (n1 < k) falls through to
+    *      the brute rung — the filtered `table = 0` sub-layout (every
+    *      corpus row exactly once), per the O10 fallback contract;
+    *   4. the caller's own projection + (cosine DESC, id) sort + limit
+    *      run on the chosen pool — the pool is ≤ max(ball candidates,
+    *      filtered subset) rows, so the stock sort+limit plans as
+    *      TakeOrderedAndProject.
+    *
+    * Decision semantics are [[graft.index.LshIndexStore.searchFilteredAdaptive]]'s
+    * (same counts, same boundaries, same monotone widening; the ladder
+    * only ever ADDS candidates, and the rerank is exact either way) —
+    * but where the library call spends up to two driver-side COUNT
+    * jobs per query, here the escalation is a 1-row broadcast join
+    * inside ONE plan, so the rewrite composes with batched/streamed
+    * callers the way every other registered policy does.
+    *
+    * Construction note: the subtree is COMPOSED with the DataFrame API
+    * over the caller's own (already-optimized) child plan
+    * ([[SqlShims.ofRows]]) and re-optimized re-entrantly — a 4-way
+    * join/aggregate/union assembled by hand from catalyst nodes would
+    * be strictly worse engineering. The caller's projections are then
+    * re-bound onto the pool BY NAME with their original exprIds, so
+    * the parent plan above the limit resolves unchanged. A caller
+    * projecting a literal `index_used` placeholder gets the SERVED
+    * level in that slot (the engine owns the envelope value — O12's
+    * contract); everything else passes through. Returns None (static
+    * fallback) when the pool cannot bind every caller reference. */
+  private def guaranteedKLadder(kVal: Int, sort: Sort,
+                                projectList: Seq[NamedExpression],
+                                outerList: Option[Seq[NamedExpression]],
+                                child: LogicalPlan, reg: Registration,
+                                qvec: Array[Float]): Option[LogicalPlan] = try {
+    import org.apache.spark.sql.{functions => F}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fl = org.apache.spark.sql.graft.SqlShims.ofRows(spark, child)
+    val payloadNames = fl.columns.toSeq.filterNot(layoutNames.contains)
+    // a layout whose payload collides with the ladder's working names
+    // cannot be served by it (the collision would silently shadow)
+    if (payloadNames.isEmpty || payloadNames.exists(ladderNames.contains))
+      return None
+    val qb = queryBuckets(reg, qvec)
+    val qbCol = F.element_at(F.typedlit(qb.toSeq), F.col("table") + 1)
+    def ballParts(b: Int): Seq[Int] =
+      (b +: (0 until reg.lsh.numPlanes).map(p => b ^ (1 << p)))
+        .map(math.floorMod(_, reg.numPhysicalPartitions)).distinct
+    // partition-column disjunction (prunable) AND the ball membership
+    // on the exact bucket — the candidatesAt(1) probe of the library
+    // ladder, one conjunct per table
+    val pruneOr = qb.zipWithIndex.map { case (b, t) =>
+      F.col("table") === t &&
+        F.col("bucket_part").isin(ballParts(b).map(Int.box): _*)
+    }.reduce(_ || _)
+    val member = pruneOr &&
+      F.bit_count(F.col("bucket").bitwiseXOR(qbCol)) <= 1
+    val payload = payloadNames.map(F.col)
+    val cand = fl.where(member)
+      .withColumn("gk_dist",
+        F.when(F.col("bucket") === qbCol, F.lit(0)).otherwise(F.lit(1)))
+      .groupBy(payload: _*) // dedupe across sub-layouts; copies are byte-identical
+      .agg(F.min(F.col("gk_dist")).as("gk_min_dist"))
+    // single-row escalation decision: empty candidate set aggregates to
+    // (null, 0), and null >= k is false, so starvation lands on level 2
+    val lvl = cand.agg(
+        F.sum(F.when(F.col("gk_min_dist") === 0, 1).otherwise(0)).as("gk_n0"),
+        F.count(F.lit(1)).as("gk_n1"))
+      .select(F.when(F.col("gk_n0") >= kVal, F.lit(0))
+        .when(F.col("gk_n1") >= kVal, F.lit(1))
+        .otherwise(F.lit(2)).as("gk_level"))
+    val chosen = cand.crossJoin(F.broadcast(lvl))
+      .where(F.col("gk_level") < 2 && F.col("gk_min_dist") <= F.col("gk_level"))
+      .select(payload :+ F.col("gk_level"): _*)
+    val bruteRung = fl.where(F.col("table") === 0).crossJoin(F.broadcast(lvl))
+      .where(F.col("gk_level") === 2)
+      .select(payload :+ F.col("gk_level"): _*)
+    val pool = chosen.unionByName(bruteRung)
+      .withColumn("index_used",
+        F.when(F.col("gk_level") === 0, F.lit("lsh"))
+          .when(F.col("gk_level") === 1, F.lit("lsh_mp1"))
+          .otherwise(F.lit("brute")))
+    // re-entrant optimization of the composed subtree: the outer
+    // optimizer batches have already run, so an un-optimized pool would
+    // ship without partition pruning / pushdown; our own rule skips it
+    // (every pool filter constrains layout columns -> alreadyProbed)
+    val poolPlan = pool.queryExecution.optimizedPlan
+    val byName = poolPlan.output.map(a => a.name -> a).toMap
+    def isUsedSlot(ne: NamedExpression): Boolean = ne match {
+      case a: Alias => a.name == "index_used" && a.references.isEmpty
+      case _ => false
+    }
+    val bindable = projectList.forall(ne =>
+      isUsedSlot(ne) || ne.references.forall(r => byName.contains(r.name)))
+    if (!bindable) return None
+    var innerUsed: Option[Attribute] = None
+    val inner: Seq[NamedExpression] = projectList.map {
+      case a: Alias if isUsedSlot(a) =>
+        val bound = Alias(byName("index_used"), a.name)(exprId = a.exprId)
+        innerUsed = Some(bound.toAttribute)
+        bound
+      case a: Alias =>
+        Alias(a.child.transform { case attr: Attribute => byName(attr.name) },
+          a.name)(exprId = a.exprId)
+      case attr: Attribute =>
+        Alias(byName(attr.name), attr.name)(exprId = attr.exprId)
+    }
+    // the caller's index_used slot may have been floated into the OUTER
+    // envelope projection instead — then the inner projection must pass
+    // the served level through for the outer slot to re-point at
+    val outerNeedsUsed = outerList.exists(_.exists(isUsedSlot))
+    val passUsed: Option[NamedExpression] =
+      if (outerNeedsUsed && innerUsed.isEmpty)
+        Some(Alias(byName("index_used"), "index_used")())
+      else None
+    val sorted = Sort(sort.order, global = true,
+      Project(inner ++ passUsed, poolPlan))
+    val limited = GlobalLimit(Literal(kVal), LocalLimit(Literal(kVal), sorted))
+    val servedUsed = innerUsed.orElse(passUsed.map(_.toAttribute))
+    val outer2 = outerList.map(_.map {
+      case a: Alias if isUsedSlot(a) =>
+        Alias(servedUsed.get, a.name)(exprId = a.exprId)
+      case ne => ne
+    })
+    Some(outer2.map(Project(_, limited)).getOrElse(limited))
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The SCORING rewrite, shared by the PQ kind (r14 verdict #4) and
     * the SQ8 kind (r15 open thread #1): no filter can express a

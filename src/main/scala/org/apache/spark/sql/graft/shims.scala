@@ -13,6 +13,21 @@ object SqlShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap an analyzed/optimized LogicalPlan back into a DataFrame —
+    * the bridge an optimizer rule needs to COMPOSE a replacement
+    * subtree with the DataFrame API instead of hand-assembling joins
+    * and aggregates from catalyst nodes (the guaranteed-k ladder
+    * rewrite builds a 4-way join/aggregate/union plan; at that size
+    * the DSL is the maintainable construction and the analyzer does
+    * the attribute plumbing). `Dataset.ofRows` moved behind
+    * `private[sql]` in the Spark-Connect refactor, same as the Column
+    * constructor above. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Serializable, lazily-codegen'd row ordering for custom physical
     * operators (the same mechanism TakeOrderedAndProjectExec uses). */
   def rowOrdering(sortOrder: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],

@@ -61,6 +61,37 @@ class BenchBudgetSpec extends AnyFunSuite {
       Seq(s -> run(0.7, 0.2, jobs = 15, stages = 17)), anchors) == Seq(s))
   }
 
+  test("suite ambient factor: sum-ratio over unchanged-profile anchored gates") {
+    val anchors = Map("a" -> anchor, "b" -> midAnchor)
+    // calm host: medians at anchors -> ~1.0
+    assert(suiteAmbientFactor(
+      Seq("a" -> run(0.2, 0.2), "b" -> run(0.5, 0.5)), anchors)
+      .exists(f => math.abs(f - 1.0) < 1e-9))
+    // loaded host: both inflated 1.3x -> 1.3 (sum ratio)
+    assert(suiteAmbientFactor(
+      Seq("a" -> run(0.26, 0.26), "b" -> run(0.65, 0.65)), anchors)
+      .exists(f => math.abs(f - 1.3) < 1e-9))
+    // a gate whose PROFILE moved is a code change, not load — excluded:
+    // with "b" 10x slow on a moved plan, the factor reads only "a"
+    assert(suiteAmbientFactor(
+      Seq("a" -> run(0.2, 0.2), "b" -> run(5.0, 5.0, jobs = 9)), anchors)
+      .exists(f => math.abs(f - 1.0) < 1e-9))
+    // failed gates (sentinel median) and unanchored gates excluded
+    assert(suiteAmbientFactor(
+      Seq("a" -> run(0.2, 0.2), "b" -> run(-1.0, -1.0),
+        "new" -> run(9.0, 9.0)), anchors)
+      .exists(f => math.abs(f - 1.0) < 1e-9))
+    // no eligible gate: absent, never a fake 1.0
+    assert(suiteAmbientFactor(Seq("new" -> run(9.0, 9.0)), anchors).isEmpty)
+    assert(suiteAmbientFactor(Nil, anchors).isEmpty)
+    // streamed gate: job/stage wobble does NOT exclude it (shuffle-only
+    // signature), so an ambient-loaded streaming-heavy suite still reads
+    val s = "events_sessionize_stream"
+    assert(suiteAmbientFactor(
+      Seq(s -> run(0.26, 0.2, jobs = 15, stages = 17)), Map(s -> anchor))
+      .exists(f => math.abs(f - 1.3) < 1e-9))
+  }
+
   test("same-profile suspects: median > 3x anchor with unchanged profile") {
     val anchors = Map("q" -> anchor)
     assert(sameProfileSuspects(Seq("q" -> run(0.7, 0.2)), anchors) == Seq("q"))

@@ -181,6 +181,103 @@ class FilteredKnnSpec extends AnyFunSuite {
     randVecs.zipWithIndex.map { case (v, i) => (100L + i, minHammingTo(v)) }.toMap
   }
 
+  test("registration-level guaranteeK: a PLAIN filtered top-k escalates through the rule at every rung") {
+    // r16 (r15 verdict #1): the caller writes ONLY
+    // `where(filter).orderBy(score).limit(k)` plus a literal
+    // index_used placeholder — the REGISTRATION makes it escalate.
+    // Each rung forced exactly as the library-ladder tests above, and
+    // the rule-served output must equal searchFilteredAdaptive's
+    // decision for decision (same counts, boundary, set, level).
+    val s = spark
+    if (!s.experimental.extraOptimizations.contains(graft.plans.LshProbeRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.LshProbeRewrite
+    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(s)
+    try {
+      graft.plans.LshProbeRewrite.clear()
+      graft.plans.LshProbeRewrite.register(layoutPath, lsh, dim, guaranteeK = true)
+      def serve(filter: org.apache.spark.sql.Column): Seq[(Long, Double, String)] = {
+        val out = s.read.parquet(layoutPath)
+          .where(filter)
+          .withColumn("score", graft.expressions.CosineSimilarity(
+            col("embedding"), typedlit(qVec.toSeq)))
+          .withColumn("index_used", lit("auto"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(k)
+          .select(col("vec_id"), col("score"), col("index_used"))
+        val plan = out.queryExecution.optimizedPlan.toString
+        assert(plan.contains("gk_level"), s"ladder did not fire:\n${plan.take(2000)}")
+        assert(!plan.contains("auto"), "placeholder literal survived the rewrite")
+        out.collect().map(r => (r.getLong(0),
+          math.rint(r.getDouble(1) * 1e4) / 1e4, r.getString(2))).toSeq
+      }
+      val rungFilters = Seq(
+        col("vec_id") < 10,                                      // level 0: lsh
+        col("vec_id").isin((Seq(0L, 1L) ++ oneBitIds.take(5))
+          .map(Long.box): _*),                                   // level 1: lsh_mp1
+        col("vec_id").isin(farIds.take(6).map(Long.box): _*))    // level 2: brute
+      val wantLevels = Seq("lsh", "lsh_mp1", "brute")
+      rungFilters.zip(wantLevels).foreach { case (filter, level) =>
+        val got = serve(filter)
+        assert(got.nonEmpty && got.forall(_._3 == level),
+          s"rule served ${got.map(_._3).distinct.mkString} not $level")
+        val want = store.searchFilteredAdaptive(layout, "embedding", "vec_id",
+            filter, qVec, k)
+          .select(col("vec_id"), col("score"), col("index_used")).collect()
+          .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4) / 1e4,
+            r.getString(2))).toSeq
+        assert(got == want, s"rule-served $got != library ladder $want")
+      }
+    } finally {
+      graft.plans.LshProbeRewrite.clear()
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations.filterNot(_ == graft.plans.LshProbeRewrite)
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies.filterNot(
+          _.isInstanceOf[graft.plans.LshProbeStrategy])
+    }
+  }
+
+  test("guaranteeK fast path: an UNFILTERED top-k plans the static probe unchanged") {
+    // no filter -> no starvation-by-predicate the ladder could fix that
+    // the probe doesn't have: the plan must be BIT-IDENTICAL (modulo
+    // exprIds) to the guaranteeK=false registration's
+    val s = spark
+    if (!s.experimental.extraOptimizations.contains(graft.plans.LshProbeRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.LshProbeRewrite
+    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(s)
+    try {
+      val baseDf = s.read.parquet(layoutPath)
+      def topk = baseDf
+        .withColumn("score", graft.expressions.CosineSimilarity(
+          col("embedding"), typedlit(qVec.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(k)
+      def normalized: String = topk.queryExecution.optimizedPlan.toString
+        .replaceAll("#\\d+", "#")
+      graft.plans.LshProbeRewrite.clear()
+      graft.plans.LshProbeRewrite.register(layoutPath, lsh, dim, guaranteeK = true)
+      val gk = normalized
+      assert(gk.contains("LshProbeTopK") && !gk.contains("gk_level"),
+        s"unfiltered top-k must plan the static probe:\n${gk.take(2000)}")
+      graft.plans.LshProbeRewrite.clear()
+      graft.plans.LshProbeRewrite.register(layoutPath, lsh, dim)
+      assert(normalized == gk, "guaranteeK changed the unfiltered plan")
+    } finally {
+      graft.plans.LshProbeRewrite.clear()
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations.filterNot(_ == graft.plans.LshProbeRewrite)
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies.filterNot(
+          _.isInstanceOf[graft.plans.LshProbeStrategy])
+    }
+  }
+
   test("escalation boundary is exactly k survivors") {
     // k exact-bucket survivors: count == k stops at level 0 (>=, not >)
     val atK = store.searchFilteredAdaptive(layout, "embedding", "vec_id",
