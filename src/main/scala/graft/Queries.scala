@@ -379,7 +379,18 @@ object Queries {
       require(rebuilt.baselineCos.isDefined,
         "recluster must refresh the training-time baseline")
       ivfReclusterCentsCache.getOrElseUpdate(spark, sfDir)(fresh.cents)
-      spark.read.parquet(post)
+      val out = spark.read.parquet(post)
+      // the swap's FINAL step, manual until r16: the stale generation
+      // is retired through the catalog (reader-drain deferred delete —
+      // [[graft.index.IndexGenerations]]); nothing holds a lease here,
+      // so the delete is immediate, and the require keeps it loud. The
+      // lifecycle gate now covers stale write → frozen append → drift
+      // → recluster → swap → RETIRE end to end.
+      require(graft.index.IndexGenerations.retire(pre),
+        "no reader holds the stale generation at swap time — retire must delete now")
+      require(!new java.io.File(pre).exists(),
+        "retire(pre) reported deletion but the directory survived")
+      out
     }
     val cents = ivfReclusterCentsCache.getOrElseUpdate(spark, sfDir)(
       sys.error("recluster centroids must be staged by the layout build"))

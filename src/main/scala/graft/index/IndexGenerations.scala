@@ -1,0 +1,115 @@
+package graft.index
+
+/** Generation catalog for swapped at-rest index layouts — the missing
+  * half of the recluster/swap lifecycle (r15 verdict, Next #2).
+  *
+  * [[IvfIndexStore.recluster]] correctly REFUSES in-place overwrites:
+  * live readers hold the old directory's file listing, and deleting
+  * (or overwriting) under a cached FileIndex is a mid-scan
+  * FileNotFoundException on an unrelated query — the exact failure
+  * family the bench fork's temp-cwd isolation closed in r14. But that
+  * left the cleanup MANUAL: old generations leak until someone deletes
+  * them blind, and "blind" is precisely the unsafe part.
+  *
+  * This catalog makes deletion deferred-safe with a read-lease
+  * protocol:
+  *
+  *  - readers wrap their use of a generation in [[lease]] (the scan,
+  *    or the whole serve call) — a refcount, nothing heavier;
+  *  - [[retire]] requests deletion: it REFUSES while the path is
+  *    still registered for serving ([[graft.plans.LshProbeRewrite]]
+  *    would keep rewriting queries onto a doomed directory), deletes
+  *    immediately when no lease is live, and otherwise marks the
+  *    generation retire-pending — the LAST lease release performs the
+  *    deferred deletion;
+  *  - a retired generation refuses new leases loudly (the directory
+  *    is gone or about to be; a quiet empty scan would be the silent
+  *    version of the same bug).
+  *
+  * Scope, stated honestly: the refcount is per-JVM — the right scope
+  * for the failure it prevents, because the cached FileIndex a
+  * deletion races with is also per-JVM (cross-JVM coordination would
+  * need a manifest in the layout itself; the `_registration` sidecar
+  * precedent makes that a natural extension, not a rewrite). A reader
+  * that bypasses the lease protocol keeps exactly today's behavior:
+  * a premature manual delete fails its scan loudly mid-flight —
+  * the catalog narrows the hazard, it cannot retroactively protect
+  * readers that never announced themselves.
+  */
+object IndexGenerations {
+
+  private final class Gen {
+    var leases: Int = 0
+    var retirePending: Boolean = false
+    var retired: Boolean = false
+  }
+
+  private val gens = new java.util.concurrent.ConcurrentHashMap[String, Gen]
+
+  private def key(p: String): String =
+    new java.io.File(p).getAbsolutePath.stripSuffix("/")
+
+  private def rmTree(p: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(p))
+  }
+
+  /** Run `f` holding a read lease on the generation at `path`: retire
+    * requested while `f` runs is DEFERRED until the last lease
+    * releases; a generation already retired refuses the lease loudly.
+    */
+  def lease[A](path: String)(f: => A): A = {
+    val g = gens.computeIfAbsent(key(path), _ => new Gen)
+    g.synchronized {
+      require(!g.retired && !g.retirePending,
+        s"index generation $path is retired — re-register and serve a live generation")
+      g.leases += 1
+    }
+    try f
+    finally {
+      val deleteNow = g.synchronized {
+        g.leases -= 1
+        if (g.retirePending && g.leases == 0) {
+          g.retirePending = false; g.retired = true; true
+        } else false
+      }
+      if (deleteNow) rmTree(key(path))
+    }
+  }
+
+  /** Request deletion of the generation at `path`. Returns true when
+    * the directory was deleted NOW (no live leases), false when
+    * deletion was deferred to the last lease's release. Refuses while
+    * the path is registered for serving — unregister first
+    * ([[graft.plans.LshProbeRewrite.unregister]]); the swap order is
+    * register(new) → unregister(old) → retire(old). Idempotent on an
+    * already-retired generation. */
+  def retire(path: String): Boolean = {
+    val k = key(path)
+    require(!graft.plans.LshProbeRewrite.isRegistered(k),
+      s"$k is still registered for serving — a retire now would delete the " +
+        "directory the optimizer rule is rewriting queries onto")
+    val g = gens.computeIfAbsent(k, _ => new Gen)
+    val deleteNow = g.synchronized {
+      if (g.retired) false
+      else if (g.leases == 0) { g.retired = true; true }
+      else { g.retirePending = true; false }
+    }
+    if (deleteNow) rmTree(k)
+    deleteNow
+  }
+
+  /** True when the generation is fully retired (directory deleted). */
+  def isRetired(path: String): Boolean =
+    Option(gens.get(key(path))).exists(g => g.synchronized(g.retired))
+
+  /** Live lease count (spec/diagnostic surface). */
+  def liveLeases(path: String): Int =
+    Option(gens.get(key(path))).map(g => g.synchronized(g.leases)).getOrElse(0)
+
+  /** Forget all generation records (spec isolation). Never deletes. */
+  def clear(): Unit = gens.clear()
+}

@@ -305,10 +305,11 @@ final case class IvfIndexStore(cents: Array[(Long, Array[Float])]) {
     * store (new centroids) and the new baseline stats; the caller
     * swaps serving to it by re-registering the new path
     * ([[graft.plans.LshProbeRewrite.registerIvf]]) and retiring the
-    * old directory once in-flight readers drain — a NEW path rather
-    * than an in-place overwrite because live FileIndexes hold the old
-    * file listing (the same reason the engine's spill tier versions
-    * its segments). IvfDriftProbe priced this trade: retraining on
+    * old directory through [[IndexGenerations.retire]] — deletion is
+    * deferred until in-flight read leases drain, and refused while the
+    * old path is still registered — a NEW path rather than an in-place
+    * overwrite because live FileIndexes hold the old file listing (the
+    * same reason the engine's spill tier versions its segments). IvfDriftProbe priced this trade: retraining on
     * the combined corpus restores recall 1.0 at HALF the frozen
     * layout's scan fraction. Centroid sampling is
     * [[IvfKnn.centroids]]' deterministic stride rule, so the rebuilt

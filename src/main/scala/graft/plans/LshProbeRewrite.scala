@@ -171,6 +171,20 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
       Sq8Registration(scales, shortlist, idColName))
   }
 
+  /** Whether `path` currently serves through the rule — the guard
+    * [[graft.index.IndexGenerations.retire]] checks before deleting a
+    * generation (a registered path is, by definition, one the
+    * optimizer keeps rewriting queries onto). */
+  def isRegistered(path: String): Boolean =
+    registry.containsKey(normalize(new java.io.File(path).getAbsolutePath))
+
+  /** Remove one path's registration (the swap order is register(new) →
+    * unregister(old) → retire(old)); queries over the path fall back
+    * to the exact scan, which is correct and loud in any gate that
+    * `require`s the rewrite. */
+  def unregister(path: String): Unit =
+    registry.remove(normalize(new java.io.File(path).getAbsolutePath)): Unit
+
   def clear(): Unit = registry.clear()
 
   private def registrationFor(plan: LogicalPlan): Option[IndexRegistration] =

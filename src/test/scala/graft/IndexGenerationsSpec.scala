@@ -1,0 +1,122 @@
+package graft
+
+import graft.index.IndexGenerations
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The generation catalog's reader-drain retirement protocol (r15
+  * verdict, Next #2): a reader holding the old generation completes
+  * after retire is requested, the directory is gone after release, a
+  * retire against a live registration refuses, and a premature manual
+  * delete still fails the reader loudly (the hazard the catalog
+  * narrows but — for readers that never lease — cannot remove).
+  */
+class IndexGenerationsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def stage(tag: String): String = {
+    val path = s"target/spec-index/gen-$tag"
+    TestSpark.rmTree(new java.io.File(path))
+    (0L until 100L).map(i => (i, Seq.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  test("reader holding the old generation completes; deletion defers to release") {
+    IndexGenerations.clear()
+    val path = stage("drain")
+    var insideCount = -1L
+    IndexGenerations.lease(path) {
+      val df = spark.read.parquet(path)
+      assert(df.count() == 100)
+      // retire requested MID-READ: refused-now, deferred to release
+      assert(!IndexGenerations.retire(path), "retire must defer under a live lease")
+      assert(new java.io.File(path).exists(), "deferred retire must not delete yet")
+      // the leased reader keeps working after the retire request
+      insideCount = df.where(col("vec_id") < 10).count()
+    }
+    assert(insideCount == 10)
+    // last release performed the deferred deletion
+    assert(!new java.io.File(path).exists(), "release must perform the deferred delete")
+    assert(IndexGenerations.isRetired(path))
+  }
+
+  test("retire with no live leases deletes immediately; idempotent after") {
+    IndexGenerations.clear()
+    val path = stage("now")
+    assert(IndexGenerations.retire(path), "no leases -> delete now")
+    assert(!new java.io.File(path).exists())
+    assert(!IndexGenerations.retire(path), "second retire is a no-op")
+  }
+
+  test("retire refuses while the path is registered for serving") {
+    IndexGenerations.clear()
+    graft.plans.LshProbeRewrite.clear()
+    val path = stage("registered")
+    graft.plans.LshProbeRewrite.register(
+      path, graft.index.RandomHyperplaneLsh(4, 8, 1L), 4)
+    try {
+      val e = intercept[IllegalArgumentException](IndexGenerations.retire(path))
+      assert(e.getMessage.contains("registered"))
+      assert(new java.io.File(path).exists(), "refused retire must not delete")
+      // the swap order: unregister first, then retire succeeds
+      graft.plans.LshProbeRewrite.unregister(path)
+      assert(IndexGenerations.retire(path))
+      assert(!new java.io.File(path).exists())
+    } finally graft.plans.LshProbeRewrite.clear()
+  }
+
+  test("a retired generation refuses new leases loudly") {
+    IndexGenerations.clear()
+    val path = stage("refuse")
+    assert(IndexGenerations.retire(path))
+    val e = intercept[IllegalArgumentException](
+      IndexGenerations.lease(path)(fail("lease body must not run")))
+    assert(e.getMessage.contains("retired"))
+    // and retire-PENDING also refuses new leases (no new readers may
+    // extend a drain indefinitely)
+    val p2 = stage("refuse2")
+    IndexGenerations.lease(p2) {
+      assert(!IndexGenerations.retire(p2))
+      intercept[IllegalArgumentException](
+        IndexGenerations.lease(p2)(fail("lease body must not run")))
+    }
+    assert(!new java.io.File(p2).exists())
+  }
+
+  test("a premature MANUAL delete still fails the leased reader loudly") {
+    IndexGenerations.clear()
+    val path = stage("manual")
+    IndexGenerations.lease(path) {
+      val df = spark.read.parquet(path)
+      assert(df.count() == 100) // FileIndex now holds the listing
+      TestSpark.rmTree(new java.io.File(path)) // the blind delete the catalog exists to prevent
+      val e = intercept[Throwable](df.count())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        t.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(t.getMessage).exists(_.contains("does not exist"))),
+        s"expected a loud missing-file failure, got: $e")
+    }
+  }
+
+  test("lease count bookkeeping survives nesting and failure") {
+    IndexGenerations.clear()
+    val path = stage("nest")
+    IndexGenerations.lease(path) {
+      IndexGenerations.lease(path) {
+        assert(IndexGenerations.liveLeases(path) == 2)
+      }
+      assert(IndexGenerations.liveLeases(path) == 1)
+    }
+    assert(IndexGenerations.liveLeases(path) == 0)
+    intercept[RuntimeException](
+      IndexGenerations.lease(path)(sys.error("reader died")))
+    // a dying reader releases its lease — the drain cannot wedge
+    assert(IndexGenerations.liveLeases(path) == 0)
+    assert(IndexGenerations.retire(path))
+  }
+}
