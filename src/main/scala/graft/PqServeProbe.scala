@@ -231,6 +231,35 @@ object PqServeProbe {
     require(f1 == sNaive && f1 == sRanged && f1 == sFull && f1 == sJoined,
       s"paths diverged: fused=$f1 naive=$sNaive ranged=$sRanged " +
         s"full=$sFull joined=$sJoined")
+
+    // ---- STORE-OWNED split layout (r16; r15 verdict #3): writeSplit
+    // writes the id-ranged, id-sorted floats itself and
+    // searchRefinedSplit raises the pushdown floor itself — so this
+    // stage runs with the session threshold UNSET and no hand-staged
+    // layout, proving the operating point holds by store construction
+    // alone (rows-read must match the hand-tuned ranged number above).
+    spark.conf.unset("spark.sql.parquet.pushdown.inFilterThreshold")
+    val ownedPath = "target/pq-serve-probe/index-owned"
+    if (!new java.io.File(s"$ownedPath/floats/_SUCCESS").exists()) {
+      val t0 = System.nanoTime()
+      store.writeSplit(naive, col("vec_id"), col("embedding"), dim, ownedPath,
+        floatFiles = 512, knownCount = rows)
+      println(f"PQSERVE store-owned build (one-time): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    def ownedServe(): Seq[(Long, Double)] =
+      store.searchRefinedSplit(spark, ownedPath, "vec_id", "embedding", q,
+          k = 5, dim = dim, candidates = 100)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // NB this stage times BOTH stages in one call, so its rowsRead is
+    // codes scan (= corpus rows at ~17 B) + float fetch: subtract the
+    // corpus row count to read the float-side number (≈ the hand-tuned
+    // ranged fetch above; boundaries differ only by the range
+    // partitioner's sampling)
+    val sOwned = probe("store-owned split serve, both stages " +
+      "(codes scan + pruned float fetch; session conf UNSET)")(ownedServe())
+    probe("store-owned split serve (warm)")(ownedServe())
+    require(sOwned == f1, s"store-owned serve diverged: $sOwned vs $f1")
     println(s"PQSERVE results identical across paths: ${f1.mkString(", ")}")
     spark.stop()
   }

@@ -4614,26 +4614,23 @@ object Queries {
     val p = s"target/gate-index/pq-split-${math.abs(sfDir.hashCode)}"
     val path = pqSplitPathCache.getOrElseUpdate(spark, sfDir) {
       val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
-      graft.index.PqIndexStore().write(emb, col("vec_id"), col("embedding"),
-        dim = 64, p)
-      // the layout's own at-rest float partition: serving must fetch
-      // from DISK with the pushed filter (reading the session-cached
+      // the STORE writes the float side too (r16: the id-clustered
+      // layout is a store-owned contract — writeSplit range-partitions
+      // and id-sorts, so row-group min/max skipping holds by
+      // construction, never by caller discipline). Serving must fetch
+      // from DISK with the pushed filter: reading the session-cached
       // embeddings table would satisfy the rows but hide the pushdown
       // mechanism this gate pins — Spark's CacheManager substitutes any
-      // matching plan fragment, PushedFilters never appear on an
-      // InMemoryTableScan). Range-partitioned + sorted BY THE ID the
-      // shortlist filters on: parquet skipping works off per-row-group
-      // min/max stats, so an id-clustered layout is what turns the
-      // pushed IN into actual skipped bytes — PqServeProbe measures
-      // ~10× fewer rows read vs the same filter over an unsorted
-      // single-file layout, and the ratio grows with the file count
-      // (at 100 TB, 100 shortlist ids touch ≤100 of ~100k files)
-      emb.repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
-        .write.mode("overwrite").parquet(s"$p/floats")
+      // matching plan fragment, and PushedFilters never appear on an
+      // InMemoryTableScan. PqServeProbe measures ~10× fewer rows read
+      // vs the same filter over an unsorted single-file layout, and the
+      // ratio grows with the file count (at 100 TB, 100 shortlist ids
+      // touch ≤100 of ~100k files).
+      graft.index.PqIndexStore().writeSplit(emb, col("vec_id"), col("embedding"),
+        dim = 64, p)
       p
     }
-    val floats = spark.read.parquet(s"$path/floats")
-    val out = graft.index.PqIndexStore().searchRefinedSplit(spark, path, floats,
+    val out = graft.index.PqIndexStore().searchRefinedSplit(spark, path,
         "vec_id", "embedding", queryVec(spark, sfDir), k = 5, dim = 64,
         candidates = 100)
       .select(col("vec_id"), round(col("score"), 4).as("score"))

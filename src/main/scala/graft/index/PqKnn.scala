@@ -356,6 +356,44 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
     searchEncoded(spark.read.parquet(s"$path/codes"), query,
       loadCodebooks(spark, path, dim), k)
 
+  /** SPLIT-LAYOUT build with the float side as a STORE-OWNED contract
+    * (r16; the r15 verdict's #3): [[write]] plus an id-range-
+    * partitioned, id-SORTED float table at `<path>/floats`. The
+    * shortlist-then-fetch serving shape ([[searchRefinedSplit]]) only
+    * pays off when the float fetch can skip row groups off per-group
+    * min/max id stats — PqServeProbe measured the failure mode (an
+    * unsorted layout reads ~the whole corpus under the same pushed
+    * filter) and until r16 the layout discipline was the CALLER's
+    * problem, enforced by documentation. Now the store writes it:
+    * `repartitionByRange(floatFiles, id)` gives each file a disjoint
+    * id range (100 shortlist ids touch ≤ 100 files no matter how many
+    * exist), `sortWithinPartitions(id)` makes row-group min/max tight
+    * within each file. `floatFiles` sizes the granularity: more files
+    * = finer skipping; at 100 TB aim for the usual 100–1000 MB per
+    * file and the shortlist cost stays ∝ shortlist, not corpus. */
+  def writeSplit(emb: DataFrame, idCol: Column, embCol: Column, dim: Int,
+                 path: String, floatFiles: Int = 8, sampleStride: Long = 0L,
+                 knownCount: Long = -1L): Codebooks = {
+    val cb = write(emb, idCol, embCol, dim, path, sampleStride, knownCount)
+    emb.select(idCol, embCol)
+      .repartitionByRange(floatFiles, idCol)
+      .sortWithinPartitions(idCol)
+      .write.mode("overwrite").parquet(s"$path/floats")
+    cb
+  }
+
+  /** Serve [[searchRefinedSplit]] from the layout's OWN float table
+    * (written by [[writeSplit]]) — no caller-staged floats, no
+    * caller-side conf tuning: the store wrote the id-clustered layout
+    * and sets the pushdown threshold, so both operating-point
+    * requirements hold by construction. */
+  def searchRefinedSplit(spark: org.apache.spark.sql.SparkSession, path: String,
+                         idColName: String, embColName: String,
+                         query: Array[Float], k: Int, dim: Int,
+                         candidates: Int): DataFrame =
+    searchRefinedSplit(spark, path, spark.read.parquet(s"$path/floats"),
+      idColName, embColName, query, k, dim, candidates)
+
   /** SPLIT-LAYOUT refined serving (r15 open thread #2) — the I/O win
     * the fused-table rule rewrite documents as its residual, made
     * real: the shortlist stage scans the CODES table only (~9 B/row,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.index.PqKnn
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, round}
 import org.scalatest.funsuite.AnyFunSuite
 
 class PqKnnSpec extends AnyFunSuite {
@@ -86,6 +86,51 @@ class PqKnnSpec extends AnyFunSuite {
     val cb2 = store.loadCodebooks(spark, path, 64)
     assert(cb2.m == cb.m && cb2.k == cb.k)
     assert(cb2.cents.flatten.map(_.toSeq).toSeq == cb.cents.flatten.map(_.toSeq).toSeq)
+  }
+
+  test("writeSplit pins the store-owned float layout: disjoint per-file id ranges, sorted within") {
+    // r16 (r15 verdict #3): the id-clustered float layout is what turns
+    // the pushed shortlist IN into skipped row groups — PqServeProbe
+    // measured 990k of 1M rows read without it. The STORE now writes
+    // it; this spec pins the two physical properties skipping runs on:
+    // (1) each float file covers a DISJOINT id range (repartitionByRange),
+    // (2) ids are sorted inside each file (tight row-group min/max).
+    val q = Queries.queryVec(spark, sfDir)
+    val store = graft.index.PqIndexStore()
+    val path = "target/test-pq-split-store"
+    TestSpark.rmTree(new java.io.File(path))
+    store.writeSplit(emb, col("vec_id"), col("embedding"), dim = 64, path,
+      floatFiles = 4)
+    val files = new java.io.File(s"$path/floats").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.length >= 2, "need multiple float files for a range-disjointness check")
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select(col("vec_id")).as[Long].collect()
+      assert(ids.nonEmpty)
+      assert(ids.sameElements(ids.sorted),
+        s"ids not sorted within ${f.getName} — row-group min/max would overlap")
+      (ids.head, ids.last)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"float files overlap in id range: hi=$hi lo2=$lo2")
+      case _ =>
+    }
+    // and the store-owned serve (no caller-staged floats, no caller
+    // conf) equals the full-float refined search
+    val served = store.searchRefinedSplit(spark, path, "vec_id", "embedding",
+        q, k = 5, dim = 64, candidates = 100)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+      .as[(Long, Double)].collect().toSeq
+    val want = PqKnn.searchRefined(emb, col("vec_id"), col("embedding"), q,
+        k = 5, dim = 64, candidates = 100)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+      .as[(Long, Double)].collect().toSeq
+    assert(served == want, s"store-owned split serve diverges: $served vs $want")
+    // the store raised the pushdown floor itself (requirement 2 of the
+    // operating point — no caller-side conf tuning)
+    assert(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold").toInt >= 100)
   }
 
   test("appended delta rows are searchable with the stored codebooks") {
