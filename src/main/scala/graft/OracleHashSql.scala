@@ -1457,6 +1457,11 @@ object OracleHashSql {
     // oracle adjudicates it — an engine whose REGISTRATION-level policy
     // escalates at a different boundary than the library call diverges
     "knn_filtered_rule_adaptive" -> knnFilteredAdaptiveSql,
+    // the O12 REST envelope over the registered tier: chunk embeddings
+    // ARE the embeddings rows and the metadata filter replays as
+    // vec_id % 47 = 0, so the same ladder oracle adjudicates the whole
+    // engine-state → bridge → rule → ladder → envelope path
+    "search_o12_registered" -> knnFilteredAdaptiveSql,
     // the at-rest/cached layout probes stored buckets but is candidate-
     // and rerank-identical to the transient probe — one oracle for both
     "knn_lsh_cached" -> knnLshSql,

@@ -4815,6 +4815,60 @@ object Queries {
     engine
   }
 
+  /** The reference's O12 REST search envelope served from the
+    * REGISTERED at-rest tier (r16; the r15 verdict's #5 — the last
+    * unification gap: `index="lsh"` REST searches answered from the
+    * engine-state bucket cache while the production tier was reachable
+    * only through gates). The engine library mirrors the embeddings
+    * table chunk-for-chunk (chunk `c<vec_id>`, metadata
+    * `m47 = vec_id % 47`), [[graft.search.AtRestIndexBridge.register]]
+    * writes+registers its corpus under the GUARANTEED-K policy, and the
+    * search call is the plain O12 surface — engine, service, envelope —
+    * with a metadata filter, so the serve rides the escalation ladder
+    * through the optimizer rule. Because chunk embeddings ARE the
+    * embeddings rows and `m47 = "0"` ≡ `vec_id % 47 = 0`, the gate
+    * SHARES knn_filtered_adaptive's replay oracle (counts, boundary,
+    * chosen set, rerank, reported level): the whole REST path — engine
+    * state → bridge → rule → ladder → envelope — must reproduce the
+    * library ladder's decisions bit for bit. */
+  private val o12BridgeCache = new SessionCache[String, graft.search.SearchService]
+  def searchO12Registered(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val svc = o12BridgeCache.getOrElseUpdate(spark, sfDir) {
+      val engine = new graft.state.Engine()
+      engine.createLibrary(name = "corpus", id = Some("corpus"))
+      engine.addDocument("corpus", title = "d0", id = Some("d0"))
+      Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .foreach { r =>
+          val id = r.getLong(0)
+          engine.addChunk("corpus", "d0", text = s"chunk-$id",
+            embedding = Some(r.getSeq[Float](1).toArray),
+            metadata = Map("m47" -> (id % 47).toString),
+            id = Some(s"c$id")): Unit
+        }
+      val bridge = new graft.search.AtRestIndexBridge(
+        s"target/gate-index/at-rest-bridge-${math.abs(sfDir.hashCode)}")
+      bridge.register(spark, engine, "corpus")
+      new graft.search.SearchService(spark, engine, atRest = Some(bridge))
+    }
+    val q = queryVec(spark, sfDir)
+    val res = svc.search("corpus", queryEmbedding = Some(q), k = 5,
+      index = "lsh", filters = Map("m47" -> "0"))
+    require(res.indexUsed.exists(_.startsWith("at_rest_")),
+      "the O12 envelope must serve from the registered tier here, " +
+        s"got index_used=${res.indexUsed}")
+    val used = res.indexUsed.get.stripPrefix("at_rest_")
+    // row order must be the oracle's (UNROUNDED score desc, numeric id)
+    // — the driver compare is row-by-row, and re-sorting by the rounded
+    // score (or by the string chunk id) could reorder near-ties
+    res.hits.map(h => (h.chunk_id.stripPrefix("c").toLong, h.score, used))
+      .sortBy { case (id, s, _) => (-s, id) }
+      .toDF("vec_id", "score", "index_used")
+      .select(col("vec_id"), round(col("score"), 4).as("score"), col("index_used"))
+  }
+
   def crudLifecycle(spark: SparkSession, sfDir: String): DataFrame =
     lifecycleEngine(spark, sfDir).documentsDF(spark)
       .select(col("library_id"), col("id").cast("long").as("doc_id"), col("title"))
@@ -4937,6 +4991,7 @@ object Queries {
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "multimodal_meta" -> (multimodalMeta _),
     "crud_lifecycle" -> (crudLifecycle _),
+    "search_o12_registered" -> (searchO12Registered _),
     "crud_versions" -> (crudVersions _),
     "window_running_total" -> (windowRunningTotal _),
     "agg_cube" -> (aggCube _),

@@ -23,11 +23,12 @@ import org.apache.spark.sql.SparkSession
   * hits/index/index_used/library_version/durable_execution exactly like
   * search.py:75-87 (index_used absent on early-exit paths).
   */
-final class HttpApi(spark: SparkSession, engine: Engine, embedder: Embedder) {
+final class HttpApi(spark: SparkSession, engine: Engine, embedder: Embedder,
+                    atRest: Option[graft.search.AtRestIndexBridge] = None) {
 
   private val mapper = new ObjectMapper()
   private val service = new SearchService(spark, engine, Some(embedder),
-    indexCache = Some(new graft.index.IndexCache()))
+    indexCache = Some(new graft.index.IndexCache()), atRest = atRest)
   private var server: HttpServer = _
 
   def start(port: Int = 0): Int = {

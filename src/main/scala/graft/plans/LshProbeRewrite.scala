@@ -415,11 +415,27 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     val member = pruneOr &&
       F.bit_count(F.col("bucket").bitwiseXOR(qbCol)) <= 1
     val payload = payloadNames.map(F.col)
+    // dedupe across sub-layouts = groupBy the payload — but Spark
+    // cannot GROUP BY un-orderable types (maps, e.g. a chunk layout's
+    // metadata column), so those columns ride the aggregate as
+    // `first()` instead: a row's sub-layout copies are byte-identical,
+    // so first() over a group of copies is exact, not a choice
+    def orderableType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case org.apache.spark.sql.types.ArrayType(et, _) => orderableType(et)
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fields.forall(f => orderableType(f.dataType))
+      case _ => true
+    }
+    val (groupNames, carryNames) =
+      payloadNames.partition(n => orderableType(fl.schema(n).dataType))
+    if (groupNames.isEmpty) return None
     val cand = fl.where(member)
       .withColumn("gk_dist",
         F.when(F.col("bucket") === qbCol, F.lit(0)).otherwise(F.lit(1)))
-      .groupBy(payload: _*) // dedupe across sub-layouts; copies are byte-identical
-      .agg(F.min(F.col("gk_dist")).as("gk_min_dist"))
+      .groupBy(groupNames.map(F.col): _*)
+      .agg(F.min(F.col("gk_dist")).as("gk_min_dist"),
+        carryNames.map(n => F.first(F.col(n)).as(n)): _*)
     // single-row escalation decision: empty candidate set aggregates to
     // (null, 0), and null >= k is false, so starvation lands on level 2
     val lvl = cand.agg(
@@ -451,7 +467,7 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     }
     val bindable = projectList.forall(ne =>
       isUsedSlot(ne) || ne.references.forall(r => byName.contains(r.name)))
-    if (!bindable) return None
+    if (!bindable) return None // e.g. the caller projects a layout column — a deduped candidate has no honest bucket value, so the static probe serves that plan
     var innerUsed: Option[Attribute] = None
     val inner: Seq[NamedExpression] = projectList.map {
       case a: Alias if isUsedSlot(a) =>
@@ -482,7 +498,14 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
       case ne => ne
     })
     Some(outer2.map(Project(_, limited)).getOrElse(limited))
-  } catch { case scala.util.control.NonFatal(_) => None }
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      // fall back to the static probe — under-filled but correct; the
+      // warning keeps the fallback diagnosable (a silent None here hid
+      // a real construction bug once)
+      logError(s"guaranteed-k ladder fell back to the static probe", e)
+      None
+  }
 
   /** The SCORING rewrite, shared by the PQ kind (r14 verdict #4) and
     * the SQ8 kind (r15 open thread #1): no filter can express a

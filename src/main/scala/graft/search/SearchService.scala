@@ -32,7 +32,8 @@ final case class SearchResult(hits: Seq[Hit], index: String,
 final class SearchService(spark: SparkSession, engine: Engine,
                           embedder: Option[Embedder] = None,
                           rerank: DataFrame => DataFrame = identity,
-                          indexCache: Option[graft.index.IndexCache] = None) {
+                          indexCache: Option[graft.index.IndexCache] = None,
+                          atRest: Option[AtRestIndexBridge] = None) {
 
   def search(libraryId: String,
              queryText: Option[String] = None,
@@ -75,6 +76,40 @@ final class SearchService(spark: SparkSession, engine: Engine,
     // NumPy — so erroring here matches its observable "errors on mismatch"
     // behavior rather than silently scoring a common prefix.
     BruteForceKnn.requireDim(qvec, dim)
+
+    // The PRODUCTION tier first (r16, r15 verdict #5): when this
+    // library's corpus is registered as an at-rest layout AT the
+    // current version, `index = "lsh"` serves through the optimizer
+    // rule — bucket-probe (or, under metadata filters, the
+    // guaranteed-k escalation ladder) over the stored layout, envelope
+    // unchanged, `index_used` distinguishing the tier. Any other
+    // version (stale registration) falls through to the transient
+    // paths below — the reference's own version-pinned staleness
+    // contract.
+    if (index == "lsh") {
+      val bridged = atRest.flatMap(
+        _.tryServe(spark, libraryId, version, qvec, k, filters) { (df, laddered) =>
+          val cols = Seq(col("id"), col("document_id"), col("library_id"),
+            col("text"), col("metadata"), col("score")) ++
+            (if (laddered) Seq(col("index_used")) else Nil)
+          val rows = rerank(df).limit(k).select(cols: _*).collect()
+          val hits = rows.map(r => Hit(r.getString(0), r.getString(1),
+            r.getString(2), r.getString(3), r.getMap[String, String](4).toMap,
+            r.getDouble(5))).toSeq
+          // the ladder's served level (constant across one query's
+          // rows) reaches the envelope — the O10 reporting contract
+          // carried through the O12 surface
+          val used =
+            if (laddered)
+              rows.headOption.map(r => "at_rest_" + r.getString(6))
+                .getOrElse("at_rest_brute")
+            else "lsh_at_rest"
+          (hits, used)
+        })
+      bridged.foreach { case (hits, used) =>
+        return SearchResult(hits, index, Some(used), version)
+      }
+    }
 
     val (hitsDF, used) = index match {
       case "brute" =>

@@ -76,7 +76,7 @@ class HnswSpec extends AnyFunSuite {
       new java.io.File(s"$path/shard=$s").listFiles().map(_.getName).toSet
     val baseFiles = (0 until 4).map(shardFiles)
     val delta = Seq((0L, q)).toDF("vec_id", "embedding")
-    store.append(delta, "vec_id", "embedding", path)
+    val stats = store.append(delta, "vec_id", "embedding", path)
     // new vector served immediately, via a NEW segment past the old max
     val after = store.search(spark, path, q, 1)
       .select("id", "score").as[(Long, Double)].head()
@@ -84,6 +84,31 @@ class HnswSpec extends AnyFunSuite {
     assert((0 until 4).map(shardFiles) == baseFiles) // existing segments untouched
     val shards = spark.read.parquet(path).select("shard").distinct().as[Int].collect().sorted
     assert(shards.length == 5 && shards.last == 4)
+    // the compaction advice rides the append (r16, the IVF AppendStats
+    // precedent): QUIET at 5 segments under any sane threshold...
+    assert(stats.segments == 5)
+    assert(!stats.compactionAdvised(), "5 segments must not advise compaction")
+    // ...LOUD once the accumulated count passes the threshold (the
+    // probe's knee is the executor-slot count; a tiny threshold forces
+    // the loud side without building 32+ real segments)
+    assert(stats.compactionAdvised(maxSegments = 4))
+    val stats2 = store.append(Seq((1000L, q)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    assert(stats2.segments == 6 && stats2.compactionAdvised(maxSegments = 5))
+    // and the RESPONSE — a fresh write() — compacts back to numShards
+    // (rebuilt from the sources: Spark refuses to overwrite a path it
+    // is reading, which is the right refusal — compaction at scale
+    // writes a NEW generation and retires the old, IndexGenerations)
+    val compacted = emb.select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") =!= 0).unionByName(
+      Seq((0L, q), (1000L, q)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")))
+    store.write(compacted, "vec_id", "embedding", path, numShards = 2)
+    assert(store.segmentCount(spark, path) == 2,
+      "write() must compact the accumulated segments")
+    val recompacted = store.search(spark, path, q, 1)
+      .select("id", "score").as[(Long, Double)].head()
+    assert(recompacted._1 == 0L, "compaction lost the appended vector")
   }
 
   test("streaming segment ingest: micro-batches become searchable segments") {

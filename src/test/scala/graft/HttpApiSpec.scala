@@ -108,4 +108,94 @@ class HttpApiSpec extends AnyFunSuite {
       assert(env.get("hits").size() == 0 && !env.has("index_used"))
     }
   }
+
+  test("registered at-rest tier serves the same REST envelope; index_used distinguishes the tier") {
+    // r16 (r15 verdict #5): the SAME engine behind two HttpApis — one
+    // plain (reference-parity transient serving), one with the
+    // AtRestIndexBridge — must answer the same request with the same
+    // hits, index and library_version; only index_used tells the tier.
+    graft.plans.LshProbeRewrite.clear()
+    try {
+      val engine = new Engine()
+      engine.createLibrary(name = "Bridged", id = Some("blib"))
+      engine.addDocument("blib", title = "d", id = Some("bdoc"))
+      val dim = 8
+      val rng = new scala.util.Random(11)
+      val qv = Array.fill(dim)(rng.nextGaussian().toFloat)
+      // 20 exact copies of the query vector (score 1.0, fills any top-5
+      // identically on every path) + 50 far vectors
+      (0 until 20).foreach { i =>
+        engine.addChunk("blib", "bdoc", text = s"copy-$i",
+          embedding = Some(qv.clone()),
+          metadata = Map("grp" -> (if (i < 10) "a" else "b")),
+          id = Some(f"c$i%02d")): Unit
+      }
+      (0 until 50).foreach { i =>
+        engine.addChunk("blib", "bdoc", text = s"far-$i",
+          embedding = Some(Array.fill(dim)(rng.nextGaussian().toFloat)),
+          metadata = Map("grp" -> "far"), id = Some(f"f$i%02d")): Unit
+      }
+      val bridge = new graft.search.AtRestIndexBridge("target/test-index/at-rest-bridge")
+      TestSpark.rmTree(new java.io.File("target/test-index/at-rest-bridge"))
+      graft.index.IndexGenerations.clear()
+      val path1 = bridge.register(spark, engine, "blib")
+
+      def searchVia(useBridge: Boolean, body: String) = {
+        val api = new HttpApi(spark, engine, HashingEmbedder(dim = dim),
+          atRest = if (useBridge) Some(bridge) else None)
+        val port = api.start()
+        try {
+          val r = req("POST",
+            s"http://127.0.0.1:$port/vector_db/libraries/blib/search", body)
+          assert(r.statusCode() == 200,
+            s"search (bridge=$useBridge) failed ${r.statusCode()}: ${r.body()}")
+          mapper.readTree(r.body())
+        } finally api.stop()
+      }
+      val qJson = qv.map(_.toString).mkString("[", ",", "]")
+
+      // unfiltered: static probe through the rule vs the transient path
+      val body = s"""{"query_embedding": $qJson, "k": 5, "index": "lsh"}"""
+      val plain = searchVia(useBridge = false, body)
+      val served = searchVia(useBridge = true, body)
+      def hitIds(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+        val it = n.get("hits").elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next().get("chunk_id").asText()).toSeq
+      }
+      assert(hitIds(served) == hitIds(plain), "hits must be tier-independent")
+      assert(served.get("index").asText() == plain.get("index").asText())
+      assert(served.get("library_version").asInt() == plain.get("library_version").asInt())
+      assert(served.get("index_used").asText() == "lsh_at_rest",
+        s"bridged tier must report itself, got ${served.get("index_used")}")
+      assert(plain.get("index_used").asText() != "lsh_at_rest")
+
+      // filtered: the guaranteed-k ladder serves through the rule —
+      // 10 copies carry grp=a, so the exact-bucket rung fills k=5
+      val fBody = s"""{"query_embedding": $qJson, "k": 5, "index": "lsh", "filters": {"grp": "a"}}"""
+      val fPlain = searchVia(useBridge = false, fBody)
+      val fServed = searchVia(useBridge = true, fBody)
+      assert(hitIds(fServed) == hitIds(fPlain))
+      assert(fServed.get("index_used").asText() == "at_rest_lsh",
+        s"filtered bridged serve must ride the ladder's exact rung, " +
+          s"got ${fServed.get("index_used")}")
+
+      // staleness: a mutation bumps the version -> the stale
+      // registration falls back to the transient path (same hits)
+      engine.addChunk("blib", "bdoc", text = "late",
+        embedding = Some(Array.fill(dim)(rng.nextGaussian().toFloat)),
+        metadata = Map("grp" -> "far"), id = Some("late1")): Unit
+      val stale = searchVia(useBridge = true, body)
+      assert(hitIds(stale) == hitIds(plain))
+      assert(stale.get("index_used").asText() != "lsh_at_rest",
+        "a stale registration must not serve the old layout")
+      // re-register at the new version: served again, and the old
+      // generation is RETIRED through the catalog (no leases -> gone)
+      val path2 = bridge.register(spark, engine, "blib")
+      val fresh = searchVia(useBridge = true, body)
+      assert(fresh.get("index_used").asText() == "lsh_at_rest")
+      assert(path1 != path2 && new java.io.File(path2).exists())
+      assert(!new java.io.File(path1).exists(),
+        "re-register must retire the previous generation")
+    } finally graft.plans.LshProbeRewrite.clear()
+  }
 }
