@@ -177,7 +177,19 @@ object DumpPlans {
       // candidates and level attach, a BroadcastNestedLoopJoin (not a
       // CartesianProduct) for the starved-request brute rung, and
       // WindowGroupLimit for the per-request top-k
-      "knn_filtered_adaptive_batched")
+      "knn_filtered_adaptive_batched",
+      // r16: the ladder REWRITTEN BY THE RULE from a plain filtered
+      // top-k over a guaranteeK registration — same shape as the
+      // batched ladder for one request (partition-pruned ball scan,
+      // single-row level aggregate broadcast, starved-only brute
+      // union), gk_* aliases marking the in-plan escalation, the
+      // caller's index_used literal replaced by the served level
+      "knn_filtered_rule_adaptive",
+      // r16: the same ladder reached from the REST surface — the O12
+      // envelope over the registered at-rest tier (engine state ->
+      // AtRestIndexBridge -> rule -> ladder); metadata-filter predicate
+      // pushed to the layout scan under the ball probe
+      "search_o12_registered")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.01, generated by graft.DumpPlans)\n\n")

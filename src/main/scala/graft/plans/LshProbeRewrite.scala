@@ -135,6 +135,7 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
       s"maxHamming $maxHamming unsupported — 0 (exact bucket) or 1 (1-bit multi-probe)")
     registry.put(normalize(new java.io.File(path).getAbsolutePath),
       Registration(lsh, dim, numPhysicalPartitions, maxHamming, guaranteeK))
+    persistQuietly(path)
   }
 
   def registerIvf(path: String, cents: Array[(Long, Array[Float])],
@@ -143,6 +144,7 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
     registry.put(normalize(new java.io.File(path).getAbsolutePath),
       IvfRegistration(cents, nprobe))
+    persistQuietly(path)
   }
 
   def registerPq(path: String, cb: graft.index.PqKnn.Codebooks,
@@ -151,6 +153,7 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
     registry.put(normalize(new java.io.File(path).getAbsolutePath),
       PqRegistration(cb, shortlist, idColName))
+    persistQuietly(path)
   }
 
   def registerIvfPq(path: String, cents: Array[(Long, Array[Float])], nprobe: Int,
@@ -161,6 +164,7 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
     registry.put(normalize(new java.io.File(path).getAbsolutePath),
       IvfPqRegistration(cents, nprobe, cb, shortlist, idColName))
+    persistQuietly(path)
   }
 
   def registerSq8(path: String, scales: Array[Double],
@@ -169,6 +173,7 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
     registry.put(normalize(new java.io.File(path).getAbsolutePath),
       Sq8Registration(scales, shortlist, idColName))
+    persistQuietly(path)
   }
 
   /** Whether `path` currently serves through the rule — the guard
@@ -177,6 +182,142 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     * optimizer keeps rewriting queries onto). */
   def isRegistered(path: String): Boolean =
     registry.containsKey(normalize(new java.io.File(path).getAbsolutePath))
+
+  private[graft] def registrationOf(path: String): Option[IndexRegistration] =
+    Option(registry.get(normalize(new java.io.File(path).getAbsolutePath)))
+
+  // ---- registration persistence (r16 stretch; r15 verdict #7) -------
+  // The registry is in-memory: a fresh JVM had to re-register every
+  // layout from code, which means the registration — the serving
+  // policy — lived OUTSIDE the layout it describes. The `_registration`
+  // sidecar (the `_ivf_baseline` precedent: `_`-prefixed, ignored by
+  // FileIndex listings, scans untouched) puts it IN the layout:
+  // register* calls persist it best-effort, and a fresh session
+  // restores serving with spark.read.parquet(path) + one
+  // registerFromSidecar(path). Everything a registration carries is
+  // derived constants (seeds, dims, centroids, codebooks, scales) —
+  // small, exact, JSON-serializable.
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def sidecarPath(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(new java.io.File(path).getAbsolutePath, "_registration")
+
+  /** Write `path`'s live registration into its `_registration` sidecar.
+    * Fails loud when nothing is registered; register* methods call the
+    * quiet best-effort variant (a registration ahead of the layout
+    * write has no directory to persist into yet). */
+  def persistRegistration(path: String): Unit = {
+    val reg = registrationOf(path).getOrElse(
+      sys.error(s"$path has no live registration to persist"))
+    val node = mapper.createObjectNode()
+    def putFloats(parent: com.fasterxml.jackson.databind.node.ObjectNode,
+                  name: String, vs: Array[Float]): Unit = {
+      val a = parent.putArray(name); vs.foreach(a.add(_))
+    }
+    def putCents(name: String, cents: Array[(Long, Array[Float])]): Unit = {
+      val arr = node.putArray(name)
+      cents.foreach { case (cid, v) =>
+        val e = arr.addObject(); e.put("cid", cid); putFloats(e, "v", v)
+      }
+    }
+    def putCodebooks(cb: graft.index.PqKnn.Codebooks): Unit = {
+      node.put("cb_dim", cb.dim); node.put("cb_m", cb.m); node.put("cb_k", cb.k)
+      val subs = node.putArray("cb")
+      cb.cents.foreach { sub =>
+        val sa = subs.addArray()
+        sub.foreach { c => val ca = sa.addArray(); c.foreach(ca.add(_)) }
+      }
+    }
+    reg match {
+      case Registration(lsh, dim, npp, mh, gk) =>
+        node.put("kind", "lsh")
+        node.put("numTables", lsh.numTables); node.put("numPlanes", lsh.numPlanes)
+        node.put("seed", lsh.seed); node.put("dim", dim)
+        node.put("numPhysicalPartitions", npp)
+        node.put("maxHamming", mh); node.put("guaranteeK", gk)
+      case IvfRegistration(cents, nprobe) =>
+        node.put("kind", "ivf"); node.put("nprobe", nprobe); putCents("cents", cents)
+      case PqRegistration(cb, shortlist, idColName) =>
+        node.put("kind", "pq"); node.put("shortlist", shortlist)
+        node.put("idColName", idColName); putCodebooks(cb)
+      case Sq8Registration(scales, shortlist, idColName) =>
+        node.put("kind", "sq8"); node.put("shortlist", shortlist)
+        node.put("idColName", idColName)
+        val a = node.putArray("scales"); scales.foreach(a.add(_))
+      case IvfPqRegistration(cents, nprobe, cb, shortlist, idColName) =>
+        node.put("kind", "ivfpq"); node.put("nprobe", nprobe)
+        node.put("shortlist", shortlist); node.put("idColName", idColName)
+        putCents("cents", cents); putCodebooks(cb)
+    }
+    java.nio.file.Files.write(sidecarPath(path),
+      mapper.writeValueAsBytes(node))
+  }
+
+  private def persistQuietly(path: String): Unit =
+    try persistRegistration(path)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Restore a layout's serving policy from its `_registration` sidecar
+    * (written by the register* call that built it, possibly in another
+    * JVM). Returns the registration kind. Loud on a missing/garbled
+    * sidecar — a quiet no-op would serve exact scans and look like a
+    * performance bug. */
+  def registerFromSidecar(path: String): String = {
+    val bytes = java.nio.file.Files.readAllBytes(sidecarPath(path))
+    val node = mapper.readTree(bytes)
+    def floats(n: com.fasterxml.jackson.databind.JsonNode): Array[Float] = {
+      val it = n.elements(); val b = Array.newBuilder[Float]
+      while (it.hasNext) b += it.next().floatValue()
+      b.result()
+    }
+    def cents(name: String): Array[(Long, Array[Float])] = {
+      val it = node.get(name).elements()
+      val b = Array.newBuilder[(Long, Array[Float])]
+      while (it.hasNext) {
+        val e = it.next(); b += ((e.get("cid").asLong(), floats(e.get("v"))))
+      }
+      b.result()
+    }
+    def codebooks(): graft.index.PqKnn.Codebooks = {
+      val subsIt = node.get("cb").elements()
+      val subs = Array.newBuilder[Array[Array[Float]]]
+      while (subsIt.hasNext) {
+        val centIt = subsIt.next().elements()
+        val cs = Array.newBuilder[Array[Float]]
+        while (centIt.hasNext) cs += floats(centIt.next())
+        subs += cs.result()
+      }
+      graft.index.PqKnn.Codebooks(node.get("cb_dim").asInt(),
+        node.get("cb_m").asInt(), node.get("cb_k").asInt(), subs.result())
+    }
+    val kind = node.get("kind").asText()
+    kind match {
+      case "lsh" =>
+        register(path,
+          RandomHyperplaneLsh(node.get("numTables").asInt(),
+            node.get("numPlanes").asInt(), node.get("seed").asLong()),
+          node.get("dim").asInt(), node.get("numPhysicalPartitions").asInt(),
+          node.get("maxHamming").asInt(), node.get("guaranteeK").asBoolean())
+      case "ivf" =>
+        registerIvf(path, cents("cents"), node.get("nprobe").asInt())
+      case "pq" =>
+        registerPq(path, codebooks(), node.get("shortlist").asInt(),
+          node.get("idColName").asText())
+      case "sq8" =>
+        val it = node.get("scales").elements()
+        val b = Array.newBuilder[Double]
+        while (it.hasNext) b += it.next().doubleValue()
+        registerSq8(path, b.result(), node.get("shortlist").asInt(),
+          node.get("idColName").asText())
+      case "ivfpq" =>
+        registerIvfPq(path, cents("cents"), node.get("nprobe").asInt(),
+          codebooks(), node.get("shortlist").asInt(),
+          node.get("idColName").asText())
+      case other => sys.error(s"unknown registration kind '$other' in sidecar at $path")
+    }
+    kind
+  }
 
   /** Remove one path's registration (the swap order is register(new) →
     * unregister(old) → retire(old)); queries over the path fall back
