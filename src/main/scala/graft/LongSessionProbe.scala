@@ -30,7 +30,11 @@ object LongSessionProbe {
     // r15 heavy additions: the batched serving joins and the batched
     // escalation ladder — multi-join DAGs over broadcast request sides,
     // the new allocator-heavy shapes a long session accumulates
-    "knn_serve_stream_batched_mp", "knn_filtered_adaptive_batched")
+    "knn_serve_stream_batched_mp", "knn_filtered_adaptive_batched",
+    // r16 additions: the rule-rewritten ladder (re-entrant optimization
+    // per query — the one shape that builds plans INSIDE the optimizer)
+    // and the REST bridge path (engine state + layout lease per serve)
+    "knn_filtered_rule_adaptive", "search_o12_registered")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

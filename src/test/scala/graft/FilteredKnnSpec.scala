@@ -240,6 +240,46 @@ class FilteredKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("guaranteeK without an index_used placeholder still serves full k through the ladder") {
+    // the reporting slot is OPT-IN: a caller that doesn't project the
+    // placeholder still gets the escalation (guaranteed k), just no
+    // level column — the rewrite must not depend on the slot existing
+    val s = spark
+    if (!s.experimental.extraOptimizations.contains(graft.plans.LshProbeRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.LshProbeRewrite
+    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(s)
+    try {
+      graft.plans.LshProbeRewrite.clear()
+      graft.plans.LshProbeRewrite.register(layoutPath, lsh, dim, guaranteeK = true)
+      // the starving filter (6 far ids): only the brute rung can fill k
+      val out = s.read.parquet(layoutPath)
+        .where(col("vec_id").isin(farIds.take(6).map(Long.box): _*))
+        .withColumn("score", graft.expressions.CosineSimilarity(
+          col("embedding"), typedlit(qVec.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(k)
+        .select(col("vec_id"), col("score"))
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(plan.contains("gk_level"), s"ladder did not fire:\n${plan.take(2000)}")
+      val got = out.collect().map(_.getLong(0)).toSeq
+      assert(got.length == k, s"starved filter must still fill k, got $got")
+      val want = store.searchFilteredAdaptive(layout, "embedding", "vec_id",
+          col("vec_id").isin(farIds.take(6).map(Long.box): _*), qVec, k)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      assert(got == want)
+    } finally {
+      graft.plans.LshProbeRewrite.clear()
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations.filterNot(_ == graft.plans.LshProbeRewrite)
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies.filterNot(
+          _.isInstanceOf[graft.plans.LshProbeStrategy])
+    }
+  }
+
   test("guaranteeK fast path: an UNFILTERED top-k plans the static probe unchanged") {
     // no filter -> no starvation-by-predicate the ladder could fix that
     // the probe doesn't have: the plan must be BIT-IDENTICAL (modulo
