@@ -291,7 +291,8 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
     * listing is safe. Parity with PqIndexStore's streaming ingest.
     */
   def appendStream(rows: DataFrame, idCol: String, embCol: String, path: String,
-                   numShards: Int = 1, checkpointDir: Option[String] = None)
+                   numShards: Int = 1, checkpointDir: Option[String] = None,
+                   onBatch: HnswIndexStore.HnswAppendStats => Unit = _ => ())
   : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = rows.sparkSession
     val offset0 = checkpointDir match {
@@ -314,6 +315,12 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
       writeLayout(batch, idCol, embCol, path, numShards,
         offset0 + (batchId * numShards).toInt, mode = "dynamicOverwrite")
+      // the compaction advice per micro-batch — the
+      // [[IvfIndexStore.appendStream]] onBatch parity (r16): an ingest
+      // job alarms on segment accumulation instead of polling a probe.
+      // Runs after the segment write COMMITS, so the advice can never
+      // count a segment that didn't land.
+      onBatch(HnswIndexStore.HnswAppendStats(segmentCount(spark, path)))
     }.start()
   }
 

@@ -118,8 +118,12 @@ class HnswSpec extends AnyFunSuite {
     val store = HnswIndexStore()
     store.write(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", path, numShards = 4)
     val src = MemoryStream[(Long, Array[Float])](spark)
+    // the compaction advice rides every micro-batch (IVF onBatch
+    // parity): capture what the ingest job would alarm on
+    val batchStats = new java.util.concurrent.CopyOnWriteArrayList[
+      graft.index.HnswIndexStore.HnswAppendStats]()
     val query = store.appendStream(src.toDF().toDF("vec_id", "embedding"),
-      "vec_id", "embedding", path)
+      "vec_id", "embedding", path, onBatch = s => { batchStats.add(s): Unit })
     try {
       src.addData((0L, q))
       query.processAllAvailable()
@@ -127,6 +131,10 @@ class HnswSpec extends AnyFunSuite {
     val top = store.search(spark, path, q, 1)
       .select("id", "score").as[(Long, Double)].head()
     assert(top._1 == 0L, s"streamed vector not served: $top")
+    assert(batchStats.size() == 1, s"expected one batch's stats, got $batchStats")
+    assert(batchStats.get(0).segments == 5) // 4 base shards + 1 streamed segment
+    assert(!batchStats.get(0).compactionAdvised())
+    assert(batchStats.get(0).compactionAdvised(maxSegments = 4))
   }
 
   test("batched multi-query serving: one scan answers every query, matching per-query search") {
