@@ -185,6 +185,11 @@ object DumpPlans {
       // union), gk_* aliases marking the in-plan escalation, the
       // caller's index_used literal replaced by the served level
       "knn_filtered_rule_adaptive",
+      // r16: the same registered-policy ladder in IVF geometry —
+      // nprobe -> 2·nprobe -> filtered corpus, candidates from
+      // partition-pruned cluster directories, no dedupe (IVF rows are
+      // unique), levels ivf/ivf_w2/brute
+      "knn_filtered_ivf_adaptive",
       // r16: the same ladder reached from the REST surface — the O12
       // envelope over the registered at-rest tier (engine state ->
       // AtRestIndexBridge -> rule -> ladder); metadata-filter predicate

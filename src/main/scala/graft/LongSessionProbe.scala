@@ -34,7 +34,8 @@ object LongSessionProbe {
     // r16 additions: the rule-rewritten ladder (re-entrant optimization
     // per query — the one shape that builds plans INSIDE the optimizer)
     // and the REST bridge path (engine state + layout lease per serve)
-    "knn_filtered_rule_adaptive", "search_o12_registered")
+    "knn_filtered_rule_adaptive", "knn_filtered_ivf_adaptive",
+    "search_o12_registered")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

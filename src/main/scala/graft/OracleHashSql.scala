@@ -746,6 +746,44 @@ object OracleHashSql {
        |FROM rankeds r JOIN lvl ON lvl.q_id = r.q_id
        |WHERE r.rn <= 5 ORDER BY r.q_id, r.rn""".stripMargin
 
+  /** knn_filtered_ivf_adaptive: the IVF guaranteed-k ladder (r16 — the
+    * LSH filtered policy expressed in IVF's own geometry) replayed
+    * rule and all: cluster ranking for the query (cosine desc, cid),
+    * per-row assignment (argmax cosine, first-max tie-break),
+    * candidate counts at nprobe=2 and the doubled 2·nprobe=4 probe
+    * lists (each ∩ the `vec_id % 47 = 0` filter), the first level with
+    * ≥ k survivors (else the filtered corpus), exact-cosine rerank and
+    * the reported level (`ivf`/`ivf_w2`/`brute`). Same CTE shapes as
+    * ann_ivf. */
+  private def knnFilteredIvfAdaptiveSql: String =
+    s"""WITH $xxhCte,
+       |$centsCte,
+       |$corpusCte,
+       |centv AS (SELECT c2.cid, e2.embedding AS ce FROM cents c2 JOIN corpus e2 ON e2.vec_id = c2.cid),
+       |rcp AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS y FROM corpus e, centv c),
+       |rc AS (SELECT vec_id, cid,
+       |    CASE WHEN SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) = 0 OR SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) = 0 THEN 0.0
+       |         ELSE SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |              (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) END AS s
+       |  FROM rcp GROUP BY vec_id, cid),
+       |assigned AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM rc)
+       |  WHERE rn = 1),
+       |pranked AS (SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS prn FROM rc WHERE vec_id = 0),
+       |filt AS (SELECT vec_id FROM corpus WHERE vec_id % 47 = 0),
+       |icand AS (SELECT a.vec_id, CASE WHEN p.prn <= 2 THEN 0 ELSE 1 END AS d
+       |  FROM assigned a JOIN pranked p ON p.cid = a.cid AND p.prn <= 4
+       |  JOIN filt f ON f.vec_id = a.vec_id),
+       |lvl AS (SELECT CASE WHEN (SELECT COUNT(*) FROM icand WHERE d = 0) >= 5 THEN 0
+       |                    WHEN (SELECT COUNT(*) FROM icand) >= 5 THEN 1 ELSE 2 END AS l),
+       |chosen AS (SELECT vec_id FROM icand WHERE (SELECT l FROM lvl) < 2 AND d <= (SELECT l FROM lvl)
+       |  UNION ALL SELECT vec_id FROM filt WHERE (SELECT l FROM lvl) = 2),
+       |$qScoresCtes
+       |SELECT c.vec_id, ROUND(s.s, 4) AS score,
+       |  CASE (SELECT l FROM lvl) WHEN 0 THEN 'ivf' WHEN 1 THEN 'ivf_w2' ELSE 'brute' END AS index_used
+       |FROM chosen c JOIN scores s ON s.vec_id = c.vec_id
+       |ORDER BY s.s DESC, c.vec_id LIMIT 5""".stripMargin
+
   /** knn_serve_stream_ivf: the 5-request serving stream answered from
     * the registered IVF layout. Assignment (argmax cosine vs the
     * stride-53 centroids, lowest-cid tie-break) is computed once; each
@@ -1462,6 +1500,7 @@ object OracleHashSql {
     // vec_id % 47 = 0, so the same ladder oracle adjudicates the whole
     // engine-state → bridge → rule → ladder → envelope path
     "search_o12_registered" -> knnFilteredAdaptiveSql,
+    "knn_filtered_ivf_adaptive" -> knnFilteredIvfAdaptiveSql,
     // the at-rest/cached layout probes stored buckets but is candidate-
     // and rerank-identical to the transient probe — one oracle for both
     "knn_lsh_cached" -> knnLshSql,

@@ -768,6 +768,47 @@ object Queries {
     out
   }
 
+  /** The IVF kind's guaranteed-k filtered serve (r16 — the
+    * registration-level policy generalized past LSH): the caller
+    * writes the same plain filtered top-k over the registered IVF
+    * layout, and the `guaranteeK` registration escalates IN-PLAN
+    * through the index's own geometry — the registered nprobe=2
+    * cluster probe, the DOUBLED 2·nprobe probe list (IVF's standard
+    * recall knob, the analog of the LSH 1-bit ball), then the filtered
+    * corpus — first level with ≥ k filter-survivors wins, level
+    * reported as `ivf`/`ivf_w2`/`brute`. The DuckDB oracle replays the
+    * WHOLE rule: cluster ranking, per-row assignment, both counts, the
+    * boundary, the chosen set, rerank, and the reported level. Its own
+    * at-rest layout copy, per the one-policy-per-path registry rule. */
+  private val ivfGkIndexCache = new SessionCache[String, DataFrame]
+  def knnFilteredIvfAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = ivfRuleCents(spark, sfDir)
+    val p = s"target/gate-index/ivf-rule-gk-${math.abs(sfDir.hashCode)}"
+    val base = ivfGkIndexCache.getOrElseUpdate(spark, sfDir) {
+      graft.index.IvfIndexStore(cents).write(Tables.embeddings(spark, sfDir), "embedding", p)
+      spark.read.parquet(p)
+    }
+    graft.plans.LshProbeRewrite.registerIvf(p, cents, nprobe = 2, guaranteeK = true)
+    injectProbeRule(spark)
+    val q = queryVec(spark, sfDir)
+    val out = base
+      .where(pmod(col("vec_id"), lit(47)) === 0)
+      .withColumn("score",
+        graft.expressions.CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+      .withColumn("index_used", lit("auto"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"), col("index_used"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    require(plan.contains("gk_level"),
+      "the IVF guaranteed-k ladder did not fire — a static centroid probe " +
+        "under a selective filter serves fewer than k rows")
+    require(!plan.contains("auto"),
+      "the caller's index_used placeholder survived — the engine must own " +
+        "the served-level value")
+    out
+  }
+
   /** [[knnFilteredAdaptive]]'s BATCHED form (r15 open thread #4):
     * every request of a batch runs the guaranteed-k filtered ladder,
     * but the escalation decisions happen IN one plan
@@ -4890,6 +4931,7 @@ object Queries {
     "knn_lsh_rule_filtered" -> (knnLshRuleFiltered _),
     "knn_filtered_adaptive" -> (knnFilteredAdaptive _),
     "knn_filtered_rule_adaptive" -> (knnFilteredRuleAdaptive _),
+    "knn_filtered_ivf_adaptive" -> (knnFilteredIvfAdaptive _),
     "knn_filtered_adaptive_batched" -> (knnFilteredAdaptiveBatched _),
     "knn_lsh_rule_multiprobe" -> (knnLshRuleMultiprobe _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),

@@ -71,8 +71,13 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     * probe width. The probe filter is `cluster_id IN (top-nprobe
     * centroids by cosine to the query)` — a pure partition-column
     * predicate over the [[graft.index.IvfIndexStore]] layout, so
-    * Catalyst prunes to nprobe/nlist of the files. */
-  final case class IvfRegistration(cents: Array[(Long, Array[Float])], nprobe: Int)
+    * Catalyst prunes to nprobe/nlist of the files. `guaranteeK` (r16)
+    * is the same filtered policy as the LSH kind's: a FILTERED top-k
+    * escalates in-plan through nprobe → 2·nprobe → filtered-corpus
+    * until ≥ k survivors (see [[Registration.guaranteeK]]); unfiltered
+    * top-k keeps the static centroid probe. */
+  final case class IvfRegistration(cents: Array[(Long, Array[Float])], nprobe: Int,
+                                   guaranteeK: Boolean = false)
     extends IndexRegistration
 
   /** PQ policy (r14 verdict #4): the trained codebooks plus the
@@ -139,11 +144,11 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
   }
 
   def registerIvf(path: String, cents: Array[(Long, Array[Float])],
-                  nprobe: Int): Unit = {
+                  nprobe: Int, guaranteeK: Boolean = false): Unit = {
     require(cents.nonEmpty, "IVF registration needs at least one centroid")
     require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
     registry.put(normalize(new java.io.File(path).getAbsolutePath),
-      IvfRegistration(cents, nprobe))
+      IvfRegistration(cents, nprobe, guaranteeK))
     persistQuietly(path)
   }
 
@@ -236,8 +241,9 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         node.put("seed", lsh.seed); node.put("dim", dim)
         node.put("numPhysicalPartitions", npp)
         node.put("maxHamming", mh); node.put("guaranteeK", gk)
-      case IvfRegistration(cents, nprobe) =>
-        node.put("kind", "ivf"); node.put("nprobe", nprobe); putCents("cents", cents)
+      case IvfRegistration(cents, nprobe, guaranteeK) =>
+        node.put("kind", "ivf"); node.put("nprobe", nprobe)
+        node.put("guaranteeK", guaranteeK); putCents("cents", cents)
       case PqRegistration(cb, shortlist, idColName) =>
         node.put("kind", "pq"); node.put("shortlist", shortlist)
         node.put("idColName", idColName); putCodebooks(cb)
@@ -300,7 +306,9 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
           node.get("dim").asInt(), node.get("numPhysicalPartitions").asInt(),
           node.get("maxHamming").asInt(), node.get("guaranteeK").asBoolean())
       case "ivf" =>
-        registerIvf(path, cents("cents"), node.get("nprobe").asInt())
+        // guaranteeK defaults false for sidecars written before the flag
+        registerIvf(path, cents("cents"), node.get("nprobe").asInt(),
+          Option(node.get("guaranteeK")).exists(_.asBoolean()))
       case "pq" =>
         registerPq(path, codebooks(), node.get("shortlist").asInt(),
           node.get("idColName").asText())
@@ -431,6 +439,10 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
           case r: Registration =>
             filterProbe(kVal, sort, projectList, child,
               lshProbeFilter(r, qvec, child)).map(wrap)
+          case r: IvfRegistration if r.guaranteeK && hasUserFilter(child) =>
+            guaranteedKLadderIvf(kVal, sort, projectList, outerList, child, r, qvec)
+              .orElse(filterProbe(kVal, sort, projectList, child,
+                ivfProbeFilter(r, qvec, child)).map(wrap))
           case r: IvfRegistration =>
             filterProbe(kVal, sort, projectList, child,
               ivfProbeFilter(r, qvec, child)).map(wrap)
@@ -577,6 +589,78 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
       .groupBy(groupNames.map(F.col): _*)
       .agg(F.min(F.col("gk_dist")).as("gk_min_dist"),
         carryNames.map(n => F.first(F.col(n)).as(n)): _*)
+    ladderServe(kVal, sort, projectList, outerList, payload, cand,
+      fl.where(F.col("table") === 0), ("lsh", "lsh_mp1", "brute"))
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      // fall back to the static probe — under-filled but correct; the
+      // warning keeps the fallback diagnosable (a silent None here hid
+      // a real construction bug once)
+      logError(s"guaranteed-k ladder fell back to the static probe", e)
+      None
+  }
+
+  /** The IVF kind's guaranteed-k ladder (r16): same escalation
+    * contract as the LSH ladder, the widening expressed in the index's
+    * own geometry — level 0 probes the registered `nprobe` best
+    * clusters, level 1 DOUBLES the probe list (the standard IVF recall
+    * knob, the analog of the LSH 1-bit ball), level 2 is the filtered
+    * corpus (IVF stores each row exactly once, so the brute rung is
+    * the whole filtered layout — no sub-layout trick needed, and no
+    * dedupe anywhere: `gk_min_dist` is a pure function of the row's
+    * `cluster_id` rank). Served levels report `ivf` / `ivf_w2` /
+    * `brute`. */
+  private def guaranteedKLadderIvf(kVal: Int, sort: Sort,
+                                   projectList: Seq[NamedExpression],
+                                   outerList: Option[Seq[NamedExpression]],
+                                   child: LogicalPlan, reg: IvfRegistration,
+                                   qvec: Array[Float]): Option[LogicalPlan] = try {
+    import org.apache.spark.sql.{functions => F}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fl = org.apache.spark.sql.graft.SqlShims.ofRows(spark, child)
+    val payloadNames = fl.columns.toSeq.filterNot(layoutNames.contains)
+    if (payloadNames.isEmpty || payloadNames.exists(ladderNames.contains))
+      return None
+    val ranked = graft.index.IvfKnn.rankClusters(qvec, reg.cents).map(_._1)
+    val narrow = ranked.take(reg.nprobe)
+    val wide = ranked.take(2 * reg.nprobe)
+    // literal type follows the partition column (read back as int when
+    // every cluster id fits — matching literals keep the pruning
+    // predicate cast-free, same rule as ivfProbeFilter)
+    def inClusters(ids: Seq[Long]): org.apache.spark.sql.Column =
+      if (ids.forall(v => v >= Int.MinValue && v <= Int.MaxValue) &&
+          fl.schema("cluster_id").dataType == IntegerType)
+        F.col("cluster_id").isin(ids.map(v => Int.box(v.toInt)): _*)
+      else F.col("cluster_id").isin(ids.map(Long.box): _*)
+    val payload = payloadNames.map(F.col)
+    val cand = fl.where(inClusters(wide))
+      .withColumn("gk_min_dist",
+        F.when(inClusters(narrow), F.lit(0)).otherwise(F.lit(1)))
+      .select(payload :+ F.col("gk_min_dist"): _*)
+    ladderServe(kVal, sort, projectList, outerList, payload, cand,
+      fl, ("ivf", "ivf_w2", "brute"))
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      logError(s"IVF guaranteed-k ladder fell back to the static probe", e)
+      None
+  }
+
+  /** The escalation tail shared by both ladder kinds: the single-row
+    * level decision, the broadcast level attach, the starved-only
+    * brute rung, the union pool with its served-level column, and the
+    * re-bind of the caller's projections (by name, original exprIds)
+    * under the caller's own sort + limit. `cand` carries the payload +
+    * `gk_min_dist` (0 = the registered static probe would have found
+    * it, 1 = the widened probe adds it); `bruteSrc` is the
+    * every-row-once filtered corpus view. */
+  private def ladderServe(kVal: Int, sort: Sort,
+                          projectList: Seq[NamedExpression],
+                          outerList: Option[Seq[NamedExpression]],
+                          payload: Seq[org.apache.spark.sql.Column],
+                          cand: org.apache.spark.sql.DataFrame,
+                          bruteSrc: org.apache.spark.sql.DataFrame,
+                          levels: (String, String, String)): Option[LogicalPlan] = {
+    import org.apache.spark.sql.{functions => F}
     // single-row escalation decision: empty candidate set aggregates to
     // (null, 0), and null >= k is false, so starvation lands on level 2
     val lvl = cand.agg(
@@ -588,18 +672,18 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     val chosen = cand.crossJoin(F.broadcast(lvl))
       .where(F.col("gk_level") < 2 && F.col("gk_min_dist") <= F.col("gk_level"))
       .select(payload :+ F.col("gk_level"): _*)
-    val bruteRung = fl.where(F.col("table") === 0).crossJoin(F.broadcast(lvl))
+    val bruteRung = bruteSrc.crossJoin(F.broadcast(lvl))
       .where(F.col("gk_level") === 2)
       .select(payload :+ F.col("gk_level"): _*)
     val pool = chosen.unionByName(bruteRung)
       .withColumn("index_used",
-        F.when(F.col("gk_level") === 0, F.lit("lsh"))
-          .when(F.col("gk_level") === 1, F.lit("lsh_mp1"))
-          .otherwise(F.lit("brute")))
+        F.when(F.col("gk_level") === 0, F.lit(levels._1))
+          .when(F.col("gk_level") === 1, F.lit(levels._2))
+          .otherwise(F.lit(levels._3)))
     // re-entrant optimization of the composed subtree: the outer
     // optimizer batches have already run, so an un-optimized pool would
     // ship without partition pruning / pushdown; our own rule skips it
-    // (every pool filter constrains layout columns -> alreadyProbed)
+    // (the pool's probe filters constrain layout columns -> alreadyProbed)
     val poolPlan = pool.queryExecution.optimizedPlan
     val byName = poolPlan.output.map(a => a.name -> a).toMap
     def isUsedSlot(ne: NamedExpression): Boolean = ne match {
@@ -608,7 +692,9 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     }
     val bindable = projectList.forall(ne =>
       isUsedSlot(ne) || ne.references.forall(r => byName.contains(r.name)))
-    if (!bindable) return None // e.g. the caller projects a layout column — a deduped candidate has no honest bucket value, so the static probe serves that plan
+    // e.g. the caller projects a layout column — a deduped candidate
+    // has no honest bucket value, so the static probe serves that plan
+    if (!bindable) return None
     var innerUsed: Option[Attribute] = None
     val inner: Seq[NamedExpression] = projectList.map {
       case a: Alias if isUsedSlot(a) =>
@@ -639,13 +725,6 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
       case ne => ne
     })
     Some(outer2.map(Project(_, limited)).getOrElse(limited))
-  } catch {
-    case scala.util.control.NonFatal(e) =>
-      // fall back to the static probe — under-filled but correct; the
-      // warning keeps the fallback diagnosable (a silent None here hid
-      // a real construction bug once)
-      logError(s"guaranteed-k ladder fell back to the static probe", e)
-      None
   }
 
   /** The SCORING rewrite, shared by the PQ kind (r14 verdict #4) and

@@ -203,6 +203,96 @@ class LshProbeRewriteSpec extends AnyFunSuite {
     } finally LshProbeRewrite.clear()
   }
 
+  test("an IVF guaranteeK registration escalates filtered top-k through the doubled probe") {
+    // the IVF ladder's decisions recomputed INDEPENDENTLY in scala
+    // (cluster ranking, per-row assignment, counts, boundary) on the
+    // small fixture, then three filters force each level
+    val s = TestSpark.spark
+    val ivfPath = "target/test-index/rewrite-ivf-gk"
+    TestSpark.rmTree(new java.io.File(ivfPath))
+    if (!s.experimental.extraOptimizations.contains(LshProbeRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ LshProbeRewrite
+    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(s)
+    try {
+      LshProbeRewrite.clear()
+      val emb = Tables.embeddings(s, "/root/testdata/sf0.001")
+        .where(col("embedding").isNotNull)
+      val cents = graft.index.IvfKnn.centroids(
+        emb, col("vec_id"), col("embedding"), stride = 7L)
+      assert(cents.length >= 4, "fixture too small to double a 2-probe list")
+      graft.index.IvfIndexStore(cents).write(emb, "embedding", ivfPath)
+      LshProbeRewrite.registerIvf(ivfPath, cents, nprobe = 2, guaranteeK = true)
+      val q = Queries.queryVec(s, "/root/testdata/sf0.001")
+      // independent replay of the ladder's inputs
+      val ranked = graft.index.IvfKnn.rankClusters(q, cents).map(_._1)
+      val narrow = ranked.take(2).toSet
+      val wide = ranked.take(4).toSet
+      val assign = graft.index.IvfKnn.assign(emb, col("embedding"), cents)
+        .select(col("vec_id"), col("cluster_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rows = emb.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+        if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      def expect(filterIds: Set[Long], k: Int): (Seq[Long], String) = {
+        val cand0 = filterIds.filter(id => narrow.contains(assign(id)))
+        val cand1 = filterIds.filter(id => wide.contains(assign(id)))
+        val (chosen, level) =
+          if (cand0.size >= k) (cand0, "ivf")
+          else if (cand1.size >= k) (cand1, "ivf_w2")
+          else (filterIds, "brute")
+        (chosen.toSeq.map(id => (id, cos(rows(id), q)))
+          .sortBy { case (id, sc) => (-sc, id) }.take(k).map(_._1), level)
+      }
+      val narrowIds = rows.keySet.filter(id => narrow.contains(assign(id))).toSeq.sorted
+      val wideOnlyIds = rows.keySet.filter(id =>
+        wide.contains(assign(id)) && !narrow.contains(assign(id))).toSeq.sorted
+      val outsideIds = rows.keySet.filter(id => !wide.contains(assign(id))).toSeq.sorted
+      assert(narrowIds.size >= 5 && wideOnlyIds.size >= 3 && outsideIds.size >= 3,
+        s"fixture classes too small: ${narrowIds.size}/${wideOnlyIds.size}/${outsideIds.size}")
+      val cases = Seq(
+        ("level 0", narrowIds.take(8).toSet),
+        ("level 1", (narrowIds.take(2) ++ wideOnlyIds.take(3)).toSet),
+        ("level 2", outsideIds.take(3).toSet))
+      for ((label, ids) <- cases) {
+        val out = s.read.parquet(ivfPath)
+          .where(col("vec_id").isin(ids.toSeq.map(Long.box): _*))
+          .withColumn("score", CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+          .withColumn("index_used", lit("auto"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(5)
+          .select(col("vec_id"), col("score"), col("index_used"))
+        val plan = out.queryExecution.optimizedPlan.toString
+        assert(plan.contains("gk_level"), s"$label: IVF ladder did not fire:\n${plan.take(1500)}")
+        val got = out.collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+        val (wantIds, wantLevel) = expect(ids, 5)
+        assert(got.map(_._1) == wantIds, s"$label: got $got want $wantIds")
+        assert(got.forall(_._2 == wantLevel), s"$label: level ${got.map(_._2).distinct} != $wantLevel")
+      }
+      // sidecar round-trips the IVF flag: a fresh registry restores the
+      // LADDER policy, not just the static probe
+      LshProbeRewrite.clear()
+      assert(LshProbeRewrite.registerFromSidecar(ivfPath) == "ivf")
+      // (with a payload projection: a caller projecting the layout's
+      // cluster_id column is layout-aware and gets the static probe by
+      // design — a deduped/unioned candidate has no honest cluster slot)
+      val restored = s.read.parquet(ivfPath)
+        .where(col("vec_id").isin(cases(2)._2.toSeq.map(Long.box): _*))
+        .withColumn("score", CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"), col("score"))
+      assert(restored.queryExecution.optimizedPlan.toString.contains("gk_level"),
+        "restored IVF registration lost guaranteeK")
+    } finally LshProbeRewrite.clear()
+  }
+
   test("rule is idempotent and leaves non-cosine sorts alone") {
     withExtSession { s =>
       LshProbeRewrite.clear()

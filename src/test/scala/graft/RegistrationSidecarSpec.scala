@@ -80,7 +80,7 @@ class RegistrationSidecarSpec extends AnyFunSuite {
       LshProbeRewrite.clear()
       assert(LshProbeRewrite.registerFromSidecar(path) == "ivf")
       LshProbeRewrite.registrationOf(path) match {
-        case Some(LshProbeRewrite.IvfRegistration(cents2, nprobe)) =>
+        case Some(LshProbeRewrite.IvfRegistration(cents2, nprobe, false)) =>
           assert(nprobe == 2)
           assert(cents2.map(_._1).toSeq == cents.map(_._1).toSeq)
           cents.zip(cents2).foreach { case ((_, a), (_, b)) =>
