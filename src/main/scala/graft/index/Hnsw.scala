@@ -221,7 +221,8 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
     * reconstruct() completeness invariant holds per segment, and
     * [[search]]/[[searchMany]] already fan out over every stored
     * shard — new vectors are searchable the moment the append commits.
-    * A periodic [[write]] compacts accumulated small segments.
+    * A periodic [[compact]] rebuilds accumulated small segments into a
+    * fresh generation.
     *
     * Returns [[HnswIndexStore.HnswAppendStats]] — the compaction
     * trigger riding the append itself (r16, the IVF
@@ -244,6 +245,33 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
     writeLayout(delta, idCol, embCol, path, numShards,
       nextShardOffset(spark, path), mode = "append")
     HnswIndexStore.HnswAppendStats(segmentCount(spark, path))
+  }
+
+  /** The compaction RESPONSE (r16 — the other half of
+    * [[HnswIndexStore.HnswAppendStats.compactionAdvised]], and the
+    * HNSW analog of [[IvfIndexStore.recluster]]): rebuild the store's
+    * CURRENT contents — base plus every appended segment — into a
+    * fresh `numShards`-graph layout at `newPath`. A NEW path rather
+    * than an in-place overwrite for the same two reasons recluster
+    * refuses one: live FileIndexes hold the old listing, and Spark
+    * (rightly) refuses to overwrite a path it is reading. The caller
+    * re-points serving and retires the old generation through
+    * [[IndexGenerations.retire]] (reader-drain deferred delete).
+    * Graph builds are per-shard ([[Hnsw.build]] on each repartition),
+    * so the cost is one corpus read + numShards parallel builds —
+    * the same cost as the original [[write]]. Returns the new
+    * layout's segment count (== numShards). */
+  def compact(spark: SparkSession, path: String, newPath: String,
+              numShards: Int): Int = {
+    require(new java.io.File(newPath).getAbsolutePath.stripSuffix("/") !=
+        new java.io.File(path).getAbsolutePath.stripSuffix("/"),
+      "compact must write a NEW layout path — live readers hold the old file listing")
+    import spark.implicits._
+    val rows = loadNodes(spark, path)
+      .map(r => (r.id, r.embedding))
+      .toDF("id", "embedding")
+    write(rows, "id", "embedding", newPath, numShards)
+    segmentCount(spark, newPath)
   }
 
   /** Stored segment (shard directory) count — the same free listing
@@ -520,7 +548,8 @@ object HnswIndexStore {
       * (0.97 s at 72, 1.32 s at 264 — the fan-out queues). Size it to
       * the cluster's parallelism, not to recall: the probe measured
       * recall RISING with segment count, so this is a latency-budget
-      * dial with no quality cliff behind it. */
+      * dial with no quality cliff behind it. The response is
+      * [[HnswIndexStore.compact]]. */
     def compactionAdvised(maxSegments: Int = 32): Boolean =
       segments > maxSegments
   }

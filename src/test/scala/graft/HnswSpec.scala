@@ -95,20 +95,26 @@ class HnswSpec extends AnyFunSuite {
     val stats2 = store.append(Seq((1000L, q)).toDF("vec_id", "embedding"),
       "vec_id", "embedding", path)
     assert(stats2.segments == 6 && stats2.compactionAdvised(maxSegments = 5))
-    // and the RESPONSE — a fresh write() — compacts back to numShards
-    // (rebuilt from the sources: Spark refuses to overwrite a path it
-    // is reading, which is the right refusal — compaction at scale
-    // writes a NEW generation and retires the old, IndexGenerations)
-    val compacted = emb.select(col("vec_id"), col("embedding"))
-      .where(col("vec_id") =!= 0).unionByName(
-      Seq((0L, q), (1000L, q)).toDF("vec_id", "embedding")
-        .select(col("vec_id"), col("embedding").cast("array<float>")))
-    store.write(compacted, "vec_id", "embedding", path, numShards = 2)
-    assert(store.segmentCount(spark, path) == 2,
-      "write() must compact the accumulated segments")
-    val recompacted = store.search(spark, path, q, 1)
+    // and the RESPONSE — compact() rebuilds the store's own contents
+    // into a FRESH generation (in-place refused: live readers hold the
+    // old listing, and Spark refuses overwriting a path being read)
+    intercept[IllegalArgumentException](store.compact(spark, path, path, 2))
+    val path2 = s"$path-gen2"
+    TestSpark.rmTree(new java.io.File(path2))
+    val rowsBefore = spark.read.parquet(path).count()
+    assert(store.compact(spark, path, path2, numShards = 2) == 2)
+    assert(store.segmentCount(spark, path2) == 2,
+      "compact must rebuild to exactly numShards segments")
+    assert(spark.read.parquet(path2).count() == rowsBefore,
+      "compaction must preserve every node row")
+    val recompacted = store.search(spark, path2, q, 1)
       .select("id", "score").as[(Long, Double)].head()
     assert(recompacted._1 == 0L, "compaction lost the appended vector")
+    // the swap's final step: the old generation retires through the
+    // reader-drain catalog (no leases here -> deleted now)
+    graft.index.IndexGenerations.clear()
+    assert(graft.index.IndexGenerations.retire(path))
+    assert(!new java.io.File(path).exists())
   }
 
   test("streaming segment ingest: micro-batches become searchable segments") {
