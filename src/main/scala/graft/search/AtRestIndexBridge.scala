@@ -32,41 +32,85 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
                               numPhysicalPartitions: Int = 16) {
 
   private final case class Entry(path: String, version: Int,
-                                 lsh: RandomHyperplaneLsh, dim: Int,
+                                 kind: String, // "lsh" | "ivf"
                                  layout: DataFrame)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]
 
   /** Build + register `libraryId`'s corpus at its current version.
-    * Returns the layout path. Idempotent per (library, version); a
-    * NEW version writes a new generation and retires the old one. */
+    * Returns the layout path. Idempotent per (library, version, kind);
+    * a NEW version (or kind) writes a new generation and retires the
+    * old one. */
   def register(spark: SparkSession, engine: Engine, libraryId: String,
                lsh: RandomHyperplaneLsh = RandomHyperplaneLsh(8, 12, 42L)): String = {
     val version = engine.getLibrary(libraryId).version
     val existing = Option(entries.get(libraryId))
-    if (existing.exists(_.version == version)) return existing.get.path
-    val corpus = engine.chunksDF(spark)
-      .where(col("library_id") === libraryId && col("embedding").isNotNull)
-    val first = corpus.select(col("embedding")).limit(1).collect()
-    require(first.nonEmpty, s"library $libraryId has no embedded chunks to index")
-    val dim = first(0).getSeq[Float](0).length
+    if (existing.exists(e => e.version == version && e.kind == "lsh"))
+      return existing.get.path
+    val corpus = libraryCorpus(spark, engine, libraryId)
+    val dim = corpus.select(col("embedding")).limit(1).collect()(0)
+      .getSeq[Float](0).length
     val path = s"$baseDir/$libraryId/v$version"
     LshIndexStore(lsh, dim, numPhysicalPartitions).write(corpus, "embedding", path)
     graft.plans.LshProbeRewrite.register(path, lsh, dim, numPhysicalPartitions,
       guaranteeK = true)
+    swapIn(spark, libraryId,
+      Entry(path, version, "lsh", spark.read.parquet(path)), existing)
+  }
+
+  /** The IVF twin of [[register]] (r16) — the decision table's
+    * recommended serving kind for clustered (encoder-shaped) corpora,
+    * reachable from the same REST surface: the library's corpus as an
+    * [[graft.index.IvfIndexStore]] layout, registered under the IVF
+    * GUARANTEED-K policy (nprobe → 2·nprobe → filtered corpus under
+    * metadata filters), identical envelope. Centroid ids are
+    * `xxhash64(chunk id)` — chunk ids are STRINGS and a centroid id
+    * only needs identity, never arithmetic; `stride` samples
+    * ~corpus/stride centroids. */
+  def registerIvf(spark: SparkSession, engine: Engine, libraryId: String,
+                  nprobe: Int = 2, stride: Long = 7L): String = {
+    val version = engine.getLibrary(libraryId).version
+    val existing = Option(entries.get(libraryId))
+    if (existing.exists(e => e.version == version && e.kind == "ivf"))
+      return existing.get.path
+    val corpus = libraryCorpus(spark, engine, libraryId)
+    val cents = graft.index.IvfKnn.centroids(corpus,
+      org.apache.spark.sql.functions.xxhash64(col("id")), col("embedding"), stride)
+    require(cents.nonEmpty,
+      s"library $libraryId sampled no centroids at stride $stride")
+    val path = s"$baseDir/$libraryId/ivf-v$version"
+    graft.index.IvfIndexStore(cents).write(corpus, "embedding", path): Unit
+    graft.plans.LshProbeRewrite.registerIvf(path, cents, nprobe, guaranteeK = true)
+    swapIn(spark, libraryId,
+      Entry(path, version, "ivf", spark.read.parquet(path)), existing)
+  }
+
+  private def libraryCorpus(spark: SparkSession, engine: Engine,
+                            libraryId: String): DataFrame = {
+    val corpus = engine.chunksDF(spark)
+      .where(col("library_id") === libraryId && col("embedding").isNotNull)
+    require(corpus.select(col("embedding")).limit(1).collect().nonEmpty,
+      s"library $libraryId has no embedded chunks to index")
+    corpus
+  }
+
+  /** Publish the new generation and retire the replaced one
+    * (register(new) → unregister(old) → retire(old); retirement defers
+    * while serves hold leases). The layout DataFrame is cached per
+    * entry: a serving layer lists the partition directories once and
+    * reuses the FileIndex (the lshRuleIndexCache lesson — re-listing
+    * per query costs more than the probe); partition pruning still
+    * applies per query. */
+  private def swapIn(spark: SparkSession, libraryId: String, entry: Entry,
+                     existing: Option[Entry]): String = {
     injectRule(spark)
-    // layout DataFrame cached per entry: a serving layer lists the
-    // partition directories once and reuses the FileIndex (the
-    // lshRuleIndexCache lesson — re-listing per query costs more than
-    // the probe); partition pruning still applies per query
-    entries.put(libraryId, Entry(path, version, lsh, dim,
-      spark.read.parquet(path)))
-    existing.filter(_.path != path).foreach { old =>
+    entries.put(libraryId, entry)
+    existing.filter(_.path != entry.path).foreach { old =>
       graft.plans.LshProbeRewrite.unregister(old.path)
       IndexGenerations.retire(old.path): Unit // deferred while serves hold leases
     }
-    path
+    entry.path
   }
 
   private def injectRule(spark: SparkSession): Unit = {
@@ -91,18 +135,19 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
   private[search] def tryServe[A](spark: SparkSession, libraryId: String,
                                   version: Int, qvec: Array[Float], k: Int,
                                   filters: Map[String, String])
-                                 (pack: (DataFrame, Boolean) => A): Option[A] =
+                                 (pack: (DataFrame, Boolean, String) => A): Option[A] =
     Option(entries.get(libraryId)).filter(_.version == version).map { e =>
       IndexGenerations.lease(e.path) {
         // serve the PAYLOAD, not the layout internals: hits never
-        // expose bucket machinery, and the ladder rewrite only binds
-        // plans whose projection is layout-oblivious (a deduped
-        // candidate has no single honest `bucket` value) — the probe
-        // rewrite still finds table/bucket/bucket_part on the scan
+        // expose bucket/cluster machinery, and the ladder rewrite only
+        // binds plans whose projection is layout-oblivious (a deduped
+        // or unioned candidate has no single honest `bucket` value) —
+        // the probe rewrite still finds the layout columns on the scan
         // BELOW this projection
         val filtered = filters.foldLeft(
-          e.layout.drop("table", "bucket", "bucket_part")) { case (df, (key, value)) =>
-          df.where(col("metadata").getItem(key) === lit(value))
+          e.layout.drop("table", "bucket", "bucket_part", "cluster_id")) {
+          case (df, (key, value)) =>
+            df.where(col("metadata").getItem(key) === lit(value))
         }
         val laddered = filters.nonEmpty
         val scored = filtered.withColumn("score",
@@ -117,7 +162,7 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
           else plan.contains("LshProbeTopK"),
           s"registered-tier serve for $libraryId did not go through the rule " +
             s"(probe/ladder missing from the optimized plan):\n${plan.take(1800)}")
-        pack(out, laddered)
+        pack(out, laddered, e.kind)
       }
     }
 }

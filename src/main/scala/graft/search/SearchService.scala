@@ -88,7 +88,7 @@ final class SearchService(spark: SparkSession, engine: Engine,
     // contract.
     if (index == "lsh") {
       val bridged = atRest.flatMap(
-        _.tryServe(spark, libraryId, version, qvec, k, filters) { (df, laddered) =>
+        _.tryServe(spark, libraryId, version, qvec, k, filters) { (df, laddered, kind) =>
           val cols = Seq(col("id"), col("document_id"), col("library_id"),
             col("text"), col("metadata"), col("score")) ++
             (if (laddered) Seq(col("index_used")) else Nil)
@@ -103,7 +103,7 @@ final class SearchService(spark: SparkSession, engine: Engine,
             if (laddered)
               rows.headOption.map(r => "at_rest_" + r.getString(6))
                 .getOrElse("at_rest_brute")
-            else "lsh_at_rest"
+            else s"${kind}_at_rest"
           (hits, used)
         })
       bridged.foreach { case (hits, used) =>

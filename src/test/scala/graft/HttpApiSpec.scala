@@ -196,6 +196,24 @@ class HttpApiSpec extends AnyFunSuite {
       assert(path1 != path2 && new java.io.File(path2).exists())
       assert(!new java.io.File(path1).exists(),
         "re-register must retire the previous generation")
+
+      // the IVF KIND through the same bridge (r16): registerIvf swaps
+      // the library onto an IVF layout under the IVF guaranteed-k
+      // policy — same hits, index_used names the kind, and the LSH
+      // generation it replaces retires through the catalog
+      val path3 = bridge.registerIvf(spark, engine, "blib", nprobe = 2, stride = 3L)
+      val ivfServed = searchVia(useBridge = true, body)
+      assert(hitIds(ivfServed) == hitIds(plain),
+        "IVF-served hits must equal the transient path on the copies fixture")
+      assert(ivfServed.get("index_used").asText() == "ivf_at_rest",
+        s"got ${ivfServed.get("index_used")}")
+      assert(!new java.io.File(path2).exists(),
+        "kind swap must retire the replaced LSH generation")
+      val ivfFiltered = searchVia(useBridge = true, fBody)
+      assert(hitIds(ivfFiltered) == hitIds(fPlain))
+      assert(ivfFiltered.get("index_used").asText().startsWith("at_rest_ivf"),
+        s"filtered IVF serve must ride the IVF ladder, got ${ivfFiltered.get("index_used")}")
+      assert(path3 != path2)
     } finally graft.plans.LshProbeRewrite.clear()
   }
 }
