@@ -282,6 +282,8 @@ object OracleSql {
     // same brute-equivalence argument (the gate's require pins the
     // pushed vec_id filter on the float scan)
     "ann_pq_split" -> knnBruteSql,
+    "ann_pq_split_plan" -> knnBruteSql,
+    "ann_pq_split_rule" -> knnBruteSql,
     // the rule-served SQ8 path (the registry's second scoring kind):
     // SQ8 is near-exact (<= 1/254 per-component error), so the 100-wide
     // quantized shortlist covers the exact top-5 with far more margin

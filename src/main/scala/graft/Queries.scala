@@ -4651,9 +4651,13 @@ object Queries {
     * served probe. PqServeProbe prices the I/O claim at 1M rows.
     */
   private val pqSplitPathCache = new SessionCache[String, String]
-  def annPqSplit(spark: SparkSession, sfDir: String): DataFrame = {
+  /** One split layout per session×SF, shared by the two-plan and
+    * single-plan serve gates — the build is a one-time snapshot cost
+    * and the gates time the SERVE, so neither should pay (or hide) a
+    * rebuild the other already did. */
+  private def pqSplitPath(spark: SparkSession, sfDir: String): String = {
     val p = s"target/gate-index/pq-split-${math.abs(sfDir.hashCode)}"
-    val path = pqSplitPathCache.getOrElseUpdate(spark, sfDir) {
+    pqSplitPathCache.getOrElseUpdate(spark, sfDir) {
       val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
       // the STORE writes the float side too (r16: the id-clustered
       // layout is a store-owned contract — writeSplit range-partitions
@@ -4671,6 +4675,10 @@ object Queries {
         dim = 64, p)
       p
     }
+  }
+
+  def annPqSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = pqSplitPath(spark, sfDir)
     val out = graft.index.PqIndexStore().searchRefinedSplit(spark, path,
         "vec_id", "embedding", queryVec(spark, sfDir), k = 5, dim = 64,
         candidates = 100)
@@ -4688,6 +4696,65 @@ object Queries {
       "inFilterThreshold below the shortlist width — the pushed IN is one " +
         "[min,max] range and the float fetch reads ~the whole table " +
         "(PqServeProbe measured 990k of 1M rows)")
+    out
+  }
+
+  /** [[annPqSplit]]'s staging moved INSIDE one plan (r16, the last
+    * self-identified open thread): the custom
+    * [[graft.plans.ShortlistFetch]] operator collects the bounded ADC
+    * shortlist in its own `doExecute` and re-plans the float fetch
+    * with the literal id list pushed into the parquet scan — the
+    * runtime dynamic filter both stock mechanisms were measured unable
+    * to express (InjectRuntimeFilter needs a Filter creation side, a
+    * shortlist is a TakeOrdered; DPP keys on partition columns). Same
+    * layout, trainer, shortlist width and rerank as ann_pq_split, so
+    * the same brute-equivalence argument applies and the gate shares
+    * knn_brute's oracle. The `require` pins the mechanism: the caller-
+    * visible plan must stage through the operator, or this is the
+    * two-plan path (or worse, a fused corpus scan) in disguise.
+    */
+  def annPqSplitPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = pqSplitPath(spark, sfDir)
+    val out = graft.index.PqIndexStore().searchRefinedSplitPlan(spark, path,
+        "vec_id", "embedding", queryVec(spark, sfDir), k = 5, dim = 64,
+        candidates = 100)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    require(out.queryExecution.executedPlan.toString.contains("ShortlistFetch"),
+      "the single-plan serve did not stage through ShortlistFetch — " +
+        "whatever ran, it is not the operator this gate exists to pin")
+    out
+  }
+
+  /** The split layout served through the OPTIMIZER RULE (r16): the
+    * caller writes the one plain exact top-k every registered kind
+    * accepts — `spark.read.parquet(<root>/floats)` scored by cosine,
+    * sorted, limited — and the `pq_split` registration rewrites it into
+    * the staged composition annPqSplitPlan builds by hand: ADC
+    * shortlist over the sibling codes table, [[graft.plans
+    * .ShortlistFetch]] carrying the bounded id list into the caller's
+    * own float scan at execution time, exact rerank on top. The rule
+    * now spans TWO at-rest tables in one rewrite — the registration is
+    * the index choice, including the choice to never scan the floats.
+    * Same trainer/shortlist/rerank as both split twins, so knn_brute's
+    * oracle carries over. The `require`s pin both halves: the staged
+    * operator must appear (no silent exact scan) and the caller's plan
+    * carried no hand-built probe for the rule to stack onto.
+    */
+  def annPqSplitRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = pqSplitPath(spark, sfDir)
+    val cb = graft.index.PqIndexStore().loadCodebooks(spark, path, dim = 64)
+    graft.plans.LshProbeRewrite.registerPqSplit(spark, path, cb,
+      shortlist = 100, idColName = "vec_id")
+    injectProbeRule(spark)
+    val out = graft.index.BruteForceKnn.search(
+        spark.read.parquet(s"$path/floats"), col("embedding"), col("vec_id"),
+        queryVec(spark, sfDir), k = 5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    require(plan.contains("ShortlistFetch") && plan.contains("adc_score"),
+      "the pq_split registration did not rewrite the plain top-k into the " +
+        "staged shortlist-fetch plan — the gate would be timing (and " +
+        "oracling) a full float scan")
     out
   }
 
@@ -5095,6 +5162,8 @@ object Queries {
     "ann_pq" -> (annPq _),
     "ann_pq_rule" -> (annPqRule _),
     "ann_pq_split" -> (annPqSplit _),
+    "ann_pq_split_plan" -> (annPqSplitPlan _),
+    "ann_pq_split_rule" -> (annPqSplitRule _),
     "ann_sq" -> (annSq _),
     "ann_sq8_rule" -> (annSq8Rule _),
     "ann_ivfpq" -> (annIvfPq _),

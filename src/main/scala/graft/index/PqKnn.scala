@@ -450,6 +450,48 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
     BruteForceKnn.search(pool, col(embColName), col(idColName), query, k)
   }
 
+  /** SINGLE-PLAN split serving (r16, the last self-identified open
+    * thread): semantics identical to [[searchRefinedSplit]] — same ADC
+    * shortlist over the codes table, same exact rerank and tie-breaks —
+    * but the staged execution lives inside ONE caller-visible plan via
+    * the custom [[graft.plans.ShortlistFetch]] operator instead of a
+    * caller-side driver hop. The exec node collects the bounded
+    * shortlist and re-plans the float fetch with the literal `id IN`
+    * pushed into the parquet scan AT EXECUTION TIME — the runtime
+    * dynamic filter Spark's static planning cannot express (both stock
+    * mechanisms are measured negatives: InjectRuntimeFilter needs a
+    * Filter creation side and a shortlist is a TakeOrdered; DPP keys on
+    * partition columns). Lazy end-to-end: nothing runs until the caller
+    * acts, so the same DataFrame composes under foreachBatch, further
+    * transforms, or the optimizer rule's rewrites.
+    *
+    * Both operating-point requirements still hold by store
+    * construction: [[writeSplit]] wrote the id-clustered float layout,
+    * and the exec node raises `inFilterThreshold` to the shortlist
+    * width before planning the fetch.
+    */
+  def searchRefinedSplitPlan(spark: org.apache.spark.sql.SparkSession, path: String,
+                             idColName: String, embColName: String,
+                             query: Array[Float], k: Int, dim: Int,
+                             candidates: Int = 100): DataFrame = {
+    // the custom node needs its planner strategy in THIS session
+    // (idempotent; the driver's Verify/Bench sessions are built
+    // without GraftExtensions)
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(spark)
+    val cb = loadCodebooks(spark, path, dim)
+    val shortlist = searchEncoded(spark.read.parquet(s"$path/codes"), query, cb,
+        candidates)
+      .select(col("id"))
+    val slPlan = shortlist.queryExecution.analyzed
+    val idAttr = slPlan.output.find(_.name == "id").get
+    val floats = spark.read.parquet(s"$path/floats").queryExecution.analyzed
+    val fetched = org.apache.spark.sql.graft.SqlShims.ofRows(spark,
+      graft.plans.ShortlistFetch(idAttr, floats, idColName, candidates, slPlan))
+    BruteForceKnn.search(fetched, col(embColName), col(idColName), query, k)
+  }
+
   /** Incremental maintenance: encode a DELTA of new rows with the
     * STORED codebooks and append — new vectors are searchable the
     * moment the append commits, with no retraining (the standard PQ

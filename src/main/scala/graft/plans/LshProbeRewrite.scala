@@ -127,6 +127,30 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
                                    shortlist: Int, idColName: String)
     extends IndexRegistration
 
+  /** SPLIT-PQ policy (r16, the last open thread): the first kind whose
+    * rewrite spans TWO at-rest tables. The registered path is the
+    * layout's FLOAT table (`<root>/floats`, the one callers scan for an
+    * exact top-k); the rewrite replaces the full float scan with the
+    * staged [[ShortlistFetch]] composition — ADC shortlist over the
+    * sibling codes table (held here as an analyzed plan, listed once at
+    * registration), runtime `id IN (shortlist)` pushed into the float
+    * scan, exact rerank on the survivors. Same equivalence argument as
+    * the fused PQ kind (wide-enough shortlist ⇒ brute-identical), but
+    * the corpus pass reads ~9 B/row codes instead of the floats —
+    * [[graft.index.PqIndexStore.writeSplit]]'s id-clustered layout is
+    * what makes the fetch shortlist-proportional.
+    *
+    * The rewrite serves UNFILTERED top-k only: a caller filter on the
+    * id column is a hand-built fetch (stacking would narrow it — the
+    * r15 LshProbeRewrite lesson), and a metadata filter would starve
+    * the shortlist (the codes table carries no metadata to pre-filter
+    * on). Filtered plans keep their exact scan — correct, never
+    * silently approximate. */
+  final case class PqSplitRegistration(cb: graft.index.PqKnn.Codebooks,
+                                       shortlist: Int, idColName: String,
+                                       codes: LogicalPlan)
+    extends IndexRegistration
+
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, IndexRegistration]()
 
@@ -170,6 +194,24 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     registry.put(normalize(new java.io.File(path).getAbsolutePath),
       IvfPqRegistration(cents, nprobe, cb, shortlist, idColName))
     persistQuietly(path)
+  }
+
+  /** Register a [[graft.index.PqIndexStore.writeSplit]] layout for
+    * split-staged serving. `rootPath` is the layout root (with
+    * `codebook`/`codes`/`floats` beneath it); the key is the FLOATS
+    * directory — the table a caller's exact top-k actually scans. The
+    * codes plan is analyzed once here (one listing per registration,
+    * not per query; the per-rewrite copy re-instances exprIds). */
+  def registerPqSplit(spark: org.apache.spark.sql.SparkSession, rootPath: String,
+                      cb: graft.index.PqKnn.Codebooks,
+                      shortlist: Int = 100, idColName: String = "vec_id"): Unit = {
+    require(cb.m >= 1 && cb.cents.nonEmpty, "split-PQ registration needs trained codebooks")
+    require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
+    val codes = spark.read.parquet(s"$rootPath/codes").queryExecution.analyzed
+    val floatsDir = s"$rootPath/floats"
+    registry.put(normalize(new java.io.File(floatsDir).getAbsolutePath),
+      PqSplitRegistration(cb, shortlist, idColName, codes))
+    persistQuietly(floatsDir)
   }
 
   def registerSq8(path: String, scales: Array[Double],
@@ -255,6 +297,11 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         node.put("kind", "ivfpq"); node.put("nprobe", nprobe)
         node.put("shortlist", shortlist); node.put("idColName", idColName)
         putCents("cents", cents); putCodebooks(cb)
+      case PqSplitRegistration(cb, shortlist, idColName, _) =>
+        // the codes plan is NOT persisted — it is derived state, rebuilt
+        // from the sibling `codes` directory on restore
+        node.put("kind", "pq_split"); node.put("shortlist", shortlist)
+        node.put("idColName", idColName); putCodebooks(cb)
     }
     java.nio.file.Files.write(sidecarPath(path),
       mapper.writeValueAsBytes(node))
@@ -320,6 +367,13 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
           node.get("idColName").asText())
       case "ivfpq" =>
         registerIvfPq(path, cents("cents"), node.get("nprobe").asInt(),
+          codebooks(), node.get("shortlist").asInt(),
+          node.get("idColName").asText())
+      case "pq_split" =>
+        // the sidecar lives in the registered floats dir; the layout
+        // root (where the codes plan is rebuilt from) is its parent
+        registerPqSplit(org.apache.spark.sql.SparkSession.active,
+          new java.io.File(path).getAbsoluteFile.getParent,
           codebooks(), node.get("shortlist").asInt(),
           node.get("idColName").asText())
       case other => sys.error(s"unknown registration kind '$other' in sidecar at $path")
@@ -454,6 +508,12 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
             stagedScoringProbe(kVal, sort, projectList, child,
               graft.index.SqKnn.adcTable(qvec, r.scales), "sq8_score",
               r.shortlist, r.idColName).map(wrap)
+          case r: PqSplitRegistration =>
+            // unfiltered top-k only: an id-column filter is a
+            // hand-built fetch (stacking narrows it), a metadata filter
+            // would starve the shortlist — both keep their exact scan
+            if (hasNonNullGuardFilter(child)) None
+            else splitStagedFetch(kVal, sort, projectList, child, r, qvec).map(wrap)
           case r: IvfPqRegistration =>
             // the composed kind: coarse partition probe UNDER the
             // staged scoring rewrite — the Filter sits between the
@@ -793,6 +853,56 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         pass :+ adcAlias, Seq(idAttr), scanProj)
       LshProbeTopK(kVal, sort.order, projectList, Seq(idAttr), inner)
     }
+
+  /** Any user filter beyond bare null guards (`BruteForceKnn.scored`
+    * always adds `embCol IS NOT NULL`, which every serving path keeps).
+    */
+  private def hasNonNullGuardFilter(plan: LogicalPlan): Boolean = {
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    plan.exists {
+      case Filter(cond, _) =>
+        conj(cond).exists { case IsNotNull(_) => false; case _ => true }
+      case _ => false
+    }
+  }
+
+  /** The split-PQ staged rewrite (see [[PqSplitRegistration]]): ADC
+    * shortlist over the registration's codes plan (the same bounded-
+    * heap [[LshProbeTopK]] stage the fused kinds use), the bounded id
+    * list carried into the caller's own float scan by
+    * [[ShortlistFetch]] at execution time, the caller's exact score /
+    * sort / limit re-assembled on top as the rerank. The codes relation
+    * is re-instanced per rewrite so two rewrites in one query tree
+    * cannot collide on exprIds.
+    */
+  private def splitStagedFetch(kVal: Int, sort: Sort,
+                               projectList: Seq[NamedExpression],
+                               child: LogicalPlan,
+                               r: PqSplitRegistration,
+                               qvec: Array[Float]): Option[LogicalPlan] = {
+    val codes = r.codes match {
+      case lr: LogicalRelation => lr.newInstance()
+      case other => other
+    }
+    for {
+      codesId <- codes.output.find(_.name == "id")
+      codeAttr <- codes.output.find(_.name == "code")
+      _ <- child.output.find(_.name == r.idColName) // fetch side must carry the id
+    } yield {
+      val adc = Alias(graft.expressions.AdcScore(codeAttr,
+        graft.index.PqKnn.adcTable(qvec, r.cb)), "adc_score")()
+      val shortlist = LshProbeTopK(r.shortlist,
+        Seq(SortOrder(adc.toAttribute, Descending), SortOrder(codesId, Ascending)),
+        Seq(codesId, adc), Seq(codesId),
+        Project(Seq(codesId, codeAttr), codes))
+      val fetched = ShortlistFetch(codesId, child, r.idColName, r.shortlist, shortlist)
+      Limit(Literal(kVal), Sort(sort.order, global = true,
+        Project(projectList, fetched)))
+    }
+  }
 
   /** The LSH candidate-union filter: per-table Hamming-ball bucket
     * disjunctions over the [[graft.index.LshIndexStore]] layout. */

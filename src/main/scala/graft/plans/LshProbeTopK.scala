@@ -56,6 +56,9 @@ case class LshProbeStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case LshProbeTopK(k, order, projectList, dedupeKeys, child) =>
       LshProbeTopKExec(k, order, projectList, dedupeKeys, planLater(child)) :: Nil
+    case sf @ ShortlistFetch(idExpr, fetch, fetchIdName, max, child) =>
+      ShortlistFetchExec(idExpr, fetch, fetchIdName, max, sf.output,
+        planLater(child)) :: Nil
     case _ => Nil
   }
 }

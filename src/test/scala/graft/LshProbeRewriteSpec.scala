@@ -462,6 +462,61 @@ class LshProbeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a pq_split registration rewrites a plain float-table top-k into the staged shortlist fetch") {
+    // r16, the last open thread: the rule's first TWO-TABLE kind — the
+    // caller scans <root>/floats, the rewrite swaps in ADC-shortlist
+    // over the sibling codes table + ShortlistFetch (runtime id IN
+    // pushed into the float scan) + exact rerank
+    val base = TestSpark.spark
+    val emb = Tables.embeddings(base, "/root/testdata/sf0.001")
+      .where(col("embedding").isNotNull)
+    val root = "target/test-index/rewrite-pq-split"
+    TestSpark.rmTree(new java.io.File(root))
+    val cb = graft.index.PqIndexStore().writeSplit(emb, col("vec_id"),
+      col("embedding"), dim = 64, root)
+    val q = Queries.queryVec(base, "/root/testdata/sf0.001")
+    val brute = BruteForceKnn.search(emb, col("embedding"), col("vec_id"), q, 5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    withExtSession { s =>
+      LshProbeRewrite.clear()
+      LshProbeRewrite.registerPqSplit(s, root, cb, shortlist = 100)
+      def plainTopk(src: org.apache.spark.sql.DataFrame) = src
+        .withColumn("score", CosineSimilarity(col("embedding"), typedlit(q.toSeq)))
+        .where(col("embedding").isNotNull) // the null guard every serving path keeps
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+      val topk = plainTopk(s.read.parquet(s"$root/floats"))
+      val plan = topk.queryExecution.optimizedPlan.toString
+      assert(plan.contains("ShortlistFetch"), plan.take(3000))
+      assert(plan.contains("adc_score"), plan.take(3000))
+      assert(plan.contains("LshProbeTopK"), plan.take(3000))
+      val got = topk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == brute, s"rule-served split PQ diverges from brute: $got vs $brute")
+
+      // a caller filter on the id column is a hand-built fetch — the
+      // rewrite must not stack a second shortlist onto it
+      val handBuilt = plainTopk(
+        s.read.parquet(s"$root/floats").where(col("vec_id").isin(1L, 2L, 3L)))
+      assert(!handBuilt.queryExecution.optimizedPlan.toString.contains("ShortlistFetch"),
+        "rewrite stacked onto a hand-built id-filtered fetch")
+      // any metadata/range filter would starve the shortlist: exact scan
+      val filtered = plainTopk(
+        s.read.parquet(s"$root/floats").where(col("vec_id") > 100L))
+      assert(!filtered.queryExecution.optimizedPlan.toString.contains("ShortlistFetch"),
+        "rewrite served a filtered top-k from an unfiltered shortlist")
+
+      // the sidecar restores the kind in a blank registry
+      LshProbeRewrite.clear()
+      assert(LshProbeRewrite.registerFromSidecar(s"$root/floats") == "pq_split")
+      val again = plainTopk(s.read.parquet(s"$root/floats"))
+      assert(again.queryExecution.optimizedPlan.toString.contains("ShortlistFetch"))
+      assert(again.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == brute)
+      LshProbeRewrite.clear()
+    }
+  }
+
   test("hand-built probes over a registered table are never stacked on") {
     // r15 catch (flagged by knn_filtered_adaptive's oracle): the
     // adaptive ladder's brute rung scans `table = 0` of the REGISTERED
