@@ -1520,6 +1520,7 @@ object OracleHashSql {
     // oracle pins both (a batch answered differently flips the hash)
     "knn_filtered_adaptive_batched" -> knnFilteredAdaptiveBatchedSql,
     "knn_serve_stream_batched" -> knnServeStreamRuleSql,
+    "knn_serve_batched_rule" -> knnServeStreamRuleSql,
     "knn_serve_stream_batched_mp" -> knnServeStreamBatchedMpSql,
     // the batched IVF serving path replays the SAME per-request rule
     // as the driver-loop gate (bit-identical probe ranking — see

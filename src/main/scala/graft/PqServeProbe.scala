@@ -260,6 +260,22 @@ object PqServeProbe {
       "(codes scan + pruned float fetch; session conf UNSET)")(ownedServe())
     probe("store-owned split serve (warm)")(ownedServe())
     require(sOwned == f1, s"store-owned serve diverged: $sOwned vs $f1")
+
+    // --- the r16 answer to the two-plan residual: ShortlistFetch ----
+    // Same staging, same store-owned layout, but the driver hop lives
+    // INSIDE one physical operator (the fetch is re-planned at
+    // execution with the literal id IN) — a fresh plan per serve, so
+    // rows-read must land where the two-plan form lands (corpus codes
+    // + shortlist-proportional floats), with zero caller-side collect.
+    def planServe(): Seq[(Long, Double)] =
+      store.searchRefinedSplitPlan(spark, ownedPath, "vec_id", "embedding", q,
+          k = 5, dim = dim, candidates = 100)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val sPlan = probe("single-plan ShortlistFetch serve, both stages " +
+      "(codes scan + pruned float fetch inside one plan)")(planServe())
+    probe("single-plan ShortlistFetch serve (warm)")(planServe())
+    require(sPlan == f1, s"single-plan serve diverged: $sPlan vs $f1")
     println(s"PQSERVE results identical across paths: ${f1.mkString(", ")}")
     spark.stop()
   }

