@@ -1519,6 +1519,7 @@ object OracleHashSql {
     // batching is a plan-shape change, not a semantics change, so one
     // oracle pins both (a batch answered differently flips the hash)
     "knn_filtered_adaptive_batched" -> knnFilteredAdaptiveBatchedSql,
+    "knn_filtered_batched_rule" -> knnFilteredAdaptiveBatchedSql,
     "knn_serve_stream_batched" -> knnServeStreamRuleSql,
     "knn_serve_batched_rule" -> knnServeStreamRuleSql,
     "knn_serve_stream_batched_mp" -> knnServeStreamBatchedMpSql,

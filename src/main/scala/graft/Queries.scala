@@ -844,6 +844,60 @@ object Queries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** The batched guaranteed-k ladder through the OPTIMIZER RULE (r16 —
+    * the last cell of the serving matrix: per-request × batched,
+    * static × ladder, library × rule). The caller DECLARES the
+    * filtered batched top-k — requests CROSS JOIN the FILTERED layout,
+    * self excluded, scored, ranked per request, rank ≤ k, with a
+    * literal `index_used` placeholder — and the `guaranteeK`
+    * registration rewrites the declaration into
+    * [[graft.index.KnnJoin.lshServeFilteredAdaptiveBatched]]: every
+    * request's escalation (exact bucket → 1-bit ball →
+    * brute-over-filtered-subset) decided IN one plan, the placeholder
+    * overwritten by the served level. Same layout family, requests,
+    * filter, k and rounding as [[knnFilteredAdaptiveBatched]], so that
+    * gate's full DuckDB replay (ball candidates with min-distance,
+    * both counts, level choice, chosen set, rerank, `index_used`)
+    * carries over verbatim — rule-served ≡ library-served, per
+    * request. */
+  def knnFilteredBatchedRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val lsh = RandomHyperplaneLsh(8, 12, 42L)
+    val p = s"target/gate-index/lsh-rule-gk-${math.abs(sfDir.hashCode)}"
+    val base = lshRuleIndexCache.getOrElseUpdate(spark, s"gk:$sfDir") {
+      graft.index.LshIndexStore(lsh, 64)
+        .write(Tables.embeddings(spark, sfDir), "embedding", p)
+      spark.read.parquet(p)
+    }
+    graft.plans.LshProbeRewrite.register(p, lsh, 64, guaranteeK = true)
+    injectProbeRule(spark)
+    val requests = Tables.embeddings(spark, sfDir)
+      .where(col("embedding").isNotNull && col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val declared = requests
+      .crossJoin(base.where(pmod(col("vec_id"), lit(3)) === 0))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.expressions.CosineSimilarity(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"),
+        lit("auto").as("index_used"))
+      .orderBy(col("q_id"), col("rn"))
+    val plan = declared.queryExecution.optimizedPlan.toString
+    // the batched library ladder's own column names + level literals
+    // (the per-request rule ladder says gk_level; this one says level)
+    require(plan.contains("min_dist") && plan.contains("lsh_mp1"),
+      "the batched declaration was not rewritten to the in-plan ladder — " +
+        "a static serve under this filter starves, and the cross join is " +
+        "the plan this gate exists to avoid")
+    require(!plan.contains("auto"),
+      "the caller's index_used placeholder survived — the engine must own " +
+        "the served-level value")
+    declared
+  }
+
   def knnLshRule(spark: SparkSession, sfDir: String): DataFrame = {
     val base = lshRuleIndexTable(spark, sfDir)
     val q = queryVec(spark, sfDir)
@@ -5036,6 +5090,7 @@ object Queries {
     "knn_filtered_rule_adaptive" -> (knnFilteredRuleAdaptive _),
     "knn_filtered_ivf_adaptive" -> (knnFilteredIvfAdaptive _),
     "knn_filtered_adaptive_batched" -> (knnFilteredAdaptiveBatched _),
+    "knn_filtered_batched_rule" -> (knnFilteredBatchedRule _),
     "knn_lsh_rule_multiprobe" -> (knnLshRuleMultiprobe _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "knn_lsh_cached" -> (knnLshCached _),

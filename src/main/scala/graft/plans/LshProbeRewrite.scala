@@ -937,7 +937,7 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         else if (relationAndRegistration(join.left).isDefined) Some((join.right, join.left))
         else None
       (layoutRel, reg) <- relationAndRegistration(layoutSide)
-      if cleanLayoutSide(layoutSide)
+      userPreds <- layoutUserPredicates(layoutSide)
       // the caller's score: cosine between the layout vector and the
       // request vector — both plain attributes of their sides
       cosAlias <- innerList.collectFirst {
@@ -979,7 +979,7 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
       if qidAttr.dataType == org.apache.spark.sql.types.LongType
       if neighborAttr.dataType == org.apache.spark.sql.types.LongType
       served <- buildBatchedServe(reg, reqSide, layoutRel, qidAttr, reqEmb,
-        neighborAttr, layoutEmb, kVal)
+        neighborAttr, layoutEmb, kVal, userPreds)
       bound <- bindBatchedOutput(projList, served, qidAttr, rnAttr,
         neighborAttr, cosAlias.toAttribute)
     } yield bound
@@ -1004,22 +1004,30 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         (lr, registry.get(key))
     }
 
-  /** Only attribute-pruning Projects and IS NOT NULL guards between the
-    * join and the layout relation — any user predicate or derived
-    * column means the declared plan is NOT the plain batched top-k. */
-  private def cleanLayoutSide(side: LogicalPlan): Boolean = side match {
-    case _: LogicalRelation => true
-    case Project(list, child) =>
-      list.forall(_.isInstanceOf[Attribute]) && cleanLayoutSide(child)
-    case Filter(cond, child) =>
-      def conj(e: Expression): Seq[Expression] = e match {
-        case And(l, r) => conj(l) ++ conj(r)
-        case x => Seq(x)
-      }
-      conj(cond).forall { case IsNotNull(_) => true; case _ => false } &&
-        cleanLayoutSide(child)
-    case _ => false
-  }
+  /** Decompose the layout side of a batched declaration into its user
+    * predicates. `Some(Nil)` = bare pruning/null guards only (the
+    * static batched serve applies); `Some(preds)` = bare shape plus
+    * layout-OBLIVIOUS user predicates (the guaranteed-k batched ladder
+    * owns those, when the registration opted in); `None` = anything
+    * else — derived columns, or a predicate touching layout columns
+    * (that is a hand-built probe; the r15 no-stacking rule) — and the
+    * declared plan runs untouched. */
+  private def layoutUserPredicates(side: LogicalPlan): Option[Seq[Expression]] =
+    side match {
+      case _: LogicalRelation => Some(Nil)
+      case Project(list, child) if list.forall(_.isInstanceOf[Attribute]) =>
+        layoutUserPredicates(child)
+      case Filter(cond, child) =>
+        def conj(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => conj(l) ++ conj(r)
+          case x => Seq(x)
+        }
+        val preds = conj(cond).filterNot(_.isInstanceOf[IsNotNull])
+        if (preds.exists(_.references.exists(a => layoutNames.contains(a.name))))
+          None
+        else layoutUserPredicates(child).map(preds ++ _)
+      case _ => None
+    }
 
   /** Compose the registered kind's batched serve over the caller's own
     * request subplan and a fresh full-column scan of the layout
@@ -1031,22 +1039,34 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
                                 layoutRel: LogicalRelation,
                                 qidAttr: Attribute, reqEmb: Attribute,
                                 neighborAttr: Attribute, layoutEmb: Attribute,
-                                kVal: Int): Option[LogicalPlan] = {
+                                kVal: Int,
+                                userPreds: Seq[Expression]): Option[LogicalPlan] = {
     val spark = org.apache.spark.sql.SparkSession.active
     import org.apache.spark.sql.graft.SqlShims.{column, ofRows}
     val idName = neighborAttr.name
     val embName = layoutEmb.name
     val requests = ofRows(spark, reqSide)
       .select(column(qidAttr).as(idName), column(reqEmb).as(embName))
-    val layout = ofRows(spark, layoutRel.newInstance())
-    val served = reg match {
-      case r: Registration =>
-        Some(graft.index.KnnJoin.lshServeBatched(requests, layout, r.lsh, r.dim,
+    val served = (reg, userPreds) match {
+      case (r: Registration, Nil) =>
+        Some(graft.index.KnnJoin.lshServeBatched(requests,
+          ofRows(spark, layoutRel.newInstance()), r.lsh, r.dim,
           kVal, idName, embName, r.numPhysicalPartitions, r.maxHamming))
-      case r: IvfRegistration =>
-        Some(graft.index.KnnJoin.ivfServeBatched(requests, layout, r.cents,
+      case (r: IvfRegistration, Nil) =>
+        Some(graft.index.KnnJoin.ivfServeBatched(requests,
+          ofRows(spark, layoutRel.newInstance()), r.cents,
           r.nprobe, kVal, idName, embName))
-      case _ => None // scoring/split kinds have no batched serve (yet)
+      case (r: Registration, preds) if r.guaranteeK =>
+        // the FILTERED batched declaration under a guaranteeK
+        // registration: the in-plan escalation ladder owns
+        // recall-under-filter at batch QPS. The layout keeps its
+        // ORIGINAL relation node so the extracted predicates bind
+        // as-is; requests keep the name-mapped view above.
+        Some(graft.index.KnnJoin.lshServeFilteredAdaptiveBatched(requests,
+          ofRows(spark, layoutRel), r.lsh, r.dim, kVal,
+          userFilter = column(preds.reduce(And)),
+          idName, embName, r.numPhysicalPartitions))
+      case _ => None // filtered without guaranteeK, or a kind with no batched serve
     }
     served.map(_.queryExecution.optimizedPlan)
   }
@@ -1063,9 +1083,20 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     val serveNameOf = Map(
       qidAttr.exprId -> "q_id", rnAttr.exprId -> "rn",
       neighborAttr.exprId -> "neighbor_id", cosAttr.exprId -> "cos")
-    if (!projList.forall(_.references.forall(r => serveNameOf.contains(r.exprId))))
+    // the caller's literal index_used placeholder: when the ladder
+    // served (its output carries the column), the ENGINE owns the
+    // value — the per-request guaranteeK contract, O10's index_used
+    // reporting (a surviving placeholder would lie about the level)
+    def isUsedSlot(ne: NamedExpression): Boolean = ne match {
+      case a: Alias => a.name == "index_used" && a.references.isEmpty
+      case _ => false
+    }
+    if (!projList.forall(ne => isUsedSlot(ne) ||
+        ne.references.forall(r => serveNameOf.contains(r.exprId))))
       return None
     val bound = projList.map {
+      case a: Alias if isUsedSlot(a) && byName.contains("index_used") =>
+        Alias(byName("index_used"), a.name)(exprId = a.exprId)
       case a: Alias =>
         Alias(a.child.transform {
           case attr: Attribute => byName(serveNameOf(attr.exprId))

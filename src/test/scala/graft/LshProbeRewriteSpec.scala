@@ -617,6 +617,61 @@ class LshProbeRewriteSpec extends AnyFunSuite {
     } finally LshProbeRewrite.clear()
   }
 
+  test("a filtered batched declaration under guaranteeK rewrites to the in-plan ladder") {
+    // the last cell of the serving matrix: the declared filtered
+    // batched top-k (cross join over a FILTERED layout + window rank +
+    // literal index_used slot) becomes
+    // KnnJoin.lshServeFilteredAdaptiveBatched, placeholder overwritten
+    val s = TestSpark.spark
+    val sfDir = "/root/testdata/sf0.001"
+    if (!s.experimental.extraOptimizations.contains(LshProbeRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ LshProbeRewrite
+    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(s)
+    val emb = Tables.embeddings(s, sfDir).where(col("embedding").isNotNull)
+    val lsh = graft.index.RandomHyperplaneLsh(8, 12, 42L)
+    val p = "target/test-index/rewrite-batched-gk"
+    TestSpark.rmTree(new java.io.File(p))
+    graft.index.LshIndexStore(lsh, 64).write(emb, "embedding", p)
+    val requests = emb.limit(5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    import org.apache.spark.sql.expressions.{Window => W}
+    def declared() = requests
+      .crossJoin(s.read.parquet(p).where(pmod(col("vec_id"), lit(3)) === 0))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", CosineSimilarity(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("cos"), lit("auto").as("index_used"))
+    import s.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("rn"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("index_used"))
+        .as[(Long, Int, Long, Double, String)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    try {
+      LshProbeRewrite.clear()
+      LshProbeRewrite.register(p, lsh, 64, guaranteeK = true)
+      val served = declared()
+      val plan = served.queryExecution.optimizedPlan.toString
+      assert(plan.contains("min_dist") && plan.contains("lsh_mp1"),
+        s"ladder rewrite did not fire:\n${plan.take(3000)}")
+      assert(!plan.contains("auto"), "the index_used placeholder survived")
+      val got = rows(served)
+      val want = rows(graft.index.KnnJoin.lshServeFilteredAdaptiveBatched(
+        requests.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+        s.read.parquet(p), lsh, 64, k = 5,
+        userFilter = pmod(col("vec_id"), lit(3)) === 0))
+      assert(got == want, "rule-served batched ladder diverges from the library ladder")
+      assert(got.forall(_._3 % 3 == 0), "a neighbor escaped the user filter")
+      assert(got.map(_._5).toSet.subsetOf(Set("lsh", "lsh_mp1", "brute")))
+    } finally LshProbeRewrite.clear()
+  }
+
   test("hand-built probes over a registered table are never stacked on") {
     // r15 catch (flagged by knn_filtered_adaptive's oracle): the
     // adaptive ladder's brute rung scans `table = 0` of the REGISTERED
