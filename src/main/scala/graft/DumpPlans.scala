@@ -194,7 +194,20 @@ object DumpPlans {
       // envelope over the registered at-rest tier (engine state ->
       // AtRestIndexBridge -> rule -> ladder); metadata-filter predicate
       // pushed to the layout scan under the ball probe
-      "search_o12_registered")
+      "search_o12_registered",
+      // r16 single-plan staging: the split-PQ serve through the custom
+      // ShortlistFetch operator (bounded driver hop INSIDE doExecute;
+      // the plan must show the operator over the codes-side ADC top-k,
+      // with the float scan absent — it is re-planned at execution
+      // with the pushed id list), hand-built and rule-rewritten
+      "ann_pq_split_plan", "ann_pq_split_rule",
+      // r16 batched declarations through the rule: the quadratic
+      // cross-join+rank declaration must be GONE, replaced by the
+      // broadcast bucket equi-join (static), the distance-tagged ball
+      // join + level aggregate + starved-only brute rung (ladder), and
+      // the ADC codes scan + ShortlistFetch union fetch (split PQ)
+      "knn_serve_batched_rule", "knn_filtered_batched_rule",
+      "knn_serve_batched_pq", "knn_serve_batched_pq_rule")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.01, generated by graft.DumpPlans)\n\n")

@@ -1324,6 +1324,23 @@ object OracleSql {
         |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
         |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
+    // batched split-PQ serving (library + rule): exact per-request
+    // rankings again — the wide-shortlist equivalence argument makes
+    // the staged ADC serve brute-identical, so the same replay pins it
+    "knn_serve_batched_pq" ->
+      s"""${cosineRankedCtes(
+             "SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL",
+             "c.vec_id <> q.q_id")}
+        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
+        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "knn_serve_batched_pq_rule" ->
+      s"""${cosineRankedCtes(
+             "SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL",
+             "c.vec_id <> q.q_id")}
+        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
+        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
     // contrastive hard negatives: cross-label cosines recomputed from
     // scratch — a same-label pair leaking through the join predicate
     // (or a post-rank filter shorting a query below k) flips the hash

@@ -898,6 +898,74 @@ object Queries {
     declared
   }
 
+  /** BATCHED split-PQ serving (r16 — the serve the batched rewrite
+    * listed as "(yet)"): one ADC scan of the codes table answers the 5
+    * serving requests, per-request LUTs materialized on the broadcast
+    * side ([[graft.expressions.PqLut]]), per-pair scoring in codegen
+    * ([[graft.expressions.AdcScoreDyn]] — m lookups, not dim
+    * multiplies), floats fetched ONCE for the union of shortlists
+    * through [[graft.plans.ShortlistFetch]], exact rerank per request.
+    * Same request set, k, self-exclusion and rounding as
+    * [[knnServeStream]], and with a 100-wide shortlist the true top-5
+    * survive per request (BatchedPqServeSpec pins brute-equality), so
+    * the exact serving stream's DuckDB replay carries over verbatim.
+    */
+  def knnServeBatchedPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = pqSplitPath(spark, sfDir)
+    val requests = Tables.embeddings(spark, sfDir)
+      .where(col("embedding").isNotNull && col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    // 300-wide: at the gate SFs one request's true top-5 fell outside
+    // the top-100 ADC shortlist (the oracle caught it at sf0.01) —
+    // shortlist width is the PQ recall knob, and the bound stays
+    // requests × 300, nowhere near the corpus
+    val out = graft.index.PqIndexStore().serveBatchedSplit(spark, path, requests,
+        "vec_id", "embedding", k = 5, dim = 64, candidates = 300)
+      .select(col("q_id"), col("rn"), col("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("ShortlistFetch") && plan.contains("adc_score_dyn"),
+      "the batched PQ serve did not stage (ADC scan + bounded union fetch) — " +
+        "whatever ran is not the serve this gate prices")
+    out
+  }
+
+  /** [[knnServeBatchedPq]] through the OPTIMIZER RULE: the caller
+    * declares the batched top-k over the registered split layout's
+    * FLOAT table (corpus×requests cross join, the same declarative
+    * shape as [[knnServeBatchedRule]]), and the `pq_split` registration
+    * rewrites it into the staged batched serve — the declared plan
+    * reads every float for every request; the served plan reads codes
+    * once plus the union-shortlist floats. Shares the same oracle.
+    */
+  def knnServeBatchedPqRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = pqSplitPath(spark, sfDir)
+    val cb = graft.index.PqIndexStore().loadCodebooks(spark, path, dim = 64)
+    graft.plans.LshProbeRewrite.registerPqSplit(spark, path, cb,
+      shortlist = 300, idColName = "vec_id") // same width rationale as knnServeBatchedPq
+    injectProbeRule(spark)
+    val requests = Tables.embeddings(spark, sfDir)
+      .where(col("embedding").isNotNull && col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val declared = requests
+      .crossJoin(spark.read.parquet(s"$path/floats"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.expressions.CosineSimilarity(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+    val plan = declared.queryExecution.optimizedPlan.toString
+    require(plan.contains("ShortlistFetch") && plan.contains("adc_score_dyn"),
+      "the pq_split registration did not rewrite the batched declaration — " +
+        "the gate would be timing a corpus×requests float cross join")
+    declared
+  }
+
   def knnLshRule(spark: SparkSession, sfDir: String): DataFrame = {
     val base = lshRuleIndexTable(spark, sfDir)
     val q = queryVec(spark, sfDir)
@@ -5244,6 +5312,8 @@ object Queries {
     "knn_serve_stream_ivf" -> (knnServeStreamIvf _),
     "knn_serve_stream_batched" -> (knnServeStreamBatched _),
     "knn_serve_batched_rule" -> (knnServeBatchedRule _),
+    "knn_serve_batched_pq" -> (knnServeBatchedPq _),
+    "knn_serve_batched_pq_rule" -> (knnServeBatchedPqRule _),
     "knn_serve_stream_batched_mp" -> (knnServeStreamBatchedMp _),
     "knn_serve_stream_batched_ivf" -> (knnServeStreamBatchedIvf _),
     "ngram_top20" -> (ngramTop20 _),

@@ -492,6 +492,80 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
     BruteForceKnn.search(fetched, col(embColName), col(idColName), query, k)
   }
 
+  /** BATCHED split-PQ serving (r16 — the serve the batched rewrite
+    * listed as "no batched serve (yet)"): one ADC scan of the codes
+    * table answers the whole request SET, floats fetched once for the
+    * UNION of shortlists, exact rerank per request. The ADC stays an
+    * ADC at batch QPS: [[graft.expressions.PqLut]] materializes each
+    * request's lookup table ONCE on the broadcast side (bit-identical
+    * arithmetic to [[PqKnn.adcTable]]), and the per-(request, code)
+    * work is [[graft.expressions.AdcScoreDyn]]'s `m` lookups inside
+    * whole-stage codegen — not `dim` multiplies. Plan shape at scale:
+    * codes scanned once per batch (~17 B/row) with requests broadcast;
+    * the per-request shortlist rank runs as a two-phase
+    * WindowGroupLimit (each scan partition ships ≤ `candidates` rows
+    * per request, never the corpus); the float fetch goes through
+    * [[graft.plans.ShortlistFetch]] — one bounded id list
+    * (≤ requests × candidates, enforced by `maxFetch`) pushed into the
+    * id-clustered float layout, so float I/O stays
+    * shortlist-proportional; the rerank joins the small fetched set
+    * against the broadcast shortlist pairs. Output matches the other
+    * batched serves: (q_id, rn, neighbor_id, cos), self excluded
+    * (serving semantics). With `candidates` wide enough that the true
+    * top-k survive every request's shortlist, the result is
+    * bit-identical to the exact batched serve — which is what lets a
+    * gate share the exact serving stream's DuckDB oracle.
+    */
+  def serveBatchedSplit(spark: org.apache.spark.sql.SparkSession, path: String,
+                        requests: DataFrame, idColName: String, embColName: String,
+                        k: Int, dim: Int, candidates: Int = 100,
+                        maxFetch: Int = 10000): DataFrame =
+    serveBatchedSplitCore(spark, spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/floats").queryExecution.analyzed,
+      loadCodebooks(spark, path, dim), requests, idColName, embColName,
+      k, candidates, maxFetch)
+
+  /** [[serveBatchedSplit]] over explicit codes / floats plans — the
+    * entry the optimizer rule composes from a `pq_split` registration
+    * (its codes plan and the caller's own floats relation). */
+  private[graft] def serveBatchedSplitCore(spark: org.apache.spark.sql.SparkSession,
+                        codes: DataFrame,
+                        floatsPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                        cb: Codebooks,
+                        requests: DataFrame, idColName: String, embColName: String,
+                        k: Int, candidates: Int,
+                        maxFetch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.SqlShims.{column, expression, ofRows}
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(spark)
+    val reqs = requests.where(col(embColName).isNotNull)
+      .select(col(idColName).cast("long").as("q_id"), col(embColName).as("q_emb"))
+      .withColumn("q_lut",
+        column(graft.expressions.PqLut(expression(col("q_emb")), cb.cents, cb.subDim, cb.k)))
+    val pairs = codes.join(broadcast(reqs), col("id") =!= col("q_id"))
+      .withColumn("adc",
+        column(graft.expressions.AdcScoreDyn(expression(col("code")), expression(col("q_lut")), cb.k)))
+      .withColumn("srn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("adc").desc, col("id").asc)))
+      .where(col("srn") <= candidates)
+      .select(col("q_id"), col("q_emb"), col("id"))
+    val shortIds = pairs.select(col("id")).distinct()
+    val slPlan = shortIds.queryExecution.analyzed
+    val fetched = ofRows(spark, graft.plans.ShortlistFetch(
+      slPlan.output.find(_.name == "id").get,
+      floatsPlan, idColName, maxFetch, slPlan))
+    fetched.join(broadcast(pairs), col(idColName) === pairs("id")).drop("id")
+      .withColumn("cos",
+        graft.expressions.CosineSimilarity(col(embColName), col("q_emb")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col(idColName).asc)))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("rn"),
+        col(idColName).cast("long").as("neighbor_id"), col("cos"))
+  }
+
   /** Incremental maintenance: encode a DELTA of new rows with the
     * STORED codebooks and append — new vectors are searchable the
     * moment the append commits, with no retraining (the standard PQ

@@ -148,7 +148,8 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     * silently approximate. */
   final case class PqSplitRegistration(cb: graft.index.PqKnn.Codebooks,
                                        shortlist: Int, idColName: String,
-                                       codes: LogicalPlan)
+                                       codes: LogicalPlan,
+                                       maxBatchFetch: Int = 10000)
     extends IndexRegistration
 
   private val registry =
@@ -204,13 +205,14 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     * not per query; the per-rewrite copy re-instances exprIds). */
   def registerPqSplit(spark: org.apache.spark.sql.SparkSession, rootPath: String,
                       cb: graft.index.PqKnn.Codebooks,
-                      shortlist: Int = 100, idColName: String = "vec_id"): Unit = {
+                      shortlist: Int = 100, idColName: String = "vec_id",
+                      maxBatchFetch: Int = 10000): Unit = {
     require(cb.m >= 1 && cb.cents.nonEmpty, "split-PQ registration needs trained codebooks")
     require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
     val codes = spark.read.parquet(s"$rootPath/codes").queryExecution.analyzed
     val floatsDir = s"$rootPath/floats"
     registry.put(normalize(new java.io.File(floatsDir).getAbsolutePath),
-      PqSplitRegistration(cb, shortlist, idColName, codes))
+      PqSplitRegistration(cb, shortlist, idColName, codes, maxBatchFetch))
     persistQuietly(floatsDir)
   }
 
@@ -297,11 +299,12 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         node.put("kind", "ivfpq"); node.put("nprobe", nprobe)
         node.put("shortlist", shortlist); node.put("idColName", idColName)
         putCents("cents", cents); putCodebooks(cb)
-      case PqSplitRegistration(cb, shortlist, idColName, _) =>
+      case PqSplitRegistration(cb, shortlist, idColName, _, maxBatchFetch) =>
         // the codes plan is NOT persisted — it is derived state, rebuilt
         // from the sibling `codes` directory on restore
         node.put("kind", "pq_split"); node.put("shortlist", shortlist)
-        node.put("idColName", idColName); putCodebooks(cb)
+        node.put("idColName", idColName)
+        node.put("maxBatchFetch", maxBatchFetch); putCodebooks(cb)
     }
     java.nio.file.Files.write(sidecarPath(path),
       mapper.writeValueAsBytes(node))
@@ -375,7 +378,8 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         registerPqSplit(org.apache.spark.sql.SparkSession.active,
           new java.io.File(path).getAbsoluteFile.getParent,
           codebooks(), node.get("shortlist").asInt(),
-          node.get("idColName").asText())
+          node.get("idColName").asText(),
+          Option(node.get("maxBatchFetch")).map(_.asInt()).getOrElse(10000))
       case other => sys.error(s"unknown registration kind '$other' in sidecar at $path")
     }
     kind
@@ -1066,6 +1070,21 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
           ofRows(spark, layoutRel), r.lsh, r.dim, kVal,
           userFilter = column(preds.reduce(And)),
           idName, embName, r.numPhysicalPartitions))
+      case (r: PqSplitRegistration, Nil) =>
+        // the batched declaration over a registered SPLIT layout: the
+        // declared corpus×R float scoring becomes one codes-table ADC
+        // scan (per-request LUTs on the broadcast side) + a bounded
+        // union fetch of the caller's own floats relation + per-request
+        // exact rerank. The fetch bound is the registration's policy
+        // (maxBatchFetch) — ShortlistFetch fails loud past it, which is
+        // the honest contract for a mechanism built on a bounded id
+        // list (the declared plan stays available by unregistering).
+        Some(graft.index.PqIndexStore().serveBatchedSplitCore(spark,
+          ofRows(spark, r.codes match {
+            case lr: LogicalRelation => lr.newInstance()
+            case other => other
+          }), layoutRel, r.cb, requests, idName, embName, kVal,
+          r.shortlist, r.maxBatchFetch))
       case _ => None // filtered without guaranteeK, or a kind with no batched serve
     }
     served.map(_.queryExecution.optimizedPlan)
