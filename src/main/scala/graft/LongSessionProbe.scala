@@ -35,7 +35,13 @@ object LongSessionProbe {
     // per query — the one shape that builds plans INSIDE the optimizer)
     // and the REST bridge path (engine state + layout lease per serve)
     "knn_filtered_rule_adaptive", "knn_filtered_ivf_adaptive",
-    "search_o12_registered")
+    "search_o12_registered",
+    // r16 batched-rewrite additions: every shape that composes +
+    // re-entrantly optimizes plans inside the rule (static batched,
+    // ladder batched, split-PQ batched with its ShortlistFetch nested
+    // execution + per-request LUT broadcast)
+    "knn_serve_batched_rule", "knn_filtered_batched_rule",
+    "knn_serve_batched_pq_rule")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
