@@ -199,6 +199,36 @@ object BatchedServeProbe {
     val misLad = reqRows.map(_._1).filter(q => al.getOrElse(q, Nil) != bl.getOrElse(q, Nil))
     report("filtered_adaptive", misLad.isEmpty,
       () => loopServeLadder(), () => batchedServeLadder())
+
+    // ---- split-PQ (r16): ADC scan + union ShortlistFetch ------------
+    // The loop arm serves each request through the SAME staged code
+    // path with a 1-request set — identical semantics by construction,
+    // so the A/B isolates exactly what batching amortizes: one codes
+    // scan + one union fetch + one plan for N requests, vs N of each.
+    val pqStore = graft.index.PqIndexStore()
+    val pqPath = s"target/probe-index/serve-batched-pq-${math.abs(sfDir.hashCode)}"
+    if (!new java.io.File(s"$pqPath/floats/_SUCCESS").exists())
+      pqStore.writeSplit(Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull),
+        col("vec_id"), col("embedding"), dim, pqPath)
+    def pqRows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e4) / 1e4))
+      .groupBy(_._1)
+      .map { case (q, rows) => q -> rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq }
+    def loopServePq(): Map[Long, Seq[(Long, Double)]] = reqRows.map { case (qid, _) =>
+      qid -> pqRows(pqStore.serveBatchedSplit(spark, pqPath,
+        requests.where(col("vec_id") === qid), "vec_id", "embedding",
+        k = 5, dim = dim, candidates = 100)).getOrElse(qid, Nil)
+    }.toMap
+    def batchedServePq(): Map[Long, Seq[(Long, Double)]] =
+      pqRows(pqStore.serveBatchedSplit(spark, pqPath, requests,
+        "vec_id", "embedding", k = 5, dim = dim, candidates = 100,
+        maxFetch = nReq * 100))
+    val ap = loopServePq(); val bp = batchedServePq()
+    val misPq = reqRows.map(_._1).filter(q => ap.getOrElse(q, Nil) != bp.getOrElse(q, Nil))
+    report("pq_split", misPq.isEmpty,
+      () => loopServePq(), () => batchedServePq())
     spark.stop()
   }
 }

@@ -113,9 +113,26 @@ final case class ShortlistFetchExec(
       throw new IllegalArgumentException(
         s"fetch id column '$fetchIdName' not in fetch output " +
           fetch.output.map(_.name).mkString("[", ", ", "]")))
+    // Point-list pushdown has a REAL ceiling: ParquetFilters builds the
+    // pushed IN as an or-chain and parquet-mr evaluates it recursively,
+    // so the task thread's stack overflows around ~2,000 points
+    // (bisected: a 2,000-id list dies in FileScanRDD with
+    // StackOverflowError, 9,500 ids on the range path are fine). Up to
+    // the ceiling we size the threshold so the points push exactly;
+    // past it we CAP the threshold so the IN degrades to one [min,max]
+    // range — reads more, stays correct, and the post-scan InSet filter
+    // (OptimizeIn's hash set, no recursion) cuts the rows. 512 leaves
+    // a 4× stack margin; it is also about where the per-row-group
+    // or-chain evaluation cost stops paying for the skipping anyway.
+    // The crossover is documented at the serve layer: a union fetch
+    // past the ceiling costs one full float-table pass per batch.
     val tk = "spark.sql.parquet.pushdown.inFilterThreshold"
-    if (spark.conf.get(tk, "10").toInt < maxShortlist)
-      spark.conf.set(tk, maxShortlist.toString)
+    val pushCeiling = 512
+    if (rows.length <= pushCeiling) {
+      if (spark.conf.get(tk, "10").toInt < rows.length)
+        spark.conf.set(tk, math.max(rows.length, 1).toString)
+    } else if (spark.conf.get(tk, "10").toInt > pushCeiling)
+      spark.conf.set(tk, pushCeiling.toString)
     val pruned =
       if (rows.isEmpty) LocalRelation(fetch.output)
       else Filter(In(fetchId, rows.toSeq.map(r => Literal(r.get(ord, dt), dt))), fetch)

@@ -96,6 +96,28 @@ class ShortlistFetchSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("a shortlist past the push ceiling degrades to range pushdown and stays correct") {
+    // parquet-mr evaluates the pushed or-chain recursively — ~2k ids
+    // overflow the task stack (bisected at sf0.1), so past the 512
+    // ceiling the exec caps the threshold and the IN pushes as one
+    // range; the post-scan InSet still cuts exactly
+    val prev = spark.conf.getOption("spark.sql.parquet.pushdown.inFilterThreshold")
+    try {
+      spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "100000")
+      // 2950 ids — past the 512 ceiling; 200 of them exist in the table
+      val ids = Seq.range(0L, 5900L, 2L)
+      val out = node(ids.toDF("id").limit(3000), max = 3000)
+        .select(col("id")).as[Long].collect().sorted.toSeq
+      assert(out == ids.filter(_ < 400L),
+        s"range-degraded fetch returned ${out.length} rows")
+      // the exec capped the runaway session threshold at its ceiling
+      assert(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold").toInt <= 512)
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.parquet.pushdown.inFilterThreshold"))(
+        v => spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", v))
+    }
+  }
+
   test("plan-form split-PQ serve is row-identical to the two-plan staged serve") {
     val sfDir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
