@@ -1334,6 +1334,20 @@ object OracleSql {
         |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
         |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
+    "knn_serve_batched_sq8" ->
+      s"""${cosineRankedCtes(
+             "SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL",
+             "c.vec_id <> q.q_id")}
+        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
+        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "knn_serve_batched_sq8_rule" ->
+      s"""${cosineRankedCtes(
+             "SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL",
+             "c.vec_id <> q.q_id")}
+        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
+        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
     "knn_serve_batched_pq_rule" ->
       s"""${cosineRankedCtes(
              "SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL",

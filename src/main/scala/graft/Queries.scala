@@ -519,7 +519,10 @@ object Queries {
     * scoring stage at all — fails loudly. */
   private val sq8RuleIndexCache = new SessionCache[String, DataFrame]
   private val sq8RuleScalesCache = new SessionCache[String, Array[Double]]
-  def annSq8Rule(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The fused SQ8 at-rest layout + its trained scales, shared by the
+    * per-request rule gate and both batched serving gates (one build,
+    * one cached FileIndex per session×SF). */
+  private def sq8RuleLayout(spark: SparkSession, sfDir: String): (DataFrame, Array[Double]) = {
     val p = s"target/gate-index/sq8-rule-${math.abs(sfDir.hashCode)}"
     val scales = sq8RuleScalesCache.getOrElseUpdate(spark, sfDir) {
       val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
@@ -534,6 +537,12 @@ object Queries {
         .write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
+    (base, scales)
+  }
+
+  def annSq8Rule(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"target/gate-index/sq8-rule-${math.abs(sfDir.hashCode)}"
+    val (base, scales) = sq8RuleLayout(spark, sfDir)
     graft.plans.LshProbeRewrite.registerSq8(p, scales, shortlist = 100)
     injectProbeRule(spark)
     val q = queryVec(spark, sfDir)
@@ -551,6 +560,65 @@ object Queries {
       "the SQ8 rewrite lost its quantized scoring stage — an exact top-k " +
         "in disguise is not the component this gate exists to exercise")
     out
+  }
+
+  /** BATCHED SQ8 serving ([[graft.index.SqKnn.serveBatched]] — the PQ
+    * batched serve's SQ8 twin): one codes-width scan of the fused
+    * layout answers the 5 serving requests, per-request weights
+    * (`zip_with` of the normalized request and the scales — the
+    * [[graft.index.SqKnn.adcTable]] fold as a built-in Column) on the
+    * broadcast side, per-pair scoring in
+    * [[graft.expressions.ByteDotDyn]]'s codegen loop, union fetch
+    * through [[graft.plans.ShortlistFetch]], exact rerank per request
+    * self excluded. SQ8 misranks by ≤ 1/254 per component, so the
+    * 100-wide shortlist keeps the true top-5 and the exact serving
+    * stream's DuckDB replay carries over. */
+  def knnServeBatchedSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, scales) = sq8RuleLayout(spark, sfDir)
+    val requests = Tables.embeddings(spark, sfDir)
+      .where(col("embedding").isNotNull && col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    val out = graft.index.SqKnn.serveBatched(spark, base, scales, requests,
+        "vec_id", "embedding", k = 5, candidates = 100)
+      .select(col("q_id"), col("rn"), col("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("ShortlistFetch") && plan.contains("byte_dot_dyn"),
+      "the batched SQ8 serve did not stage (byte-dot scan + bounded union " +
+        "fetch) — whatever ran is not the serve this gate prices")
+    out
+  }
+
+  /** [[knnServeBatchedSq8]] through the OPTIMIZER RULE: the same
+    * batched declaration every registered kind accepts (corpus ×
+    * requests cross join over the registered fused table), rewritten
+    * by the `sq8` registration into the staged batched serve. Shares
+    * the same oracle. */
+  def knnServeBatchedSq8Rule(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, scales) = sq8RuleLayout(spark, sfDir)
+    val p = s"target/gate-index/sq8-rule-${math.abs(sfDir.hashCode)}"
+    graft.plans.LshProbeRewrite.registerSq8(p, scales, shortlist = 100)
+    injectProbeRule(spark)
+    val requests = Tables.embeddings(spark, sfDir)
+      .where(col("embedding").isNotNull && col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val declared = requests
+      .crossJoin(base)
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.expressions.CosineSimilarity(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+    val plan = declared.queryExecution.optimizedPlan.toString
+    require(plan.contains("ShortlistFetch") && plan.contains("byte_dot_dyn"),
+      "the sq8 registration did not rewrite the batched declaration — the " +
+        "gate would be timing a corpus×requests cross join over the fused table")
+    declared
   }
 
   /** [[annIvfPq]] served THROUGH THE OPTIMIZER RULE — the registry's
@@ -5314,6 +5382,8 @@ object Queries {
     "knn_serve_batched_rule" -> (knnServeBatchedRule _),
     "knn_serve_batched_pq" -> (knnServeBatchedPq _),
     "knn_serve_batched_pq_rule" -> (knnServeBatchedPqRule _),
+    "knn_serve_batched_sq8" -> (knnServeBatchedSq8 _),
+    "knn_serve_batched_sq8_rule" -> (knnServeBatchedSq8Rule _),
     "knn_serve_stream_batched_mp" -> (knnServeStreamBatchedMp _),
     "knn_serve_stream_batched_ivf" -> (knnServeStreamBatchedIvf _),
     "ngram_top20" -> (ngramTop20 _),

@@ -127,3 +127,55 @@ case class AdcScoreDyn(left: Expression, right: Expression, k: Int)
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Signed-byte dot against a per-row double-weight column — the SQ8
+  * batched scoring loop ([[AdcScoreDyn]]'s sibling; SQ8's "LUT" is
+  * just the scale-folded normalized request,
+  * `w(d) = qn(d) * scale(d)`, so the per-pair work is one
+  * multiply-add per dimension over i8 codes, never the float vector).
+  * Accumulation order and signed-byte arithmetic are identical to
+  * [[graft.index.SqKnn.searchEncoded]]'s inner loop, so a batched
+  * shortlist ranks exactly like the per-request one.
+  */
+case class ByteDotDyn(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY code, ARRAY<DOUBLE> weights), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "byte_dot_dyn"
+
+  override def nullSafeEval(code: Any, w: Any): Any = {
+    val c = code.asInstanceOf[Array[Byte]]
+    val t = w.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var d = 0
+    val n = math.min(c.length, t.numElements())
+    while (d < n) { acc += c(d) * t.getDouble(d); d += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      s"""
+         |double $acc = 0.0;
+         |final int $n = java.lang.Math.min($c.length, $t.numElements());
+         |for (int $d = 0; $d < $n; $d++) {
+         |  $acc += $c[$d] * $t.getDouble($d);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

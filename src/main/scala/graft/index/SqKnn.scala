@@ -114,4 +114,63 @@ object SqKnn {
     val scales = trainScales(emb, embCol, dim)
     searchEncoded(encode(emb, idCol, embCol, scales), query, scales, k)
   }
+
+  /** BATCHED SQ8 serving over a fused (id, embedding, code) layout
+    * (r16 — the PQ batched serve's SQ8 twin, closing another "no
+    * batched serve (yet)" kind): one codes-width scan of the layout
+    * answers the whole request set. SQ8's per-request "LUT" is just
+    * the scale-folded normalized request — a dim-long double vector
+    * computed with BUILT-IN columns (`zip_with` over the normalized
+    * embedding and the scales literal; bit-identical to
+    * [[adcTable]]'s `qn(d) * scale(d)` fold) — and the per-pair work
+    * is [[graft.expressions.ByteDotDyn]]'s one multiply-add per
+    * dimension over i8 bytes inside whole-stage codegen. Shortlist
+    * ranks under the two-phase WindowGroupLimit; the float vectors
+    * are fetched ONCE for the union of shortlists through
+    * [[graft.plans.ShortlistFetch]] against the SAME fused layout
+    * (the id-ordered write makes the point fetch row-group-skippable;
+    * past the 512-point push ceiling it degrades to one layout pass —
+    * the ShortlistFetch contract); exact rerank per request, self
+    * excluded. Output matches the other batched serves:
+    * (q_id, rn, neighbor_id, cos).
+    */
+  def serveBatched(spark: org.apache.spark.sql.SparkSession,
+                   layout: DataFrame, scales: Array[Double],
+                   requests: DataFrame, idColName: String, embColName: String,
+                   k: Int, candidates: Int = 100,
+                   maxFetch: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.SqlShims.{column, expression, ofRows}
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(spark)
+    val reqs = requests.where(col(embColName).isNotNull)
+      .select(col(idColName).cast("long").as("q_id"), col(embColName).as("q_emb"))
+      .withColumn("q_w", zip_with(
+        graft.functions.VectorFunctions.l2Normalize(col("q_emb")),
+        typedlit(scales.toSeq),
+        (a, b) => a.cast("double") * b))
+    val codes = layout.select(col(idColName).cast("long").as("id"), col("code"))
+    val pairs = codes.join(broadcast(reqs), col("id") =!= col("q_id"))
+      .withColumn("qd",
+        column(graft.expressions.ByteDotDyn(expression(col("code")), expression(col("q_w")))))
+      .withColumn("srn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("qd").desc, col("id").asc)))
+      .where(col("srn") <= candidates)
+      .select(col("q_id"), col("q_emb"), col("id"))
+    val shortIds = pairs.select(col("id")).distinct()
+    val slPlan = shortIds.queryExecution.analyzed
+    val fetched = ofRows(spark, graft.plans.ShortlistFetch(
+        slPlan.output.find(_.name == "id").get,
+        layout.queryExecution.analyzed, idColName, maxFetch, slPlan))
+      .select(col(idColName), col(embColName))
+    fetched.join(broadcast(pairs), col(idColName) === pairs("id")).drop("id")
+      .withColumn("cos",
+        graft.expressions.CosineSimilarity(col(embColName), col("q_emb")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col(idColName).asc)))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("rn"),
+        col(idColName).cast("long").as("neighbor_id"), col("cos"))
+  }
 }

@@ -1070,6 +1070,13 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
           ofRows(spark, layoutRel), r.lsh, r.dim, kVal,
           userFilter = column(preds.reduce(And)),
           idName, embName, r.numPhysicalPartitions))
+      case (r: Sq8Registration, Nil) =>
+        // the batched declaration over a registered fused SQ8 layout:
+        // codes-width scan + per-request scale-folded weights on the
+        // broadcast side + union fetch from the same layout
+        Some(graft.index.SqKnn.serveBatched(spark,
+          ofRows(spark, layoutRel.newInstance()), r.scales, requests,
+          idName, embName, kVal, r.shortlist))
       case (r: PqSplitRegistration, Nil) =>
         // the batched declaration over a registered SPLIT layout: the
         // declared corpus×R float scoring becomes one codes-table ADC

@@ -99,6 +99,66 @@ class BatchedPqServeSpec extends AnyFunSuite {
     } finally graft.plans.LshProbeRewrite.clear()
   }
 
+  test("batched SQ8 serve equals per-request exact brute and the rule rewrites the declaration") {
+    import graft.index.SqKnn
+    val scales = SqKnn.trainScales(emb, col("embedding"), dim = 64)
+    val p = "target/test-index/batched-sq8"
+    TestSpark.rmTree(new java.io.File(p))
+    val codes = SqKnn.encode(emb, col("vec_id"), col("embedding"), scales)
+      .withColumnRenamed("id", "vec_id")
+    emb.select(col("vec_id"), col("embedding")).join(codes, "vec_id")
+      .write.mode("overwrite").parquet(p)
+    val layout = spark.read.parquet(p)
+    val requests = emb.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    val served = SqKnn.serveBatched(spark, layout, scales, requests,
+      "vec_id", "embedding", k = 5, candidates = 100)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("ShortlistFetch") && plan.contains("byte_dot_dyn"),
+      plan.take(2000))
+    val got = served
+      .select(col("q_id"), col("rn"), col("neighbor_id"), round(col("cos"), 6).as("c"))
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = requests.as[(Long, Array[Float])].collect().sortBy(_._1).toSeq.flatMap {
+      case (qid, qv) =>
+        graft.index.BruteForceKnn.search(emb.where(col("vec_id") =!= qid),
+            col("embedding"), col("vec_id"), qv, 5)
+          .select(col("vec_id"), round(col("score"), 6).as("s"))
+          .as[(Long, Double)].collect().toSeq.zipWithIndex
+          .map { case ((nid, s), i) => (qid, i + 1, nid, s) }
+    }
+    assert(got == want, s"batched SQ8 serve diverges from brute:\n$got\nvs\n$want")
+
+    // the declared batched shape over the registered fused table
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LshProbeRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LshProbeRewrite
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(spark)
+    import org.apache.spark.sql.expressions.{Window => W}
+    try {
+      graft.plans.LshProbeRewrite.clear()
+      graft.plans.LshProbeRewrite.registerSq8(p, scales, shortlist = 100)
+      val declared = requests
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(spark.read.parquet(p))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", graft.expressions.CosineSimilarity(col("embedding"), col("q_emb")))
+        .withColumn("rn", row_number().over(W.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"), col("cos"))
+      val dplan = declared.queryExecution.optimizedPlan.toString
+      assert(dplan.contains("ShortlistFetch") && dplan.contains("byte_dot_dyn"),
+        s"sq8 batched rewrite did not fire:\n${dplan.take(2500)}")
+      val ruleGot = declared
+        .select(col("q_id"), col("rn"), col("neighbor_id"), round(col("cos"), 6).as("c"))
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(ruleGot == got, "rule-served batched SQ8 diverges from the library serve")
+    } finally graft.plans.LshProbeRewrite.clear()
+  }
+
   test("the fetch bound fails loud when the union shortlist exceeds maxFetch") {
     val p = "target/test-index/batched-pq-split" // built by the previous test
     val store = PqIndexStore()
