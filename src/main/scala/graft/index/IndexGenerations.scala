@@ -57,12 +57,51 @@ object IndexGenerations {
     rm(new java.io.File(p))
   }
 
+  /** On-disk twin of the in-memory retire-pending flag (r16, roadmap
+    * thread #4): a crash between "retire deferred" and "last lease
+    * released" used to leak the directory with nothing recording the
+    * intent. The `_retire_pending` marker (underscore-prefixed —
+    * FileIndex listings ignore it, so a still-leased reader's scan is
+    * untouched) is written when a retire defers and vanishes with the
+    * directory; a FRESH JVM refuses new leases on a marker-carrying
+    * generation and [[sweep]] finishes the interrupted cleanup. */
+  private def markerFile(k: String): java.io.File =
+    new java.io.File(k, "_retire_pending")
+
+  /** Finish cleanups a previous JVM left pending: delete every child
+    * directory of `parentDir` carrying the `_retire_pending` marker,
+    * SKIPPING any that is currently registered for serving or holds a
+    * live lease in THIS JVM (the skip list comes back alongside the
+    * deletions — a skipped path is a live registration someone made
+    * without clearing the marker, worth a look, not a crash). */
+  def sweep(parentDir: String): (Seq[String], Seq[String]) = {
+    val kids = Option(new java.io.File(parentDir).listFiles())
+      .getOrElse(Array.empty).filter(f => f.isDirectory && markerFile(f.getPath).exists())
+    val (skip, dead) = kids.partition { f =>
+      graft.plans.LshProbeRewrite.isRegistered(f.getPath) || liveLeases(f.getPath) > 0
+    }
+    dead.foreach { f =>
+      val k = key(f.getPath)
+      val g = gens.computeIfAbsent(k, _ => new Gen)
+      g.synchronized { g.retirePending = false; g.retired = true }
+      rmTree(k)
+    }
+    (dead.map(_.getPath).toSeq, skip.map(_.getPath).toSeq)
+  }
+
   /** Run `f` holding a read lease on the generation at `path`: retire
     * requested while `f` runs is DEFERRED until the last lease
     * releases; a generation already retired refuses the lease loudly.
     */
   def lease[A](path: String)(f: => A): A = {
-    val g = gens.computeIfAbsent(key(path), _ => new Gen)
+    // a fresh JVM first hears of a generation here — a marker left by
+    // a crashed predecessor makes it retire-pending from the start, so
+    // the lease refuses instead of reading a directory scheduled to die
+    val g = gens.computeIfAbsent(key(path), k => {
+      val ng = new Gen
+      if (markerFile(k).exists()) ng.retirePending = true
+      ng
+    })
     g.synchronized {
       require(!g.retired && !g.retirePending,
         s"index generation $path is retired — re-register and serve a live generation")
@@ -99,6 +138,13 @@ object IndexGenerations {
       else { g.retirePending = true; false }
     }
     if (deleteNow) rmTree(k)
+    else if (!isRetired(k))
+      // deferred: persist the intent so a crash before the last lease
+      // release cannot leak the directory silently (sweep() finishes
+      // the job in the next JVM; best-effort — a read-only FS keeps
+      // today's in-memory behavior)
+      try { markerFile(k).createNewFile(): Unit }
+      catch { case scala.util.control.NonFatal(_) => () }
     deleteNow
   }
 

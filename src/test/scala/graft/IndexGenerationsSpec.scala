@@ -119,4 +119,40 @@ class IndexGenerationsSpec extends AnyFunSuite {
     assert(IndexGenerations.liveLeases(path) == 0)
     assert(IndexGenerations.retire(path))
   }
+
+  test("a deferred retire persists its intent; sweep finishes it in a fresh JVM") {
+    IndexGenerations.clear()
+    val path = stage("persist")
+    val marker = new java.io.File(path, "_retire_pending")
+    // defer a retire under a live lease, then simulate a crash BEFORE
+    // the release (clear() = the fresh JVM's empty in-memory state)
+    val t = new Thread(() => IndexGenerations.lease(path) { Thread.sleep(1500) })
+    t.start()
+    Thread.sleep(300) // let the lease land
+    assert(!IndexGenerations.retire(path)) // deferred
+    assert(marker.exists(), "deferred retire left no on-disk record")
+    t.join() // normal path: last release deletes dir + marker together
+    assert(!new java.io.File(path).exists())
+
+    // crash path: marker on disk, empty registry — a fresh JVM
+    val crashed = stage("crashed")
+    assert(new java.io.File(crashed, "_retire_pending").createNewFile())
+    IndexGenerations.clear()
+    // a reader in the fresh JVM refuses the doomed generation
+    val e = intercept[IllegalArgumentException](
+      IndexGenerations.lease(crashed)(42))
+    assert(e.getMessage.contains("retired"))
+    // a marker-carrying sibling that is REGISTERED is skipped, not deleted
+    val live = stage("live")
+    assert(new java.io.File(live, "_retire_pending").createNewFile())
+    graft.plans.LshProbeRewrite.register(live,
+      graft.index.RandomHyperplaneLsh(2, 4, 1L), 4)
+    try {
+      val (deleted, skipped) = IndexGenerations.sweep("target/spec-index")
+      assert(deleted.exists(_.endsWith("gen-crashed")), s"deleted=$deleted")
+      assert(!new java.io.File(crashed).exists())
+      assert(skipped.exists(_.endsWith("gen-live")) && new java.io.File(live).exists(),
+        s"skipped=$skipped")
+    } finally graft.plans.LshProbeRewrite.unregister(live)
+  }
 }
