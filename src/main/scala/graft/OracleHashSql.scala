@@ -784,6 +784,70 @@ object OracleHashSql {
        |FROM chosen c JOIN scores s ON s.vec_id = c.vec_id
        |ORDER BY s.s DESC, c.vec_id LIMIT 5""".stripMargin
 
+  /** knn_filtered_ivf_batched_rule: the IVF guaranteed-k ladder run
+    * for all 5 requests at once (r17 — the batched twin of
+    * knn_filtered_ivf_adaptive, exactly as
+    * knn_filtered_adaptive_batched is the batched twin of
+    * knn_filtered_adaptive). Per request: cluster ranking (cosine
+    * desc, cid — the same rc CTE the per-request replay uses), the
+    * widened top-4 probe list with its level tag (0 within nprobe=2,
+    * 1 in the doubled tail), candidates from the per-row assignment ∩
+    * the `vec_id % 3 = 0` filter, both survivor counts, the first
+    * level with ≥ k survivors (starved requests → brute over the
+    * filtered corpus), exact-cosine rerank of the chosen set and the
+    * per-request `index_used` — self excluded throughout. */
+  private def knnFilteredIvfBatchedSql: String =
+    s"""WITH $xxhCte,
+       |$centsCte,
+       |$corpusCte,
+       |centv AS (SELECT c2.cid, e2.embedding AS ce FROM cents c2 JOIN corpus e2 ON e2.vec_id = c2.cid),
+       |rcp AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS y FROM corpus e, centv c),
+       |rc AS (SELECT vec_id, cid,
+       |    CASE WHEN SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) = 0 OR SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) = 0 THEN 0.0
+       |         ELSE SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |              (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) END AS s
+       |  FROM rcp GROUP BY vec_id, cid),
+       |assigned AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM rc)
+       |  WHERE rn = 1),
+       |qset AS (SELECT vec_id AS q_id FROM corpus WHERE vec_id < 5),
+       |probeq AS (SELECT q_id, cid, CASE WHEN rn <= 2 THEN 0 ELSE 1 END AS d FROM (
+       |    SELECT q.q_id, r.cid, row_number() OVER (PARTITION BY q.q_id ORDER BY r.s DESC, r.cid) AS rn
+       |    FROM qset q JOIN rc r ON r.vec_id = q.q_id)
+       |  WHERE rn <= 4),
+       |filt AS (SELECT vec_id FROM corpus WHERE vec_id % 3 = 0),
+       |ipairs AS (SELECT p.q_id, a.vec_id AS c_id, p.d
+       |  FROM probeq p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.q_id
+       |  JOIN filt f ON f.vec_id = a.vec_id),
+       |istats AS (SELECT q_id, SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS n0,
+       |    COUNT(*) AS n1
+       |  FROM ipairs GROUP BY q_id),
+       |lvl AS (SELECT qs.q_id,
+       |    CASE WHEN COALESCE(s.n0, 0) >= 5 THEN 0
+       |         WHEN COALESCE(s.n1, 0) >= 5 THEN 1 ELSE 2 END AS l
+       |  FROM qset qs LEFT JOIN istats s ON s.q_id = qs.q_id),
+       |chosen AS (
+       |  SELECT p.q_id, p.c_id FROM ipairs p
+       |    JOIN lvl ON lvl.q_id = p.q_id
+       |    WHERE lvl.l < 2 AND p.d <= lvl.l
+       |  UNION ALL
+       |  SELECT qs.q_id, f.vec_id AS c_id FROM qset qs
+       |    JOIN lvl ON lvl.q_id = qs.q_id AND lvl.l = 2
+       |    JOIN filt f ON f.vec_id <> qs.q_id),
+       |px AS (SELECT cp.q_id, cp.c_id, unnest(a.embedding) AS x, unnest(bb.embedding) AS y
+       |  FROM chosen cp JOIN corpus a ON a.vec_id = cp.q_id
+       |  JOIN corpus bb ON bb.vec_id = cp.c_id),
+       |ps AS (SELECT q_id, c_id,
+       |  SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+       |  (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS s
+       |  FROM px GROUP BY q_id, c_id),
+       |rankeds AS (SELECT q_id, c_id, s,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn FROM ps)
+       |SELECT r.q_id, r.rn, r.c_id AS neighbor_id, ROUND(r.s, 4) + 0 AS score,
+       |  CASE lvl.l WHEN 0 THEN 'ivf' WHEN 1 THEN 'ivf_w2' ELSE 'brute' END AS index_used
+       |FROM rankeds r JOIN lvl ON lvl.q_id = r.q_id
+       |WHERE r.rn <= 5 ORDER BY r.q_id, r.rn""".stripMargin
+
   /** knn_serve_stream_ivf: the 5-request serving stream answered from
     * the registered IVF layout. Assignment (argmax cosine vs the
     * stride-53 centroids, lowest-cid tie-break) is computed once; each
@@ -1519,6 +1583,7 @@ object OracleHashSql {
     // batching is a plan-shape change, not a semantics change, so one
     // oracle pins both (a batch answered differently flips the hash)
     "knn_filtered_adaptive_batched" -> knnFilteredAdaptiveBatchedSql,
+    "knn_filtered_ivf_batched_rule" -> knnFilteredIvfBatchedSql,
     "knn_filtered_batched_rule" -> knnFilteredAdaptiveBatchedSql,
     "knn_serve_stream_batched" -> knnServeStreamRuleSql,
     "knn_serve_batched_rule" -> knnServeStreamRuleSql,

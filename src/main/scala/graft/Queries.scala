@@ -966,6 +966,61 @@ object Queries {
     declared
   }
 
+  /** The IVF guaranteed-k ladder at BATCH QPS through the OPTIMIZER
+    * RULE (r17 — the r16 verdict's #1, the one real hole left in the
+    * serving matrix: the batched ladder rewrite was LSH-only, so batch
+    * traffic on the decision table's RECOMMENDED kind kept the declared
+    * quadratic plan). The caller declares the filtered batched top-k —
+    * requests CROSS JOIN the filtered registered IVF layout, self
+    * excluded, scored, ranked per request, rank ≤ k, literal
+    * `index_used` placeholder — and the `guaranteeK` IVF registration
+    * rewrites it into
+    * [[graft.index.KnnJoin.ivfServeFilteredAdaptiveBatched]]: every
+    * request's escalation (registered nprobe probe → DOUBLED 2·nprobe
+    * probe → brute-over-filtered-corpus) decided IN one plan, the
+    * placeholder overwritten by each request's served level. Same
+    * layout, centroids and nprobe as [[knnFilteredIvfAdaptive]]; same
+    * requests, filter, k and rounding as
+    * [[knnFilteredAdaptiveBatched]]. The DuckDB oracle replays the
+    * WHOLE per-request rule — cluster ranking, per-row assignment,
+    * both counts, the boundary, the chosen set, rerank, `index_used`
+    * — so a request escalated at the wrong boundary flips the hash
+    * even when its neighbors coincide. */
+  def knnFilteredIvfBatchedRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = ivfRuleCents(spark, sfDir)
+    val p = s"target/gate-index/ivf-rule-gk-${math.abs(sfDir.hashCode)}"
+    val base = ivfGkIndexCache.getOrElseUpdate(spark, sfDir) {
+      graft.index.IvfIndexStore(cents).write(Tables.embeddings(spark, sfDir), "embedding", p)
+      spark.read.parquet(p)
+    }
+    graft.plans.LshProbeRewrite.registerIvf(p, cents, nprobe = 2, guaranteeK = true)
+    injectProbeRule(spark)
+    val requests = Tables.embeddings(spark, sfDir)
+      .where(col("embedding").isNotNull && col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val declared = requests
+      .crossJoin(base.where(pmod(col("vec_id"), lit(3)) === 0))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.expressions.CosineSimilarity(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"),
+        lit("auto").as("index_used"))
+      .orderBy(col("q_id"), col("rn"))
+    val plan = declared.queryExecution.optimizedPlan.toString
+    require(plan.contains("min_dist") && plan.contains("ivf_w2"),
+      "the batched declaration was not rewritten to the in-plan IVF ladder — " +
+        "a static centroid probe under this filter starves, and the cross " +
+        "join is the plan this gate exists to avoid")
+    require(!plan.contains("auto"),
+      "the caller's index_used placeholder survived — the engine must own " +
+        "the served-level value")
+    declared
+  }
+
   /** BATCHED split-PQ serving (r16 — the serve the batched rewrite
     * listed as "(yet)"): one ADC scan of the codes table answers the 5
     * serving requests, per-request LUTs materialized on the broadcast
@@ -5227,6 +5282,7 @@ object Queries {
     "knn_filtered_ivf_adaptive" -> (knnFilteredIvfAdaptive _),
     "knn_filtered_adaptive_batched" -> (knnFilteredAdaptiveBatched _),
     "knn_filtered_batched_rule" -> (knnFilteredBatchedRule _),
+    "knn_filtered_ivf_batched_rule" -> (knnFilteredIvfBatchedRule _),
     "knn_lsh_rule_multiprobe" -> (knnLshRuleMultiprobe _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "knn_lsh_cached" -> (knnLshCached _),

@@ -77,16 +77,26 @@ object IndexGenerations {
   def sweep(parentDir: String): (Seq[String], Seq[String]) = {
     val kids = Option(new java.io.File(parentDir).listFiles())
       .getOrElse(Array.empty).filter(f => f.isDirectory && markerFile(f.getPath).exists())
-    val (skip, dead) = kids.partition { f =>
-      graft.plans.LshProbeRewrite.isRegistered(f.getPath) || liveLeases(f.getPath) > 0
-    }
-    dead.foreach { f =>
+    val results = kids.map { f =>
       val k = key(f.getPath)
       val g = gens.computeIfAbsent(k, _ => new Gen)
-      g.synchronized { g.retirePending = false; g.retired = true }
-      rmTree(k)
+      // the lease-count check and the retired flip happen in ONE
+      // critical section (r16 ADVICE: a check-then-act partition let a
+      // concurrent lease() land between the liveLeases read and the
+      // rmTree — deleting the directory under an active reader); a
+      // lease that raced in wins, and the marker stays for a later
+      // sweep. lease() itself synchronizes on the same Gen and refuses
+      // once retired, so no new reader can slip in after the flip.
+      val deleteNow = g.synchronized {
+        if (graft.plans.LshProbeRewrite.isRegistered(f.getPath) || g.leases > 0)
+          false
+        else { g.retirePending = false; g.retired = true; true }
+      }
+      if (deleteNow) rmTree(k)
+      (f.getPath, deleteNow)
     }
-    (dead.map(_.getPath).toSeq, skip.map(_.getPath).toSeq)
+    (results.collect { case (p, true) => p }.toSeq,
+      results.collect { case (p, false) => p }.toSeq)
   }
 
   /** Run `f` holding a read lease on the generation at `path`: retire

@@ -242,6 +242,103 @@ object KnnJoin {
           .otherwise("brute").as("index_used"))
   }
 
+  /** BATCHED filtered serving with GUARANTEED k in IVF geometry (r17 —
+    * the r16 verdict's #1, the last cell of the serving matrix: the
+    * decision table recommends IVF for clustered corpora, and until
+    * this serve a filtered batched declaration over an IVF `guaranteeK`
+    * registration refused to the declared quadratic plan). The
+    * escalation contract is [[lshServeFilteredAdaptiveBatched]]'s,
+    * expressed in the index's own geometry exactly like the
+    * per-request IVF ladder
+    * ([[graft.plans.LshProbeRewrite]].guaranteedKLadderIvf):
+    *
+    *  1. ONE batched centroid-rank join (the [[ivfServeBatched]]
+    *     probe machinery — requests × the broadcast centroid table,
+    *     ranked per request with [[graft.expressions.CosineSimilarity]]
+    *     = [[IvfKnn.rankClusters]]'s arithmetic bit for bit) derives
+    *     each request's WIDENED probe list: the top-2·nprobe clusters,
+    *     tagged `min_dist` 0 within the registered nprobe (the static
+    *     probe would read them) or 1 in the doubled tail (IVF's
+    *     standard recall knob, the analog of the LSH 1-bit ball);
+    *  2. the probe pairs broadcast-join the FILTERED layout on its
+    *     partition column — IVF stores each row exactly once and probe
+    *     clusters are pairwise distinct, so a (request, row) pair
+    *     matches exactly one probe row and `min_dist` needs no dedupe
+    *     aggregate (the LSH form's groupBy exists only for sub-layout
+    *     copies);
+    *  3. per-request survivor counts at both levels from one
+    *     aggregate; first level with ≥ k wins (`ivf` → `ivf_w2`);
+    *     STARVED requests (n1 < k) broadcast into the brute rung over
+    *     the whole filtered layout (every row once — no sub-layout
+    *     trick needed), reported `brute` per the O10 contract;
+    *  4. exact cosine rerank per request (WindowGroupLimit), self
+    *     excluded throughout.
+    *
+    * Cost at scale: the probe join touches requests × 2·nprobe rows on
+    * the broadcast side and the layout once per batch (the probed
+    * clusters' directory union under partition pruning); the brute
+    * rung's scan is ∝ filtered subset × starved requests and zero when
+    * no request starves. Output: (q_id, rn, neighbor_id, cos,
+    * index_used).
+    */
+  def ivfServeFilteredAdaptiveBatched(requests: DataFrame, layout: DataFrame,
+                                      cents: Array[(Long, Array[Float])],
+                                      nprobe: Int, k: Int,
+                                      userFilter: Column,
+                                      idCol: String = "vec_id",
+                                      embCol: String = "embedding"): DataFrame = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val centDf = cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("c_cid", "cent")
+    val reqs = requests.where(col(embCol).isNotNull)
+      .select(col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"),
+        sqrt(DotProduct(col(embCol), col(embCol))).as("q_norm"))
+    val probe = reqs.select(col("q_id"), col("q_emb"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("c_s", CosineSimilarity(col("q_emb"), col("cent")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c_s").desc, col("c_cid"))))
+      .where(col("crn") <= 2 * nprobe)
+      .select(col("q_id"), col("c_cid"),
+        when(col("crn") <= nprobe, 0).otherwise(1).as("min_dist"))
+    val filteredLayout = layout.where(userFilter)
+    val pairs = filteredLayout.join(broadcast(probe),
+        col("cluster_id") === col("c_cid") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).cast("long").as("neighbor_id"),
+        col("min_dist"), col(embCol).as("c_emb"))
+    val levels = reqs.join(
+        pairs.groupBy(col("q_id")).agg(
+          sum(when(col("min_dist") === 0, 1).otherwise(0)).as("n0"),
+          count(lit(1)).as("n1")),
+        Seq("q_id"), "left")
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        when(coalesce(col("n0"), lit(0L)) >= k, 0)
+          .when(coalesce(col("n1"), lit(0L)) >= k, 1)
+          .otherwise(2).as("level"))
+    val served = pairs
+      .join(broadcast(levels), Seq("q_id")) // q_emb/q_norm ride the levels row
+      .where(col("level") < 2 && col("min_dist") <= col("level"))
+      .select(col("q_id"), col("neighbor_id"), col("c_emb"),
+        col("q_emb"), col("q_norm"), col("level"))
+    val starved = levels.where(col("level") === 2)
+    val brute = filteredLayout
+      .join(broadcast(starved), col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).cast("long").as("neighbor_id"),
+        col(embCol).as("c_emb"), col("q_emb"), col("q_norm"), col("level"))
+    served.unionByName(brute)
+      .withColumn("c_norm", sqrt(DotProduct(col("c_emb"), col("c_emb"))))
+      .withColumn("cos",
+        when(col("q_norm") === 0.0 || col("c_norm") === 0.0, 0.0)
+          .otherwise(DotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("neighbor_id"), col("cos"),
+        when(col("level") === 0, "ivf").when(col("level") === 1, "ivf_w2")
+          .otherwise("brute").as("index_used"))
+  }
+
   /** BATCHED serving against an at-rest [[IvfIndexStore]] layout — the
     * IVF twin of [[lshServeBatched]] (r15 open thread #3): ALL requests
     * of a micro-batch answered by ONE plan. The request batch

@@ -505,11 +505,14 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
     * the per-request shortlist rank runs as a two-phase
     * WindowGroupLimit (each scan partition ships ≤ `candidates` rows
     * per request, never the corpus); the float fetch goes through
-    * [[graft.plans.ShortlistFetch]] — one bounded id list
-    * (≤ requests × candidates, enforced by `maxFetch`) pushed into the
-    * id-clustered float layout, so float I/O stays
-    * shortlist-proportional; the rerank joins the small fetched set
-    * against the broadcast shortlist pairs. Output matches the other
+    * [[graft.plans.ShortlistFetchJoin]] — the shortlist pairs
+    * materialize ONCE in the node's driver hop, their distinct-id
+    * union (≤ `maxFetch`, enforced) is pushed into the id-clustered
+    * float layout (chunked sub-scans past the 512-point push ceiling,
+    * so the read stays shortlist-proportional at any batch size), and
+    * the same collected pairs feed the rerank as the node's internal
+    * broadcast build side — one codes-width scan per batch, for real
+    * (r16 ADVICE closed the double-evaluation). Output matches the other
     * batched serves: (q_id, rn, neighbor_id, cos), self excluded
     * (serving semantics). With `candidates` wide enough that the true
     * top-k survive every request's shortlist, the result is
@@ -527,7 +530,15 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
 
   /** [[serveBatchedSplit]] over explicit codes / floats plans — the
     * entry the optimizer rule composes from a `pq_split` registration
-    * (its codes plan and the caller's own floats relation). */
+    * (its codes plan and the caller's own floats relation).
+    *
+    * One codes-width scan, for real (r16 ADVICE closed): the (q_id,
+    * q_emb, shortlist id) pairs are materialized ONCE inside
+    * [[graft.plans.ShortlistFetchJoin]]'s driver hop, which feeds both
+    * the pushed point fetch (their distinct ids) and the rerank (the
+    * collected pairs as the node's internal broadcast build side) —
+    * the earlier two-node form re-evaluated the ADC scan + window as
+    * the rerank join's broadcast side, doubling the corpus pass. */
   private[graft] def serveBatchedSplitCore(spark: org.apache.spark.sql.SparkSession,
                         codes: DataFrame,
                         floatsPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -550,13 +561,12 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
       .withColumn("srn", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("adc").desc, col("id").asc)))
       .where(col("srn") <= candidates)
-      .select(col("q_id"), col("q_emb"), col("id"))
-    val shortIds = pairs.select(col("id")).distinct()
-    val slPlan = shortIds.queryExecution.analyzed
-    val fetched = ofRows(spark, graft.plans.ShortlistFetch(
-      slPlan.output.find(_.name == "id").get,
-      floatsPlan, idColName, maxFetch, slPlan))
-    fetched.join(broadcast(pairs), col(idColName) === pairs("id")).drop("id")
+      .select(col("q_id"), col("q_emb"), col("id").as("sl_id"))
+    val pairsPlan = pairs.queryExecution.analyzed
+    val joined = ofRows(spark, graft.plans.ShortlistFetchJoin(
+      pairsPlan.output.find(_.name == "sl_id").get,
+      floatsPlan, idColName, maxFetch, pairsPlan))
+    joined
       .withColumn("cos",
         graft.expressions.CosineSimilarity(col(embColName), col("q_emb")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))

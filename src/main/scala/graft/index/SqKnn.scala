@@ -127,12 +127,15 @@ object SqKnn {
     * dimension over i8 bytes inside whole-stage codegen. Shortlist
     * ranks under the two-phase WindowGroupLimit; the float vectors
     * are fetched ONCE for the union of shortlists through
-    * [[graft.plans.ShortlistFetch]] against the SAME fused layout
+    * [[graft.plans.ShortlistFetchJoin]] against the SAME fused layout
     * (the id-ordered write makes the point fetch row-group-skippable;
-    * past the 512-point push ceiling it degrades to one layout pass —
-    * the ShortlistFetch contract); exact rerank per request, self
-    * excluded. Output matches the other batched serves:
-    * (q_id, rn, neighbor_id, cos).
+    * past the 512-point push ceiling the fetch splits into
+    * ceiling-sized chunked sub-scans, so the read stays
+    * shortlist-proportional — the ShortlistFetch contract); exact
+    * rerank per request, self excluded, with the shortlist pairs
+    * materialized ONCE feeding both fetch and rerank (one codes-width
+    * scan per batch, r16 ADVICE). Output matches the other batched
+    * serves: (q_id, rn, neighbor_id, cos).
     */
   def serveBatched(spark: org.apache.spark.sql.SparkSession,
                    layout: DataFrame, scales: Array[Double],
@@ -157,14 +160,18 @@ object SqKnn {
       .withColumn("srn", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("qd").desc, col("id").asc)))
       .where(col("srn") <= candidates)
-      .select(col("q_id"), col("q_emb"), col("id"))
-    val shortIds = pairs.select(col("id")).distinct()
-    val slPlan = shortIds.queryExecution.analyzed
-    val fetched = ofRows(spark, graft.plans.ShortlistFetch(
-        slPlan.output.find(_.name == "id").get,
-        layout.queryExecution.analyzed, idColName, maxFetch, slPlan))
-      .select(col(idColName), col(embColName))
-    fetched.join(broadcast(pairs), col(idColName) === pairs("id")).drop("id")
+      .select(col("q_id"), col("q_emb"), col("id").as("sl_id"))
+    // ONE codes-width scan (r16 ADVICE): the pairs materialize once
+    // inside ShortlistFetchJoin, feeding both the pushed point fetch
+    // and the rerank's build side; the fetch plan is pre-projected to
+    // (id, embedding) so the point read never touches the code column
+    val pairsPlan = pairs.queryExecution.analyzed
+    val fetchPlan = layout.select(col(idColName), col(embColName))
+      .queryExecution.analyzed
+    val joined = ofRows(spark, graft.plans.ShortlistFetchJoin(
+      pairsPlan.output.find(_.name == "sl_id").get,
+      fetchPlan, idColName, maxFetch, pairsPlan))
+    joined
       .withColumn("cos",
         graft.expressions.CosineSimilarity(col(embColName), col("q_emb")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))

@@ -1070,6 +1070,14 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
           ofRows(spark, layoutRel), r.lsh, r.dim, kVal,
           userFilter = column(preds.reduce(And)),
           idName, embName, r.numPhysicalPartitions))
+      case (r: IvfRegistration, preds) if r.guaranteeK =>
+        // the IVF twin (r17, r16 verdict #1): the decision-table's
+        // recommended kind now owns recall-under-filter at batch QPS
+        // too — nprobe → 2·nprobe → filtered corpus, every request's
+        // escalation in ONE plan
+        Some(graft.index.KnnJoin.ivfServeFilteredAdaptiveBatched(requests,
+          ofRows(spark, layoutRel), r.cents, r.nprobe, kVal,
+          userFilter = column(preds.reduce(And)), idName, embName))
       case (r: Sq8Registration, Nil) =>
         // the batched declaration over a registered fused SQ8 layout:
         // codes-width scan + per-request scale-folded weights on the

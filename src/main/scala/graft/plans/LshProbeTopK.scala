@@ -59,6 +59,9 @@ case class LshProbeStrategy(spark: SparkSession) extends SparkStrategy {
     case sf @ ShortlistFetch(idExpr, fetch, fetchIdName, max, child) =>
       ShortlistFetchExec(idExpr, fetch, fetchIdName, max, sf.output,
         planLater(child)) :: Nil
+    case sfj @ ShortlistFetchJoin(idExpr, fetch, fetchIdName, maxIds, child) =>
+      ShortlistFetchJoinExec(idExpr, fetch, fetchIdName, maxIds, sfj.output,
+        planLater(child)) :: Nil
     case _ => Nil
   }
 }

@@ -96,11 +96,12 @@ class ShortlistFetchSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
-  test("a shortlist past the push ceiling degrades to range pushdown and stays correct") {
+  test("a shortlist past the push ceiling chunks into bounded sub-scans and stays correct") {
     // parquet-mr evaluates the pushed or-chain recursively — ~2k ids
     // overflow the task stack (bisected at sf0.1), so past the 512
-    // ceiling the exec caps the threshold and the IN pushes as one
-    // range; the post-scan InSet still cuts exactly
+    // ceiling the exec splits the sorted list into ceiling-sized
+    // chunks, each its own range+IN sub-scan, unioned (r17; r16
+    // degraded to one [min,max] range = one full pass per batch)
     val prev = spark.conf.getOption("spark.sql.parquet.pushdown.inFilterThreshold")
     try {
       spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "100000")
@@ -109,13 +110,85 @@ class ShortlistFetchSpec extends AnyFunSuite {
       val out = node(ids.toDF("id").limit(3000), max = 3000)
         .select(col("id")).as[Long].collect().sorted.toSeq
       assert(out == ids.filter(_ < 400L),
-        s"range-degraded fetch returned ${out.length} rows")
-      // the exec capped the runaway session threshold at its ceiling
-      assert(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold").toInt <= 512)
+        s"chunked fetch returned ${out.length} rows")
+      // the session conf is RESTORED, not clobbered (r16 ADVICE,
+      // medium: the old exec left its cap behind for every
+      // concurrently-planning query in the session)
+      assert(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold") == "100000")
     } finally {
       prev.fold(spark.conf.unset("spark.sql.parquet.pushdown.inFilterThreshold"))(
         v => spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", v))
     }
+  }
+
+  test("the conf window is scoped on BOTH sides of the push ceiling") {
+    val tk = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = spark.conf.getOption(tk)
+    try {
+      spark.conf.set(tk, "10")
+      // below the ceiling: the floor is raised for the fetch, restored after
+      assert(node(Seq.range(0L, 100L).toDF("id").limit(100), max = 100).count() == 100)
+      assert(spark.conf.get(tk) == "10")
+    } finally prev.fold(spark.conf.unset(tk))(v => spark.conf.set(tk, v))
+  }
+
+  test("chunked sub-scans past the ceiling read shortlist-proportional rows") {
+    val read = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    // a wider id-clustered table so row-group skipping is visible:
+    // 40k rows, 16 disjoint id-range files
+    val p = "target/test-shortlist-fetch/wide"
+    (0L until 40000L).map(i => (i, i * 2.0)).toDF("id", "val")
+      .repartitionByRange(16, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(p)
+    injectStrategy()
+    // 600 ids (> 512 ceiling), all inside the FIRST two files' ranges —
+    // the chunk ranges must confine the sub-scans there
+    val ids = Seq.range(0L, 3000L, 5L)
+    val sl = ids.toDF("id").limit(700).queryExecution.analyzed
+    val fetch = spark.read.parquet(p).queryExecution.analyzed
+    val df = SqlShims.ofRows(spark,
+      ShortlistFetch(sl.output.find(_.name == "id").get, fetch, "id", 700, sl))
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(df.count() == ids.length.toLong)
+      Thread.sleep(500) // listener bus is async
+      // 40k-row table; the two touched files hold 5k rows — anything
+      // near 40k means the chunked path degraded to a full pass
+      assert(read.get() <= 12000,
+        s"chunked fetch read ${read.get()} records of 40000 — not shortlist-proportional")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("ShortlistFetchJoin: one child materialization feeds both fetch and join") {
+    injectStrategy()
+    // pairs: (q_id, id) — two requests sharing one id, to prove the
+    // join fans fetched rows back out per pair
+    val pairs = Seq((100L, 7L), (200L, 7L), (100L, 40L)).toDF("q_id", "sl_id")
+    val pairsPlan = pairs.queryExecution.analyzed
+    val fetch = spark.read.parquet(tablePath).queryExecution.analyzed
+    val df = SqlShims.ofRows(spark, graft.plans.ShortlistFetchJoin(
+      pairsPlan.output.find(_.name == "sl_id").get, fetch, "id", 10, pairsPlan))
+    val out = df.select(col("q_id"), col("id"), col("tag"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set((100L, 7L, "payload-7"), (200L, 7L, "payload-7"),
+      (100L, 40L, "payload-40")))
+  }
+
+  test("ShortlistFetchJoin enforces the distinct-id bound loudly") {
+    injectStrategy()
+    val pairs = Seq.range(0L, 30L).map(i => (1L, i)).toDF("q_id", "sl_id")
+    val pairsPlan = pairs.queryExecution.analyzed
+    val fetch = spark.read.parquet(tablePath).queryExecution.analyzed
+    val df = SqlShims.ofRows(spark, graft.plans.ShortlistFetchJoin(
+      pairsPlan.output.find(_.name == "sl_id").get, fetch, "id", 10, pairsPlan))
+    val e = intercept[Exception] { df.collect() }
+    assert(e.getMessage.contains("distinct ids"),
+      s"expected the distinct-id bound require, got: ${e.getMessage}")
   }
 
   test("plan-form split-PQ serve is row-identical to the two-plan staged serve") {
