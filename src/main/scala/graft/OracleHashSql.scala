@@ -792,7 +792,7 @@ object OracleHashSql {
     * desc, cid — the same rc CTE the per-request replay uses), the
     * widened top-4 probe list with its level tag (0 within nprobe=2,
     * 1 in the doubled tail), candidates from the per-row assignment ∩
-    * the `vec_id % 3 = 0` filter, both survivor counts, the first
+    * the `vec_id % 23 = 0` filter, both survivor counts, the first
     * level with ≥ k survivors (starved requests → brute over the
     * filtered corpus), exact-cosine rerank of the chosen set and the
     * per-request `index_used` — self excluded throughout. */
@@ -815,7 +815,7 @@ object OracleHashSql {
        |    SELECT q.q_id, r.cid, row_number() OVER (PARTITION BY q.q_id ORDER BY r.s DESC, r.cid) AS rn
        |    FROM qset q JOIN rc r ON r.vec_id = q.q_id)
        |  WHERE rn <= 4),
-       |filt AS (SELECT vec_id FROM corpus WHERE vec_id % 3 = 0),
+       |filt AS (SELECT vec_id FROM corpus WHERE vec_id % 23 = 0),
        |ipairs AS (SELECT p.q_id, a.vec_id AS c_id, p.d
        |  FROM probeq p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.q_id
        |  JOIN filt f ON f.vec_id = a.vec_id),

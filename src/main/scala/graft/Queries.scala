@@ -980,8 +980,13 @@ object Queries {
     * probe → brute-over-filtered-corpus) decided IN one plan, the
     * placeholder overwritten by each request's served level. Same
     * layout, centroids and nprobe as [[knnFilteredIvfAdaptive]]; same
-    * requests, filter, k and rounding as
-    * [[knnFilteredAdaptiveBatched]]. The DuckDB oracle replays the
+    * requests, k and rounding as [[knnFilteredAdaptiveBatched]]. The
+    * `vec_id % 23` (~4%) filter is MEASURED to make the batch
+    * escalate at both gate SFs (sf0.001: 3×ivf + 2×ivf_w2; sf0.01:
+    * 2×ivf + 3×ivf_w2 — a milder %11 stops every request at level 0,
+    * a harsher %47 starves all five to brute; the brute rung is
+    * forced in IvfBatchedLadderSpec on a crafted corpus). The DuckDB
+    * oracle replays the
     * WHOLE per-request rule — cluster ranking, per-row assignment,
     * both counts, the boundary, the chosen set, rerank, `index_used`
     * — so a request escalated at the wrong boundary flips the hash
@@ -999,7 +1004,7 @@ object Queries {
       .where(col("embedding").isNotNull && col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val declared = requests
-      .crossJoin(base.where(pmod(col("vec_id"), lit(3)) === 0))
+      .crossJoin(base.where(pmod(col("vec_id"), lit(23)) === 0))
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         graft.expressions.CosineSimilarity(col("embedding"), col("q_emb")))
