@@ -229,6 +229,40 @@ object BatchedServeProbe {
     val misPq = reqRows.map(_._1).filter(q => ap.getOrElse(q, Nil) != bp.getOrElse(q, Nil))
     report("pq_split", misPq.isEmpty,
       () => loopServePq(), () => batchedServePq())
+
+    // ---- composed IVF-PQ (r17): coarse probe per request + staged ADC
+    // over the probed clusters + union ShortlistFetch. The loop arm is
+    // the same staged path with a 1-request set (semantics identical by
+    // construction); the batched arm amortizes the centroid-rank join,
+    // the codes scan and the union fetch across the batch.
+    val ivfpqPath = s"target/probe-index/serve-batched-ivfpq-${math.abs(sfDir.hashCode)}"
+    val pqCb = graft.index.PqKnn.train(
+      Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull),
+      col("vec_id"), col("embedding"), dim)
+    if (!new java.io.File(ivfpqPath, "_SUCCESS").exists()) {
+      val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+      val codes = graft.index.PqKnn.encode(emb, col("vec_id"), col("embedding"), pqCb)
+        .withColumnRenamed("id", "vec_id")
+      graft.index.IvfKnn.assign(emb, col("embedding"), cents)
+        .select(col("vec_id"), col("embedding"), col("cluster_id"))
+        .join(codes, "vec_id")
+        .repartition(col("cluster_id"))
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(ivfpqPath)
+    }
+    val ivfpqLayout = spark.read.parquet(ivfpqPath)
+    def loopServeIvfPq(): Map[Long, Seq[(Long, Double)]] = reqRows.map { case (qid, _) =>
+      qid -> pqRows(graft.index.PqKnn.serveBatchedIvfPq(spark, ivfpqLayout, cents,
+        nprobe = 2, pqCb, requests.where(col("vec_id") === qid),
+        "vec_id", "embedding", k = 5, candidates = 300)).getOrElse(qid, Nil)
+    }.toMap
+    def batchedServeIvfPq(): Map[Long, Seq[(Long, Double)]] =
+      pqRows(graft.index.PqKnn.serveBatchedIvfPq(spark, ivfpqLayout, cents,
+        nprobe = 2, pqCb, requests, "vec_id", "embedding", k = 5,
+        candidates = 300, maxFetch = nReq * 300))
+    val aip = loopServeIvfPq(); val bip = batchedServeIvfPq()
+    val misIvfPq = reqRows.map(_._1).filter(q => aip.getOrElse(q, Nil) != bip.getOrElse(q, Nil))
+    report("ivfpq", misIvfPq.isEmpty,
+      () => loopServeIvfPq(), () => batchedServeIvfPq())
     spark.stop()
   }
 }

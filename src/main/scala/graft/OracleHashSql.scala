@@ -1593,6 +1593,13 @@ object OracleHashSql {
     // KnnJoin.ivfServeBatched), so it shares its oracle
     "knn_serve_stream_batched_ivf" -> knnServeStreamIvfSql,
     "knn_serve_stream_ivf" -> knnServeStreamIvfSql,
+    // batched IVF-PQ (library + rule): with the 300-wide per-request
+    // shortlist PQ misranking cannot evict a true neighbor from any
+    // probed-cluster pool, so the serve equals the EXACT batched IVF
+    // serve over the same stride-53 coarse quantizer — the per-request
+    // IVF replay pins it whole (assignment, probe lists, rerank)
+    "knn_serve_batched_ivfpq" -> knnServeStreamIvfSql,
+    "knn_serve_batched_ivfpq_rule" -> knnServeStreamIvfSql,
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     // the same 1-bit candidate rule served through the optimizer rule's
     // registered multi-probe policy — one oracle for both probes

@@ -638,7 +638,12 @@ object Queries {
     * filter would be reading the whole layout). */
   private val ivfpqRuleIndexCache = new SessionCache[String, DataFrame]
   private val ivfpqRuleCbCache = new SessionCache[String, graft.index.PqKnn.Codebooks]
-  def annIvfPqRule(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The fused IVF-PQ gate layout (vec_id, embedding, label, code,
+    * cluster_id — partitioned by cluster_id) plus its coarse centroids
+    * and trained codebooks, built once per (session, snapshot) and
+    * shared by the per-request rule gate and the batched serves. */
+  private def ivfpqRuleLayout(spark: SparkSession, sfDir: String)
+  : (DataFrame, Array[(Long, Array[Float])], graft.index.PqKnn.Codebooks) = {
     val cents = ivfRuleCents(spark, sfDir)
     val p = s"target/gate-index/ivfpq-rule-${math.abs(sfDir.hashCode)}"
     val cb = ivfpqRuleCbCache.getOrElseUpdate(spark, sfDir) {
@@ -656,6 +661,11 @@ object Queries {
         .write.mode("overwrite").partitionBy("cluster_id").parquet(p)
       spark.read.parquet(p)
     }
+    (base, cents, cb)
+  }
+  def annIvfPqRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, cents, cb) = ivfpqRuleLayout(spark, sfDir)
+    val p = s"target/gate-index/ivfpq-rule-${math.abs(sfDir.hashCode)}"
     graft.plans.LshProbeRewrite.registerIvfPq(p, cents, nprobe = 2, cb,
       shortlist = 100)
     injectProbeRule(spark)
@@ -1091,6 +1101,73 @@ object Queries {
     require(plan.contains("ShortlistFetch") && plan.contains("adc_score_dyn"),
       "the pq_split registration did not rewrite the batched declaration — " +
         "the gate would be timing a corpus×requests float cross join")
+    declared
+  }
+
+  /** BATCHED serving for the COMPOSED IVF-PQ kind (r17 — the r16
+    * verdict's #2, the FAISS production shape at batch QPS):
+    * [[graft.index.PqKnn.serveBatchedIvfPq]] answers the 5 serving
+    * requests in ONE plan over the same fused cluster-partitioned
+    * codes+floats layout as [[annIvfPqRule]] — batched centroid-rank
+    * join (each request's top-2 coarse clusters), per-request
+    * [[graft.expressions.PqLut]] LUTs on the broadcast side,
+    * [[graft.expressions.AdcScoreDyn]] codegen scoring over the probed
+    * codes, per-request ADC shortlist, union float fetch through
+    * [[graft.plans.ShortlistFetchJoin]], exact rerank self excluded.
+    * With the 300-wide shortlist (the [[knnServeBatchedPq]] width
+    * rationale) no request's true top-5 can be evicted by PQ
+    * misranking, so the result equals the EXACT batched IVF serve
+    * with the same stride-53 coarse quantizer — the gate shares
+    * knn_serve_stream_ivf's per-request DuckDB replay. */
+  def knnServeBatchedIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, cents, cb) = ivfpqRuleLayout(spark, sfDir)
+    val requests = Tables.embeddings(spark, sfDir)
+      .where(col("embedding").isNotNull && col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    val out = graft.index.PqKnn.serveBatchedIvfPq(spark, base, cents,
+        nprobe = 2, cb, requests, "vec_id", "embedding", k = 5, candidates = 300)
+      .select(col("q_id"), col("rn"), col("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("ShortlistFetch") && plan.contains("adc_score_dyn"),
+      "the batched IVF-PQ serve did not stage (coarse probe + ADC scan + " +
+        "bounded union fetch) — whatever ran is not the serve this gate prices")
+    out
+  }
+
+  /** [[knnServeBatchedIvfPq]] through the OPTIMIZER RULE: the caller
+    * declares the same batched top-k every registered kind accepts
+    * (requests CROSS JOIN the registered fused table, self excluded,
+    * scored, ranked, rank ≤ k) and the `ivfpq` registration rewrites
+    * it into the staged batched composition — the declared plan reads
+    * every float for every request; the served plan reads the probed
+    * clusters' codes once per batch plus the union-shortlist floats.
+    * Shares the same exact-IVF replay oracle. */
+  def knnServeBatchedIvfPqRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, cents, cb) = ivfpqRuleLayout(spark, sfDir)
+    val p = s"target/gate-index/ivfpq-rule-${math.abs(sfDir.hashCode)}"
+    graft.plans.LshProbeRewrite.registerIvfPq(p, cents, nprobe = 2, cb,
+      shortlist = 300)
+    injectProbeRule(spark)
+    val requests = Tables.embeddings(spark, sfDir)
+      .where(col("embedding").isNotNull && col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val declared = requests
+      .crossJoin(base)
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.expressions.CosineSimilarity(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+    val plan = declared.queryExecution.optimizedPlan.toString
+    require(plan.contains("ShortlistFetch") && plan.contains("adc_score_dyn"),
+      "the ivfpq registration did not rewrite the batched declaration — the " +
+        "gate would be timing a corpus×requests float cross join")
     declared
   }
 
@@ -5443,6 +5520,8 @@ object Queries {
     "knn_serve_batched_rule" -> (knnServeBatchedRule _),
     "knn_serve_batched_pq" -> (knnServeBatchedPq _),
     "knn_serve_batched_pq_rule" -> (knnServeBatchedPqRule _),
+    "knn_serve_batched_ivfpq" -> (knnServeBatchedIvfPq _),
+    "knn_serve_batched_ivfpq_rule" -> (knnServeBatchedIvfPqRule _),
     "knn_serve_batched_sq8" -> (knnServeBatchedSq8 _),
     "knn_serve_batched_sq8_rule" -> (knnServeBatchedSq8Rule _),
     "knn_serve_stream_batched_mp" -> (knnServeStreamBatchedMp _),

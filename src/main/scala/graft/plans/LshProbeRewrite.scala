@@ -111,7 +111,8 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
   final case class IvfPqRegistration(cents: Array[(Long, Array[Float])],
                                      nprobe: Int,
                                      cb: graft.index.PqKnn.Codebooks,
-                                     shortlist: Int, idColName: String)
+                                     shortlist: Int, idColName: String,
+                                     maxBatchFetch: Int = 10000)
     extends IndexRegistration
 
   /** SQ8 policy (round-15 open thread #1): the second SCORING kind.
@@ -188,12 +189,13 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
 
   def registerIvfPq(path: String, cents: Array[(Long, Array[Float])], nprobe: Int,
                     cb: graft.index.PqKnn.Codebooks, shortlist: Int = 100,
-                    idColName: String = "vec_id"): Unit = {
+                    idColName: String = "vec_id",
+                    maxBatchFetch: Int = 10000): Unit = {
     require(cents.nonEmpty && nprobe >= 1, "IVF-PQ registration needs centroids and nprobe >= 1")
     require(cb.m >= 1 && cb.cents.nonEmpty, "IVF-PQ registration needs trained codebooks")
     require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
     registry.put(normalize(new java.io.File(path).getAbsolutePath),
-      IvfPqRegistration(cents, nprobe, cb, shortlist, idColName))
+      IvfPqRegistration(cents, nprobe, cb, shortlist, idColName, maxBatchFetch))
     persistQuietly(path)
   }
 
@@ -295,9 +297,10 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         node.put("kind", "sq8"); node.put("shortlist", shortlist)
         node.put("idColName", idColName)
         val a = node.putArray("scales"); scales.foreach(a.add(_))
-      case IvfPqRegistration(cents, nprobe, cb, shortlist, idColName) =>
+      case IvfPqRegistration(cents, nprobe, cb, shortlist, idColName, maxBatchFetch) =>
         node.put("kind", "ivfpq"); node.put("nprobe", nprobe)
         node.put("shortlist", shortlist); node.put("idColName", idColName)
+        node.put("maxBatchFetch", maxBatchFetch)
         putCents("cents", cents); putCodebooks(cb)
       case PqSplitRegistration(cb, shortlist, idColName, _, maxBatchFetch) =>
         // the codes plan is NOT persisted — it is derived state, rebuilt
@@ -371,7 +374,8 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
       case "ivfpq" =>
         registerIvfPq(path, cents("cents"), node.get("nprobe").asInt(),
           codebooks(), node.get("shortlist").asInt(),
-          node.get("idColName").asText())
+          node.get("idColName").asText(),
+          Option(node.get("maxBatchFetch")).map(_.asInt()).getOrElse(10000))
       case "pq_split" =>
         // the sidecar lives in the registered floats dir; the layout
         // root (where the codes plan is rebuilt from) is its parent
@@ -1078,6 +1082,13 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         Some(graft.index.KnnJoin.ivfServeFilteredAdaptiveBatched(requests,
           ofRows(spark, layoutRel), r.cents, r.nprobe, kVal,
           userFilter = column(preds.reduce(And)), idName, embName))
+      case (r: IvfPqRegistration, Nil) =>
+        // the COMPOSED kind at batch QPS (r17, r16 verdict #2): coarse
+        // centroid probe per request + staged ADC shortlist + bounded
+        // union float fetch + exact rerank, all in one plan
+        Some(graft.index.PqKnn.serveBatchedIvfPq(spark,
+          ofRows(spark, layoutRel.newInstance()), r.cents, r.nprobe, r.cb,
+          requests, idName, embName, kVal, r.shortlist, r.maxBatchFetch))
       case (r: Sq8Registration, Nil) =>
         // the batched declaration over a registered fused SQ8 layout:
         // codes-width scan + per-request scale-folded weights on the

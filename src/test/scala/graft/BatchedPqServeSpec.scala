@@ -99,6 +99,76 @@ class BatchedPqServeSpec extends AnyFunSuite {
     } finally graft.plans.LshProbeRewrite.clear()
   }
 
+  test("batched IVF-PQ serve equals per-request exact IVF and the rule rewrites the declaration") {
+    import graft.index.IvfKnn
+    // the composed kind (r17): coarse probe per request + staged ADC +
+    // union fetch + exact rerank, one plan per request set — equality
+    // target is the EXACT IVF search per request (same coarse
+    // quantizer, same nprobe), the searchIvfPqRefined equivalence
+    val cents = IvfKnn.centroids(emb, col("vec_id"), col("embedding"), 53L)
+    val cb = PqKnn.train(emb, col("vec_id"), col("embedding"), dim = 64)
+    val p = "target/test-index/batched-ivfpq"
+    TestSpark.rmTree(new java.io.File(p))
+    val codes = PqKnn.encode(emb, col("vec_id"), col("embedding"), cb)
+      .withColumnRenamed("id", "vec_id")
+    IvfKnn.assign(emb, col("embedding"), cents)
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      .join(codes, "vec_id")
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(p)
+    val layout = spark.read.parquet(p)
+    val requests = emb.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    val served = PqKnn.serveBatchedIvfPq(spark, layout, cents, nprobe = 2, cb,
+      requests, "vec_id", "embedding", k = 5, candidates = 300)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("ShortlistFetch") && plan.contains("adc_score_dyn"),
+      plan.take(2000))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("rn"), col("neighbor_id"), round(col("cos"), 6))
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val got = rows(served)
+    // per-request expectation: exact cosine top-5 within each request's
+    // own top-2 probed clusters, self excluded
+    val assigned = IvfKnn.assign(emb, col("embedding"), cents)
+    val want = requests.as[(Long, Array[Float])].collect().sortBy(_._1).toSeq.flatMap {
+      case (qid, qv) =>
+        val probeIds = IvfKnn.rankClusters(qv, cents).take(2).map(_._1)
+        BruteForceKnn.search(
+            assigned.where(col("cluster_id").isin(probeIds.map(Long.box): _*) &&
+              col("vec_id") =!= qid),
+            col("embedding"), col("vec_id"), qv, 5)
+          .select(col("vec_id"), round(col("score"), 6).as("s"))
+          .as[(Long, Double)].collect().toSeq.zipWithIndex
+          .map { case ((nid, sc), i) => (qid, i + 1, nid, sc) }
+    }
+    assert(got == want, s"batched IVF-PQ serve diverges from exact IVF:\n$got\nvs\n$want")
+    // and through the rule: the declared cross join rewrites
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LshProbeRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LshProbeRewrite
+    import org.apache.spark.sql.expressions.{Window => W}
+    try {
+      graft.plans.LshProbeRewrite.clear()
+      graft.plans.LshProbeRewrite.registerIvfPq(p, cents, nprobe = 2, cb,
+        shortlist = 300)
+      val declared = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(layout)
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", graft.expressions.CosineSimilarity(col("embedding"), col("q_emb")))
+        .withColumn("rn", row_number().over(W.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"), col("cos"))
+      val rplan = declared.queryExecution.optimizedPlan.toString
+      assert(rplan.contains("ShortlistFetch") && rplan.contains("adc_score_dyn"),
+        s"ivfpq batched rewrite did not fire:\n${rplan.take(2500)}")
+      assert(rows(declared) == want,
+        "rule-served batched IVF-PQ diverges from exact IVF")
+    } finally graft.plans.LshProbeRewrite.clear()
+  }
+
   test("batched SQ8 serve equals per-request exact brute and the rule rewrites the declaration") {
     import graft.index.SqKnn
     val scales = SqKnn.trainScales(emb, col("embedding"), dim = 64)
