@@ -271,6 +271,12 @@ object OracleSql {
     "search_mmr" -> searchMmrSql,
     "ann_nsw" -> knnBruteSql,
     "ann_hnsw" -> knnBruteSql,
+    // O12 through the registered HNSW tier: beam recall is exact at
+    // the gate SFs (the ann_hnsw equivalence), the envelope carries
+    // the at-rest tier's level — brute replay + the literal
+    "search_o12_hnsw" ->
+      s"""SELECT vec_id, score, 'hnsw_at_rest' AS index_used
+         |FROM ($knnBruteSql)""".stripMargin,
     "ann_pq" -> knnBruteSql,
     // the rule-served PQ path: same trainer, ADC arithmetic and
     // 100-wide shortlist + exact rerank as ann_pq, so the same

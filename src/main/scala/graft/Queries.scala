@@ -5340,6 +5340,51 @@ object Queries {
       .select(col("vec_id"), round(col("score"), 4).as("score"), col("index_used"))
   }
 
+  /** The reference's O12 search route served from a registered HNSW
+    * layout (r17 — the r16 verdict's #4: the bridge served LSH and IVF
+    * kinds only, so a library registered onto an HNSW graph fell back
+    * transient). Same engine-state staging as
+    * [[searchO12Registered]]; [[graft.search.AtRestIndexBridge.registerHnsw]]
+    * writes the library corpus as a persisted shard-graph layout
+    * (node ids = xxhash64(chunk id)) and [[graft.search.SearchService]]
+    * serves `index = "lsh"` through the driver-orchestrated beam under
+    * the generation lease, envelope `index_used = "hnsw_at_rest"`. The
+    * beam's recall over this corpus is exact at the gate SFs (the
+    * ann_hnsw equivalence, pinned again by the require below), so the
+    * gate shares knn_brute's oracle with the envelope literal on top. */
+  private val o12HnswBridgeCache = new SessionCache[String, graft.search.SearchService]
+  def searchO12Hnsw(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val svc = o12HnswBridgeCache.getOrElseUpdate(spark, sfDir) {
+      val engine = new graft.state.Engine()
+      engine.createLibrary(name = "corpus", id = Some("corpus"))
+      engine.addDocument("corpus", title = "d0", id = Some("d0"))
+      Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .foreach { r =>
+          val id = r.getLong(0)
+          engine.addChunk("corpus", "d0", text = s"chunk-$id",
+            embedding = Some(r.getSeq[Float](1).toArray),
+            id = Some(s"c$id")): Unit
+        }
+      val bridge = new graft.search.AtRestIndexBridge(
+        s"target/gate-index/at-rest-bridge-hnsw-${math.abs(sfDir.hashCode)}")
+      bridge.registerHnsw(spark, engine, "corpus")
+      new graft.search.SearchService(spark, engine, atRest = Some(bridge))
+    }
+    val q = queryVec(spark, sfDir)
+    val res = svc.search("corpus", queryEmbedding = Some(q), k = 5, index = "lsh")
+    require(res.indexUsed.contains("hnsw_at_rest"),
+      "the O12 envelope must serve from the registered HNSW tier here, " +
+        s"got index_used=${res.indexUsed}")
+    res.hits.map(h => (h.chunk_id.stripPrefix("c").toLong, h.score))
+      .sortBy { case (id, s) => (-s, id) }
+      .toDF("vec_id", "score")
+      .select(col("vec_id"), round(col("score"), 4).as("score"),
+        lit(res.indexUsed.get).as("index_used"))
+  }
+
   def crudLifecycle(spark: SparkSession, sfDir: String): DataFrame =
     lifecycleEngine(spark, sfDir).documentsDF(spark)
       .select(col("library_id"), col("id").cast("long").as("doc_id"), col("title"))
@@ -5466,6 +5511,7 @@ object Queries {
     "multimodal_meta" -> (multimodalMeta _),
     "crud_lifecycle" -> (crudLifecycle _),
     "search_o12_registered" -> (searchO12Registered _),
+    "search_o12_hnsw" -> (searchO12Hnsw _),
     "crud_versions" -> (crudVersions _),
     "window_running_total" -> (windowRunningTotal _),
     "agg_cube" -> (aggCube _),

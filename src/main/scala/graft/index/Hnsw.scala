@@ -419,9 +419,21 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
 
   /** Probe the stored graphs: one scan, zero build work per query. */
   def search(spark: SparkSession, path: String, query: Array[Float], k: Int,
-             ef: Int = 48): DataFrame = {
+             ef: Int = 48): DataFrame =
+    searchNodes(spark.read.parquet(path), query, k, ef)
+
+  /** [[search]] over a pre-listed nodes DataFrame — the serving-
+    * residency form (r17, the REST bridge's HNSW kind): a serving
+    * layer lists the layout's partition directories ONCE and reuses
+    * the FileIndex across queries (the lshRuleIndexCache lesson —
+    * re-listing per query costs more than the probe). */
+  def searchNodes(nodes: DataFrame, query: Array[Float], k: Int,
+                  ef: Int = 48): DataFrame = {
+    val spark = nodes.sparkSession
     import spark.implicits._
-    loadNodes(spark, path)
+    nodes
+      .select(col("shard"), col("node_idx"), col("id"), col("embedding"), col("neighbors"))
+      .as[HnswNodeRow]
       .mapPartitions { it =>
         HnswIndexStore.reconstruct(it).flatMap(g => Hnsw.searchShard(g, query, ef).iterator)
       }

@@ -32,11 +32,29 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
                               numPhysicalPartitions: Int = 16) {
 
   private final case class Entry(path: String, version: Int,
-                                 kind: String, // "lsh" | "ivf"
-                                 layout: DataFrame)
+                                 kind: String, // "lsh" | "ivf" | "hnsw"
+                                 layout: DataFrame,
+                                 // hnsw only: the chunk payload view at
+                                 // the registered version (the graph
+                                 // layout stores hashed node ids +
+                                 // vectors, not the chunk columns)
+                                 payload: Option[DataFrame] = None)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]
+
+  // Finish any interrupted retirements a crashed predecessor left
+  // under this bridge root (r17, r16 verdict #6): generations live at
+  // <baseDir>/<libraryId>/<gen>, so each library directory is a sweep
+  // parent. Before this, a crash between "retire deferred" and "last
+  // lease released" left marker-carrying directories on disk until a
+  // hand-run sweep — the machinery existed (IndexGenerationsSpec) but
+  // nothing called it on a production path.
+  locally {
+    Option(new java.io.File(baseDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .foreach(lib => IndexGenerations.sweep(lib.getPath): Unit)
+  }
 
   /** Build + register `libraryId`'s corpus at its current version.
     * Returns the layout path. Idempotent per (library, version, kind);
@@ -84,6 +102,36 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
     graft.plans.LshProbeRewrite.registerIvf(path, cents, nprobe, guaranteeK = true)
     swapIn(spark, libraryId,
       Entry(path, version, "ivf", spark.read.parquet(path)), existing)
+  }
+
+  /** The HNSW twin of [[register]] (r17, r16 verdict #4): the
+    * library's corpus as an [[graft.index.HnswIndexStore]] graph
+    * layout, served by the driver-orchestrated beam under the same
+    * generation-lease lifecycle and the same envelope
+    * (`index_used = "hnsw_at_rest"`). Node ids are `xxhash64(chunk
+    * id)` — chunk ids are STRINGS and a graph node id only needs
+    * identity (the ann-family convention [[registerIvf]] established);
+    * the serve joins hits back to the chunk payload on the same hash.
+    * HNSW has no filtered form (the beam walks stored adjacency — a
+    * predicate cannot prune a graph walk without starving it), so a
+    * FILTERED search over an HNSW registration falls back to the
+    * transient path: correct rows through the reference's own
+    * orchestrator, never a silently under-filled beam. */
+  def registerHnsw(spark: SparkSession, engine: Engine, libraryId: String,
+                   m: Int = 8, efConstruction: Int = 32,
+                   numShards: Int = 2): String = {
+    val version = engine.getLibrary(libraryId).version
+    val existing = Option(entries.get(libraryId))
+    if (existing.exists(e => e.version == version && e.kind == "hnsw"))
+      return existing.get.path
+    val corpus = libraryCorpus(spark, engine, libraryId)
+    val path = s"$baseDir/$libraryId/hnsw-v$version"
+    graft.index.HnswIndexStore(m, efConstruction).write(
+      corpus.withColumn("hid", xxhash64(col("id"))),
+      "hid", "embedding", path, numShards)
+    swapIn(spark, libraryId,
+      Entry(path, version, "hnsw", spark.read.parquet(path),
+        payload = Some(corpus)), existing)
   }
 
   private def libraryCorpus(spark: SparkSession, engine: Engine,
@@ -136,7 +184,35 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
                                   version: Int, qvec: Array[Float], k: Int,
                                   filters: Map[String, String])
                                  (pack: (DataFrame, Boolean, String) => A): Option[A] =
-    Option(entries.get(libraryId)).filter(_.version == version).map { e =>
+    Option(entries.get(libraryId)).filter(_.version == version).flatMap { e =>
+      // the HNSW kind: no filtered form (see registerHnsw) — a
+      // filtered search falls back to the transient path by returning
+      // None here, exactly like a stale version does
+      if (e.kind == "hnsw" && filters.nonEmpty) None
+      else Some(serveEntry(spark, e, libraryId, qvec, k, filters)(pack))
+    }
+
+  /** Serve one query from a live entry, under its generation lease. */
+  private def serveEntry[A](spark: SparkSession, e: Entry, libraryId: String,
+                            qvec: Array[Float], k: Int,
+                            filters: Map[String, String])
+                           (pack: (DataFrame, Boolean, String) => A): A =
+    if (e.kind == "hnsw")
+      IndexGenerations.lease(e.path) {
+        // driver-orchestrated beam over the stored graphs (the store
+        // call IS the serving path for this kind — there is no rule
+        // rewrite to pin); hits join back to the chunk payload on the
+        // hashed id, k rows against a broadcast — never corpus-sized
+        val hits = graft.index.HnswIndexStore().searchNodes(e.layout, qvec, k)
+          .withColumnRenamed("id", "hid")
+        val out = e.payload.get
+          .join(broadcast(hits), xxhash64(col("id")) === col("hid"))
+          .drop("hid")
+          .orderBy(col("score").desc, col("id").asc)
+          .limit(k)
+        pack(out, false, e.kind)
+      }
+    else
       IndexGenerations.lease(e.path) {
         // serve the PAYLOAD, not the layout internals: hits never
         // expose bucket/cluster machinery, and the ladder rewrite only
@@ -164,5 +240,4 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
             s"(probe/ladder missing from the optimized plan):\n${plan.take(1800)}")
         pack(out, laddered, e.kind)
       }
-    }
 }

@@ -214,6 +214,33 @@ class HttpApiSpec extends AnyFunSuite {
       assert(ivfFiltered.get("index_used").asText().startsWith("at_rest_ivf"),
         s"filtered IVF serve must ride the IVF ladder, got ${ivfFiltered.get("index_used")}")
       assert(path3 != path2)
+
+      // the HNSW KIND through the same bridge (r17, r16 verdict #4):
+      // registerHnsw swaps the library onto a persisted shard-graph
+      // layout — driver-orchestrated beam under the generation lease,
+      // same envelope, index_used names the kind. The 20 exact copies
+      // make hit-id ORDER tier-dependent (ties break on the hashed
+      // node id), so equality is on the copies class, not the order.
+      val path4 = bridge.registerHnsw(spark, engine, "blib")
+      val hnswServed = searchVia(useBridge = true, body)
+      assert(hnswServed.get("index_used").asText() == "hnsw_at_rest",
+        s"got ${hnswServed.get("index_used")}")
+      assert(hitIds(hnswServed).length == 5 &&
+        hitIds(hnswServed).forall(_.startsWith("c")),
+        s"top-5 over the copies fixture must all be query copies, " +
+          s"got ${hitIds(hnswServed)}")
+      assert(hnswServed.get("library_version").asInt() ==
+        plain.get("library_version").asInt() + 1) // the 'late1' write
+      assert(!new java.io.File(path3).exists(),
+        "kind swap must retire the replaced IVF generation")
+      // HNSW has no filtered form: a filtered search falls back to the
+      // transient path — same hits, transient-tier index_used
+      val hnswFiltered = searchVia(useBridge = true, fBody)
+      assert(hitIds(hnswFiltered) == hitIds(fPlain))
+      assert(!hnswFiltered.get("index_used").asText().contains("at_rest"),
+        s"filtered search over an HNSW registration must serve transient, " +
+          s"got ${hnswFiltered.get("index_used")}")
+      assert(path4 != path3)
     } finally graft.plans.LshProbeRewrite.clear()
   }
 }

@@ -155,4 +155,24 @@ class IndexGenerationsSpec extends AnyFunSuite {
         s"skipped=$skipped")
     } finally graft.plans.LshProbeRewrite.unregister(live)
   }
+
+  test("bridge construction sweeps a crashed predecessor's marked generations") {
+    // r17 (r16 verdict #6): the sweep existed but no production path
+    // called it — a crashed JVM's marked directories persisted until a
+    // hand-run sweep. AtRestIndexBridge now sweeps its per-library
+    // generation parents at construction.
+    IndexGenerations.clear()
+    val root = "target/spec-index/bridge-sweep"
+    TestSpark.rmTree(new java.io.File(root))
+    val gen = new java.io.File(s"$root/lib1/v1")
+    java.nio.file.Files.createDirectories(gen.toPath)
+    java.nio.file.Files.write(new java.io.File(gen, "part-0").toPath, Array[Byte](1))
+    assert(new java.io.File(gen, "_retire_pending").createNewFile())
+    IndexGenerations.clear() // the fresh JVM's empty in-memory state
+    new graft.search.AtRestIndexBridge(root): Unit
+    assert(!gen.exists(),
+      "bridge construction must finish the interrupted retirement")
+    assert(new java.io.File(s"$root/lib1").exists(),
+      "only the marked generation dies, not the library parent")
+  }
 }
