@@ -42,6 +42,9 @@ object IndexGenerations {
     var leases: Int = 0
     var retirePending: Boolean = false
     var retired: Boolean = false
+    // per-holder lease counts, so a holder's manifest is removed only
+    // when ITS last lease releases (r17 cross-JVM manifests)
+    val holders = scala.collection.mutable.Map.empty[String, Int]
   }
 
   private val gens = new java.util.concurrent.ConcurrentHashMap[String, Gen]
@@ -68,6 +71,68 @@ object IndexGenerations {
   private def markerFile(k: String): java.io.File =
     new java.io.File(k, "_retire_pending")
 
+  // ---- cross-JVM serving manifests (r17; the honest gap the r16 scope
+  // note documented). The lease refcount is per-JVM by design — the
+  // cached FileIndex a deletion races with is per-JVM — but two
+  // SESSIONS serving one layout could still race a retire: session B's
+  // leases are invisible to session A's refcount when B lives in
+  // another JVM. The `_serving` directory (underscore-prefixed, like
+  // `_registration` / `_retire_pending` — FileIndex listings skip it)
+  // holds one heartbeat file per HOLDER (a session id): lease() writes
+  // its holder's heartbeat on acquire and removes it when that
+  // holder's last lease releases; retire()/sweep() DEFER while any
+  // FOREIGN holder's heartbeat is fresh (within `staleAfterMs`), and a
+  // stale heartbeat — a crashed or wedged holder — is overridden, so
+  // an abandoned manifest cannot leak the directory forever.
+
+  /** This JVM's default holder identity (a session serving through the
+    * bridge passes its own session UUID instead). */
+  val jvmHolder: String = java.util.UUID.randomUUID().toString
+
+  /** Heartbeat freshness window: a foreign manifest older than this is
+    * treated as abandoned. Long-running serves refresh on every lease
+    * acquire, so a live holder at any realistic QPS stays fresh. */
+  @volatile var manifestStaleAfterMs: Long = 10 * 60 * 1000L
+
+  private def servingDir(k: String): java.io.File = new java.io.File(k, "_serving")
+
+  private def sanitize(holder: String): String =
+    holder.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Write/refresh `holder`'s heartbeat manifest (best-effort — a
+    * read-only FS keeps the per-JVM behavior). Public so a spec (or a
+    * foreign process) can stand in for another session. */
+  def heartbeat(path: String, holder: String): Unit =
+    try {
+      val d = servingDir(key(path))
+      java.nio.file.Files.createDirectories(d.toPath): Unit
+      java.nio.file.Files.write(new java.io.File(d, sanitize(holder)).toPath,
+        System.currentTimeMillis().toString.getBytes("UTF-8")): Unit
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Remove `holder`'s manifest (last lease released, or shutdown). */
+  def releaseManifest(path: String, holder: String): Unit =
+    try {
+      new java.io.File(servingDir(key(path)), sanitize(holder)).delete(): Unit
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Holders (other than `self`) with a fresh heartbeat on `path`. A
+    * manifest's freshness reads from its CONTENT (epoch millis written
+    * at heartbeat) with the file mtime as fallback. */
+  private def foreignFresh(k: String, self: String): Seq[String] = {
+    val now = System.currentTimeMillis()
+    Option(servingDir(k).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.getName != sanitize(self))
+      .filter { f =>
+        val stamp =
+          try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            .trim.toLong
+          catch { case scala.util.control.NonFatal(_) => f.lastModified() }
+        now - stamp <= manifestStaleAfterMs
+      }
+      .map(_.getName)
+  }
+
   /** Finish cleanups a previous JVM left pending: delete every child
     * directory of `parentDir` carrying the `_retire_pending` marker,
     * SKIPPING any that is currently registered for serving or holds a
@@ -87,8 +152,13 @@ object IndexGenerations {
       // lease that raced in wins, and the marker stays for a later
       // sweep. lease() itself synchronizes on the same Gen and refuses
       // once retired, so no new reader can slip in after the flip.
+      // a foreign session's fresh manifest defers the sweep too (its
+      // leases are invisible to this JVM's refcount) — file I/O stays
+      // outside the critical section; the flag is re-used inside it
+      val foreignLive = foreignFresh(k, jvmHolder).nonEmpty
       val deleteNow = g.synchronized {
-        if (graft.plans.LshProbeRewrite.isRegistered(f.getPath) || g.leases > 0)
+        if (graft.plans.LshProbeRewrite.isRegistered(f.getPath) || g.leases > 0 ||
+            foreignLive)
           false
         else { g.retirePending = false; g.retired = true; true }
       }
@@ -102,30 +172,49 @@ object IndexGenerations {
   /** Run `f` holding a read lease on the generation at `path`: retire
     * requested while `f` runs is DEFERRED until the last lease
     * releases; a generation already retired refuses the lease loudly.
-    */
-  def lease[A](path: String)(f: => A): A = {
+    * `holder` names the serving session for the cross-JVM manifest —
+    * its heartbeat is refreshed on every acquire and its manifest
+    * removed when its last lease releases, so a retire in ANOTHER JVM
+    * defers while this one still serves. */
+  def lease[A](path: String, holder: String = jvmHolder)(f: => A): A = {
     // a fresh JVM first hears of a generation here — a marker left by
     // a crashed predecessor makes it retire-pending from the start, so
     // the lease refuses instead of reading a directory scheduled to die
-    val g = gens.computeIfAbsent(key(path), k => {
+    val k = key(path)
+    val g = gens.computeIfAbsent(k, kk => {
       val ng = new Gen
-      if (markerFile(k).exists()) ng.retirePending = true
+      if (markerFile(kk).exists()) ng.retirePending = true
       ng
     })
     g.synchronized {
       require(!g.retired && !g.retirePending,
         s"index generation $path is retired — re-register and serve a live generation")
       g.leases += 1
+      g.holders(holder) = g.holders.getOrElse(holder, 0) + 1
     }
+    heartbeat(k, holder)
     try f
     finally {
-      val deleteNow = g.synchronized {
+      val (maybeDelete, holderDone) = g.synchronized {
         g.leases -= 1
-        if (g.retirePending && g.leases == 0) {
-          g.retirePending = false; g.retired = true; true
-        } else false
+        val hc = g.holders.getOrElse(holder, 1) - 1
+        if (hc <= 0) g.holders.remove(holder) else g.holders(holder) = hc
+        (g.retirePending && g.leases == 0, hc <= 0)
       }
-      if (deleteNow) rmTree(key(path))
+      if (holderDone) releaseManifest(k, holder)
+      if (maybeDelete) {
+        // the deferred delete defers FURTHER while a foreign session's
+        // manifest is fresh — the marker stays on disk and a later
+        // sweep (or that session's own release) finishes the cleanup
+        if (foreignFresh(k, holder).isEmpty) {
+          val doIt = g.synchronized {
+            if (g.retirePending && g.leases == 0) {
+              g.retirePending = false; g.retired = true; true
+            } else false
+          }
+          if (doIt) rmTree(k)
+        }
+      }
     }
   }
 
@@ -142,9 +231,15 @@ object IndexGenerations {
       s"$k is still registered for serving — a retire now would delete the " +
         "directory the optimizer rule is rewriting queries onto")
     val g = gens.computeIfAbsent(k, _ => new Gen)
+    // a fresh FOREIGN manifest (another session/JVM serving this
+    // layout) defers the retire exactly like a local lease — this
+    // JVM's own holders are already counted in g.leases
+    val localHolders = g.synchronized(g.holders.keySet.toSet)
+    val foreignLive =
+      foreignFresh(k, jvmHolder).exists(h => !localHolders.map(sanitize).contains(h))
     val deleteNow = g.synchronized {
       if (g.retired) false
-      else if (g.leases == 0) { g.retired = true; true }
+      else if (g.leases == 0 && !foreignLive) { g.retired = true; true }
       else { g.retirePending = true; false }
     }
     if (deleteNow) rmTree(k)

@@ -192,13 +192,19 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
       else Some(serveEntry(spark, e, libraryId, qvec, k, filters)(pack))
     }
 
+  /** The serving session's manifest identity (r17 cross-JVM manifests:
+    * leases under this holder write a `_serving` heartbeat, so a retire
+    * in ANOTHER JVM defers while this session still serves). */
+  private def holderOf(spark: SparkSession): String =
+    org.apache.spark.sql.graft.SqlShims.sessionUUID(spark)
+
   /** Serve one query from a live entry, under its generation lease. */
   private def serveEntry[A](spark: SparkSession, e: Entry, libraryId: String,
                             qvec: Array[Float], k: Int,
                             filters: Map[String, String])
                            (pack: (DataFrame, Boolean, String) => A): A =
     if (e.kind == "hnsw")
-      IndexGenerations.lease(e.path) {
+      IndexGenerations.lease(e.path, holderOf(spark)) {
         // driver-orchestrated beam over the stored graphs (the store
         // call IS the serving path for this kind — there is no rule
         // rewrite to pin); hits join back to the chunk payload on the
@@ -213,7 +219,7 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
         pack(out, false, e.kind)
       }
     else
-      IndexGenerations.lease(e.path) {
+      IndexGenerations.lease(e.path, holderOf(spark)) {
         // serve the PAYLOAD, not the layout internals: hits never
         // expose bucket/cluster machinery, and the ladder rewrite only
         // binds plans whose projection is layout-oblivious (a deduped

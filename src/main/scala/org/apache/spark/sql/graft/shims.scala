@@ -28,6 +28,14 @@ object SqlShims {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The session's stable UUID (`private[sql]` since the Connect
+    * refactor) — the serving-manifest holder identity for
+    * [[graft.index.IndexGenerations]]'s cross-JVM lease protocol. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case other => "session-" + Integer.toHexString(System.identityHashCode(other))
+  }
+
   /** Serializable, lazily-codegen'd row ordering for custom physical
     * operators (the same mechanism TakeOrderedAndProjectExec uses). */
   def rowOrdering(sortOrder: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],

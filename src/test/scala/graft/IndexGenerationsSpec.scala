@@ -156,6 +156,62 @@ class IndexGenerationsSpec extends AnyFunSuite {
     } finally graft.plans.LshProbeRewrite.unregister(live)
   }
 
+  test("a fresh FOREIGN serving manifest defers retire and sweep; stale is overridden") {
+    // r17 (r16 verdict #5): the lease refcount is per-JVM; a second
+    // SESSION serving the same layout from another JVM is invisible to
+    // it. Its `_serving` heartbeat is not: retire defers on a fresh
+    // foreign manifest exactly like a local lease, and a STALE one (a
+    // crashed holder) is overridden so an abandoned manifest cannot
+    // leak the directory forever. A real second SparkSession's UUID
+    // stands in for the foreign JVM's session — distinct identity,
+    // zero local leases, exactly the cross-JVM observable.
+    IndexGenerations.clear()
+    val path = stage("manifest")
+    val sessionB = spark.newSession()
+    val holderB = org.apache.spark.sql.graft.SqlShims.sessionUUID(sessionB)
+    IndexGenerations.heartbeat(path, holderB)
+    assert(!IndexGenerations.retire(path),
+      "retire must defer while a foreign session's manifest is fresh")
+    assert(new java.io.File(path).exists(), "directory deleted under a foreign reader")
+    assert(new java.io.File(path, "_retire_pending").exists(),
+      "deferred retire must persist its intent")
+    // sweep skips it for the same reason
+    val (_, skipped) = IndexGenerations.sweep("target/spec-index")
+    assert(skipped.exists(_.endsWith("gen-manifest")) &&
+      new java.io.File(path).exists(), s"skipped=$skipped")
+    // the foreign session releases (its last lease would remove the
+    // manifest) — sweep now finishes the retirement
+    IndexGenerations.releaseManifest(path, holderB)
+    val (deleted2, _) = IndexGenerations.sweep("target/spec-index")
+    assert(deleted2.exists(_.endsWith("gen-manifest")) &&
+      !new java.io.File(path).exists(), s"deleted=$deleted2")
+
+    // stale override: a crashed holder's heartbeat ages out
+    val path2 = stage("manifest-stale")
+    IndexGenerations.heartbeat(path2, "crashed-session")
+    val old = IndexGenerations.manifestStaleAfterMs
+    IndexGenerations.manifestStaleAfterMs = 50L
+    try {
+      Thread.sleep(120)
+      assert(IndexGenerations.retire(path2),
+        "a stale foreign manifest must not block the retire")
+      assert(!new java.io.File(path2).exists())
+    } finally IndexGenerations.manifestStaleAfterMs = old
+  }
+
+  test("lease under a named holder writes and clears its serving manifest") {
+    IndexGenerations.clear()
+    val path = stage("holder")
+    val manifest = new java.io.File(new java.io.File(path, "_serving"), "holder-a")
+    IndexGenerations.lease(path, "holder-a") {
+      assert(manifest.exists(), "lease must heartbeat its holder manifest")
+      // nested lease of the same holder keeps one manifest
+      IndexGenerations.lease(path, "holder-a")(42)
+      assert(manifest.exists(), "inner release must not clear while outer holds")
+    }
+    assert(!manifest.exists(), "last release must clear the holder manifest")
+  }
+
   test("bridge construction sweeps a crashed predecessor's marked generations") {
     // r17 (r16 verdict #6): the sweep existed but no production path
     // called it — a crashed JVM's marked directories persisted until a
