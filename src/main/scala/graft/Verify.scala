@@ -4,6 +4,35 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Pure-CPU ambient canary (r17 — the r16 verdict's #8 stretch,
+    * Bench's `suite_ambient_factor` honesty extended to Verify): a
+    * fixed single-thread splitmix64 spin whose calm-host time is the
+    * FROZEN [[canaryCalibrationSec]], timed at the start and end of
+    * the dump. Verify wall time at sf0.1 swings 4–27× with machine
+    * load (SKILL.md's measured range — 255 s and 1633 s were the same
+    * code); `verify_ambient_factor` = measured/calibration classifies
+    * a slow correctness run as load, machine-readably, the way bench
+    * runs self-describe. Pure JVM compute — no Spark, no SF, no
+    * anchors — so the reading is identical across scale factors. */
+  def cpuCanarySec(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var i = 0L
+    while (i < 200000000L) {
+      acc ^= graft.functions.TextFunctions.splitmix64(i)
+      i += 1
+    }
+    // fold acc into a side effect the JIT cannot elide
+    if (acc == 42L) println("")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Calm-host calibration for [[cpuCanarySec]] (min of repeated
+    * warm runs on this container during r17, idle: 0.231/0.248/0.231).
+    */
+  val canaryCalibrationSec: Double = 0.23
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,6 +45,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val canaryStart = cpuCanarySec()
     // Optional comma-separated gate filter for fast local iteration
     // (the driver never sets it — absent means ALL queries).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -60,6 +90,11 @@ object Verify {
         s"${q(k)}: ${q(v)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // ambient self-description (one parseable line; mean of the two
+    // canaries — load at either end of a long dump counts)
+    val canaryEnd = cpuCanarySec()
+    val factor = (canaryStart + canaryEnd) / 2.0 / canaryCalibrationSec
+    println(f"""VERIFY_AMBIENT {"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"calibration_sec":$canaryCalibrationSec%.3f,"verify_ambient_factor":$factor%.3f}""")
     spark.stop()
   }
 }
