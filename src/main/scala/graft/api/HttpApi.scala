@@ -229,6 +229,48 @@ final class HttpApi(spark: SparkSession, engine: Engine, embedder: Embedder,
             respond(ex, 200, Some(o))
           }
 
+        // batched search (r17 stretch): the whole request set answered
+        // by ONE plan when the library serves from the at-rest tier —
+        // per-request envelopes identical to the single-search route
+        case ("POST", List("vector_db", "libraries", libId, "search_batch")) =>
+          val b = readBody(ex)
+          val qEmbs = Option(b.get("query_embeddings")).filterNot(_.isNull).map { arr =>
+            val it = arr.elements()
+            val out = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+            while (it.hasNext) {
+              val inner = it.next().elements()
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Float]
+              while (inner.hasNext) buf += inner.next().floatValue()
+              out += buf.toArray
+            }
+            out.toSeq
+          }.getOrElse(Nil)
+          if (qEmbs.isEmpty)
+            respond(ex, 400, Some(error("query_embeddings (non-empty) required")))
+          else {
+            val results = service.searchBatch(libId, qEmbs,
+              k = Option(b.get("k")).map(_.asInt()).getOrElse(5),
+              index = optText(b, "index").getOrElse("brute"))
+            val o = mapper.createObjectNode()
+            val arr = o.putArray("results")
+            results.foreach { res =>
+              val ro = arr.addObject()
+              val hits = ro.putArray("hits")
+              res.hits.foreach { h =>
+                val ho = hits.addObject()
+                ho.put("chunk_id", h.chunk_id).put("document_id", h.document_id)
+                  .put("library_id", h.library_id).put("text", h.text)
+                  .put("score", h.score)
+                val hm = ho.putObject("metadata")
+                h.metadata.foreach { case (k, v) => hm.put(k, v) }
+              }
+              ro.put("index", res.index)
+              res.indexUsed.foreach(ro.put("index_used", _))
+              ro.put("library_version", res.libraryVersion)
+            }
+            respond(ex, 200, Some(o))
+          }
+
         case _ => respond(ex, 404, Some(error("no such route")))
       }
     } catch {

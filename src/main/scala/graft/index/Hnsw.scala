@@ -391,10 +391,19 @@ final case class HnswIndexStore(m: Int = 8, efConstruction: Int = 32) {
     */
   def searchMany(spark: SparkSession, path: String,
                  queries: Array[(Long, Array[Float])], k: Int,
-                 ef: Int = 48): org.apache.spark.sql.DataFrame = {
+                 ef: Int = 48): org.apache.spark.sql.DataFrame =
+    searchManyNodes(spark.read.parquet(path), queries, k, ef)
+
+  /** [[searchMany]] over a pre-listed nodes DataFrame (the serving-
+    * residency form, like [[searchNodes]]). */
+  def searchManyNodes(nodes: DataFrame, queries: Array[(Long, Array[Float])],
+                      k: Int, ef: Int = 48): DataFrame = {
+    val spark = nodes.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val perShard = loadNodes(spark, path)
+    val perShard = nodes
+      .select(col("shard"), col("node_idx"), col("id"), col("embedding"), col("neighbors"))
+      .as[HnswNodeRow]
       .mapPartitions { it =>
         HnswIndexStore.reconstruct(it).flatMap { g =>
           queries.iterator.flatMap { case (qid, qv) =>

@@ -192,6 +192,71 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
       else Some(serveEntry(spark, e, libraryId, qvec, k, filters)(pack))
     }
 
+  /** The last batch serve's executed-plan string (diagnostic surface —
+    * the spec pins "one plan per batch" on it). */
+  @volatile private[graft] var lastBatchPlan: Option[String] = None
+
+  /** BATCHED O12 serving (r17 stretch — the end-to-end form of the
+    * batched serving wins): answer a whole request SET from the
+    * registered layout with ONE plan, the REST analog of the batched
+    * rewrite gates. Request ids are batch ordinals; layout node
+    * identity is `xxhash64(chunk id)` (string chunk ids vs the serves'
+    * long-id contract — the [[registerHnsw]] convention applied to all
+    * three kinds). Serves UNFILTERED batches only: a filtered batch is
+    * the per-request ladder's business and falls back to the
+    * orchestrator loop. Returns the (q_id, rn, payload..., score) rows
+    * for every request plus the tier's `index_used` value — identical
+    * per-request envelope to [[tryServe]]'s. */
+  private[search] def tryServeBatch(spark: SparkSession, libraryId: String,
+                                    version: Int, qvecs: Array[Array[Float]],
+                                    k: Int): Option[(DataFrame, String)] =
+    Option(entries.get(libraryId)).filter(_.version == version).map { e =>
+      IndexGenerations.lease(e.path, holderOf(spark)) {
+        import spark.implicits._
+        val reqs = qvecs.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+          .toDF("hid", "embedding")
+          .select(col("hid"), col("embedding").cast("array<float>"))
+        val hits = e.kind match {
+          case "hnsw" =>
+            graft.index.HnswIndexStore().searchManyNodes(e.layout,
+                qvecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, k)
+              .select(col("qid").as("q_id"), col("rn").cast("int").as("rn"),
+                col("id").as("neighbor_id"), col("score").as("cos"))
+          case "ivf" =>
+            val reg = graft.plans.LshProbeRewrite.registrationOf(e.path)
+              .collect { case r: graft.plans.LshProbeRewrite.IvfRegistration => r }
+              .getOrElse(sys.error(s"$libraryId: IVF entry without an IVF registration"))
+            graft.index.KnnJoin.ivfServeBatched(reqs,
+              e.layout.withColumn("hid", xxhash64(col("id"))),
+              reg.cents, reg.nprobe, k, idCol = "hid", embCol = "embedding")
+          case _ =>
+            val reg = graft.plans.LshProbeRewrite.registrationOf(e.path)
+              .collect { case r: graft.plans.LshProbeRewrite.Registration => r }
+              .getOrElse(sys.error(s"$libraryId: LSH entry without an LSH registration"))
+            graft.index.KnnJoin.lshServeBatched(reqs,
+              e.layout.withColumn("hid", xxhash64(col("id"))),
+              reg.lsh, reg.dim, k, idCol = "hid", embCol = "embedding",
+              reg.numPhysicalPartitions, reg.maxHamming)
+        }
+        // payload join: hits are (batch ordinal, rank, hashed id, cos);
+        // k·batch rows broadcast against one corpus scan. LSH layouts
+        // carry one payload copy per sub-layout table — byte-identical,
+        // so the post-join (q_id, id) dedupe is exact
+        val payload = e.payload.getOrElse(
+            e.layout.drop("table", "bucket", "bucket_part", "cluster_id"))
+          .withColumn("n_hid", xxhash64(col("id")))
+        val out = payload.join(broadcast(hits), col("n_hid") === col("neighbor_id"))
+          .dropDuplicates("q_id", "id")
+          .select(col("q_id"), col("rn"), col("id"), col("document_id"),
+            col("library_id"), col("text"), col("metadata"),
+            col("cos").as("score"))
+          .orderBy(col("q_id"), col("rn"))
+        lastBatchPlan = Some(out.queryExecution.executedPlan.toString)
+        (out, s"${e.kind}_at_rest")
+      }
+    }
+
   /** The serving session's manifest identity (r17 cross-JVM manifests:
     * leases under this holder write a `_serving` heartbeat, so a retire
     * in ANOTHER JVM defers while this session still serves). */

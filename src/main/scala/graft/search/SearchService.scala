@@ -149,4 +149,46 @@ final class SearchService(spark: SparkSession, engine: Engine,
 
     SearchResult(hits, index, Some(used), version)
   }
+
+  /** BATCHED O12 search (r17 stretch): every request of the batch
+    * answered by ONE plan when the library is registered at its
+    * current version on the at-rest tier (any kind — LSH/IVF batched
+    * broadcast probe, HNSW one-scan-all-queries) — the 11–61×
+    * batched-serving wins surfaced through the reference's own API
+    * shape. Per-request envelopes are IDENTICAL to [[search]]'s
+    * bridged path (`index_used = "<kind>_at_rest"`). Falls back to a
+    * per-request [[search]] loop — correct, just not batched — when
+    * the bridge cannot serve (unregistered, stale version, filters,
+    * k <= 0, or no bridge at all). */
+  def searchBatch(libraryId: String,
+                  queryEmbeddings: Seq[Array[Float]],
+                  k: Int = 5,
+                  index: String = "brute",
+                  filters: Map[String, String] = Map.empty): Seq[SearchResult] = {
+    val version = engine.getLibrary(libraryId).version
+    if (queryEmbeddings.isEmpty) return Nil
+    val batched =
+      if (index == "lsh" && filters.isEmpty && k > 0)
+        atRest.flatMap(_.tryServeBatch(spark, libraryId, version,
+          queryEmbeddings.toArray, k))
+      else None
+    batched match {
+      case Some((df, used)) =>
+        val rows = df.select(col("q_id"), col("rn"), col("id"), col("document_id"),
+            col("library_id"), col("text"), col("metadata"), col("score"))
+          .collect()
+          .groupBy(_.getLong(0))
+        queryEmbeddings.indices.map { i =>
+          val hits = rows.getOrElse(i.toLong, Array.empty)
+            .sortBy(_.getInt(1)) // the serve's own per-request rank
+            .map(r => Hit(r.getString(2), r.getString(3), r.getString(4),
+              r.getString(5), r.getMap[String, String](6).toMap, r.getDouble(7)))
+            .toSeq
+          SearchResult(hits, index, Some(used), version)
+        }
+      case None =>
+        queryEmbeddings.map(v => search(libraryId, queryEmbedding = Some(v),
+          k = k, index = index, filters = filters))
+    }
+  }
 }
