@@ -41,8 +41,15 @@ final case class LshIndexStore(lsh: RandomHyperplaneLsh, dim: Int,
     * layout key so each (table, bucket_part) directory is a single
     * task's single file.
     */
-  def write(corpus: DataFrame, embCol: String, path: String): Unit =
+  def write(corpus: DataFrame, embCol: String, path: String): Unit = {
+    // a fresh generation being written is the natural point to finish
+    // any interrupted retirements among its SIBLINGS (r17, r16 verdict
+    // #6 — sweep only deletes _retire_pending-marked directories, and
+    // defers on registrations, live leases and fresh foreign manifests)
+    Option(new java.io.File(path).getParentFile)
+      .foreach(p => IndexGenerations.sweep(p.getPath): Unit)
     writeLayout(corpus, embCol, path, "overwrite")
+  }
 
   /** Incremental maintenance: hash a DELTA of new rows with the same
     * planes and append its files into the existing partition
@@ -204,6 +211,10 @@ final case class IvfIndexStore(cents: Array[(Long, Array[Float])]) {
   import IvfIndexStore.AppendStats
 
   def write(corpus: DataFrame, embCol: String, path: String): AppendStats = {
+    // sibling-scoped retirement sweep on fresh-generation writes (r17,
+    // same rationale as LshIndexStore.write)
+    Option(new java.io.File(path).getParentFile)
+      .foreach(p => IndexGenerations.sweep(p.getPath): Unit)
     val (rows, mean) = writeLayout(corpus, embCol, path, "overwrite")
     // persist the TRAINING-TIME baseline next to the layout (a `_`-
     // prefixed sidecar — FileIndex listing ignores it, the scans are
