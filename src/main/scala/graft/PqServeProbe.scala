@@ -314,6 +314,41 @@ object PqServeProbe {
       Array.tabulate(2000)(i => i.toLong * (rows / 2000)))
     unionFetch("union-fetch 5000 UNIFORM ids (no StackOverflow)",
       Array.tabulate(5000)(i => i.toLong * (rows / 5000)))
+
+    // ---- the uniform-union floor moved (r17): the floor is the
+    // row-group width, and writeSplit now owns it. A 32 KB-group float
+    // layout (~120 rows/group at 264 B/row) gives the 2,000-uniform-id
+    // fetch ~2,000 groups to skip INTO instead of reading every
+    // 2,000-row default group — the write-amplification trade is the
+    // build time + size printed alongside.
+    val fineRanged = "target/pq-serve-probe/floats-fine"
+    if (!new java.io.File(fineRanged, "_SUCCESS").exists()) {
+      val t0 = System.nanoTime()
+      naive.repartitionByRange(512, col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").option("parquet.block.size", "32768")
+        .parquet(fineRanged)
+      def duOf(p: String): Long = {
+        def du(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+          else f.length()
+        du(new java.io.File(p))
+      }
+      println(f"PQSERVE fine-group build (one-time): ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+        f"bytes=${duOf(fineRanged)} vs default=${duOf(rangedPath)}")
+    }
+    val fine = spark.read.parquet(fineRanged)
+    def unionFetchOn(label: String, floats: org.apache.spark.sql.DataFrame,
+                     ids: Array[Long]): Unit = {
+      import spark.implicits._
+      val sl = ids.toSeq.toDF("id").queryExecution.analyzed
+      val fetched = org.apache.spark.sql.graft.SqlShims.ofRows(spark,
+        graft.plans.ShortlistFetch(sl.output.find(_.name == "id").get,
+          floats.queryExecution.analyzed, "vec_id", ids.length, sl))
+      val n = probe(label)(fetched.count())
+      require(n == ids.length.toLong, s"$label returned $n of ${ids.length} rows")
+    }
+    unionFetchOn("union-fetch 2000 UNIFORM ids, 32KB row groups",
+      fine, Array.tabulate(2000)(i => i.toLong * (rows / 2000)))
     spark.stop()
   }
 }

@@ -461,14 +461,27 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
     * within each file. `floatFiles` sizes the granularity: more files
     * = finer skipping; at 100 TB aim for the usual 100–1000 MB per
     * file and the shortlist cost stays ∝ shortlist, not corpus. */
+  /** `floatRowGroupBytes` (r17, closing the large-union floor): the
+    * floats side's parquet row-group size. Row-group min/max stats are
+    * the UNIT of point-fetch skipping, so at default (128 MB) groups a
+    * UNIFORM union of n ≥ #groups ids reads the whole table by
+    * pigeonhole no matter how precisely the points push. Smaller
+    * groups buy finer skipping for point-fetch-heavy float tables at
+    * the classic trade (more footer/page overhead, slightly slower
+    * full scans) — measured in PqServeProbe: 32 KB groups cut the
+    * 2,000-uniform-id fetch from ~1M rows read to the shortlist
+    * neighborhood. 0 = leave parquet's default. */
   def writeSplit(emb: DataFrame, idCol: Column, embCol: Column, dim: Int,
                  path: String, floatFiles: Int = 8, sampleStride: Long = 0L,
-                 knownCount: Long = -1L): Codebooks = {
+                 knownCount: Long = -1L, floatRowGroupBytes: Long = 0L): Codebooks = {
     val cb = write(emb, idCol, embCol, dim, path, sampleStride, knownCount)
-    emb.select(idCol, embCol)
+    var w = emb.select(idCol, embCol)
       .repartitionByRange(floatFiles, idCol)
       .sortWithinPartitions(idCol)
-      .write.mode("overwrite").parquet(s"$path/floats")
+      .write.mode("overwrite")
+    if (floatRowGroupBytes > 0)
+      w = w.option("parquet.block.size", floatRowGroupBytes.toString)
+    w.parquet(s"$path/floats")
     cb
   }
 
