@@ -70,7 +70,15 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
     val dim = corpus.select(col("embedding")).limit(1).collect()(0)
       .getSeq[Float](0).length
     val path = s"$baseDir/$libraryId/v$version"
-    LshIndexStore(lsh, dim, numPhysicalPartitions).write(corpus, "embedding", path)
+    // `hid` — the long node identity (xxhash64 of the string chunk id)
+    // — is STORED in the layout (r17): the batched rewrite's type
+    // guards require long id columns on both sides, so carrying the
+    // hash as a plain layout column is what lets a REST batch DECLARE
+    // the batched top-k over the registered relation and have the
+    // registration rewrite it (tryServeBatch), instead of a library
+    // call bypassing the rule
+    LshIndexStore(lsh, dim, numPhysicalPartitions).write(
+      corpus.withColumn("hid", xxhash64(col("id"))), "embedding", path)
     graft.plans.LshProbeRewrite.register(path, lsh, dim, numPhysicalPartitions,
       guaranteeK = true)
     swapIn(spark, libraryId,
@@ -98,7 +106,8 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
     require(cents.nonEmpty,
       s"library $libraryId sampled no centroids at stride $stride")
     val path = s"$baseDir/$libraryId/ivf-v$version"
-    graft.index.IvfIndexStore(cents).write(corpus, "embedding", path): Unit
+    graft.index.IvfIndexStore(cents).write(
+      corpus.withColumn("hid", xxhash64(col("id"))), "embedding", path): Unit
     graft.plans.LshProbeRewrite.registerIvf(path, cents, nprobe, guaranteeK = true)
     swapIn(spark, libraryId,
       Entry(path, version, "ivf", spark.read.parquet(path)), existing)
@@ -211,6 +220,7 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
                                     version: Int, qvecs: Array[Array[Float]],
                                     k: Int): Option[(DataFrame, String)] =
     Option(entries.get(libraryId)).filter(_.version == version).map { e =>
+      injectRule(spark) // the serving session may not be the registering one
       IndexGenerations.lease(e.path, holderOf(spark)) {
         import spark.implicits._
         val reqs = qvecs.zipWithIndex
@@ -223,21 +233,37 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
                 qvecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, k)
               .select(col("qid").as("q_id"), col("rn").cast("int").as("rn"),
                 col("id").as("neighbor_id"), col("score").as("cos"))
-          case "ivf" =>
-            val reg = graft.plans.LshProbeRewrite.registrationOf(e.path)
-              .collect { case r: graft.plans.LshProbeRewrite.IvfRegistration => r }
-              .getOrElse(sys.error(s"$libraryId: IVF entry without an IVF registration"))
-            graft.index.KnnJoin.ivfServeBatched(reqs,
-              e.layout.withColumn("hid", xxhash64(col("id"))),
-              reg.cents, reg.nprobe, k, idCol = "hid", embCol = "embedding")
           case _ =>
-            val reg = graft.plans.LshProbeRewrite.registrationOf(e.path)
-              .collect { case r: graft.plans.LshProbeRewrite.Registration => r }
-              .getOrElse(sys.error(s"$libraryId: LSH entry without an LSH registration"))
-            graft.index.KnnJoin.lshServeBatched(reqs,
-              e.layout.withColumn("hid", xxhash64(col("id"))),
-              reg.lsh, reg.dim, k, idCol = "hid", embCol = "embedding",
-              reg.numPhysicalPartitions, reg.maxHamming)
+            // REGISTRATION-DRIVEN (r17): the bridge DECLARES the
+            // batched top-k — requests cross join the registered
+            // layout on its stored long `hid`, self excluded, cosine-
+            // scored, ranked per request — and the registration's
+            // batched rewrite picks the physical serve (broadcast
+            // bucket probe / centroid probe), exactly as a caller-side
+            // declaration would. The `require` keeps a silent
+            // non-rewrite loud: a REST batch actually executing the
+            // quadratic declaration is the failure this tier exists to
+            // avoid.
+            val declared = reqs
+              .select(col("hid").as("q_id"), col("embedding").as("q_emb"))
+              .crossJoin(e.layout.select(col("hid"), col("embedding")))
+              .where(col("hid") =!= col("q_id"))
+              .withColumn("cos", graft.expressions.CosineSimilarity(
+                col("embedding"), col("q_emb")))
+              .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+                org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+                  .orderBy(col("cos").desc, col("hid").asc)))
+              .where(col("rn") <= k)
+              .select(col("q_id"), col("rn"), col("hid").as("neighbor_id"), col("cos"))
+            val plan = declared.queryExecution.optimizedPlan.toString
+            // the probe columns only exist in the REWRITTEN plan (the
+            // declared quadratic carries neither); the serve's own tiny
+            // requests×centroids cross join is legitimate, so the check
+            // is presence-of-probe, not absence-of-cross-join
+            require(plan.contains("bucket_part") || plan.contains("c_cid"),
+              s"the $libraryId batch declaration was not rewritten to the " +
+                s"registered batched serve:\n${plan.take(1500)}")
+            declared
         }
         // payload join: hits are (batch ordinal, rank, hashed id, cos);
         // k·batch rows broadcast against one corpus scan. LSH layouts

@@ -307,6 +307,22 @@ class HttpApiSpec extends AnyFunSuite {
           assert(sj.get("index_used").asText() == "lsh_at_rest")
           assert(bj.get("library_version").asInt() == sj.get("library_version").asInt())
         }
+        // the IVF kind through the same endpoint: the registration (not
+        // the bridge code) picks the batched physical serve — the
+        // recorded plan must carry the centroid probe, never the
+        // declared cross join
+        bridge.registerIvf(spark, engine, "batchlib", nprobe = 2, stride = 3L)
+        val rIvf = req("POST",
+          s"http://127.0.0.1:$port/vector_db/libraries/batchlib/search_batch",
+          s"""{"query_embeddings": $qjson, "k": 3, "index": "lsh"}""")
+        assert(rIvf.statusCode() == 200, s"IVF batch failed: ${rIvf.body()}")
+        val ivfResults = mapper.readTree(rIvf.body()).get("results")
+        assert(ivfResults.size() == 3)
+        assert(ivfResults.get(0).get("index_used").asText() == "ivf_at_rest")
+        val ivfPlan = bridge.lastBatchPlan.getOrElse(fail("no IVF batch plan"))
+        assert(ivfPlan.contains("c_cid") && !ivfPlan.contains("CartesianProduct"),
+          s"IVF batch must serve through the centroid probe:\n${ivfPlan.take(1500)}")
+
         // no bridge -> the fallback loop: same request shape, transient tier
         val apiPlain = new HttpApi(spark, engine, HashingEmbedder(dim = dim))
         val port2 = apiPlain.start()
