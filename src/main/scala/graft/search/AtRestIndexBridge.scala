@@ -162,13 +162,87 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
   private def swapIn(spark: SparkSession, libraryId: String, entry: Entry,
                      existing: Option[Entry]): String = {
     injectRule(spark)
+    // the generation being REPLACED is whatever the pointer published —
+    // which covers replacements made by OTHER sessions (this instance's
+    // own entry is a subset of that knowledge); retirement still defers
+    // on leases and fresh foreign manifests
+    def abs(p: String) = new java.io.File(p).getAbsolutePath
+    val replaced = (readCurrentPath(libraryId).toSeq ++ existing.map(_.path))
+      .map(abs).distinct.filterNot(_ == abs(entry.path))
     entries.put(libraryId, entry)
-    existing.filter(_.path != entry.path).foreach { old =>
-      graft.plans.LshProbeRewrite.unregister(old.path)
-      IndexGenerations.retire(old.path): Unit // deferred while serves hold leases
+    writeCurrent(libraryId, entry)
+    replaced.filter(p => new java.io.File(p).exists()).foreach { old =>
+      graft.plans.LshProbeRewrite.unregister(old)
+      IndexGenerations.retire(old): Unit // deferred while serves hold leases
     }
     entry.path
   }
+
+  private def readCurrentPath(libraryId: String): Option[String] =
+    try {
+      val f = currentFile(libraryId)
+      if (!f.exists()) None
+      else Some(pointerMapper
+        .readTree(java.nio.file.Files.readAllBytes(f.toPath))
+        .get("path").asText())
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---- the `_current` generation pointer (r17; the manifest gap's
+  // other half). The `_serving` manifests make a retire DEFER while a
+  // foreign session reads the old generation — but nothing told that
+  // session a newer generation exists, so it served stale-version
+  // fallbacks forever unless its own code re-registered. The pointer
+  // (one JSON file in the library's generation parent, written by
+  // every swap) closes the loop: a session whose entry is missing or
+  // version-stale ADOPTS the pointed-at generation — restoring the
+  // serving policy from the layout's own `_registration` sidecar —
+  // and its old lease release lets the deferred delete finish.
+
+  private val pointerMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def currentFile(libraryId: String): java.io.File =
+    new java.io.File(s"$baseDir/$libraryId", "_current")
+
+  private def writeCurrent(libraryId: String, e: Entry): Unit =
+    try {
+      val node = pointerMapper.createObjectNode()
+      node.put("path", new java.io.File(e.path).getAbsolutePath)
+      node.put("version", e.version)
+      node.put("kind", e.kind): Unit
+      java.nio.file.Files.createDirectories(currentFile(libraryId).getParentFile.toPath)
+      java.nio.file.Files.write(currentFile(libraryId).toPath,
+        pointerMapper.writeValueAsBytes(node)): Unit
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Adopt the generation another session published, when it matches
+    * the engine's CURRENT version (the version-pinned staleness
+    * contract is unchanged — a pointer at any other version is
+    * ignored). HNSW entries are not adoptable (their chunk-payload
+    * view needs engine state at registration time); they re-register. */
+  private def adoptCurrent(spark: SparkSession, libraryId: String,
+                           version: Int): Option[Entry] =
+    try {
+      val f = currentFile(libraryId)
+      if (!f.exists()) return None
+      val node = pointerMapper.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+      val kind = node.get("kind").asText()
+      if (node.get("version").asInt() != version || kind == "hnsw") return None
+      val path = node.get("path").asText()
+      if (!new java.io.File(path).exists()) return None
+      if (!graft.plans.LshProbeRewrite.isRegistered(path))
+        graft.plans.LshProbeRewrite.registerFromSidecar(path): Unit
+      injectRule(spark)
+      val e = Entry(path, version, kind, spark.read.parquet(path))
+      entries.put(libraryId, e)
+      Some(e)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The serving entry for `libraryId` at `version`: the session's own
+    * registration first, else the published `_current` generation. */
+  private def liveEntry(spark: SparkSession, libraryId: String,
+                        version: Int): Option[Entry] =
+    Option(entries.get(libraryId)).filter(_.version == version)
+      .orElse(adoptCurrent(spark, libraryId, version))
 
   private def injectRule(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LshProbeRewrite))
@@ -193,7 +267,7 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
                                   version: Int, qvec: Array[Float], k: Int,
                                   filters: Map[String, String])
                                  (pack: (DataFrame, Boolean, String) => A): Option[A] =
-    Option(entries.get(libraryId)).filter(_.version == version).flatMap { e =>
+    liveEntry(spark, libraryId, version).flatMap { e =>
       // the HNSW kind: no filtered form (see registerHnsw) — a
       // filtered search falls back to the transient path by returning
       // None here, exactly like a stale version does
@@ -219,7 +293,7 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
   private[search] def tryServeBatch(spark: SparkSession, libraryId: String,
                                     version: Int, qvecs: Array[Array[Float]],
                                     k: Int): Option[(DataFrame, String)] =
-    Option(entries.get(libraryId)).filter(_.version == version).map { e =>
+    liveEntry(spark, libraryId, version).map { e =>
       injectRule(spark) // the serving session may not be the registering one
       IndexGenerations.lease(e.path, holderOf(spark)) {
         import spark.implicits._

@@ -244,6 +244,57 @@ class HttpApiSpec extends AnyFunSuite {
     } finally graft.plans.LshProbeRewrite.clear()
   }
 
+  test("a stale session adopts the _current generation another session published") {
+    // r17 (the manifest gap's other half): session A registered G1;
+    // session B re-registered at a newer library version (G2 written,
+    // _current repointed, G1 retired). A's entry is version-stale and
+    // G1 is gone — without adoption A would serve transient fallbacks
+    // forever. With the pointer, A's next serve ADOPTS G2 (restoring
+    // the policy from the layout's _registration sidecar when needed)
+    // and answers from the at-rest tier.
+    graft.plans.LshProbeRewrite.clear()
+    try {
+      val engine = new Engine()
+      engine.createLibrary(name = "Cur", id = Some("curlib"))
+      engine.addDocument("curlib", title = "d", id = Some("cd"))
+      val dim = 8
+      val rng = new scala.util.Random(31)
+      val qv = Array.fill(dim)(rng.nextGaussian().toFloat)
+      (0 until 15).foreach { i =>
+        engine.addChunk("curlib", "cd", text = s"c-$i",
+          embedding = Some(qv.clone()), id = Some(f"c$i%02d")): Unit
+      }
+      val root = "target/test-index/at-rest-bridge-current"
+      TestSpark.rmTree(new java.io.File(root))
+      graft.index.IndexGenerations.clear()
+      val bridgeA = new graft.search.AtRestIndexBridge(root)
+      val g1 = bridgeA.register(spark, engine, "curlib")
+      val svcA = new graft.search.SearchService(spark, engine, atRest = Some(bridgeA))
+      assert(svcA.search("curlib", queryEmbedding = Some(qv), k = 3,
+        index = "lsh").indexUsed.contains("lsh_at_rest"))
+
+      // the library advances; ANOTHER session (bridge instance) builds
+      // and publishes the new generation
+      engine.addChunk("curlib", "cd", text = "late",
+        embedding = Some(Array.fill(dim)(rng.nextGaussian().toFloat)),
+        id = Some("late1")): Unit
+      val bridgeB = new graft.search.AtRestIndexBridge(root)
+      val g2 = bridgeB.register(spark, engine, "curlib")
+      assert(g2 != g1 && !new java.io.File(g1).exists(),
+        "B's swap must retire G1 (A held no lease)")
+
+      // force the sidecar-restore branch: a FRESH process would not
+      // have G2 in its in-memory registry
+      graft.plans.LshProbeRewrite.unregister(g2)
+      val res = svcA.search("curlib", queryEmbedding = Some(qv), k = 3,
+        index = "lsh")
+      assert(res.indexUsed.contains("lsh_at_rest"),
+        s"session A must adopt the published generation, got ${res.indexUsed}")
+      assert(res.libraryVersion == engine.getLibrary("curlib").version)
+      assert(res.hits.nonEmpty && res.hits.head.score > 0.999)
+    } finally graft.plans.LshProbeRewrite.clear()
+  }
+
   test("batched search: one plan answers the request set; per-request envelopes match the single route") {
     // r17 stretch (r16 verdict #7): the batched serving wins surfaced
     // through the reference's own API shape. Same engine behind the
