@@ -112,7 +112,8 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
                                      nprobe: Int,
                                      cb: graft.index.PqKnn.Codebooks,
                                      shortlist: Int, idColName: String,
-                                     maxBatchFetch: Int = 10000)
+                                     maxBatchFetch: Int = 10000,
+                                     guaranteeK: Boolean = false)
     extends IndexRegistration
 
   /** SQ8 policy (round-15 open thread #1): the second SCORING kind.
@@ -190,12 +191,14 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
   def registerIvfPq(path: String, cents: Array[(Long, Array[Float])], nprobe: Int,
                     cb: graft.index.PqKnn.Codebooks, shortlist: Int = 100,
                     idColName: String = "vec_id",
-                    maxBatchFetch: Int = 10000): Unit = {
+                    maxBatchFetch: Int = 10000,
+                    guaranteeK: Boolean = false): Unit = {
     require(cents.nonEmpty && nprobe >= 1, "IVF-PQ registration needs centroids and nprobe >= 1")
     require(cb.m >= 1 && cb.cents.nonEmpty, "IVF-PQ registration needs trained codebooks")
     require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
     registry.put(normalize(new java.io.File(path).getAbsolutePath),
-      IvfPqRegistration(cents, nprobe, cb, shortlist, idColName, maxBatchFetch))
+      IvfPqRegistration(cents, nprobe, cb, shortlist, idColName, maxBatchFetch,
+        guaranteeK))
     persistQuietly(path)
   }
 
@@ -297,10 +300,10 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         node.put("kind", "sq8"); node.put("shortlist", shortlist)
         node.put("idColName", idColName)
         val a = node.putArray("scales"); scales.foreach(a.add(_))
-      case IvfPqRegistration(cents, nprobe, cb, shortlist, idColName, maxBatchFetch) =>
+      case IvfPqRegistration(cents, nprobe, cb, shortlist, idColName, maxBatchFetch, gk) =>
         node.put("kind", "ivfpq"); node.put("nprobe", nprobe)
         node.put("shortlist", shortlist); node.put("idColName", idColName)
-        node.put("maxBatchFetch", maxBatchFetch)
+        node.put("maxBatchFetch", maxBatchFetch); node.put("guaranteeK", gk)
         putCents("cents", cents); putCodebooks(cb)
       case PqSplitRegistration(cb, shortlist, idColName, _, maxBatchFetch) =>
         // the codes plan is NOT persisted — it is derived state, rebuilt
@@ -375,7 +378,8 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         registerIvfPq(path, cents("cents"), node.get("nprobe").asInt(),
           codebooks(), node.get("shortlist").asInt(),
           node.get("idColName").asText(),
-          Option(node.get("maxBatchFetch")).map(_.asInt()).getOrElse(10000))
+          Option(node.get("maxBatchFetch")).map(_.asInt()).getOrElse(10000),
+          Option(node.get("guaranteeK")).exists(_.asBoolean()))
       case "pq_split" =>
         // the sidecar lives in the registered floats dir; the layout
         // root (where the codes plan is rebuilt from) is its parent
@@ -532,6 +536,19 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
             // would starve the shortlist — both keep their exact scan
             if (hasNonNullGuardFilter(child)) None
             else splitStagedFetch(kVal, sort, projectList, child, r, qvec).map(wrap)
+          case r: IvfPqRegistration if r.guaranteeK && hasUserFilter(child) =>
+            // the composed kind's FILTERED policy (r17): recall-under-
+            // filter belongs to the coarse quantizer's geometry — the
+            // IVF ladder (nprobe -> 2*nprobe -> filtered corpus), exact
+            // scoring. Codes accelerate corpus-wide UNFILTERED scans;
+            // a filtered pool is already candidate-sized and the
+            // rerank is exact either way, so the ladder's output is
+            // identical to the IVF kind's (one shared oracle proves
+            // both)
+            guaranteedKLadderIvf(kVal, sort, projectList, outerList, child,
+              IvfRegistration(r.cents, r.nprobe, guaranteeK = true), qvec)
+              .orElse(filterProbe(kVal, sort, projectList, child,
+                ivfProbeFilter(IvfRegistration(r.cents, r.nprobe), qvec, child)).map(wrap))
           case r: IvfPqRegistration =>
             // the composed kind: coarse partition probe UNDER the
             // staged scoring rewrite — the Filter sits between the
@@ -1079,6 +1096,12 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         // recommended kind now owns recall-under-filter at batch QPS
         // too — nprobe → 2·nprobe → filtered corpus, every request's
         // escalation in ONE plan
+        Some(graft.index.KnnJoin.ivfServeFilteredAdaptiveBatched(requests,
+          ofRows(spark, layoutRel), r.cents, r.nprobe, kVal,
+          userFilter = column(preds.reduce(And)), idName, embName))
+      case (r: IvfPqRegistration, preds) if r.guaranteeK && preds.nonEmpty =>
+        // filtered batch over the composed kind: the IVF geometry
+        // ladder (see the per-request arm's rationale)
         Some(graft.index.KnnJoin.ivfServeFilteredAdaptiveBatched(requests,
           ofRows(spark, layoutRel), r.cents, r.nprobe, kVal,
           userFilter = column(preds.reduce(And)), idName, embName))

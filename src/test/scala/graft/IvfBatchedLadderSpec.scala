@@ -151,6 +151,87 @@ class IvfBatchedLadderSpec extends AnyFunSuite {
     }
   }
 
+  test("the COMPOSED kind's guaranteed-k: filtered serves ride the IVF ladder, per-request and batched") {
+    // r17 (round-18 thread #4, closed in-round): recall-under-filter
+    // belongs to the coarse quantizer's geometry — codes accelerate
+    // corpus-wide UNFILTERED scans, a filtered pool is already
+    // candidate-sized and the rerank is exact either way — so an
+    // `ivfpq` guaranteeK registration serves filtered queries through
+    // the SAME ladder as the IVF kind (identical output, one shared
+    // oracle family).
+    val s = spark
+    val p = "target/spec-index/ivfpq-gk-ladder"
+    val emb = layout.select(col("vec_id"), col("embedding"))
+    val cb = graft.index.PqKnn.train(emb, col("vec_id"), col("embedding"),
+      dim = dim, m = 2, k = 4)
+    val codes = graft.index.PqKnn.encode(emb, col("vec_id"), col("embedding"), cb)
+      .withColumnRenamed("id", "vec_id")
+    graft.index.IvfKnn.assign(emb, col("embedding"), cents)
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      .join(codes, "vec_id")
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(p)
+    if (!s.experimental.extraOptimizations.contains(graft.plans.LshProbeRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.LshProbeRewrite
+    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(s)
+    try {
+      graft.plans.LshProbeRewrite.clear()
+      graft.plans.LshProbeRewrite.registerIvfPq(p, cents, nprobe = 1, cb,
+        shortlist = 50, guaranteeK = true)
+      val base = s.read.parquet(p)
+      // per-request: a starving filter escalates to the level the IVF
+      // geometry dictates (R1's clusters: C then A -> ivf_w2)
+      val perReq = base
+        .where(filter)
+        .withColumn("score", graft.expressions.CosineSimilarity(
+          col("embedding"), typedlit(mix(2, 0).toSeq)))
+        .withColumn("index_used", lit("auto"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(k)
+        .select(col("vec_id"), col("score"), col("index_used"))
+      val prPlan = perReq.queryExecution.optimizedPlan.toString
+      assert(prPlan.contains("gk_level"),
+        s"composed-kind filtered top-k must ride the IVF ladder:\n${prPlan.take(1500)}")
+      val got = perReq.collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+      assert(got.nonEmpty && got.forall(_._2 == "ivf_w2"),
+        s"expected the widened rung, got $got")
+      assert(got.map(_._1) == expectTopK(mix(2, 0), Set(2L, 0L)), s"pool wrong: $got")
+      // batched: the filtered declaration rewrites to the batched ladder
+      val declared = requests
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(base.where(filter))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          graft.expressions.CosineSimilarity(col("embedding"), col("q_emb")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rn") <= k)
+        .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+          col("cos"), lit("auto").as("index_used"))
+      val bPlan = declared.queryExecution.optimizedPlan.toString
+      assert(bPlan.contains("min_dist") && bPlan.contains("ivf_w2"),
+        s"composed-kind filtered batch must ride the batched IVF ladder:\n${bPlan.take(1500)}")
+      val gotB = declared.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(4))).toSeq.sorted
+      val wantB = graft.index.KnnJoin.ivfServeFilteredAdaptiveBatched(
+          requests, base, cents, nprobe = 1, k = k, userFilter = filter)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(4))).toSeq.sorted
+      assert(gotB == wantB, s"composed batched ladder diverged: $gotB vs $wantB")
+    } finally {
+      graft.plans.LshProbeRewrite.clear()
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations.filterNot(_ == graft.plans.LshProbeRewrite)
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies.filterNot(
+          _.isInstanceOf[graft.plans.LshProbeStrategy])
+    }
+  }
+
   test("refusal guard: no guaranteeK ⇒ the filtered batched declaration keeps its declared plan") {
     val s = spark
     val p = "target/spec-index/ivf-batched-ladder-nogk"

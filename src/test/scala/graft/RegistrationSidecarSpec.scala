@@ -130,7 +130,7 @@ class RegistrationSidecarSpec extends AnyFunSuite {
       }
       assert(LshProbeRewrite.registerFromSidecar(ivfpqPath) == "ivfpq")
       LshProbeRewrite.registrationOf(ivfpqPath) match {
-        case Some(LshProbeRewrite.IvfPqRegistration(cents2, 3, cb2, 55, "vec_id", 10000)) =>
+        case Some(LshProbeRewrite.IvfPqRegistration(cents2, 3, cb2, 55, "vec_id", 10000, false)) =>
           assert(cents2.map(_._1).toSeq == cents.map(_._1).toSeq)
           assert(cb2.cents.flatten.map(_.toSeq).toSeq ==
             cb.cents.flatten.map(_.toSeq).toSeq)
