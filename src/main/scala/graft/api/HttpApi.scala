@@ -248,9 +248,16 @@ final class HttpApi(spark: SparkSession, engine: Engine, embedder: Embedder,
           if (qEmbs.isEmpty)
             respond(ex, 400, Some(error("query_embeddings (non-empty) required")))
           else {
+            val bFilters = Option(b.get("filters")).filterNot(_.isNull).map { f =>
+              val it = f.fields()
+              val m = scala.collection.mutable.Map.empty[String, String]
+              while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue.asText() }
+              m.toMap
+            }.getOrElse(Map.empty[String, String])
             val results = service.searchBatch(libId, qEmbs,
               k = Option(b.get("k")).map(_.asInt()).getOrElse(5),
-              index = optText(b, "index").getOrElse("brute"))
+              index = optText(b, "index").getOrElse("brute"),
+              filters = bFilters)
             val o = mapper.createObjectNode()
             val arr = o.putArray("results")
             results.foreach { res =>

@@ -292,11 +292,17 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
     * per-request envelope to [[tryServe]]'s. */
   private[search] def tryServeBatch(spark: SparkSession, libraryId: String,
                                     version: Int, qvecs: Array[Array[Float]],
-                                    k: Int): Option[(DataFrame, String)] =
-    liveEntry(spark, libraryId, version).map { e =>
+                                    k: Int,
+                                    filters: Map[String, String] = Map.empty)
+  : Option[(DataFrame, Boolean, String)] =
+    liveEntry(spark, libraryId, version)
+      // HNSW has no filtered form at either arity (see registerHnsw)
+      .filterNot(e => e.kind == "hnsw" && filters.nonEmpty)
+      .map { e =>
       injectRule(spark) // the serving session may not be the registering one
       IndexGenerations.lease(e.path, holderOf(spark)) {
         import spark.implicits._
+        val laddered = filters.nonEmpty
         val reqs = qvecs.zipWithIndex
           .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
           .toDF("hid", "embedding")
@@ -313,14 +319,20 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
             // layout on its stored long `hid`, self excluded, cosine-
             // scored, ranked per request — and the registration's
             // batched rewrite picks the physical serve (broadcast
-            // bucket probe / centroid probe), exactly as a caller-side
-            // declaration would. The `require` keeps a silent
-            // non-rewrite loud: a REST batch actually executing the
-            // quadratic declaration is the failure this tier exists to
-            // avoid.
-            val declared = reqs
+            // bucket / centroid probe for a bare batch; the batched
+            // guaranteed-k LADDER when a metadata filter rides the
+            // layout side — every request's escalation in the same
+            // one plan). The `require`s keep a silent non-rewrite
+            // loud: a REST batch actually executing the quadratic
+            // declaration is the failure this tier exists to avoid.
+            val layoutSide = filters.foldLeft(
+              e.layout.select(col("hid"), col("embedding"), col("metadata"))) {
+              case (df, (key, value)) =>
+                df.where(col("metadata").getItem(key) === lit(value))
+            }.select(col("hid"), col("embedding"))
+            var declared = reqs
               .select(col("hid").as("q_id"), col("embedding").as("q_emb"))
-              .crossJoin(e.layout.select(col("hid"), col("embedding")))
+              .crossJoin(layoutSide)
               .where(col("hid") =!= col("q_id"))
               .withColumn("cos", graft.expressions.CosineSimilarity(
                 col("embedding"), col("q_emb")))
@@ -328,16 +340,35 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
                 org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
                   .orderBy(col("cos").desc, col("hid").asc)))
               .where(col("rn") <= k)
-              .select(col("q_id"), col("rn"), col("hid").as("neighbor_id"), col("cos"))
+            declared =
+              if (laddered)
+                declared.select(col("q_id"), col("rn"),
+                  col("hid").as("neighbor_id"), col("cos"),
+                  lit("auto").as("index_used"))
+              else
+                declared.select(col("q_id"), col("rn"),
+                  col("hid").as("neighbor_id"), col("cos"))
             val plan = declared.queryExecution.optimizedPlan.toString
-            // the probe columns only exist in the REWRITTEN plan (the
-            // declared quadratic carries neither); the serve's own tiny
-            // requests×centroids cross join is legitimate, so the check
-            // is presence-of-probe, not absence-of-cross-join
-            require(plan.contains("bucket_part") || plan.contains("c_cid"),
+            // probe/ladder columns only exist in the REWRITTEN plan
+            // (the declared quadratic carries none); the serve's own
+            // tiny requests×centroids cross join is legitimate, so the
+            // check is presence-of-probe, not absence-of-cross-join
+            require(
+              if (laddered) plan.contains("min_dist")
+              else plan.contains("bucket_part") || plan.contains("c_cid"),
               s"the $libraryId batch declaration was not rewritten to the " +
                 s"registered batched serve:\n${plan.take(1500)}")
-            declared
+            if (laddered)
+              require(!plan.contains("auto"),
+                "the index_used placeholder survived the batched ladder rewrite")
+            // embed the ALREADY-REWRITTEN plan in the payload join: the
+            // outer query re-optimizes its whole tree, and the declared
+            // subtree inside a join does not re-match the batched shape
+            // identically (observed: the ladder's placeholder overwrite
+            // was lost) — the serve's own multi-conjunct joins cannot
+            // re-match, so the optimized subtree is stable
+            org.apache.spark.sql.graft.SqlShims.ofRows(spark,
+              declared.queryExecution.optimizedPlan)
         }
         // payload join: hits are (batch ordinal, rank, hashed id, cos);
         // k·batch rows broadcast against one corpus scan. LSH layouts
@@ -346,14 +377,16 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
         val payload = e.payload.getOrElse(
             e.layout.drop("table", "bucket", "bucket_part", "cluster_id"))
           .withColumn("n_hid", xxhash64(col("id")))
+        val usedCols =
+          if (laddered && e.kind != "hnsw") Seq(col("index_used")) else Nil
         val out = payload.join(broadcast(hits), col("n_hid") === col("neighbor_id"))
           .dropDuplicates("q_id", "id")
-          .select(col("q_id"), col("rn"), col("id"), col("document_id"),
+          .select(Seq(col("q_id"), col("rn"), col("id"), col("document_id"),
             col("library_id"), col("text"), col("metadata"),
-            col("cos").as("score"))
+            col("cos").as("score")) ++ usedCols: _*)
           .orderBy(col("q_id"), col("rn"))
         lastBatchPlan = Some(out.queryExecution.executedPlan.toString)
-        (out, s"${e.kind}_at_rest")
+        (out, laddered && e.kind != "hnsw", e.kind)
       }
     }
 

@@ -156,10 +156,13 @@ final class SearchService(spark: SparkSession, engine: Engine,
     * broadcast probe, HNSW one-scan-all-queries) — the 11–61×
     * batched-serving wins surfaced through the reference's own API
     * shape. Per-request envelopes are IDENTICAL to [[search]]'s
-    * bridged path (`index_used = "<kind>_at_rest"`). Falls back to a
-    * per-request [[search]] loop — correct, just not batched — when
-    * the bridge cannot serve (unregistered, stale version, filters,
-    * k <= 0, or no bridge at all). */
+    * bridged path: `index_used = "<kind>_at_rest"` bare, and under a
+    * metadata FILTER each request reports its own served ladder level
+    * (`at_rest_<level>` — the batched guaranteed-k rewrite decides
+    * every request's escalation in the same one plan). Falls back to
+    * a per-request [[search]] loop — correct, just not batched — when
+    * the bridge cannot serve (unregistered, stale version, filtered
+    * HNSW, k <= 0, or no bridge at all). */
   def searchBatch(libraryId: String,
                   queryEmbeddings: Seq[Array[Float]],
                   k: Int = 5,
@@ -168,22 +171,32 @@ final class SearchService(spark: SparkSession, engine: Engine,
     val version = engine.getLibrary(libraryId).version
     if (queryEmbeddings.isEmpty) return Nil
     val batched =
-      if (index == "lsh" && filters.isEmpty && k > 0)
+      if (index == "lsh" && k > 0)
         atRest.flatMap(_.tryServeBatch(spark, libraryId, version,
-          queryEmbeddings.toArray, k))
+          queryEmbeddings.toArray, k, filters))
       else None
     batched match {
-      case Some((df, used)) =>
-        val rows = df.select(col("q_id"), col("rn"), col("id"), col("document_id"),
-            col("library_id"), col("text"), col("metadata"), col("score"))
-          .collect()
-          .groupBy(_.getLong(0))
+      case Some((df, laddered, kind)) =>
+        val cols = Seq(col("q_id"), col("rn"), col("id"), col("document_id"),
+          col("library_id"), col("text"), col("metadata"), col("score")) ++
+          (if (laddered) Seq(col("index_used")) else Nil)
+        val rows = df.select(cols: _*).collect().groupBy(_.getLong(0))
         queryEmbeddings.indices.map { i =>
-          val hits = rows.getOrElse(i.toLong, Array.empty)
+          val reqRows = rows.getOrElse(i.toLong, Array.empty)
             .sortBy(_.getInt(1)) // the serve's own per-request rank
+          val hits = reqRows
             .map(r => Hit(r.getString(2), r.getString(3), r.getString(4),
               r.getString(5), r.getMap[String, String](6).toMap, r.getDouble(7)))
             .toSeq
+          // per-REQUEST envelope: under a filter each request reports
+          // ITS served ladder level (the O10 contract at batch arity);
+          // a request whose filtered pool is empty exhausted the
+          // ladder to brute
+          val used =
+            if (laddered)
+              reqRows.headOption.map(r => "at_rest_" + r.getString(8))
+                .getOrElse("at_rest_brute")
+            else s"${kind}_at_rest"
           SearchResult(hits, index, Some(used), version)
         }
       case None =>

@@ -311,7 +311,9 @@ class HttpApiSpec extends AnyFunSuite {
       val corpus = (0 until 60).map { i =>
         val v = Array.fill(dim)(rng.nextGaussian().toFloat)
         engine.addChunk("batchlib", "bd", text = s"t-$i",
-          embedding = Some(v), id = Some(f"c$i%02d")): Unit
+          embedding = Some(v),
+          metadata = Map("grp" -> (if (i % 2 == 0) "a" else "b")),
+          id = Some(f"c$i%02d")): Unit
         v
       }
       val bridge = new graft.search.AtRestIndexBridge(
@@ -358,6 +360,39 @@ class HttpApiSpec extends AnyFunSuite {
           assert(sj.get("index_used").asText() == "lsh_at_rest")
           assert(bj.get("library_version").asInt() == sj.get("library_version").asInt())
         }
+        // FILTERED batch: the guaranteeK registration rewrites the
+        // filtered declaration to the batched LADDER — one plan decides
+        // every request's escalation; per-request index_used reports
+        // the served level, and hits match the single filtered route
+        val fr = req("POST",
+          s"http://127.0.0.1:$port/vector_db/libraries/batchlib/search_batch",
+          s"""{"query_embeddings": $qjson, "k": 3, "index": "lsh", "filters": {"grp": "a"}}""")
+        assert(fr.statusCode() == 200, s"filtered batch failed: ${fr.body()}")
+        val fResults = mapper.readTree(fr.body()).get("results")
+        assert(fResults.size() == 3)
+        val ladderPlan = bridge.lastBatchPlan.getOrElse(fail("no ladder batch plan"))
+        assert(ladderPlan.contains("min_dist"),
+          s"filtered batch must ride the batched ladder:\n${ladderPlan.take(1500)}")
+        qs.zipWithIndex.foreach { case (qv, i) =>
+          val single = req("POST",
+            s"http://127.0.0.1:$port/vector_db/libraries/batchlib/search",
+            s"""{"query_embedding": ${qv.map(_.toString).mkString("[", ",", "]")}, "k": 3, "index": "lsh", "filters": {"grp": "a"}}""")
+          val sj = mapper.readTree(single.body())
+          val bj = fResults.get(i)
+          def ids(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+            val it = n.get("hits").elements()
+            Iterator.continually(it).takeWhile(_.hasNext)
+              .map(_.next().get("chunk_id").asText()).toSeq
+          }
+          assert(ids(bj).toSet == ids(sj).toSet,
+            s"filtered request $i: batch ${ids(bj)} != single ${ids(sj)}")
+          assert(bj.get("index_used").asText().startsWith("at_rest_"),
+            s"got ${bj.get("index_used")}")
+          assert(bj.get("index_used").asText() == sj.get("index_used").asText(),
+            s"request $i levels differ: batch ${bj.get("index_used")} vs " +
+              s"single ${sj.get("index_used")}")
+        }
+
         // the IVF kind through the same endpoint: the registration (not
         // the bridge code) picks the batched physical serve — the
         // recorded plan must carry the centroid probe, never the
