@@ -75,6 +75,10 @@ object OracleSql {
     s"""${knnScores("")}
        |SELECT vec_id, ROUND(s, 4) AS score FROM scores ORDER BY s DESC, vec_id LIMIT 5""".stripMargin
 
+  private val knnBruteFilteredSql =
+    s"""${knnScores("WHERE e.label = 3")}
+       |SELECT vec_id, ROUND(s, 4) AS score FROM scores ORDER BY s DESC, vec_id LIMIT 5""".stripMargin
+
   /** MMR replay ([[graft.search.Mmr]]): the greedy λ=0.7 selection
     * unrolled as five argmax CTEs — step t scores every unselected
     * pool member as `0.7·rel − (1.0−0.7)·max sim-to-selected` and
@@ -299,9 +303,16 @@ object OracleSql {
     "ann_sq8_rule" -> knnBruteSql,
     "ann_ivf_kmeans" -> knnBruteSql,
 
-    "knn_brute_filtered" ->
-      s"""${knnScores("WHERE e.label = 3")}
-         |SELECT vec_id, ROUND(s, 4) AS score FROM scores ORDER BY s DESC, vec_id LIMIT 5""".stripMargin,
+    "knn_brute_filtered" -> knnBruteFilteredSql,
+
+    // r17, open thread (a) — the scoring kinds' filtered policy: at
+    // sf0.01 the filtered pool (label = 3, ~50 of 500) is narrower
+    // than the 100-wide shortlist, so the filter-first staged serve is
+    // EXACTLY the filtered brute scan (the rerank is exact either way)
+    // and both forms share its oracle; the gates' requires pin the
+    // semi-join + staged-fetch mechanism
+    "ann_pq_split_filtered" -> knnBruteFilteredSql,
+    "ann_pq_split_filtered_rule" -> knnBruteFilteredSql,
 
     "knn_topk_per_label" ->
       s"""${knnScores("")},

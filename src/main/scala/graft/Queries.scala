@@ -5121,6 +5121,88 @@ object Queries {
     out
   }
 
+  /** The split layout WITH float-side payload (r17, open thread (a) —
+    * the scoring kinds' filtered policy needs metadata to predicate
+    * on): same trainer and codes side as [[pqSplitPath]]'s layout, but
+    * [[graft.index.PqKnn.writeSplit]] carries `label` on the floats
+    * side. Separate directory from the unfiltered twins so their
+    * frozen scan profiles (float table width) are untouched. */
+  private val pqSplitFilteredPathCache = new SessionCache[String, String]
+  private def pqSplitFilteredPath(spark: SparkSession, sfDir: String): String = {
+    val p = s"target/gate-index/pq-splitf-${math.abs(sfDir.hashCode)}"
+    pqSplitFilteredPathCache.getOrElseUpdate(spark, sfDir) {
+      val emb = Tables.embeddings(spark, sfDir).where(col("embedding").isNotNull)
+      graft.index.PqIndexStore().writeSplit(emb, col("vec_id"), col("embedding"),
+        dim = 64, p, payload = Seq(col("label")))
+      p
+    }
+  }
+
+  /** FILTERED split-PQ serving, library form (r17 — guaranteed-k for
+    * the scoring kinds): the metadata predicate runs FIRST on a narrow
+    * (id + label) float projection, the surviving ids semi-join into
+    * the codes ADC scan, the shortlist ranks the FILTERED pool, and
+    * [[graft.plans.ShortlistFetch]] point-fetches the floats for the
+    * exact rerank — filter-first, so recall-under-filter holds by
+    * construction (no escalation ladder: a scoring kind has no probe
+    * geometry to starve). At the correctness SF the filtered pool
+    * (label = 3, ~10% of 500) is narrower than the 100-wide shortlist,
+    * so the serve is EXACTLY the filtered brute scan and the gate
+    * shares knn_brute_filtered's oracle; FilteredSplitProbe prices the
+    * policy against the plain filtered exact scan at 1M rows (the
+    * narrow-projection + codes pass reads ~1/20 the bytes of the full
+    * float scan when the embedding column dominates row width). The
+    * `require`s pin the mechanism: the semi-join must reach the plan
+    * (filter-first, not corpus-ranked) and the staged fetch must
+    * appear (not a full float scan). */
+  def annPqSplitFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = pqSplitFilteredPath(spark, sfDir)
+    val out = graft.index.PqIndexStore().searchRefinedSplitFiltered(spark, path,
+        "vec_id", "embedding", col("label") === 3, queryVec(spark, sfDir),
+        k = 5, dim = 64, candidates = 100)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    require(plan.contains("LeftSemi"),
+      "the filtered split serve lost its semi-join — the shortlist is " +
+        "ranking the corpus and the predicate can starve it below k")
+    require(plan.contains("ShortlistFetch"),
+      "the filtered split serve did not stage through ShortlistFetch — " +
+        "a full float scan in disguise")
+    out
+  }
+
+  /** [[annPqSplitFiltered]] through the OPTIMIZER RULE: the caller
+    * writes the one plain FILTERED exact top-k (`floats.where(label =
+    * 3)` scored, sorted, limited) and the `pq_split` registration with
+    * `guaranteeK = true` rewrites it into the same filter-first staged
+    * plan — predicate lifted onto a fresh narrow float scan, semi-join
+    * into the codes ADC shortlist, ShortlistFetch, exact rerank. A
+    * filtered plan over a non-guaranteeK split registration keeps its
+    * exact scan (spec-pinned), so the flag is the POLICY: the
+    * registration owns recall-under-filter for the scoring kinds the
+    * way guaranteeK LSH/IVF registrations own the escalation ladder. */
+  def annPqSplitFilteredRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = pqSplitFilteredPath(spark, sfDir)
+    val cb = graft.index.PqIndexStore().loadCodebooks(spark, path, dim = 64)
+    graft.plans.LshProbeRewrite.registerPqSplit(spark, path, cb,
+      shortlist = 100, idColName = "vec_id", guaranteeK = true)
+    injectProbeRule(spark)
+    val out = graft.index.BruteForceKnn.search(
+        spark.read.parquet(s"$path/floats").where(col("label") === 3),
+        col("embedding"), col("vec_id"), queryVec(spark, sfDir), k = 5)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    require(plan.contains("ShortlistFetch") && plan.contains("adc_score"),
+      "the guaranteeK pq_split registration did not rewrite the filtered " +
+        "top-k into the staged plan — the gate would be timing a full " +
+        "filtered float scan")
+    require(plan.contains("LeftSemi"),
+      "the filtered rewrite lost its semi-join — a corpus-ranked shortlist " +
+        "under a user filter is the starvation shape this policy exists " +
+        "to close")
+    out
+  }
+
   /** Document chunking — the reference's own document→chunk data model
     * (SURVEY §1.1) as a distributed operator: overlapping token-window
     * chunks (size 20, stride 15 → 5-token overlap), the standard
@@ -5582,6 +5664,8 @@ object Queries {
     "ann_pq_split" -> (annPqSplit _),
     "ann_pq_split_plan" -> (annPqSplitPlan _),
     "ann_pq_split_rule" -> (annPqSplitRule _),
+    "ann_pq_split_filtered" -> (annPqSplitFiltered _),
+    "ann_pq_split_filtered_rule" -> (annPqSplitFilteredRule _),
     "ann_sq" -> (annSq _),
     "ann_sq8_rule" -> (annSq8Rule _),
     "ann_ivfpq" -> (annIvfPq _),

@@ -470,12 +470,21 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
     * the classic trade (more footer/page overhead, slightly slower
     * full scans) — measured in PqServeProbe: 32 KB groups cut the
     * 2,000-uniform-id fetch from ~1M rows read to the shortlist
-    * neighborhood. 0 = leave parquet's default. */
+    * neighborhood. 0 = leave parquet's default.
+    *
+    * `payload` (r17, the filtered-policy prerequisite): extra columns
+    * to carry on the FLOAT side (metadata/labels — the columns a
+    * filtered query predicates on). The codes side stays (id, code):
+    * compressed scanning is the codes table's whole job, and the
+    * filtered serve reaches metadata through a narrow (id + predicate
+    * columns) projection of the floats table instead — parquet column
+    * pruning keeps the wide embedding column unread there. */
   def writeSplit(emb: DataFrame, idCol: Column, embCol: Column, dim: Int,
                  path: String, floatFiles: Int = 8, sampleStride: Long = 0L,
-                 knownCount: Long = -1L, floatRowGroupBytes: Long = 0L): Codebooks = {
+                 knownCount: Long = -1L, floatRowGroupBytes: Long = 0L,
+                 payload: Seq[Column] = Nil): Codebooks = {
     val cb = write(emb, idCol, embCol, dim, path, sampleStride, knownCount)
-    var w = emb.select(idCol, embCol)
+    var w = emb.select(idCol +: embCol +: payload: _*)
       .repartitionByRange(floatFiles, idCol)
       .sortWithinPartitions(idCol)
       .write.mode("overwrite")
@@ -592,6 +601,68 @@ final case class PqIndexStore(m: Int = 8, numCentroids: Int = 256) {
     val floats = spark.read.parquet(s"$path/floats").queryExecution.analyzed
     val fetched = org.apache.spark.sql.graft.SqlShims.ofRows(spark,
       graft.plans.ShortlistFetch(idAttr, floats, idColName, candidates, slPlan))
+    BruteForceKnn.search(fetched, col(embColName), col(idColName), query, k)
+  }
+
+  /** FILTERED split serving (r17, round-17 open thread (a) — the
+    * scoring kinds' guaranteed-k): a metadata predicate composed with
+    * the split layout's staged serve, with recall-under-filter held by
+    * CONSTRUCTION rather than by a ladder. The LSH/IVF kinds need an
+    * escalation ladder because their candidate GEOMETRY (bucket /
+    * centroid probe) is fixed before the filter lands — a selective
+    * predicate can starve the probed set below k. A scoring kind has
+    * no geometry: its shortlist is a rank over whatever rows it scans,
+    * so running the filter FIRST and ranking the survivors makes
+    * starvation structurally impossible — the shortlist is always the
+    * best `candidates` of the filtered pool, and a pool smaller than k
+    * returns the whole pool exactly as the brute fallback would.
+    *
+    * Plan shape (one plan, lazy end-to-end):
+    *   1. the filtered-id side: a scan of the FLOATS table pruned to
+    *      (id + predicate columns) — the wide embedding column is
+    *      never read here (parquet column pruning; the payload columns
+    *      ride the float side by [[writeSplit]]'s `payload` contract);
+    *   2. the codes scan LEFT-SEMI joined against those ids — at 100 TB
+    *      a selective filter's id side broadcasts and the probe stays
+    *      one codes-width (~9 B/row) map-side pass; a broad filter
+    *      shuffles the codes table once on id, which is when the plain
+    *      filtered exact scan starts to compete (FilteredSplitProbe
+    *      prices both sides — the policy is opt-in per registration);
+    *   3. the ADC shortlist over the surviving codes (bounded heap,
+    *      same arithmetic/tie-breaks as every PQ serve);
+    *   4. [[graft.plans.ShortlistFetch]] carries the bounded id list
+    *      into the filtered float scan at execution time (point fetch,
+    *      id-clustered layout ⇒ shortlist-proportional read);
+    *   5. the exact rerank on the fetched floats.
+    *
+    * With `candidates` wide enough that ADC misranking cannot evict a
+    * true top-k member of the FILTERED pool (pool ≤ candidates makes
+    * it exact outright), the result is bit-identical to the filtered
+    * brute scan — the same equivalence argument as every PQ serve,
+    * just over the filtered pool instead of the corpus. */
+  def searchRefinedSplitFiltered(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, idColName: String,
+                                 embColName: String, predicate: Column,
+                                 query: Array[Float], k: Int, dim: Int,
+                                 candidates: Int = 100): DataFrame = {
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.LshProbeStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.LshProbeStrategy(spark)
+    val cb = loadCodebooks(spark, path, dim)
+    val floats = spark.read.parquet(s"$path/floats")
+    val passIds = floats.where(predicate).select(col(idColName).as("id"))
+    val codes = spark.read.parquet(s"$path/codes")
+      .join(passIds, Seq("id"), "left_semi")
+    val shortlist = searchEncoded(codes, query, cb, candidates).select(col("id"))
+    val slPlan = shortlist.queryExecution.analyzed
+    val idAttr = slPlan.output.find(_.name == "id").get
+    // the fetch side re-applies the predicate — redundant with the
+    // semi-join (every shortlist id already passed it) but it keeps
+    // the fetch plan self-evidently filtered and costs nothing on the
+    // point-fetched rows
+    val fetchPlan = floats.where(predicate).queryExecution.analyzed
+    val fetched = org.apache.spark.sql.graft.SqlShims.ofRows(spark,
+      graft.plans.ShortlistFetch(idAttr, fetchPlan, idColName, candidates, slPlan))
     BruteForceKnn.search(fetched, col(embColName), col(idColName), query, k)
   }
 

@@ -3,6 +3,7 @@ package graft.plans
 import graft.expressions.CosineSimilarity
 import graft.index.RandomHyperplaneLsh
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -142,16 +143,32 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     * [[graft.index.PqIndexStore.writeSplit]]'s id-clustered layout is
     * what makes the fetch shortlist-proportional.
     *
-    * The rewrite serves UNFILTERED top-k only: a caller filter on the
-    * id column is a hand-built fetch (stacking would narrow it — the
-    * r15 LshProbeRewrite lesson), and a metadata filter would starve
-    * the shortlist (the codes table carries no metadata to pre-filter
-    * on). Filtered plans keep their exact scan — correct, never
-    * silently approximate. */
+    * A caller filter on the id column always refuses: that is a
+    * hand-built fetch (stacking would narrow it — the r15
+    * LshProbeRewrite lesson). Metadata filters depend on the policy:
+    * with `guaranteeK = false` they refuse too (the codes table
+    * carries no metadata, so the static staged serve would rank the
+    * CORPUS and let the filter starve the shortlist — filtered plans
+    * keep their exact scan, correct and never silently approximate).
+    * With `guaranteeK = true` (r17, open thread (a) — the scoring
+    * kinds' filtered policy) a metadata-filtered top-k rewrites to
+    * [[graft.index.PqIndexStore.searchRefinedSplitFiltered]]'s staged
+    * shape instead: the predicate evaluates on a NARROW (id +
+    * predicate columns) projection of the floats table, the surviving
+    * ids semi-join into the codes ADC scan, and the shortlist ranks
+    * the FILTERED pool — filter-first, so recall-under-filter holds by
+    * construction (no ladder needed: a scoring kind has no probe
+    * geometry to starve; a pool smaller than k serves the whole pool,
+    * the brute contract). Predicate columns must live on the floats
+    * side ([[graft.index.PqKnn]]'s `writeSplit(payload = ...)`);
+    * a predicate referencing a column the floats relation lacks
+    * (derived columns) refuses loudly-by-plan — the declared exact
+    * scan runs. */
   final case class PqSplitRegistration(cb: graft.index.PqKnn.Codebooks,
                                        shortlist: Int, idColName: String,
                                        codes: LogicalPlan,
-                                       maxBatchFetch: Int = 10000)
+                                       maxBatchFetch: Int = 10000,
+                                       guaranteeK: Boolean = false)
     extends IndexRegistration
 
   private val registry =
@@ -211,13 +228,14 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
   def registerPqSplit(spark: org.apache.spark.sql.SparkSession, rootPath: String,
                       cb: graft.index.PqKnn.Codebooks,
                       shortlist: Int = 100, idColName: String = "vec_id",
-                      maxBatchFetch: Int = 10000): Unit = {
+                      maxBatchFetch: Int = 10000,
+                      guaranteeK: Boolean = false): Unit = {
     require(cb.m >= 1 && cb.cents.nonEmpty, "split-PQ registration needs trained codebooks")
     require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
     val codes = spark.read.parquet(s"$rootPath/codes").queryExecution.analyzed
     val floatsDir = s"$rootPath/floats"
     registry.put(normalize(new java.io.File(floatsDir).getAbsolutePath),
-      PqSplitRegistration(cb, shortlist, idColName, codes, maxBatchFetch))
+      PqSplitRegistration(cb, shortlist, idColName, codes, maxBatchFetch, guaranteeK))
     persistQuietly(floatsDir)
   }
 
@@ -305,12 +323,13 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         node.put("shortlist", shortlist); node.put("idColName", idColName)
         node.put("maxBatchFetch", maxBatchFetch); node.put("guaranteeK", gk)
         putCents("cents", cents); putCodebooks(cb)
-      case PqSplitRegistration(cb, shortlist, idColName, _, maxBatchFetch) =>
+      case PqSplitRegistration(cb, shortlist, idColName, _, maxBatchFetch, gk) =>
         // the codes plan is NOT persisted — it is derived state, rebuilt
         // from the sibling `codes` directory on restore
         node.put("kind", "pq_split"); node.put("shortlist", shortlist)
         node.put("idColName", idColName)
-        node.put("maxBatchFetch", maxBatchFetch); putCodebooks(cb)
+        node.put("maxBatchFetch", maxBatchFetch); node.put("guaranteeK", gk)
+        putCodebooks(cb)
     }
     java.nio.file.Files.write(sidecarPath(path),
       mapper.writeValueAsBytes(node))
@@ -387,7 +406,8 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
           new java.io.File(path).getAbsoluteFile.getParent,
           codebooks(), node.get("shortlist").asInt(),
           node.get("idColName").asText(),
-          Option(node.get("maxBatchFetch")).map(_.asInt()).getOrElse(10000))
+          Option(node.get("maxBatchFetch")).map(_.asInt()).getOrElse(10000),
+          Option(node.get("guaranteeK")).exists(_.asBoolean()))
       case other => sys.error(s"unknown registration kind '$other' in sidecar at $path")
     }
     kind
@@ -531,11 +551,18 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
               graft.index.SqKnn.adcTable(qvec, r.scales), "sq8_score",
               r.shortlist, r.idColName).map(wrap)
           case r: PqSplitRegistration =>
-            // unfiltered top-k only: an id-column filter is a
-            // hand-built fetch (stacking narrows it), a metadata filter
-            // would starve the shortlist — both keep their exact scan
-            if (hasNonNullGuardFilter(child)) None
-            else splitStagedFetch(kVal, sort, projectList, child, r, qvec).map(wrap)
+            // unfiltered: the static staged serve. Filtered: an
+            // id-column filter is always a hand-built fetch (stacking
+            // narrows it — refuse); a metadata filter serves through
+            // the filter-first semi-join shape iff the registration
+            // opted into the filtered policy (guaranteeK), else the
+            // corpus-ranked shortlist would starve — keep the exact
+            // scan, correct and never silently approximate
+            if (!hasNonNullGuardFilter(child))
+              splitStagedFetch(kVal, sort, projectList, child, r, qvec).map(wrap)
+            else if (r.guaranteeK)
+              splitStagedFetchFiltered(kVal, sort, projectList, child, r, qvec).map(wrap)
+            else None
           case r: IvfPqRegistration if r.guaranteeK && hasUserFilter(child) =>
             // the composed kind's FILTERED policy (r17): recall-under-
             // filter belongs to the coarse quantizer's geometry — the
@@ -1134,6 +1161,38 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
             case other => other
           }), layoutRel, r.cb, requests, idName, embName, kVal,
           r.shortlist, r.maxBatchFetch))
+      case (r: PqSplitRegistration, preds)
+        if r.guaranteeK && preds.nonEmpty &&
+          layoutRel.output.exists(_.name == r.idColName) &&
+          preds.forall(!_.references.exists(_.name.equalsIgnoreCase(r.idColName))) &&
+          preds.forall(_.references.forall(a =>
+            layoutRel.output.exists(_.name == a.name))) =>
+        // the FILTERED batched declaration over a guaranteeK split
+        // registration (r17, thread (a) at batch arity): the same
+        // filter-first construction as the per-request form — the
+        // predicate evaluates on a NARROW (id + predicate columns)
+        // instance of the floats relation, the surviving ids semi-join
+        // into the codes scan, and the batched ADC ranks the FILTERED
+        // pool for every request (guaranteed-k by construction — a
+        // pool below k serves the pool); the union fetch runs against
+        // the caller's own filtered floats plan. Id-column predicates
+        // and derived columns refuse (fall through to the declared
+        // plan), mirroring the per-request guards.
+        val floats2 = layoutRel.newInstance()
+        val byName = floats2.output.map(a => a.name -> a).toMap
+        val rebound = preds
+          .map(_.transform { case a: Attribute => byName(a.name) })
+          .reduce(And(_, _))
+        val passIds = ofRows(spark,
+          Project(Seq(byName(r.idColName)), Filter(rebound, floats2)))
+          .select(column(byName(r.idColName)).as("id"))
+        val codesDf = ofRows(spark, r.codes match {
+            case lr: LogicalRelation => lr.newInstance()
+            case other => other
+          }).join(passIds, Seq("id"), "left_semi")
+        Some(graft.index.PqIndexStore().serveBatchedSplitCore(spark,
+          codesDf, Filter(preds.reduce(And(_, _)), layoutRel), r.cb,
+          requests, idName, embName, kVal, r.shortlist, r.maxBatchFetch))
       case _ => None // filtered without guaranteeK, or a kind with no batched serve
     }
     served.map(_.queryExecution.optimizedPlan)
@@ -1220,6 +1279,71 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
         Seq(SortOrder(adc.toAttribute, Descending), SortOrder(codesId, Ascending)),
         Seq(codesId, adc), Seq(codesId),
         Project(Seq(codesId, codeAttr), codes))
+      val fetched = ShortlistFetch(codesId, child, r.idColName, r.shortlist, shortlist)
+      Limit(Literal(kVal), Sort(sort.order, global = true,
+        Project(projectList, fetched)))
+    }
+  }
+
+  /** The FILTERED split-PQ rewrite (r17, open thread (a) — the scoring
+    * kinds' guaranteed-k): the plan form of
+    * [[graft.index.PqIndexStore.searchRefinedSplitFiltered]]. The
+    * caller's metadata predicate is lifted off its filtered float scan
+    * and re-bound (by name) onto a FRESH narrow instance of the floats
+    * relation — a (id + predicate columns) scan whose wide embedding
+    * column parquet never reads — and the surviving ids LEFT-SEMI join
+    * into the codes ADC scan, so the shortlist ranks the FILTERED pool
+    * (filter-first ⇒ guaranteed-k by construction; a pool below k
+    * serves the whole pool, the brute contract). Fetch + rerank are
+    * [[splitStagedFetch]]'s: the bounded shortlist rides
+    * [[ShortlistFetch]] into the caller's own (still-filtered) float
+    * plan, the caller's projection/sort/limit rerank exactly on top.
+    *
+    * Refusals (None → the declared exact scan runs): a predicate
+    * touching the id column (hand-built fetch — stacking would narrow
+    * it), a predicate referencing any column the floats relation does
+    * not carry (derived columns — the semi side cannot evaluate them),
+    * or a child whose relation cannot be isolated. */
+  private def splitStagedFetchFiltered(kVal: Int, sort: Sort,
+                                       projectList: Seq[NamedExpression],
+                                       child: LogicalPlan,
+                                       r: PqSplitRegistration,
+                                       qvec: Array[Float]): Option[LogicalPlan] = {
+    val codes = r.codes match {
+      case lr: LogicalRelation => lr.newInstance()
+      case other => other
+    }
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, rr) => conj(l) ++ conj(rr)
+      case x => Seq(x)
+    }
+    val userPreds = child.collect { case Filter(cond, _) =>
+      conj(cond).filterNot(_.isInstanceOf[IsNotNull])
+    }.flatten
+    val rels = child.collect { case lr: LogicalRelation => lr }
+    for {
+      codesId <- codes.output.find(_.name == "id")
+      codeAttr <- codes.output.find(_.name == "code")
+      _ <- child.output.find(_.name == r.idColName)
+      if userPreds.nonEmpty && rels.size == 1
+      if userPreds.forall(!_.references.exists(_.name.equalsIgnoreCase(r.idColName)))
+      floats2 = rels.head.newInstance()
+      byName = floats2.output.map(a => a.name -> a).toMap
+      if userPreds.forall(_.references.forall(a => byName.contains(a.name)))
+      semiId <- byName.get(r.idColName)
+    } yield {
+      val rebound = userPreds
+        .map(_.transform { case a: Attribute => byName(a.name) })
+        .reduce(And(_, _))
+      val semiSide = Project(Seq(semiId), Filter(rebound, floats2))
+      val filteredCodes = Join(codes, semiSide, LeftSemi,
+        Some(EqualTo(codesId, semiId)), JoinHint.NONE)
+      val adc = Alias(graft.expressions.AdcScore(codeAttr,
+        graft.index.PqKnn.adcTable(qvec, r.cb)), "adc_score")()
+      val shortlist = LshProbeTopK(r.shortlist,
+        Seq(SortOrder(adc.toAttribute, Descending), SortOrder(codesId, Ascending)),
+        Seq(codesId, adc), Seq(codesId),
+        Project(Seq(codesId, codeAttr), filteredCodes))
       val fetched = ShortlistFetch(codesId, child, r.idColName, r.shortlist, shortlist)
       Limit(Literal(kVal), Sort(sort.order, global = true,
         Project(projectList, fetched)))
