@@ -1372,6 +1372,18 @@ object OracleSql {
         |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
         |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
+    // the FILTERED batched declaration over a guaranteeK pq_split
+    // registration (r17, thread (a) at batch arity): the label
+    // predicate rides the replay's join, so the oracle ranks exactly
+    // the filtered pool per request — which the filter-first serve
+    // matches bit-for-bit (pool ~50 << shortlist 300 at sf0.01)
+    "knn_filtered_batched_pq_rule" ->
+      s"""${cosineRankedCtes(
+             "SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL",
+             "c.vec_id <> q.q_id AND c.label = 3")}
+        |SELECT q_id, rn, c_id AS neighbor_id, ROUND(s, 4) + 0 AS score
+        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
     // contrastive hard negatives: cross-label cosines recomputed from
     // scratch — a same-label pair leaking through the join predicate
     // (or a post-rank filter shorting a query below k) flips the hash

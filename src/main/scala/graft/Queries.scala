@@ -1104,6 +1104,55 @@ object Queries {
     declared
   }
 
+  /** The FILTERED batched declaration over a guaranteeK split
+    * registration (r17, open thread (a) at batch arity — the gate-level
+    * form of the spec-pinned rewrite): the caller declares the batched
+    * top-k over the FILTERED floats (`.where(label = 3)` on the layout
+    * side of the cross join) and the registration rewrites it to the
+    * filter-first staged batched serve — the predicate evaluates on a
+    * narrow (id + label) float scan, the surviving ids LEFT-SEMI into
+    * the codes ADC scan (so every request's shortlist ranks the
+    * FILTERED pool; guaranteed-k by construction), union fetch through
+    * ShortlistFetch, exact per-request rerank. At the correctness SF
+    * the filtered pool (~50 of 500) is well inside the 300-wide
+    * shortlist, so each request's serve IS the exact filtered brute
+    * top-k and the oracle replays it directly (cosine CTEs with the
+    * label predicate in the join). The `require`s pin all three
+    * mechanisms: staged fetch, ADC stage, and the semi-join — losing
+    * any one degrades to a corpus-ranked shortlist (starvation) or a
+    * full filtered float cross join (the declared quadratic plan). */
+  def knnFilteredBatchedPqRule(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = pqSplitFilteredPath(spark, sfDir)
+    val cb = graft.index.PqIndexStore().loadCodebooks(spark, path, dim = 64)
+    graft.plans.LshProbeRewrite.registerPqSplit(spark, path, cb,
+      shortlist = 300, idColName = "vec_id", guaranteeK = true)
+    injectProbeRule(spark)
+    val requests = Tables.embeddings(spark, sfDir)
+      .where(col("embedding").isNotNull && col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val declared = requests
+      .crossJoin(spark.read.parquet(s"$path/floats").where(col("label") === 3))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.expressions.CosineSimilarity(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+    val plan = declared.queryExecution.optimizedPlan.toString
+    require(plan.contains("ShortlistFetch") && plan.contains("adc_score_dyn"),
+      "the guaranteeK pq_split registration did not rewrite the filtered " +
+        "batched declaration — the gate would be timing a filtered " +
+        "corpus×requests float cross join")
+    require(plan.contains("LeftSemi"),
+      "the filtered batched rewrite lost its semi-join — corpus-ranked " +
+        "shortlists under a user filter are the starvation shape the " +
+        "filtered policy exists to close")
+    declared
+  }
+
   /** BATCHED serving for the COMPOSED IVF-PQ kind (r17 — the r16
     * verdict's #2, the FAISS production shape at batch QPS):
     * [[graft.index.PqKnn.serveBatchedIvfPq]] answers the 5 serving
@@ -5666,6 +5715,7 @@ object Queries {
     "ann_pq_split_rule" -> (annPqSplitRule _),
     "ann_pq_split_filtered" -> (annPqSplitFiltered _),
     "ann_pq_split_filtered_rule" -> (annPqSplitFilteredRule _),
+    "knn_filtered_batched_pq_rule" -> (knnFilteredBatchedPqRule _),
     "ann_sq" -> (annSq _),
     "ann_sq8_rule" -> (annSq8Rule _),
     "ann_ivfpq" -> (annIvfPq _),
