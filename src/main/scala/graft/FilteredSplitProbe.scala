@@ -94,7 +94,11 @@ object FilteredSplitProbe {
     for ((tag, pred, pct) <- Seq(
         ("selective-5pct", col("label") === 3, 5),
         ("broad-50pct", col("label") < 10, 50))) {
-      // warm both paths once (file listing, codebook load) then measure
+      // NOTE: no untimed warm-up pass is performed — the first measured
+      // arm (the exact scan of each selectivity) absorbs one-time costs
+      // (file listing, codebook load, fresh-build page-cache effects),
+      // so first-arm wall-clock reads high; the rows-read ledger is the
+      // load-bearing comparison (r17 ADVICE, low).
       val exact = probe(s"$tag exact-filtered-scan") {
         graft.index.BruteForceKnn
           .search(floats.where(pred), col("embedding"), col("vec_id"), q, 10)

@@ -132,12 +132,16 @@ object Queries {
     * live session is safe.
     */
   // caches the READ DataFrame, not just the path: the at-rest layout is
-  // table × bucket_part directories (8 × 256 at the default), and a
-  // fresh read.parquet re-LISTS all of them per query — measured 3.8 s
-  // and 2 s of GC per probe at sf0.1, vs the probe's own ~0.1 s. A
-  // serving layer lists once and reuses the FileIndex; partition
-  // pruning from the probe filter still applies per query.
-  private val lshRuleIndexCache = new SessionCache[String, DataFrame]
+  // table × bucket_part directories, and a fresh read.parquet re-LISTS
+  // all of them per query — measured 3.8 s and 2 s of GC per probe at
+  // sf0.1, vs the probe's own ~0.1 s. A serving layer lists once and
+  // reuses the FileIndex; partition pruning from the probe filter
+  // still applies per query. The cached Int is the layout's PHYSICAL
+  // partition count (r18: scale-adaptive, see
+  // [[graft.index.LshIndexStore.adaptivePartitions]]) — every probe
+  // over the layout must compute bucket_part with the SAME modulus the
+  // writer used, so the count travels with the FileIndex.
+  private val lshRuleIndexCache = new SessionCache[String, (DataFrame, Int)]
 
   /** The at-rest rule-registered index table plus rule/strategy
     * injection — one registration and one cached FileIndex shared by
@@ -145,26 +149,33 @@ object Queries {
     * ([[knnServeStreamRule]]). The registration's `maxHamming` is the
     * path's serving policy (0 = exact bucket, 1 = 1-bit multi-probe),
     * so each policy gets its own at-rest copy of the layout — the
-    * registration IS the index choice. */
-  private def lshRuleIndexTable(spark: SparkSession, sfDir: String,
-                                maxHamming: Int = 0): DataFrame = {
+    * registration IS the index choice. Returns (layout, physical
+    * partition count). */
+  private def lshRuleIndexEntry(spark: SparkSession, sfDir: String,
+                                maxHamming: Int = 0): (DataFrame, Int) = {
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
     val tag = if (maxHamming == 0) "" else s"-mp$maxHamming"
     val p = s"target/gate-index/lsh-rule$tag-${math.abs(sfDir.hashCode)}"
-    val base = lshRuleIndexCache.getOrElseUpdate(spark, s"$tag:$sfDir") {
-      graft.index.LshIndexStore(lsh, 64)
-        .write(Tables.embeddings(spark, sfDir), "embedding", p)
-      spark.read.parquet(p)
+    val (base, parts) = lshRuleIndexCache.getOrElseUpdate(spark, s"$tag:$sfDir") {
+      val corpus = Tables.embeddings(spark, sfDir)
+      val pp = graft.index.LshIndexStore.adaptivePartitions(corpus)
+      graft.index.LshIndexStore(lsh, 64, pp).write(corpus, "embedding", p)
+      (spark.read.parquet(p), pp)
     }
     // register on EVERY call, not only on the cache-miss build: the
     // registry is global and clear()-able (LshProbeRewriteSpec does),
     // while the cached FileIndex is per-session — registering inside
     // the miss branch let a registry clear strand later gate calls on
     // a cached-but-unregistered table, failing their rewrite `require`
-    graft.plans.LshProbeRewrite.register(p, lsh, 64, maxHamming = maxHamming)
+    graft.plans.LshProbeRewrite.register(p, lsh, 64,
+      numPhysicalPartitions = parts, maxHamming = maxHamming)
     injectProbeRule(spark)
-    base
+    (base, parts)
   }
+
+  private def lshRuleIndexTable(spark: SparkSession, sfDir: String,
+                                maxHamming: Int = 0): DataFrame =
+    lshRuleIndexEntry(spark, sfDir, maxHamming)._1
 
   /** Idempotent per-session injection of the probe rewrite + its
     * planner strategy (the driver's Verify/Bench sessions are built
@@ -418,16 +429,18 @@ object Queries {
     * operating points end-to-end; recall for each is asserted in
     * AnnEvalSpec, and each gate's oracle replays its full candidate
     * rule from the staged fixture bytes. */
-  private val clusteredLshRuleCache = new SessionCache[String, DataFrame]
+  private val clusteredLshRuleCache = new SessionCache[String, (DataFrame, Int)]
   def annLshRuleClustered(spark: SparkSession, sfDir: String): DataFrame = {
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
     val p = "target/gate-index/lsh-rule-clustered-n4000-c25-s010"
-    val base = clusteredLshRuleCache.getOrElseUpdate(spark, "v1") {
-      graft.index.LshIndexStore(lsh, 64)
-        .write(spark.read.parquet(clusteredFixtureDir(spark)), "embedding", p)
-      spark.read.parquet(p)
+    val (base, parts) = clusteredLshRuleCache.getOrElseUpdate(spark, "v1") {
+      val corpus = spark.read.parquet(clusteredFixtureDir(spark))
+      val pp = graft.index.LshIndexStore.adaptivePartitions(corpus)
+      graft.index.LshIndexStore(lsh, 64, pp).write(corpus, "embedding", p)
+      (spark.read.parquet(p), pp)
     }
-    graft.plans.LshProbeRewrite.register(p, lsh, 64, maxHamming = 1)
+    graft.plans.LshProbeRewrite.register(p, lsh, 64,
+      numPhysicalPartitions = parts, maxHamming = 1)
     injectProbeRule(spark)
     val q = base.where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -787,9 +800,12 @@ object Queries {
     * rung on a crafted corpus where the ladder's stop level is forced.
     */
   def knnFilteredAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = lshRuleIndexTable(spark, sfDir) // same at-rest layout + cached FileIndex
+    // same at-rest layout + cached FileIndex; the probe-side store must
+    // carry the LAYOUT's physical partition count or its bucket_part
+    // pruning predicate misses every directory
+    val (base, parts) = lshRuleIndexEntry(spark, sfDir)
     val q = queryVec(spark, sfDir)
-    graft.index.LshIndexStore(RandomHyperplaneLsh(8, 12, 42L), 64)
+    graft.index.LshIndexStore(RandomHyperplaneLsh(8, 12, 42L), 64, parts)
       .searchFilteredAdaptive(base, "embedding", "vec_id",
         pmod(col("vec_id"), lit(47)) === 0, q, k = 5)
       .select(col("vec_id"), round(col("score"), 4).as("score"), col("index_used"))
@@ -815,18 +831,28 @@ object Queries {
     * the chosen set, the rerank AND the reported level; the requires
     * pin that the ladder (not the static probe, not the exact scan)
     * actually served, and that the placeholder value cannot leak. */
-  def knnFilteredRuleAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The guaranteed-k at-rest LSH layout + registration, shared by the
+    * per-request and batched ladder gates — its own at-rest copy: the
+    * registration IS the policy, and the registry keys policies by
+    * path (same rule as the -mp1 layout). Returns (layout, physical
+    * partition count) like [[lshRuleIndexEntry]]. */
+  private def lshGkIndexEntry(spark: SparkSession, sfDir: String): (DataFrame, Int) = {
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
     val p = s"target/gate-index/lsh-rule-gk-${math.abs(sfDir.hashCode)}"
-    val base = lshRuleIndexCache.getOrElseUpdate(spark, s"gk:$sfDir") {
-      graft.index.LshIndexStore(lsh, 64)
-        .write(Tables.embeddings(spark, sfDir), "embedding", p)
-      spark.read.parquet(p)
+    val (base, parts) = lshRuleIndexCache.getOrElseUpdate(spark, s"gk:$sfDir") {
+      val corpus = Tables.embeddings(spark, sfDir)
+      val pp = graft.index.LshIndexStore.adaptivePartitions(corpus)
+      graft.index.LshIndexStore(lsh, 64, pp).write(corpus, "embedding", p)
+      (spark.read.parquet(p), pp)
     }
-    // its own at-rest copy: the registration IS the policy, and the
-    // registry keys policies by path (same rule as the -mp1 layout)
-    graft.plans.LshProbeRewrite.register(p, lsh, 64, guaranteeK = true)
+    graft.plans.LshProbeRewrite.register(p, lsh, 64,
+      numPhysicalPartitions = parts, guaranteeK = true)
     injectProbeRule(spark)
+    (base, parts)
+  }
+
+  def knnFilteredRuleAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lshGkIndexEntry(spark, sfDir)._1
     val q = queryVec(spark, sfDir)
     val out = base
       .where(pmod(col("vec_id"), lit(47)) === 0)
@@ -909,13 +935,15 @@ object Queries {
     * rerank, and the reported `index_used` — self excluded throughout
     * (serving semantics). */
   def knnFilteredAdaptiveBatched(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = lshRuleIndexTable(spark, sfDir) // same at-rest layout + cached FileIndex
+    // same at-rest layout + cached FileIndex; probe modulus = layout's
+    val (base, parts) = lshRuleIndexEntry(spark, sfDir)
     val requests = Tables.embeddings(spark, sfDir)
       .where(col("embedding").isNotNull && col("vec_id") < 5)
       .select(col("vec_id"), col("embedding"))
     graft.index.KnnJoin.lshServeFilteredAdaptiveBatched(
         requests, base, RandomHyperplaneLsh(8, 12, 42L), 64, k = 5,
-        userFilter = pmod(col("vec_id"), lit(3)) === 0)
+        userFilter = pmod(col("vec_id"), lit(3)) === 0,
+        numPhysicalPartitions = parts)
       .select(col("q_id"), col("rn"), col("neighbor_id"),
         // + 0.0 collapses IEEE negative zero (see embeddingPool)
         (round(col("cos"), 4) + lit(0.0)).as("score"), col("index_used"))
@@ -939,15 +967,7 @@ object Queries {
     * carries over verbatim — rule-served ≡ library-served, per
     * request. */
   def knnFilteredBatchedRule(spark: SparkSession, sfDir: String): DataFrame = {
-    val lsh = RandomHyperplaneLsh(8, 12, 42L)
-    val p = s"target/gate-index/lsh-rule-gk-${math.abs(sfDir.hashCode)}"
-    val base = lshRuleIndexCache.getOrElseUpdate(spark, s"gk:$sfDir") {
-      graft.index.LshIndexStore(lsh, 64)
-        .write(Tables.embeddings(spark, sfDir), "embedding", p)
-      spark.read.parquet(p)
-    }
-    graft.plans.LshProbeRewrite.register(p, lsh, 64, guaranteeK = true)
-    injectProbeRule(spark)
+    val base = lshGkIndexEntry(spark, sfDir)._1
     val requests = Tables.embeddings(spark, sfDir)
       .where(col("embedding").isNotNull && col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -4690,7 +4710,7 @@ object Queries {
     * cross-contaminated between batches flips the hash.
     */
   def knnServeStreamBatched(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = lshRuleIndexTable(spark, sfDir) // exact-bucket at-rest layout
+    val (base, parts) = lshRuleIndexEntry(spark, sfDir) // exact-bucket at-rest layout
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
     val inDir = stagedKnnQueryDir(spark, sfDir)
     val qSchema = Tables.embeddings(spark, sfDir)
@@ -4698,7 +4718,8 @@ object Queries {
     runReplayForeachBatch(spark, inDir, qSchema, "knnserve_batched",
       onBatch = (batch, outDir) =>
         if (!batch.isEmpty)
-          graft.index.KnnJoin.lshServeBatched(batch, base, lsh, 64, k = 5)
+          graft.index.KnnJoin.lshServeBatched(batch, base, lsh, 64, k = 5,
+              numPhysicalPartitions = parts)
             .select(col("q_id"), col("neighbor_id"),
               col("cos").as("score")) // RAW score to the sink; round at presentation
             .write.mode("append").parquet(outDir),
@@ -4793,7 +4814,7 @@ object Queries {
     * real multi-request batches and a cross-batch boundary.
     */
   def knnServeStreamBatchedMp(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = lshRuleIndexTable(spark, sfDir, maxHamming = 1)
+    val (base, parts) = lshRuleIndexEntry(spark, sfDir, maxHamming = 1)
     val lsh = RandomHyperplaneLsh(8, 12, 42L)
     val inDir = stagedKnnQueryDir(spark, sfDir)
     val qSchema = Tables.embeddings(spark, sfDir)
@@ -4802,7 +4823,7 @@ object Queries {
       onBatch = (batch, outDir) =>
         if (!batch.isEmpty)
           graft.index.KnnJoin.lshServeBatched(batch, base, lsh, 64, k = 5,
-              maxHamming = 1)
+              numPhysicalPartitions = parts, maxHamming = 1)
             .select(col("q_id"), col("neighbor_id"),
               col("cos").as("score")) // RAW score to the sink; round at presentation
             .write.mode("append").parquet(outDir),

@@ -224,7 +224,17 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     * `codebook`/`codes`/`floats` beneath it); the key is the FLOATS
     * directory — the table a caller's exact top-k actually scans. The
     * codes plan is analyzed once here (one listing per registration,
-    * not per query; the per-rewrite copy re-instances exprIds). */
+    * not per query; the per-rewrite copy re-instances exprIds).
+    *
+    * Exactness condition under `guaranteeK` (r17 ADVICE, low): the
+    * FILTERED rewrite ranks the filter-surviving pool by ADC and keeps
+    * `shortlist` ids before the exact rerank — guaranteed-k always
+    * (filter-first serves the whole pool when it is below k), EXACT
+    * only while the filtered pool size stays ≤ `shortlist`. Beyond
+    * that the serve is the standard PQ recall trade: ADC misranking
+    * near the boundary can drop a true top-k row, and the dial is the
+    * same `shortlist` every PQ serve documents. Size `shortlist` to
+    * the largest filtered pool that must stay exact. */
   def registerPqSplit(spark: org.apache.spark.sql.SparkSession, rootPath: String,
                       cb: graft.index.PqKnn.Codebooks,
                       shortlist: Int = 100, idColName: String = "vec_id",
@@ -1301,9 +1311,13 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
     *
     * Refusals (None → the declared exact scan runs): a predicate
     * touching the id column (hand-built fetch — stacking would narrow
-    * it), a predicate referencing any column the floats relation does
-    * not carry (derived columns — the semi side cannot evaluate them),
-    * or a child whose relation cannot be isolated. */
+    * it), a predicate referencing anything that is not DIRECTLY an
+    * output attribute of the floats relation — matched by exprId, not
+    * name, so a Project alias that shadows a floats column name (a
+    * derived 'label' the optimizer could not substitute down to the
+    * scan) refuses instead of silently rebinding to the raw column and
+    * pruning the wrong pool — or a child whose relation cannot be
+    * isolated. */
   private def splitStagedFetchFiltered(kVal: Int, sort: Sort,
                                        projectList: Seq[NamedExpression],
                                        child: LogicalPlan,
@@ -1327,13 +1341,19 @@ object LshProbeRewrite extends Rule[LogicalPlan] {
       _ <- child.output.find(_.name == r.idColName)
       if userPreds.nonEmpty && rels.size == 1
       if userPreds.forall(!_.references.exists(_.name.equalsIgnoreCase(r.idColName)))
+      // exprId-based admission (r17 ADVICE, medium): every predicate
+      // reference must BE an output attribute of the isolated relation
+      // — a Project alias shadowing a floats column name has a foreign
+      // exprId and refuses here, where a name lookup would rebind it
+      // to the raw column and prune the wrong pool.
+      if userPreds.forall(_.references.subsetOf(rels.head.outputSet))
       floats2 = rels.head.newInstance()
-      byName = floats2.output.map(a => a.name -> a).toMap
-      if userPreds.forall(_.references.forall(a => byName.contains(a.name)))
-      semiId <- byName.get(r.idColName)
+      rebind = rels.head.output.zip(floats2.output)
+        .map { case (o, n) => o.exprId -> n }.toMap
+      semiId <- floats2.output.find(_.name == r.idColName)
     } yield {
       val rebound = userPreds
-        .map(_.transform { case a: Attribute => byName(a.name) })
+        .map(_.transform { case a: Attribute => rebind(a.exprId) })
         .reduce(And(_, _))
       val semiSide = Project(Seq(semiId), Filter(rebound, floats2))
       val filteredCodes = Join(codes, semiSide, LeftSemi,

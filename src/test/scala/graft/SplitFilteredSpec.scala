@@ -122,6 +122,31 @@ class SplitFilteredSpec extends AnyFunSuite {
     } finally graft.plans.LshProbeRewrite.unregister(s"$path/floats")
   }
 
+  test("rule: a filter on a Project alias SHADOWING a floats column refuses (exprId, not name)") {
+    val cb = graft.index.PqIndexStore().loadCodebooks(spark, path, dim = 64)
+    graft.plans.LshProbeRewrite.registerPqSplit(spark, path, cb,
+      shortlist = 100, idColName = "vec_id", guaranteeK = true)
+    try {
+      inject()
+      // a NON-DETERMINISTIC derived column named like the real floats
+      // column: the optimizer can neither push nor substitute it down
+      // to the scan, so the Filter's 'label' reference reaches the
+      // rewrite with a foreign exprId. rand(7)*0+3 makes every row
+      // pass (pool = whole corpus); a name-based rebind would prune to
+      // the RAW label===3 pool and silently serve the wrong top-k.
+      val shadowed = spark.read.parquet(s"$path/floats")
+        .withColumn("label", (rand(7) * 0 + lit(3)).cast("long"))
+        .where(col("label") === 3L)
+      val out = graft.index.BruteForceKnn
+        .search(shadowed, col("embedding"), col("vec_id"), q, k = 5)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("ShortlistFetch"),
+        s"shadowing-alias filter was rewritten — wrong-pool hazard:\n$plan")
+      assert(out.as[(Long, Double)].collect().toSeq == bruteFiltered(lit(true), 5))
+    } finally graft.plans.LshProbeRewrite.unregister(s"$path/floats")
+  }
+
   test("rule: the unfiltered top-k still serves the static staged plan under guaranteeK") {
     val cb = graft.index.PqIndexStore().loadCodebooks(spark, path, dim = 64)
     graft.plans.LshProbeRewrite.registerPqSplit(spark, path, cb,
