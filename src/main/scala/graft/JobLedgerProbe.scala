@@ -20,7 +20,9 @@ object JobLedgerProbe {
     case class Job(id: Int, start: Long, var end: Long = 0L,
                    var stages: Int = 0, var tasks: Int = 0,
                    var taskTimeMs: Long = 0L,
-                   var shuffle: Long = 0L, desc: String)
+                   var shuffle: Long = 0L, desc: String,
+                   names: scala.collection.mutable.Set[String] =
+                     scala.collection.mutable.Set.empty)
     val jobs = TrieMap.empty[Int, Job]
     val stageToJob = TrieMap.empty[Int, Int]
     @volatile var enabled = false
@@ -38,6 +40,7 @@ object JobLedgerProbe {
       stageToJob.get(si.stageId).flatMap(jobs.get).foreach { j =>
         j.stages += 1
         j.tasks += si.numTasks
+        j.names += si.name.take(60)
         if (m != null) {
           j.taskTimeMs += m.executorRunTime
           j.shuffle += m.shuffleReadMetrics.totalBytesRead +
@@ -83,7 +86,7 @@ object JobLedgerProbe {
       val dur = (j.end - j.start) / 1e3
       val gap = if (prevEnd == 0) 0.0 else (j.start - prevEnd) / 1e3
       prevEnd = math.max(prevEnd, j.end)
-      println(f"LEDGER job=${j.id}%3d dur=$dur%7.3f s gap_before=$gap%7.3f s stages=${j.stages}%2d tasks=${j.tasks}%4d task_time=${j.taskTimeMs / 1e3}%7.3f s shuffle=${j.shuffle / 1e6}%8.2f MB desc=${j.desc.take(80)}")
+      println(f"LEDGER job=${j.id}%3d dur=$dur%7.3f s gap_before=$gap%7.3f s stages=${j.stages}%2d tasks=${j.tasks}%4d task_time=${j.taskTimeMs / 1e3}%7.3f s shuffle=${j.shuffle / 1e6}%8.2f MB ${j.names.mkString("|")} ${j.desc.take(40)}")
     }
     val jobSum = js.map(j => (j.end - j.start) / 1e3).sum
     println(f"LEDGER job_time_sum=$jobSum%.3f s (driver-side/planning gap = ${total - jobSum}%.3f s)")

@@ -307,7 +307,8 @@ object Dedup {
     * both the signature UDF and the verify step, so the text is
     * tokenized once and there is no (id, shingle) posting shuffle at
     * all: candidates come from the band-bucket equi-join, and the
-    * verify is `array_intersect`/`array_union` on the candidate pairs
+    * verify is one `array_intersect` per candidate pair (union size
+    * derived from the distinct-array sizes) on the candidate pairs
     * only — pairs are rare relative to the corpus (that is the point
     * of banding), so joining the arrays to ≪N pairs beats shuffling
     * N×|shingles| postings three ways even at 100 TB.
@@ -344,9 +345,14 @@ object Dedup {
     cands
       .join(docsh.toDF("id_a", "shs_a"), "id_a")
       .join(docsh.toDF("id_b", "shs_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
-          size(array_union(col("shs_a"), col("shs_b"))).cast("double"))
+      // |A∪B| = |A|+|B|−|A∩B| exactly, because both arrays are
+      // array_distinct by construction — one hash-based intersect per
+      // pair instead of intersect + union (the union materialized a
+      // second shingle-sized array per candidate pair; r18 measured the
+      // verify step's task CPU dominated by exactly that allocation)
+      .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("n_inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -457,9 +463,10 @@ object Dedup {
       } else corpusC
     withBatchArrays
       .join(corpusNeeded, "corpus_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("shs_b"), col("shs_c"))).cast("double") /
-          size(array_union(col("shs_b"), col("shs_c"))).cast("double"))
+      // |A∪B| from sizes + intersect — see minhashNearDups' verify
+      .withColumn("n_inter", size(array_intersect(col("shs_b"), col("shs_c"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("shs_b")) + size(col("shs_c")) - col("n_inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }

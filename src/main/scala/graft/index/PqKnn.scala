@@ -198,8 +198,18 @@ object PqKnn {
     */
   def searchRefined(emb: DataFrame, idCol: Column, embCol: Column, query: Array[Float],
                     k: Int, dim: Int, candidates: Int = 100,
-                    m: Int = 8, numCentroids: Int = 256): DataFrame = {
-    val cb = train(emb, idCol, embCol, dim, m, numCentroids)
+                    m: Int = 8, numCentroids: Int = 256): DataFrame =
+    searchRefinedWith(emb, idCol, embCol, query, k,
+      train(emb, idCol, embCol, dim, m, numCentroids), candidates)
+
+  /** [[searchRefined]] over PRE-TRAINED codebooks — the serving form:
+    * codebooks are a build artifact of a corpus snapshot (the at-rest
+    * stores persist them next to the codes), so a resident engine
+    * trains once per snapshot and every query reuses the model; the
+    * train-per-call form above remains for one-shot exploration. */
+  def searchRefinedWith(emb: DataFrame, idCol: Column, embCol: Column,
+                        query: Array[Float], k: Int, cb: Codebooks,
+                        candidates: Int = 100): DataFrame = {
     val cand = searchEncoded(encode(emb, idCol, embCol, cb), query, cb, candidates)
       .select(col("id"))
     val pool = emb.join(broadcast(cand), idCol === cand("id")).drop(cand("id"))
@@ -332,10 +342,21 @@ object PqKnn {
   def searchIvfPqRefined(emb: DataFrame, idCol: Column, embCol: Column, query: Array[Float],
                          k: Int, dim: Int, candidates: Int = 100,
                          stride: Long = 53L, nprobe: Int = 2,
-                         m: Int = 8, numCentroids: Int = 256): DataFrame = {
-    val coarse = IvfKnn.centroids(emb, idCol, embCol, stride)
+                         m: Int = 8, numCentroids: Int = 256): DataFrame =
+    searchIvfPqRefinedWith(emb, idCol, embCol, query, k,
+      IvfKnn.centroids(emb, idCol, embCol, stride),
+      train(emb, idCol, embCol, dim, m, numCentroids),
+      candidates, nprobe)
+
+  /** [[searchIvfPqRefined]] over PRE-BUILT models (coarse centroids +
+    * PQ codebooks) — the serving form: both are snapshot build
+    * artifacts ([[IvfPqIndexStore.write]] persists exactly this pair),
+    * so a resident engine trains once and every query probes. */
+  def searchIvfPqRefinedWith(emb: DataFrame, idCol: Column, embCol: Column,
+                             query: Array[Float], k: Int,
+                             coarse: Array[(Long, Array[Float])], cb: Codebooks,
+                             candidates: Int = 100, nprobe: Int = 2): DataFrame = {
     val probeIds = IvfKnn.rankClusters(query, coarse).take(nprobe).map(_._1)
-    val cb = train(emb, idCol, embCol, dim, m, numCentroids)
     val probed = IvfKnn.assign(emb.where(embCol.isNotNull), embCol, coarse)
       .where(col("cluster_id").isin(probeIds.map(Long.box): _*))
     val cand = searchEncoded(encode(probed, idCol, embCol, cb), query, cb, candidates)
