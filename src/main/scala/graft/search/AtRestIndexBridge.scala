@@ -70,6 +70,14 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
     val dim = corpus.select(col("embedding")).limit(1).collect()(0)
       .getSeq[Float](0).length
     val path = s"$baseDir/$libraryId/v$version"
+    // scale-adaptive physical partitioning with the constructor value
+    // as the cap (r18, same rule as the gate layouts): a fixed 16-way
+    // split of a small library shatters the layout into ~tables×16
+    // tiny files and every batched serve pays per-file reader init;
+    // the registration sidecar persists the resolved count, so
+    // cross-JVM adopters probe with the writer's modulus.
+    val parts = graft.index.LshIndexStore
+      .adaptivePartitions(corpus, cap = numPhysicalPartitions)
     // `hid` — the long node identity (xxhash64 of the string chunk id)
     // — is STORED in the layout (r17): the batched rewrite's type
     // guards require long id columns on both sides, so carrying the
@@ -77,9 +85,9 @@ final class AtRestIndexBridge(baseDir: String = "target/at-rest-bridge",
     // the batched top-k over the registered relation and have the
     // registration rewrite it (tryServeBatch), instead of a library
     // call bypassing the rule
-    LshIndexStore(lsh, dim, numPhysicalPartitions).write(
+    LshIndexStore(lsh, dim, parts).write(
       corpus.withColumn("hid", xxhash64(col("id"))), "embedding", path)
-    graft.plans.LshProbeRewrite.register(path, lsh, dim, numPhysicalPartitions,
+    graft.plans.LshProbeRewrite.register(path, lsh, dim, parts,
       guaranteeK = true)
     swapIn(spark, libraryId,
       Entry(path, version, "lsh", spark.read.parquet(path)), existing)
