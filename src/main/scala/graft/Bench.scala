@@ -344,8 +344,13 @@ object Bench {
     // The stdout pointer must reflect REALITY: a failed write prints
     // "forensics":null rather than aiming the pointer at a missing or
     // stale file from a prior round.
+    // Per-run default filename (r18 VERDICT item 3): a later run at a
+    // different core count must not clobber the adjudication evidence
+    // of the run before it — the driver's own 8-cpu scaling run used to
+    // overwrite the 32-cpu forensics in the committed path. Explicit
+    // SPARK_GRAFT_BENCH_OUT still wins (unchanged contract).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "docs/BENCH_FORENSICS.json")
+      s"docs/BENCH_FORENSICS_c$cpus.json")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"over_time_same_profile":$sameProfileJson,"same_profile_adjudication":$adjJson,"suite_ambient_factor":$ambientJson,"budget_status":"${jsonStr(budgetStatus)}","query_metrics":$metrics,"runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}"}"""
     // print the RESOLVED absolute path, not the raw input: with a
@@ -360,7 +365,18 @@ object Bench {
         Some(p.toString)
       } catch { case _: Throwable => None }
     val forensicsField = wrote.map(p => "\"" + jsonStr(p) + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"over_time_same_profile":$sameProfileJson,"suite_ambient_factor":$ambientJson,"budget_status":"${jsonStr(budgetStatus)}","runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudgetJson,"over_time_same_profile":$sameProfileJson,"suite_ambient_factor":$ambientJson,"budget_status":"${jsonStr(budgetStatus)}","runs_per_query":3,"warmup_sec":$warmup,"sf":"${jsonStr(sfDir)}","forensics":$forensicsField}"""
+    // Capture insurance (r18 VERDICT item 2): the round-over-round
+    // comparison went blind when a captured stdout tail front-truncated
+    // the (single, ~9 KB) result line. Additions only — the canonical
+    // plain line stays the LAST thing printed and byte-identical in
+    // format; a sentinel-prefixed duplicate precedes it so any consumer
+    // that greps rather than tails has a second copy, and the full
+    // forensics file copy (`forensics` pointer above) remains the
+    // authoritative fallback.
+    println("GRAFT_BENCH_JSON " + line)
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }

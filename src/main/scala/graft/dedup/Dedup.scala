@@ -335,11 +335,19 @@ object Dedup {
       .where(size(col("shs")) > 0)
       .groupBy(col("id")).agg(max_by(col("shs"), xxhash64(col("shs"))).as("shs"))
 
+  /** `cache = false` skips the one-generation scratch cache of the
+    * shingle arrays: right for TINY inputs consumed inside one action
+    * (the ingest stream's within-batch self-check), where recomputing
+    * the shingle UDF per plan reference is cheaper than a persist +
+    * blocking unpersist per micro-batch (r19 — guide §5: caching only
+    * pays when recompute beats the cache machinery). Deterministic
+    * either way (UDF + max_by tie-break), so rows are unchanged. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, shingleSize: Int = 3,
-                      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
-    val docsh = scratchCache("minhash_docsh",
-      distinctShingleArrays(docs, idCol, textCol, shingleSize))
+                      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
+                      cache: Boolean = true): DataFrame = {
+    val docsh0 = distinctShingleArrays(docs, idCol, textCol, shingleSize)
+    val docsh = if (cache) scratchCache("minhash_docsh", docsh0) else docsh0
     val sigs = docsh.select(col("id"), sigFromShingles(numHashes, seed)(col("shs")).as("sig"))
     val cands = minhashCandidatePairs(sigs, "id", numHashes, bands)
     cands
@@ -413,56 +421,79 @@ object Dedup {
     * (the structural case: nightly batch ≪ standing corpus,
     * `batchDocs ≤ maxBroadcastBatchDocs`), the batch band table is
     * BROADCAST into the candidate join (the corpus band table is
-    * scanned, never shuffled) and the verify fetches corpus arrays
-    * through a broadcast semi-join on the distinct candidate ids
-    * (bounded by a count, so a skew-pathological index cannot OOM the
-    * driver) — per-ingest shuffle is then ∝ batch + candidates.
-    * Oversized batches fall back to the plain shuffled equi-joins,
-    * which is the right plan when batch ≈ corpus. Either path is
-    * exact — the hash-gated `dedup_incremental` / `dedup_ingest_stream`
-    * results are unchanged. Measured (IngestScaleProbe, 10k batch):
-    * per-ingest shuffle 100→869 MB across a 100k→1M corpus before,
-    * FLAT 19.5 MB after; wall time still grows (2.4 → 3.5 s at
-    * local[32]) because the remaining corpus-side term is the CACHED
-    * slim-index scan (16 band rows/doc + the semi-join's array scan) —
-    * scans parallelize across executors with zero network, which is
-    * precisely the term one accepts per ingest; the full re-dedup this
-    * avoids re-shingles raw text at 12.3 s / 2.08 GB shuffle on the
-    * same corpus.
+    * scanned, never shuffled) and the verify runs as
+    * `corpus ⋈ broadcast(candidate pairs) ⋈ broadcast(batch arrays)` —
+    * the corpus shingle table is likewise scanned, never shuffled, and
+    * both broadcast sides are ∝ batch + candidates. Per-ingest shuffle
+    * is then just the candidate-pair distinct. Oversized batches fall
+    * back to the plain shuffled equi-joins, which is the right plan
+    * when batch ≈ corpus. Either path is exact — the hash-gated
+    * `dedup_incremental` / `dedup_ingest_stream` results are unchanged
+    * (inner equi-joins commute; the r19 restructure only reordered
+    * them). Measured (IngestScaleProbe, 10k batch): per-ingest shuffle
+    * 100→869 MB across a 100k→1M corpus before, FLAT after; wall time
+    * still grows because the remaining corpus-side term is the CACHED
+    * slim-index scan — scans parallelize across executors with zero
+    * network, which is precisely the term one accepts per ingest; the
+    * full re-dedup this avoids re-shingles raw text at 12.3 s /
+    * 2.08 GB shuffle on the same corpus.
+    *
+    * DRIVER-ACTION ECONOMY (r19, guide §1.2/§5 — the ingest stream's
+    * floor was per-batch PLANNING, not task work): the small-batch
+    * verify no longer semi-joins the corpus on counted candidate ids —
+    * candidate pairs appear ONCE in the final plan, so the per-call
+    * scratch cache and its materializing `candIds.count()` action are
+    * gone (one fewer driver action + one fewer blocking unpersist per
+    * ingest). The skew guard this retires was a silent fallback to the
+    * shuffled plan past 5M candidate ids; a pathologically hot band
+    * bucket now surfaces as a LOUD broadcast-size failure instead —
+    * callers that expect adversarial indexes can force the shuffled
+    * path via `smallBatch = Some(false)`.
+    *
+    * `smallBatch`: `None` (default) keeps the measured `shB.count()`
+    * decision and scratch-caches the batch shingles (they feed two
+    * plan subtrees). `Some(s)` asserts the regime — no count, no
+    * per-batch cache (a small batch's shingle UDF is cheaper to run
+    * twice than to persist + blocking-unpersist every call; the ingest
+    * STREAM passes `Some(true)`, its documented structural contract).
+    * The flag picks a PLAN, never rows: both paths are exact.
     */
   def incrementalNearDupsAgainst(corpusShingles: DataFrame, corpusBands: DataFrame,
                                  batch: DataFrame, idCol: String, textCol: String,
                                  threshold: Double = 0.5, shingleSize: Int = 3,
                                  numHashes: Int = 64, bands: Int = 16,
                                  seed: Long = 42L,
-                                 maxBroadcastBatchDocs: Long = 100000L): DataFrame = {
-    val shB = scratchCache("incr_batch_sh",
-      distinctShingleArrays(batch, idCol, textCol, shingleSize))
-    // one cheap job over the (now cached) batch shingles: decides the
-    // broadcast plan AND pre-materializes the cache outside the joins
-    val batchDocs = shB.count()
-    val small = batchDocs <= maxBroadcastBatchDocs
+                                 maxBroadcastBatchDocs: Long = 100000L,
+                                 smallBatch: Option[Boolean] = None): DataFrame = {
+    val shB0 = distinctShingleArrays(batch, idCol, textCol, shingleSize)
+    val (shB, small) = smallBatch match {
+      case Some(s) => (shB0, s)
+      case None =>
+        val cached = scratchCache("incr_batch_sh", shB0)
+        // one cheap job over the (now cached) batch shingles: decides
+        // the broadcast plan AND pre-materializes the cache outside
+        // the joins
+        (cached, cached.count() <= maxBroadcastBatchDocs)
+    }
     val bandB = bandedSignatures(
       shB.select(col("id"), sigFromShingles(numHashes, seed)(col("shs")).as("sig")),
       "id", numHashes, bands)
-    val cands = scratchCache("incr_cands",
+    val cands =
       (if (small) broadcast(bandB) else bandB).toDF("batch_id", "band_id", "band_hash")
         .join(corpusBands.toDF("corpus_id", "band_id", "band_hash"),
           Seq("band_id", "band_hash"))
-        .select(col("batch_id"), col("corpus_id")).distinct())
-    val withBatchArrays = cands.join(shB.toDF("batch_id", "shs_b"), "batch_id")
+        .select(col("batch_id"), col("corpus_id")).distinct()
     val corpusC = corpusShingles.toDF("corpus_id", "shs_c")
-    val corpusNeeded =
-      if (small) {
-        // candidate ids are slim (8 B); the count bounds the broadcast
-        // even when a hot band bucket explodes the candidate set
-        val candIds = cands.select(col("corpus_id")).distinct()
-        if (candIds.count() <= 5000000L)
-          corpusC.join(broadcast(candIds), Seq("corpus_id"), "left_semi")
-        else corpusC
-      } else corpusC
-    withBatchArrays
-      .join(corpusNeeded, "corpus_id")
+    val shBArrays = shB.toDF("batch_id", "shs_b")
+    val withArrays =
+      if (small)
+        // corpus side scanned, never shuffled: slim pairs then batch
+        // arrays each arrive by broadcast, and the pair subtree is
+        // referenced exactly once — no scratch cache, no bounding count
+        corpusC.join(broadcast(cands), "corpus_id")
+          .join(broadcast(shBArrays), "batch_id")
+      else cands.join(shBArrays, "batch_id").join(corpusC, "corpus_id")
+    withArrays
       // |A∪B| from sizes + intersect — see minhashNearDups' verify
       .withColumn("n_inter", size(array_intersect(col("shs_b"), col("shs_c"))))
       .withColumn("jaccard", col("n_inter").cast("double") /
@@ -519,21 +550,23 @@ object Dedup {
             xxhash64(col("block"), col("shs"))).as("bs"))
         .select(col("id"), col("bs.block").as("block"), col("bs.shs").as("shs")))
     val sizes = docsh.select(col("id"), size(col("shs")).cast("long").as("n"))
+    // pair expansion stays IN EXPRESSION LAND (r19, guide step 4 /
+    // §4.1: prefer built-ins over closures): the previous
+    // `.as[Seq[Long]].flatMap` deserialized every posting list into
+    // Scala objects and re-encoded every emitted pair — the ledger
+    // charged 14.7 s of task CPU to that one stage at sf0.1. The
+    // nested-transform identity below emits exactly the same sorted
+    // i<j pairs (slice is 1-based: element i pairs with positions
+    // ≥ i+2) with no serialization boundary.
     val interCounts = docsh
       .select(col("block"), col("id"), explode(col("shs")).as("shingle"))
       .groupBy(col("block"), col("shingle"))
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) <= maxDocFreq)
-      .select(col("ids"))
-      .as[Seq[Long]]
-      .flatMap { ids =>
-        val sorted = ids.sorted
-        for {
-          i <- sorted.indices.iterator
-          j <- (i + 1) until sorted.length
-        } yield (sorted(i), sorted(j))
-      }
-      .toDF("id_a", "id_b")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) <= maxDocFreq && size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
     interCounts
       .join(sizes.toDF("id_a", "n_a"), "id_a")
@@ -586,10 +619,18 @@ object Dedup {
   /** The candidate+verify tail over an ALREADY-BUILT (id, shs) frame —
     * shared so [[prefixJaccardPairsCollapsed]] can reuse the one
     * shingle pass for both the join and its ≥1-shingle validity guard
-    * instead of tokenizing every representative text twice. */
+    * instead of tokenizing every representative text twice.
+    *
+    * `postings`: an optional pre-built [[prefixPostings]] frame FOR THE
+    * SAME docsh AND threshold (prefix lengths are t-dependent) — the
+    * at-rest prefix index a resident similarity service materializes
+    * per corpus snapshot; when supplied, the df-order/prefix build is
+    * skipped and the pass starts at candidate expansion. */
   private[graft] def prefixPairsFromShingles(docsh: DataFrame,
-                                             threshold: Double): DataFrame = {
-    val cand = prefixCandidates(docsh, threshold)
+                                             threshold: Double,
+                                             postings: Option[DataFrame] = None): DataFrame = {
+    val cand = expandPrefixCandidates(
+      postings.getOrElse(prefixPostings(docsh, threshold)), threshold)
     // exact verify: the two shingle-hash arrays come back for
     // CANDIDATE pairs only, and |A| / |B| are read off the fetched
     // arrays in-row — joining a separate sizes table twice would be
@@ -674,9 +715,12 @@ object Dedup {
   /** The candidate+verify+re-expansion tail over a built
     * [[CollapsedCorpus]] — the actual similarity join, separated from
     * the snapshot build so a resident pipeline (or the bench) times
-    * the join, not the re-tokenization of an unchanged corpus. */
-  def prefixPairsOverCollapsed(c: CollapsedCorpus, threshold: Double): DataFrame = {
-    val repPairs = prefixPairsFromShingles(c.repSh, threshold)
+    * the join, not the re-tokenization of an unchanged corpus.
+    * `postings`: optional per-snapshot [[prefixPostings]] over
+    * `c.repSh` at the SAME threshold (see prefixPairsFromShingles). */
+  def prefixPairsOverCollapsed(c: CollapsedCorpus, threshold: Double,
+                               postings: Option[DataFrame] = None): DataFrame = {
+    val repPairs = prefixPairsFromShingles(c.repSh, threshold, postings)
     val cross = repPairs
       .join(c.membership.toDF("a", "rep_a"), col("rep_a") === col("id_a"))
       .join(c.membership.toDF("b", "rep_b"), col("rep_b") === col("id_b"))
@@ -713,14 +757,26 @@ object Dedup {
       // slim-key determinism guard — see distinctShingleArrays
       .groupBy(col("id")).agg(max_by(col("shs"), xxhash64(col("shs"))).as("shs"))
 
-  /** Candidate (id_a, id_b) pairs sharing a prefix token — exposed to
-    * the spec so the blocking win (candidates ≪ shared-token pairs) is
-    * an asserted observable, not prose.
+  /** The PREFIX-POSTING table of a corpus: one row per (document,
+    * prefix token) — (id, n = |shs|, pos = the token's 0-based rank in
+    * the doc's df-sorted token list, sh). This is the AT-REST shape of
+    * an AllPairs/PPJoin index: a resident similarity service
+    * materializes it once per corpus snapshot (prefix lengths depend
+    * on the threshold, so it is a per-(snapshot, t) artifact) and
+    * every pass starts at candidate expansion.
+    *
+    * The returned frame is explicitly hash-partitioned by `sh` at
+    * defaultParallelism: candidate expansion is the operator's
+    * CPU-DENSE stage (Σ|posting|² pair work over a few MB of keys),
+    * and AQE's byte-driven coalescing was measured serializing it
+    * into 1-2 tasks (r19 ledger: 3.3 s wall on 2 tasks for 1.2 MB of
+    * shuffle). A user-specified repartition pins the stage at core
+    * count — the groupBy below reuses the partitioning, so the
+    * exchange COUNT is unchanged (the repartition replaces the
+    * groupBy's own exchange; cached copies preserve it too) — and
+    * scales with the cluster rather than with shuffle bytes.
     */
-  private[graft] def prefixCandidates(docsh: DataFrame, threshold: Double,
-                                      positional: Boolean = true): DataFrame = {
-    val spark = docsh.sparkSession
-    import spark.implicits._
+  private[graft] def prefixPostings(docsh: DataFrame, threshold: Double): DataFrame = {
     val posting = docsh.select(col("id"), explode(col("shs")).as("sh"))
     val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // the prefix is computed IN-ROW per document: collect each doc's
@@ -732,7 +788,7 @@ object Dedup {
     // each prefix token's 0-based rank in the doc's (df, sh)-sorted
     // token list — the prefix is that list's head, so prefix rank IS
     // global rank, which the positional filter below needs.
-    val prefix = posting.join(dfreq, "sh")
+    posting.join(dfreq, "sh")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("t"))
       .withColumn("n", size(col("t")).cast("long"))
@@ -741,6 +797,21 @@ object Dedup {
       .select(col("id"), col("n"),
         posexplode(transform(slice(col("t"), lit(1), col("p")), x => x("sh"))))
       .toDF("id", "n", "pos", "sh")
+      .repartition(docsh.sparkSession.sparkContext.defaultParallelism, col("sh"))
+  }
+
+  /** Candidate (id_a, id_b) pairs sharing a prefix token — exposed to
+    * the spec so the blocking win (candidates ≪ shared-token pairs) is
+    * an asserted observable, not prose.
+    */
+  private[graft] def prefixCandidates(docsh: DataFrame, threshold: Double,
+                                      positional: Boolean = true): DataFrame =
+    expandPrefixCandidates(prefixPostings(docsh, threshold), threshold, positional)
+
+  /** Candidate expansion over a [[prefixPostings]] frame (built at the
+    * SAME threshold — prefix lengths are t-dependent). */
+  private[graft] def expandPrefixCandidates(prefix: DataFrame, threshold: Double,
+                                            positional: Boolean = true): DataFrame = {
     // pair generation is ONE grouped pass over the prefix postings
     // ([[blockedJaccardPairs]]'s expansion, minus its doc-frequency
     // cap — prefix tokens are each document's RAREST, so posting lists
@@ -764,25 +835,45 @@ object Dedup {
     // adversarial regime): length alone 409k → 310k candidates,
     // length+positional → 125k for the same 256 true pairs, and the
     // verify stage's array-fetch joins shrink with it.
-    prefix.groupBy(col("sh"))
-      .agg(collect_list(struct(col("id"), col("n"), col("pos"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(col("ids")).as[Seq[(Long, Long, Int)]]
-      .flatMap { ids =>
-        val sorted = ids.sortBy(_._1)
-        for {
-          i <- sorted.indices.iterator
-          j <- (i + 1) until sorted.length
-          (ida, na, pa) = sorted(i)
-          (idb, nb, pb) = sorted(j)
-          if math.min(na, nb).toDouble >= threshold * math.max(na, nb) - 1e-9
-          if !positional || {
-            val alpha = math.ceil(threshold / (1.0 + threshold) * (na + nb) - 1e-9)
-            (1L + math.min(na - (pa + 1L), nb - (pb + 1L))).toDouble >= alpha
-          }
-        } yield (ida, idb)
+    // The expansion stays in EXPRESSION LAND (r19, guide step 4 — the
+    // trigram twin's `.as[...].flatMap` deserialization was HALF its
+    // expansion stage's task CPU; same rewrite here): sort_array over
+    // (id, n, pos) structs orders by id (first field), the nested
+    // transform emits i<j pairs (slice is 1-based: element i pairs
+    // with positions ≥ i+2), and both PPJoin filters run as the SAME
+    // double arithmetic the closure used (least/greatest mirror
+    // min/max; IEEE products commute), so the candidate set — and
+    // therefore every verified pair — is unchanged.
+    val qv = threshold / (1.0 + threshold)
+    def pairOk(x: Column, y: Column): Column = {
+      val na = x.getField("n"); val nb = y.getField("n")
+      val lenOk = least(na, nb).cast("double") >=
+        greatest(na, nb).cast("double") * threshold - 1e-9
+      if (!positional) lenOk
+      else {
+        val pa = x.getField("pos").cast("long"); val pb = y.getField("pos").cast("long")
+        val alpha = ceil((na + nb).cast("double") * qv - 1e-9)
+        val bound = (lit(1L) + least(na - (pa + 1L), nb - (pb + 1L))).cast("double")
+        lenOk && bound >= alpha
       }
-      .toDF("id_a", "id_b")
+    }
+    prefix.groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n"), col("pos")))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          filter(slice(col("ids"), i + lit(2), size(col("ids"))), y => pairOk(x, y)),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      // pin the dedup exchange at core count (guide §2.5): the stage
+      // AFTER it carries the broadcast array-fetch verify — CPU-dense
+      // per pair, a few MB of keys — and AQE's byte-driven coalescing
+      // was measured serializing it onto 2 tasks (1.7 s wall at
+      // sf0.1). A user-specified repartition is exempt from
+      // coalescing, and distinct() reuses its clustering, so the
+      // exchange count is unchanged.
+      .repartition(prefix.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
       .distinct()
   }
 
@@ -863,7 +954,17 @@ object Dedup {
   private[graft] def embeddingNearDupsExact(emb: DataFrame, idCol: String,
                                             embCol: String, threshold: Double): DataFrame = {
     import graft.expressions.DotProduct
-    val left = emb.select(col(idCol).cast("long").as("id_a"), col(embCol).as("emb_a"),
+    // spread the PROBE side across the cores before the broadcast
+    // nested-loop join (r19, guide §2.5): the N²/2 pair scoring is the
+    // operator's entire CPU and streams through the BNLJ at the probe
+    // side's parallelism — a session-cached corpus arriving as one
+    // scan partition serialized all 50M dot products onto ONE task
+    // (ledger: 1.0 s single-task job). Hash on the id (deterministic —
+    // guide §2.5's rand-repartition hazard) into core-count
+    // partitions; the 8-byte key spreads uniformly.
+    val probe = emb.repartition(
+      emb.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val left = probe.select(col(idCol).cast("long").as("id_a"), col(embCol).as("emb_a"),
       sqrt(DotProduct(col(embCol), col(embCol))).as("norm_a"))
     val right = emb.select(col(idCol).cast("long").as("id_b"), col(embCol).as("emb_b"),
       sqrt(DotProduct(col(embCol), col(embCol))).as("norm_b"))

@@ -95,6 +95,29 @@ class DedupSpec extends AnyFunSuite {
     } finally TestSpark.rmTree(dir)
   }
 
+  test("smallBatch hint and cache=false pick PLANS, never rows (r19)") {
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val (sh, bands) = Dedup.corpusIndex(corpus, "doc_id", "text")
+    def run(small: Option[Boolean]) =
+      Dedup.incrementalNearDupsAgainst(sh, bands, batch, "doc_id", "text", 0.3,
+          smallBatch = small)
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val counted = run(None) // the measured-count decision path
+    assert(counted.nonEmpty)
+    // both asserted regimes — the broadcast pair/array shape and the
+    // shuffled fallback — must agree exactly with the counted path
+    assert(run(Some(true)) == counted)
+    assert(run(Some(false)) == counted)
+    // minhash with the scratch cache skipped: identical pairs
+    val cached = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val uncached = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3,
+        cache = false)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(uncached == cached)
+  }
+
   test("hot-shingle cap drops over-frequent postings before pair expansion") {
     // 30 docs in one block, all sharing one hot shingle ("aaa bbb ccc")
     // plus a unique tail — pairwise jaccard is tiny, but WITHOUT the
