@@ -3962,6 +3962,14 @@ object Queries {
     */
   def pipelineMediaSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // MEASURED NEGATIVE (r19): repartitioning docs to core count before
+    // the blob-synthesis + phash UDFs (the gate's single-task CPU
+    // stages, 2 × ~0.4 s) widened the stages to 32 tasks but left wall
+    // time unchanged (paired BenchOne 1.67 vs 1.63 s — the per-gate
+    // floor is planning) while task CPU grew ~6× (each band-join side
+    // re-evaluates the UDF subtree above the new exchange) — a strictly
+    // worse trade for the low-core scaling run. Reverted; kept as the
+    // documented boundary of guide §2.5 here.
     val imgPairs = graft.dedup.Dedup.hammingBandPairs(
       Multimodal.imagePhashes(spark,
         docs.withColumn("blob", Multimodal.syntheticPgmUdf(col("text"))),
